@@ -1,13 +1,447 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.functions.GraftFunctions._
+import graft.operators.{PositionalTake, Relational}
+import graft.sources.Tables
+import graft.streaming.EventsPipeline
+
+/** Driver contract — the full operator catalog (SURVEY.md §2 parity rows +
+  * north-star extensions), each as a named query over the testdata tables
+  * with, where SQL-expressible, a DuckDB oracle.
+  *
+  * Every query ends in a deterministic ORDER BY over a key that makes the
+  * row sequence unique-up-to-identical-rows, and every computed column is
+  * identically aliased in the Spark plan and the oracle SQL (driver
+  * hash-compares by column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's composite operator — PK–FK inner hash join,
+    * right key dropped (`host/join/join_dpu.cc:158-400`) on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qJoin(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ parity ops
+
+  /** Filter + compaction (ref `dpu/shared/kernels/filter.c:57-177`). */
+  private def qFilter(s: SparkSession, d: String): DataFrame =
+    Relational
+      .filterCompact(
+        Tables.lineitem(s, d),
+        col("l_extendedprice") < 30000.0,
+        Seq("l_extendedprice"))
+      .withColumnRenamed("l_extendedprice", "v")
+      .orderBy("v")
+
+  /** Scalar SUM (ref `host/aggr/aggr_dpu.cc:31-89`). */
+  private def qSum(s: SparkSession, d: String): DataFrame =
+    Relational.sumAgg(Tables.lineitem(s, d), "l_quantity", "sum_v")
+      .select(col("sum_v").cast("double").as("sum_v"))
+
+  /** Positional take (ref `dpu/shared/kernels/take.c:12-47`): gather value
+    * rows at deterministic global indices (multiples of 8 — the reference's
+    * ⅛ indices-to-values ratio, `take_benchmark.cc:139`).
+    */
+  /** A unique total-order key over lineitem ((l_orderkey, l_linenumber) has
+    * duplicates in the testdata; this 6-column set is verified unique at
+    * every SF).
+    */
+  private val liKey =
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice")
+
+  private def qTake(s: SparkSession, d: String): DataFrame = {
+    val indexed = PositionalTake
+      .withGlobalIndex(Tables.lineitem(s, d).select(liKey.map(col): _*), liKey)
+      .select(col("idx"), col("l_extendedprice").as("v"))
+    val indices = indexed.filter(col("idx") % 8 === 0).select("idx")
+    PositionalTake.take(indexed, indices, "idx").orderBy("idx")
+  }
+
+  /** Hash partition conservation (ref `host/partition/partition_dpu.cc:49-131`):
+    * repartition on the key, then prove the row multiset survived (the
+    * reference's own — disabled — invariants, `partition_test.cc:40-56`).
+    */
+  private def qPartition(s: SparkSession, d: String): DataFrame =
+    Relational
+      .hashPartition(Tables.lineitem(s, d), 32, "l_orderkey")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(col("l_orderkey")).cast("long").as("sum_key"))
+
+  /** PK–FK inner equi-join, right key dropped (ref `host/join/join_native.cc:31-36,75-76`).
+    * Dimension side broadcast: at any scale where orders ≪ lineitem this is
+    * the shuffle-free plan.
+    */
+  private def qJoin(s: SparkSession, d: String): DataFrame =
+    Relational
+      .pkFkJoin(
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        "l_orderkey",
+        "o_orderkey",
+        broadcastRight = true)
+      .orderBy("l_orderkey", "l_quantity", "o_totalprice")
+
+  // -------------------------------------------------------- analytics ops
+
+  /** Grouped aggregation (TPC-H Q1 shape — beyond the reference's scalar-only
+    * SUM, SURVEY §2.3).
+    */
+  private def qGroupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Top-k: per-partition heap + driver merge (`TakeOrderedAndProject`),
+    * never a global sort.
+    */
+  private def qTopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Join + group + top-k (TPC-H Q3 shape). */
+  private def qJoinAggTopK(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Left-semi join (EXISTS). */
+  private def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent orders (the
+    * unfiltered variant is empty in the testdata).
+    */
+  private def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** Window functions: rank + running sum per order (absent from the
+    * reference, SURVEY §2.3).
+    */
+  private def qWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Order within the partition by the full unique key so rank and running
+    // sum are deterministic across engines.
+    val tie = liKey.tail.map(col)
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(tie: _*)
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(col("l_quantity"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("run_qty"))
+      .orderBy(col("l_orderkey") +: tie :+ col("rn"): _*)
+      .select("l_orderkey", "l_linenumber", "rn", "run_qty")
+  }
+
+  /** Tumbling-window event aggregation (batch twin of the streaming path). */
+  private def qEventsWindow(s: SparkSession, d: String): DataFrame =
+    EventsPipeline.windowedAgg(Tables.events(s, d))
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization statistics. */
+  private def qSessionize(s: SparkSession, d: String): DataFrame =
+    EventsPipeline.sessionize(Tables.events(s, d))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_seq")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** JSON scalar extraction from the event props column. */
+  private def qEventsJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  // -------------------------------------------------- north-star: dedup
+
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .select(col("text"), col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  private def qDedupNormalized(s: SparkSession, d: String): DataFrame =
+    Dedup.normalized(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("keep_id")
+
+  private def qMinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 16, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 12, chunks = 4)
+      .orderBy("id_a", "id_b")
+
+  private def qNgramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.03)
+      .orderBy("id_a", "id_b")
+
+  // --------------------------------------------- north-star: similarity
+
+  private def queryVector(s: SparkSession, d: String): Seq[Double] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") === 0)
+      .select(toDoubleArray(col("embedding")).as("v"))
+      .head()
+      .getSeq[Double](0)
+
+  private def qEmbedTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding", queryVector(s, d), 20)
+
+  private def qEmbedLshTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding", queryVector(s, d), 20)
+
+  private def qEmbedPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, planes = 8, chunks = 4)
+      .orderBy("id_a", "id_b")
+
+  // ------------------------------------------------- north-star: text
+
+  private def qTextStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityStats(Tables.documents(s, d), "doc_id", "text")
+      .select(
+        col("id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("avg_token_len"), col("alpha_ratio"),
+        col("punct_ratio"), col("stopword_ratio"))
+      .orderBy("id")
+
+  private def qLangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("id")
+
+  private def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("id"),
+        tokenCount(col("text")).cast("long").as("n_tokens_ws"),
+        regexTokenCount(col("text")).cast("long").as("n_tokens_re"))
+      .orderBy("id")
+
+  private def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("id"),
+        rollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy("id")
+
+  // -------------------------------------------- north-star: multimodal
+
+  private def qMultimodal(s: SparkSession, d: String): DataFrame =
+    Multimodal.featurize(Tables.documents(s, d), "doc_id", "text", "text/plain")
+      .select("id", "media_type", "byte_len", "width", "height", "n_frames")
+      .orderBy("id")
+
+  // -------------------------------------------------------------- catalog
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter" -> (qFilter _),
+    "q_sum" -> (qSum _),
+    "q_take" -> (qTake _),
+    "q_partition" -> (qPartition _),
+    "q_join" -> (qJoin _),
+    "q_group_agg" -> (qGroupAgg _),
+    "q_topk" -> (qTopK _),
+    "q_join_agg_topk" -> (qJoinAggTopK _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_window" -> (qWindow _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_sessionize" -> (qSessionize _),
+    "q_events_json" -> (qEventsJson _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_normalized" -> (qDedupNormalized _),
+    "q_minhash_pairs" -> (qMinhashPairs _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_ngram_jaccard" -> (qNgramJaccardPairs _),
+    "q_embed_topk" -> (qEmbedTopK _),
+    "q_embed_lsh_topk" -> (qEmbedLshTopK _),
+    "q_embed_pairs" -> (qEmbedPairs _),
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal" -> (qMultimodal _)
+  )
+
+  /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
+    * portable SQL (LSH/xxhash64-dependent candidate generation, the decode
+    * stub) — the driver records a rows-only check for those.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter" ->
+      "SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice < 30000 ORDER BY v",
+    "q_sum" ->
+      "SELECT CAST(SUM(l_quantity) AS DOUBLE) AS sum_v FROM lineitem",
+    "q_take" ->
+      """WITH v AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey,
+        |                                     l_suppkey, l_quantity, l_extendedprice)
+        |           - 1 AS idx,
+        |         l_extendedprice AS v
+        |  FROM lineitem)
+        |SELECT idx, v FROM v WHERE idx % 8 = 0 ORDER BY idx""".stripMargin,
+    "q_partition" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+        |FROM lineitem""".stripMargin,
+    "q_join" ->
+      """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_quantity, o.o_totalprice""".stripMargin,
+    "q_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+        |       ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_join_agg_topk" ->
+      """SELECT o.o_orderkey,
+        |       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window" ->
+      """SELECT l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |       CAST(SUM(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                  AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |                      l_extendedprice)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |         l_extendedprice, rn""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                        + INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_normalized" ->
+      """SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                           ' +', ' ', 'g')) AS norm_text,
+        |       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_embed_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       ROUND(list_dot_product(e.v, q.qv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+        |             6) AS cos
+        |FROM e, q ORDER BY cos DESC, id LIMIT 20""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id AS id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                            x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |       ROUND(length(text) /
+        |             GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                                      x -> len(x) > 0)), 1), 4) AS avg_token_len,
+        |       ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+        |             GREATEST(length(text), 1), 4) AS alpha_ratio,
+        |       ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) /
+        |             GREATEST(length(text), 1), 4) AS punct_ratio,
+        |       ROUND(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                 x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) /
+        |             GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                                      x -> len(x) > 0)), 1), 4) AS stopword_ratio
+        |FROM documents ORDER BY id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id AS id,
+        |       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                            x -> len(x) > 0)) AS BIGINT) AS n_tokens_ws,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))
+        |            + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+        |         AS n_tokens_re
+        |FROM documents ORDER BY id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id AS id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY id""".stripMargin
+  )
 }

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `BinaryType` columns with a typed metadata struct, plus per-partition
+  * batched "decode"/feature-extraction (north-star extension, SURVEY §7.6).
+  *
+  * The decode step is a STUB: no codec libraries ship in this container, so
+  * [[fakeDecode]] derives deterministic pseudo-features from the bytes. The
+  * Spark-side plumbing — schema, partitioning, mapPartitions batch shape,
+  * spill-free accumulation — is real and is what carries over to a real
+  * decoder: swap `decodeBatch`'s body for the codec call, nothing else moves.
+  *
+  * Scale notes: decode runs via `mapPartitions` (one iterator pass per
+  * partition, constant memory), the idiomatic Scala analog of Python's
+  * `mapInPandas`; payload columns are pruned until the decode stage so the
+  * scan ships only (id, media, media_type).
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Wraps a text column as a binary media payload with metadata — the
+    * ingest shape a real pipeline would read from object storage.
+    */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      encode(col(payloadCol), "UTF-8").as("media"),
+      struct(
+        lit(mediaType).as("media_type"),
+        length(encode(col(payloadCol), "UTF-8")).cast("long").as("byte_len"),
+        xxhash64(col(payloadCol)).as("checksum")).as("meta"))
+
+  /** Deterministic stand-in for a codec: derives (width, height, n_frames)
+    * and an 8-dim feature vector from the raw bytes. Replace with a real
+    * decoder when codec libs are available — signature stays identical.
+    */
+  private[ext] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    val n = bytes.length
+    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+    val width = 16 + math.floorMod(h, 1024).toInt
+    val height = 16 + math.floorMod(h >> 10, 1024).toInt
+    val frames = 1 + math.floorMod(h >> 20, 32).toInt
+    val feat = Array.tabulate(8) { i =>
+      val slice = bytes.iterator.zipWithIndex.filter(_._2 % 8 == i).map(_._1 & 0xff)
+      if (n == 0) 0.0 else slice.sum.toDouble / math.max(1, (n + 7 - i) / 8)
+    }
+    (width, height, frames, feat)
+  }
+
+  /** Batched decode/feature extraction over (id, media, meta) rows. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    val input = media.select(
+      col("id"), col("media"), col("meta").getField("media_type").as("media_type"),
+      col("meta").getField("byte_len").as("byte_len"))
+    val out: Dataset[Row] = input.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        val (w, h, f, feat) = fakeDecode(bytes)
+        Row(r.getAs[Long]("id"), r.getAs[String]("media_type"),
+          r.getAs[Long]("byte_len"), w, h, f, feat.toSeq)
+      }
+    }(enc)
+    out
+  }
+
+  /** End-to-end: text table → media payloads → decoded feature table. */
+  def featurize(df: DataFrame, idCol: String, payloadCol: String, mediaType: String): DataFrame =
+    decodeFeatures(asMedia(df, idCol, payloadCol, mediaType))
+}

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for training-data curation: language ID
+  * (stopword-voting heuristic), quality scoring, token counting, document
+  * fingerprinting (north-star extension, SURVEY §7.6).
+  *
+  * All pure column expressions — narrow (no shuffle), codegen'd, and
+  * embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-voting
+    * heuristic. Deterministic and engine-portable (the DuckDB oracle
+    * replicates the same vote).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "it" -> Seq("il", "la", "gli", "e", "che", "un", "una", "per", "non", "sono"))
+
+  /** Stopword-vote score for one language over a token array. */
+  def langScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Predicted language: argmax of stopword votes, ties broken by language
+    * code order, "und" (undetermined) when no stopword hits at all.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // array_max on (score, rank, lang) structs: rank is reversed list
+    // position, so ties on score resolve to the FIRST language in order.
+    val ranked = stopwords.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        langScore(toks, words).as("score"),
+        lit(stopwords.size - i).as("rank"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(ranked: _*))
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Per-document quality statistics. */
+  def qualityStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t)
+    val nTokens = size(toks)
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    val nStop = langScore(tokens(lower(t)), stopwords.toMap.apply("en"))
+    df.select(
+      col(idCol).as("id"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(nChars.cast("double") / greatest(nTokens, lit(1)).cast("double"), 4)
+        .as("avg_token_len"),
+      round(nAlpha.cast("double") / greatest(nChars, lit(1)).cast("double"), 4)
+        .as("alpha_ratio"),
+      round(nPunct.cast("double") / greatest(nChars, lit(1)).cast("double"), 4)
+        .as("punct_ratio"),
+      round(nStop.cast("double") / greatest(nTokens, lit(1)).cast("double"), 4)
+        .as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword density and sane
+    * token lengths, penalizes punctuation soup — the usual cheap pre-filter
+    * before expensive pipeline stages.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nTokens = greatest(size(toks), lit(1)).cast("double")
+    val avgLen = nChars / nTokens
+    val stopRatio =
+      langScore(tokens(lower(text)), stopwords.toMap.apply("en")).cast("double") / nTokens
+    val punctRatio =
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+        greatest(nChars, lit(1.0))
+    val lenOk = when(avgLen >= 3 && avgLen <= 12, lit(1.0)).otherwise(lit(0.5))
+    round(
+      least(lit(1.0), greatest(lit(0.0),
+        lenOk * (lit(0.5) + stopRatio * 2) - punctRatio * 2)), 4)
+  }
+
+  /** doc_id + fingerprints: whole-document rolling hash plus a w-shingle
+    * min-fingerprint (winnowing-style representative).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      rollingFingerprint(col(textCol)).as("fingerprint"),
+      array_min(transform(charShingles(col(textCol), k), g => xxhash64(g)))
+        .as("min_shingle_hash"))
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Positional gather — `out[i] = values[indices[i]]` (ref
+  * `dpu/shared/kernels/take.c:12-47`, `host/take/take_native.cc:18-38`).
+  *
+  * Spark has no positional-addressing operator, so take decomposes into
+  * (1) assigning a dense global row index and (2) an equi-join of the
+  * indices table against that index (SURVEY §2.1 #5). The join is the
+  * gather; when the indices side is small it broadcasts, so the values
+  * table is never shuffled — at 100 TB that is the only acceptable plan.
+  *
+  * Global indexing avoids the single-partition `Window.orderBy` trap: rows
+  * are range-partitioned on the ordering key and sorted within partitions;
+  * `monotonically_increasing_id` then yields a dense 0-based counter per
+  * partition with NO further exchange, and the exclusive prefix sum of
+  * partition sizes (a tiny numPartitions-row aggregate, broadcast back)
+  * turns local counters into the global index — the DataFrame equivalent
+  * of `RDD.zipWithIndex`, and of the reference's histogram → prefix-sum →
+  * scatter pipeline (`dpu/shared/kernels/partition.c:67-137`).
+  */
+object PositionalTake {
+
+  private val PidCol = "__graft_pid"
+  private val LocalIdxCol = "__graft_local_idx"
+  // monotonically_increasing_id packs the row counter in the low 33 bits.
+  private val LocalMask = (1L << 33) - 1
+
+  /** Adds `idxCol` = dense 0-based global row index in the total order of
+    * `orderCols` (which must be a unique key for determinism).
+    */
+  def withGlobalIndex(df: DataFrame, orderCols: Seq[String], idxCol: String = "idx"): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val local = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn(PidCol, spark_partition_id())
+      .withColumn(LocalIdxCol, monotonically_increasing_id().bitwiseAND(lit(LocalMask)))
+    // Exclusive prefix sum of partition sizes: numPartitions rows, computed
+    // once, broadcast back as a join on pid (range partitions are ordered,
+    // so pid order == key order and the index is globally dense).
+    val offsets = local
+      .groupBy(PidCol)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn(
+        "__offset",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.orderBy(col(PidCol)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(PidCol), col("__offset"))
+    local
+      .join(broadcast(offsets), PidCol)
+      .withColumn(idxCol, col(LocalIdxCol) + col("__offset"))
+      .drop(PidCol, LocalIdxCol, "__offset")
+  }
+
+  /** The gather itself: for each row of `indices` (column `idxCol`), emit the
+    * matching row of `indexedValues` (which must already carry `idxCol`,
+    * e.g. from [[withGlobalIndex]]). Output columns: `idxCol` ++ value cols.
+    * `broadcastIndices` should be true whenever the index list is small
+    * relative to the values table (the reference's shape: indices = ⅛ of
+    * values, `host/take/take_benchmark.cc:139`).
+    */
+  def take(
+      indexedValues: DataFrame,
+      indices: DataFrame,
+      idxCol: String,
+      broadcastIndices: Boolean = true): DataFrame = {
+    val idx = if (broadcastIndices) broadcast(indices) else indices
+    idx.join(indexedValues, Seq(idxCol), "inner")
+  }
+
+  /** Convenience end-to-end: index `values` by `orderCols`, keep `valueCols`,
+    * gather at `indices(idxCol)`.
+    */
+  def takeByPosition(
+      values: DataFrame,
+      orderCols: Seq[String],
+      valueCols: Seq[String],
+      indices: DataFrame,
+      idxCol: String = "idx"): DataFrame = {
+    val indexed = withGlobalIndex(values, orderCols, idxCol)
+      .select((idxCol +: valueCols).map(col): _*)
+    take(indexed, indices, idxCol)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity relational operators, expressed Spark-first.
+  *
+  * Each maps one row of SURVEY.md §2.1's inventory onto declarative
+  * DataFrame plans so Catalyst/Tungsten pick the physical strategy:
+  *  - Filter+compact (ref `dpu/shared/kernels/filter.c:57-177`) → `FilterExec`
+  *    under whole-stage codegen, predicate pushed to the parquet scan.
+  *  - SUM partial/final (ref `dpu/aggr/main.c:70-90` three-level combine) →
+  *    `HashAggregateExec(partial)` → single-partition exchange → final.
+  *  - Hash partition (ref `dpu/shared/kernels/partition.c:296-341`) →
+  *    `RepartitionByExpression` / `ShuffleExchangeExec` (Murmur3 pmod; the
+  *    reference's wang-hash parity is not required — only disjoint-cover
+  *    semantics, SURVEY §4.2).
+  *  - PK–FK inner join (ref `host/join/join_dpu.cc:158-400`) → Catalyst's
+  *    broadcast/shuffled hash join; small dims are broadcast explicitly.
+  */
+object Relational {
+
+  /** Selection + compaction: rows where `pred`, only `cols` kept (dense
+    * output, input order preserved per-partition). The reference hard-codes
+    * `v < 2^30` (`filter.c:25`); the predicate here is any Catalyst column.
+    */
+  def filterCompact(df: DataFrame, pred: Column, cols: Seq[String]): DataFrame =
+    df.filter(pred).select(cols.map(col): _*)
+
+  /** Scalar SUM over one column (ref `host/aggr/aggr_dpu.cc:31-89`).
+    * Partial→final aggregation is automatic; no driver-side adds.
+    */
+  def sumAgg(df: DataFrame, valueCol: String, as: String = "sum_v"): DataFrame =
+    df.agg(sum(col(valueCol)).as(as))
+
+  /** Hash partition a table on a key, preserving all columns and the total
+    * row multiset (ref `host/partition/partition_dpu.cc:49-131`). The
+    * per-partition histograms the reference returns to the host are
+    * available via [[partitionStats]].
+    */
+  def hashPartition(df: DataFrame, numPartitions: Int, keyCol: String): DataFrame =
+    df.repartition(numPartitions, col(keyCol))
+
+  /** Per-partition row counts after [[hashPartition]] — the Spark analog of
+    * the reference's histogram metadata (`host/partition/partitioner.cc:166-180`).
+    * Used by tests to assert the reference's (disabled) balance invariants
+    * (`host/partition/partition_test.cc:40-56`).
+    */
+  def partitionStats(partitioned: DataFrame): DataFrame =
+    partitioned
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** PK–FK inner equi-join: all left columns + right non-key columns, right
+    * key dropped (ref `host/join/join_native.cc:31-36,75-76`). When
+    * `broadcastRight` the dimension side is broadcast — no shuffle of the
+    * fact table at all, the plan a 100 TB fact join wants whenever the dim
+    * fits in executor memory; otherwise Catalyst/AQE picks shuffled-hash or
+    * sort-merge with skew handling.
+    */
+  def pkFkJoin(
+      left: DataFrame,
+      right: DataFrame,
+      fkCol: String,
+      pkCol: String,
+      broadcastRight: Boolean = false): DataFrame = {
+    val dim = if (broadcastRight) broadcast(right) else right
+    left.join(dim, left(fkCol) === dim(pkCol), "inner").drop(dim(pkCol))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics over the `events` table — the same windowed
+  * aggregation runs in batch (for the DuckDB oracle) and as a Structured
+  * Streaming query with watermarking (the reference has no streaming at
+  * all, SURVEY §1.4; this is the Spark-native upgrade path).
+  */
+object EventsPipeline {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window aggregate, batch form. Window start is emitted as
+    * epoch seconds (timezone-proof for cross-engine comparison).
+    */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sessionization: gap-based session ids per user (new session when the
+    * gap to the previous event exceeds `gapMinutes`). Window over
+    * (user_id, ts) — parallel per user key.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"),
+          lit(1)).otherwise(lit(0)))
+      .withColumn(
+        "session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_ts", "new_session")
+  }
+
+  /** The same windowed aggregate as a streaming query reading parquet from
+    * `inputDir` with a watermark; results land in the in-memory table
+    * `queryName` (tests drive it with `processAllAvailable()`).
+    */
+  def streamingWindowedAgg(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+}
