@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.GraftFunctions._
+
+/** North-star extension operators: dedup, similarity, text analysis,
+  * multimodal plumbing (SURVEY §7.6) — semantic sanity on crafted inputs.
+  */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumped over the lazy dog"), // near dup of 0
+    (3L, "The quick, brown fox jumps over the lazy dog!"), // normalized dup of 0
+    (4L, "completely unrelated text about database engines and columnar execution"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 2L))) // docs 0 and 1 collapse
+    assert(out.size == 5) // 6 docs, one pair merged
+  }
+
+  test("normalized dedup additionally collapses punctuation/case variants") {
+    val out = Dedup.normalized(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 3L))) // 0, 1 and 3 collapse
+  }
+
+  test("minhash LSH finds the near-duplicate pair and not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated stays out
+  }
+
+  test("simhash near-dup: identical docs at distance 0, unrelated far") {
+    val sigs = docs.filter(length($"text") > 0).select(
+      $"doc_id", simhashBits(tokens(lower($"text"))).as("bits"))
+    val d = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        hammingDistance($"a.bits", $"b.bits").as("h"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(d((0L, 1L)) == 0)
+    assert(d((0L, 2L)) < d((0L, 4L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, unrelated low") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.5)
+    assert(pairs.get((0L, 4L)).forall(_ < 0.1))
+  }
+
+  test("brute-force cosine top-k: self first with cos 1.0, orthogonal excluded") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), 2).as[(Long, Double)].collect()
+    assert(out.head == ((0L, 1.0)))
+    assert(out(1)._1 == 1L && out(1)._2 > 0.99)
+  }
+
+  test("LSH top-k always recalls the query vector itself") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" === 0)
+      .select(toDoubleArray($"embedding")).as[Seq[Double]].head()
+    val out = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect()
+    assert(out.head._1 == 0L && out.head._2 == 1.0)
+  }
+
+  test("language id votes stopwords; no hits yields 'und'") {
+    val df = Seq(
+      (0L, "the cat is on the mat and it is happy"),
+      (1L, "der Hund ist nicht mit der Katze zu Hause"),
+      (2L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "de")
+    assert(out(2L) == "und")
+  }
+
+  test("token counts: whitespace and regex variants handle empty and punctuation") {
+    val df = Seq((0L, ""), (1L, "  "), (2L, "a b  c"), (3L, "don't stop, world!"))
+      .toDF("id", "text")
+    val out = df.select($"id", tokenCount($"text").as("ws"),
+      regexTokenCount($"text").as("re")).as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((0, 0)))
+    assert(out(1L) == ((0, 0)))
+    assert(out(2L) == ((3, 3)))
+    assert(out(3L) == ((3, 7))) // don ' t stop , world !
+  }
+
+  test("rolling fingerprint is deterministic and order-sensitive") {
+    val df = Seq((0L, "abc"), (1L, "abc"), (2L, "acb")).toDF("id", "text")
+    val fp = df.select($"id", rollingFingerprint($"text").as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+    // fold semantics: ((0*131+97)*131+98)*131+99 mod 1e9+7
+    val expected = ((97L * 131 + 98) * 131 + 99) % 1000000007L
+    assert(fp(0L) == expected)
+  }
+
+  test("multimodal featurize: real plumbing, deterministic stub decode") {
+    val df = Seq((0L, "hello world"), (1L, "hello world"), (2L, "different"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.featurize(df, "doc_id", "text", "image/fake")
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("id", "media_type", "byte_len", "width", "height", "n_frames", "feature"))
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("byte_len") == 11L)
+    // identical payloads decode identically; different payloads differ
+    assert(rows(0).getAs[Int]("width") == rows(1).getAs[Int]("width"))
+    val f = rows.map(r => r.getSeq[Double](r.fieldIndex("feature")).toList)
+    assert(f(0) == f(1))
+    assert(rows(0).getAs[Int]("width") != rows(2).getAs[Int]("width") ||
+      rows(0).getAs[Int]("height") != rows(2).getAs[Int]("height"))
+  }
+}

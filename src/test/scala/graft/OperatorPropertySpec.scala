@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Property/invariant tests — including the reference's own *disabled*
+  * partition invariants (`host/partition/partition_test.cc:40-56,84-93`),
+  * which we make pass (SURVEY §5.2).
+  */
+class OperatorPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hash partition conserves row count and per-column checksum") {
+    val li = Tables.lineitem(spark, sf0001)
+    val before = li.agg(
+      count(lit(1)), sum($"l_quantity"), sum($"l_orderkey"))
+      .as[(Long, Double, Long)].head()
+    val after = Relational.hashPartition(li, 8, "l_orderkey").agg(
+      count(lit(1)), sum($"l_quantity"), sum($"l_orderkey"))
+      .as[(Long, Double, Long)].head()
+    assert(before == after)
+  }
+
+  test("hash partition produces the requested partition count, balanced ±10% on uniform keys") {
+    val n = 8
+    val df = spark.range(100000).toDF("k")
+    val parts = Relational.partitionStats(Relational.hashPartition(df, n, "k"))
+      .as[(Int, Long)].collect().toMap
+    assert(parts.size == n, "every partition non-empty")
+    val ideal = 100000.0 / n
+    parts.values.foreach { c =>
+      assert(math.abs(c - ideal) / ideal < 0.10, s"partition size $c vs ideal $ideal")
+    }
+  }
+
+  test("partitioning is disjoint: each key lands in exactly one partition") {
+    val df = spark.range(10000).toDF("k")
+    val keysPerPartition = Relational.hashPartition(df, 8, "k")
+      .withColumn("pid", spark_partition_id())
+      .groupBy($"k").agg(countDistinct($"pid").as("nparts"))
+      .agg(max($"nparts")).as[Long].head()
+    assert(keysPerPartition == 1L)
+  }
+
+  test("filter output is a subset of the input with selectivity preserved") {
+    val li = Tables.lineitem(spark, sf0001)
+    val thresh = 30000.0
+    val kept = Relational
+      .filterCompact(li, $"l_extendedprice" < thresh, Seq("l_extendedprice"))
+    val expected = li.filter($"l_extendedprice" < thresh).count()
+    assert(kept.count() == expected)
+    assert(kept.agg(max($"l_extendedprice")).as[Double].head() < thresh)
+  }
+
+  test("pk-fk join row count equals fact-side row count (PK-FK integrity)") {
+    // join_test.cc:115-116 invariant, on the natural orders<-lineitem pair
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    val joined = Relational.pkFkJoin(
+      li.select("l_orderkey", "l_quantity"),
+      o.select("o_orderkey", "o_totalprice"),
+      "l_orderkey", "o_orderkey", broadcastRight = true)
+    assert(joined.count() == li.count())
+  }
+
+  test("sum aggregation matches driver-side fold at any partitioning") {
+    val df = spark.range(1, 100001).toDF("v")
+    val expected = 100000L * 100001L / 2
+    assert(Relational.sumAgg(df, "v").as[Long].head() == expected)
+    assert(Relational.sumAgg(df.repartition(13), "v").as[Long].head() == expected)
+  }
+}
