@@ -9,19 +9,22 @@ import graft.functions.GraftFunctions._
   * pipelines (north-star extension, SURVEY §7.6; beyond the reference
   * surface, SURVEY §2.3).
   *
-  * Scale notes (100 TB): every variant is a hash-shuffle on a compact key
-  * (digest / band hash), never on the document text itself; candidate
-  * generation is LSH-bucketed so the pairwise verification join touches
-  * only same-bucket pairs, not the O(n²) cross product. No driver-side
-  * state, no collect.
+  * Scale discipline (100 TB):
+  *  - Candidate generation shuffles ONLY (bucket_key, id) pairs — never
+  *    shingle arrays or vectors. Payloads are re-attached to the (much
+  *    smaller) candidate set by a keyed join afterwards, which AQE turns
+  *    into a broadcast when the payload side is small.
+  *  - Exact n-gram Jaccard is computed by counting — |A∩B| from an
+  *    inverted-index group-by, |A|,|B| from a per-doc size table — so no
+  *    array ever crosses a shuffle boundary.
+  *  - Signatures (minhash/simhash/hyperplane) are native single-pass
+  *    Catalyst expressions (see [[graft.functions.NativeExpressions]]).
   */
 object Dedup {
 
   /** Exact dedup: one survivor (min `idCol`) per distinct `textCol`, plus
-    * the duplicate count. GroupBy on a 64-bit digest first so the shuffle
-    * key is 8 bytes, not the document; the full text is carried once per
-    * group via `min_by`-style first semantics (digest collisions are
-    * guarded by grouping on (digest, text)).
+    * the duplicate count. Grouping on (digest, text) keeps the shuffle key
+    * compact while guarding against digest collisions.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(xxhash64(col(textCol)).as("text_digest"), col(textCol))
@@ -39,13 +42,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Re-attach a payload column to candidate (id_a, id_b) pairs. */
+  private def attach(cand: DataFrame, payload: DataFrame, valueCol: String): DataFrame =
+    cand
+      .join(payload.select(col("id").as("id_a"), col(valueCol).as(s"${valueCol}_a")), "id_a")
+      .join(payload.select(col("id").as("id_b"), col(valueCol).as(s"${valueCol}_b")), "id_b")
+
   /** MinHash + LSH near-dup candidate pairs with exact-Jaccard verification.
     *
-    * shingle → minhash signature (numHashes) → `bands` band-hashes →
-    * explode → self-join per (band, bandHash) bucket → distinct candidate
-    * pair → verify exact shingle Jaccard ≥ threshold.
-    *
-    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    * shingles → native minhash signature → band keys → id-only self-join
+    * per band bucket → distinct candidate pairs → re-attach shingles →
+    * exact Jaccard ≥ threshold. Output: (id_a, id_b, jaccard), id_a < id_b.
     */
   def minhashPairs(
       df: DataFrame,
@@ -59,23 +66,31 @@ object Dedup {
     val sh = df.select(
       col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("shingles"))
-    val sig = sh.withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val sig = sh.select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig"))
     val banded = sig
-      .select(col("id"), col("shingles"),
-        explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
-    val a = banded.select(col("band_key"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band_key"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band_key"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), "band_key")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .distinct()
+    // Cheap prefilter: signature agreement is an unbiased Jaccard estimate;
+    // only pairs plausibly at/above threshold pay for the exact set math.
+    val estMatches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val plausible = attach(cand, sig, "sig")
+      .filter(estMatches >= lit(math.max(0.0, threshold - 0.15) * numHashes))
+      .select("id_a", "id_b")
+    attach(plausible, sh, "shingles")
+      .withColumn("jaccard", jaccard(col("shingles_a"), col("shingles_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs: 64-bit sign signature over word tokens,
-    * chunk-bucketed candidates, hamming-distance verification.
+  /** SimHash near-dup pairs: packed 64-bit signature, chunk-bucketed
+    * candidates (pigeonhole-complete for hamming < chunks), `bit_count`
+    * hamming verification.
     */
   def simhashPairs(
       df: DataFrame,
@@ -85,24 +100,24 @@ object Dedup {
       chunks: Int = 4): DataFrame = {
     val sig = df.select(
       col(idCol).as("id"),
-      simhashBits(tokens(lower(col(textCol)))).as("bits"))
-    val bucketed = sig.select(
-      col("id"), col("bits"),
-      explode(simhashChunkKeys(col("bits"), chunks)).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("bits").as("bits_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("bits").as("bits_b"))
-    a.join(b, Seq("bucket"))
+      simhash64(tokens(lower(col(textCol)))).as("sig"))
+    val bucketed = sig.select(col("id"),
+      explode(chunkKeys(col("sig"), 64, chunks)).as("bucket"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"), "bucket")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hammingDistance(col("bits_a"), col("bits_b")))
+      .distinct()
+    attach(cand, sig, "sig")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select("id_a", "id_b", "hamming")
   }
 
-  /** Word n-gram Jaccard pairs via shared-shingle inverted index (exact,
-    * no LSH approximation): docs sharing at least one n-gram are candidates;
-    * exact Jaccard filters. For corpora where stop-shingles would blow up
-    * candidate counts, raise `n` or switch to [[minhashPairs]].
+  /** Word n-gram Jaccard pairs via shared-shingle inverted index — exact,
+    * computed entirely by counting: |A∩B| = rows per pair in the
+    * gram-joined posting list (shingle sets are distinct), |A∪B| =
+    * |A|+|B|-|A∩B|. No arrays cross any shuffle.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -113,19 +128,28 @@ object Dedup {
     val sh = df.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("shingles"))
-    val inverted = sh.select(col("id"), col("shingles"), explode(col("shingles")).as("gram"))
-    val a = inverted.select(col("gram"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = inverted.select(col("gram"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    val posting = sh.select(col("id"), explode(col("shingles")).as("gram"))
+      // Compact the shuffle key: 8-byte gram hash instead of the string.
+      .select(col("id"), xxhash64(col("gram")).as("gram_h"))
+    val inter = posting.as("a")
+      .join(posting.as("b"), "gram_h")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold via hyperplane-LSH
-    * bucketing (see [[Similarity]]) + exact cosine verification.
+  /** Embedding near-dup pairs: cosine ≥ threshold via packed hyperplane-LSH
+    * bucketing + native-dot verification with precomputed norms.
     */
   def embeddingPairs(
       df: DataFrame,
@@ -135,19 +159,21 @@ object Dedup {
       planes: Int = 16,
       chunks: Int = 4): DataFrame = {
     val v = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
-      .withColumn("bits", hyperplaneSignBits(col("v"), planes))
-    val chunkLen = planes / chunks
-    val bucketed = v.select(
-      col("id"), col("v"),
-      explode(transform(
-        sequence(lit(0), lit(chunks - 1)),
-        c => xxhash64(slice(col("bits"), c * lit(chunkLen) + 1, lit(chunkLen)), c))).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+      .withColumn("sig", hyperplaneBits(col("v"), planes))
+      .withColumn("vn", struct(col("v").as("vec"), l2Norm(col("v")).as("norm")))
+    val bucketed = v.select(col("id"),
+      explode(chunkKeys(col("sig"), planes, chunks)).as("bucket"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"), "bucket")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosineSimilarity(col("v_a"), col("v_b")))
+      .distinct()
+    attach(cand, v.select(col("id"), col("vn")), "vn")
+      .withColumn(
+        "cos",
+        when(col("vn_a.norm") === 0 || col("vn_b.norm") === 0, lit(0.0))
+          .otherwise(
+            dot(col("vn_a.vec"), col("vn_b.vec")) / (col("vn_a.norm") * col("vn_b.norm"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -12,8 +12,8 @@ import graft.functions.GraftFunctions._
   * Scale notes: the query vector is a literal folded into the plan (no
   * join, no shuffle — a 100 TB scan stays a scan); top-k is Spark's
   * `TakeOrderedAndProject` (per-partition heap + driver merge of k rows,
-  * never a global sort). The LSH variant prunes the scan to matching
-  * buckets, which predicate-pushes on a small int column.
+  * never a global sort). The dot product is a native expression, so the
+  * scan is one tight loop per row.
   */
 object Similarity {
 
@@ -34,11 +34,10 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-accelerated approximate top-k: random-hyperplane signature buckets
-    * both the corpus and the query; only vectors sharing at least one
-    * signature chunk with the query are scored. Recall is tunable via
-    * (planes, chunks); exactness is NOT guaranteed — use
-    * [[bruteForceTopK]] as the oracle.
+  /** LSH-accelerated approximate top-k: packed random-hyperplane signatures
+    * bucket both corpus and query; only vectors sharing at least one
+    * signature chunk with the query are scored. Recall tunable via
+    * (planes, chunks); use [[bruteForceTopK]] as the exactness oracle.
     */
   def lshTopK(
       df: DataFrame,
@@ -49,21 +48,15 @@ object Similarity {
       planes: Int = 16,
       chunks: Int = 4): DataFrame = {
     val q = array(query.map(lit): _*)
-    val chunkLen = planes / chunks
-    val corpus = df
-      .select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
-      .withColumn("bits", hyperplaneSignBits(col("v"), planes))
-    // Query chunk keys are plan-time constants (same expression over a
-    // literal), so the bucket membership test folds to a scan filter.
-    val qKeys = transform(
-      sequence(lit(0), lit(chunks - 1)),
-      c => xxhash64(slice(hyperplaneSignBits(q, planes), c * lit(chunkLen) + 1, lit(chunkLen)), c))
-    val cKeys = transform(
-      sequence(lit(0), lit(chunks - 1)),
-      c => xxhash64(slice(col("bits"), c * lit(chunkLen) + 1, lit(chunkLen)), c))
-    corpus
-      .filter(arrays_overlap(cKeys, qKeys))
-      .select(col("id"), round(cosineSimilarity(col("v"), q), 6).as("cos"))
+    // Both chunk-key arrays are expressions over this row's signature / a
+    // literal, so the bucket test is a pure scan filter — no join, no
+    // shuffle, and the query side constant-folds.
+    val corpusKeys = chunkKeys(hyperplaneBits(toDoubleArray(col(vecCol)), planes), planes, chunks)
+    val queryKeys = chunkKeys(hyperplaneBits(q, planes), planes, chunks)
+    df.filter(arrays_overlap(corpusKeys, queryKeys))
+      .select(
+        col(idCol).as("id"),
+        round(cosineSimilarity(toDoubleArray(col(vecCol)), q), 6).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }

@@ -15,11 +15,10 @@ object GraftFunctions {
 
   // ---------------------------------------------------------------- tokens
 
-  /** Whitespace tokens; empty input → empty array (never `[""]`). */
-  def tokens(text: Column): Column = {
-    val t = split(trim(text), "\\s+")
-    filter(t, x => length(x) > lit(0))
-  }
+  /** Whitespace tokens; empty input → empty array (never `[""]`).
+    * Native single-pass expression.
+    */
+  def tokens(text: Column): Column = NativeExpressions.tokenize(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -48,27 +47,19 @@ object GraftFunctions {
 
   // -------------------------------------------------------------- shingles
 
-  /** Distinct character k-shingles of `lower(text)`; shorter-than-k text
-    * yields a single shingle (the text itself) so no doc is dropped.
+  /** Distinct character k-shingles of `lower(trim(text))`; shorter-than-k
+    * text yields a single shingle (the text itself) so no doc is dropped.
+    * Native single-pass expression (the HOF formulation re-evaluates its
+    * captured subtree per element — ~ms/row on real documents).
     */
-  def charShingles(text: Column, k: Int): Column = {
-    val t = lower(trim(text))
-    array_distinct(
-      when(length(t) >= k,
-        transform(sequence(lit(0), length(t) - k), i => t.substr(i + 1, lit(k))))
-        .otherwise(array(t)))
-  }
+  def charShingles(text: Column, k: Int): Column =
+    NativeExpressions.char_shingles(text, k)
 
-  /** Distinct word n-grams (space-joined) of the whitespace tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(lower(text))
-    array_distinct(
-      when(size(ts) >= n,
-        transform(
-          sequence(lit(0), size(ts) - n),
-          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", ts))))
-  }
+  /** Distinct word n-grams (space-joined) of the whitespace tokens of
+    * `lower(text)`. Native single-pass expression.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    NativeExpressions.word_shingles(text, n)
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -79,15 +70,12 @@ object GraftFunctions {
 
   // --------------------------------------------------------------- minhash
 
-  /** MinHash signature: element `s` = min over shingles of xxhash64(g, s).
-    * Empty shingle set → all-zero signature (still joinable, never null).
+  /** MinHash signature — delegates to the native single-pass expression
+    * (two hash evaluations per shingle for the whole signature; see
+    * [[NativeExpressions.MinHashSig]]).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    when(size(shingles) === 0, array_repeat(lit(0L), numHashes))
-      .otherwise(
-        transform(
-          sequence(lit(0), lit(numHashes - 1)),
-          s => array_min(transform(shingles, g => xxhash64(g, s)))))
+    NativeExpressions.minhash_sig(shingles, numHashes)
 
   /** LSH band keys: hash of each r-row band of the signature, tagged with
     * the band id so buckets from different bands never collide.
@@ -99,36 +87,24 @@ object GraftFunctions {
 
   // --------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash as an array of 64 sign bits (0/1). Per token-hash, each
-    * bit position accumulates +1/-1; the sign of the total is the bit.
-    */
-  def simhashBits(tokenArr: Column): Column = {
-    val counts = aggregate(
-      tokenArr,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(
-          acc,
-          sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftrightunsigned", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      })
-    transform(counts, c => when(c > 0, lit(1)).otherwise(lit(0)))
-  }
+  /** 64-bit SimHash packed into one long (native single-pass expression). */
+  def simhash64(tokenArr: Column): Column = NativeExpressions.simhash64(tokenArr)
 
-  /** Hamming distance between two equal-length bit arrays. */
-  def hammingDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v)
+  /** Hamming distance between two packed 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Bucket keys for SimHash candidate generation: hash each of `chunks`
-    * contiguous chunks of the bit array (two near-identical docs agree on
-    * at least one chunk when their hamming distance < chunks).
+  /** Bucket keys for packed-signature candidate generation: `chunks`
+    * contiguous bit-chunks, each tagged with its chunk index so buckets
+    * from different chunks never collide. Two signatures within hamming
+    * distance < `chunks` agree on at least one chunk (pigeonhole).
     */
-  def simhashChunkKeys(bits: Column, chunks: Int): Column = {
-    val chunkLen = 64 / chunks
-    transform(
-      sequence(lit(0), lit(chunks - 1)),
-      c => xxhash64(slice(bits, c * lit(chunkLen) + 1, lit(chunkLen)), c))
+  def chunkKeys(sig: Column, totalBits: Int, chunks: Int): Column = {
+    val k = totalBits / chunks
+    val mask = (1L << k) - 1
+    array((0 until chunks).map { c =>
+      lit(c.toLong * 4294967296L) +
+        shiftrightunsigned(sig, c * k).bitwiseAND(lit(mask))
+    }: _*)
   }
 
   // -------------------------------------------------------------- vectors
@@ -136,11 +112,10 @@ object GraftFunctions {
   /** Elementwise cast to double (Float arrays → exact double math). */
   def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product via zip_with + left-fold (sequential sum: deterministic,
-    * bit-matches any engine folding in element order).
+  /** Dot product (native loop; sums in element order, so results bit-match
+    * any engine folding sequentially).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = NativeExpressions.vec_dot(a, b)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -151,22 +126,9 @@ object GraftFunctions {
     when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
   }
 
-  /** Random-hyperplane LSH signature for cosine similarity: bit `p` =
-    * sign of dot(v, r_p) where hyperplane r_p components are pseudo-random
-    * ±1 derived from xxhash64(p, dim-index) — fully deterministic, no
-    * stored model. Returns an array of `planes` 0/1 ints.
+  /** Random-hyperplane cosine-LSH signature packed into a long (native
+    * expression; deterministic pseudo-random ±1 hyperplanes, no model).
     */
-  def hyperplaneSignBits(v: Column, planes: Int): Column =
-    transform(
-      sequence(lit(0), lit(planes - 1)),
-      p => {
-        val proj = aggregate(
-          zip_with(
-            v,
-            sequence(lit(0), size(v) - 1),
-            (x, i) => x * when(xxhash64(i, p).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))),
-          lit(0.0),
-          (acc, x) => acc + x)
-        when(proj >= 0, lit(1)).otherwise(lit(0))
-      })
+  def hyperplaneBits(v: Column, planes: Int): Column =
+    NativeExpressions.hyperplane_bits(v, planes)
 }

@@ -1,0 +1,231 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot inner loops of the dedup /
+  * similarity operators (SURVEY §4.3's "custom Expression" tier).
+  *
+  * Rationale: the pure-`functions._` formulations of minhash / simhash /
+  * dot-product are higher-order-function trees that the interpreter
+  * re-evaluates per (seed × element) — a 64-hash signature costs 64·|set|
+  * hash evaluations, and `CollapseProject` inlines any intermediate column
+  * so no DataFrame-level staging avoids it. Each expression below is one
+  * tight JVM loop per row: a shingle is hashed exactly twice for a full
+  * 64-element MinHash signature, a token once for SimHash.
+  *
+  * `CodegenFallback` is deliberate: the loop body is compiled Scala; the
+  * interpreted boundary costs one virtual call per row, negligible against
+  * the per-element work it replaces.
+  */
+object NativeExpressions {
+
+  private val P31 = 2147483647L // 2^31 - 1, prime
+
+  /** MinHash signature of an array<string> shingle set, via the two-hash
+    * permutation family h_i = (h1 + i·h2) mod p (h1,h2 = xxhash64 with
+    * seeds 0/1). Output: array<long> of length `numHashes`; empty input →
+    * all zeros (joinable, never null).
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val s = arr.getUTF8String(j)
+        val h1 = java.lang.Long.remainderUnsigned(XXH64.hashUTF8String(s, 0L), P31)
+        val h2 = java.lang.Long.remainderUnsigned(XXH64.hashUTF8String(s, 1L), P31 - 1) + 1L
+        var i = 0
+        var h = h1
+        while (i < numHashes) {
+          if (h < mins(i)) mins(i) = h
+          h += h2
+          if (h >= P31) h -= P31
+          i += 1
+        }
+        j += 1
+      }
+      if (n == 0) java.util.Arrays.fill(mins, 0L)
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** 64-bit SimHash of an array<string> token set, packed into one long:
+    * bit b of the result = sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var j = 0
+      while (j < n) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(j), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** Dot product of two array<double> vectors (null if lengths differ). */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getDouble(i) * b.getDouble(i)
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane signature of an array<double> vector packed into a
+    * long: bit p = [Σ_d v(d)·r(p,d) ≥ 0] with r(p,d) = ±1 derived from
+    * xxhash64(d, seed=p). `planes` ≤ 64.
+    */
+  case class HyperplaneBits(child: Expression, planes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(planes > 0 && planes <= 64)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          val sign = if ((XXH64.hashLong(d.toLong, p.toLong) & 1L) == 1L) 1.0 else -1.0
+          acc += v.getDouble(d) * sign
+          d += 1
+        }
+        if (acc >= 0) sig |= (1L << p)
+        p += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneBits = copy(child = c)
+  }
+
+  /** Distinct character k-shingles of `lower(trim(text))`; shorter-than-k
+    * input yields one shingle (the whole text) so no document is dropped.
+    */
+  case class CharShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+      val out =
+        if (t.length < k) Array(UTF8String.fromString(t))
+        else {
+          val seen = new java.util.LinkedHashSet[String](t.length * 2)
+          var i = 0
+          while (i + k <= t.length) {
+            seen.add(t.substring(i, i + k))
+            i += 1
+          }
+          val arr = new Array[AnyRef](seen.size)
+          val it = seen.iterator()
+          var j = 0
+          while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+          arr.asInstanceOf[Array[AnyRef]]
+        }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+  }
+
+  /** Distinct word n-grams (space-joined) over the whitespace tokens of
+    * `lower(text)`; fewer-than-n tokens yield one shingle (all tokens
+    * joined), empty text yields a single empty shingle.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      val grams =
+        if (toks.length < n) Array(toks.mkString(" "))
+        else {
+          val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+          var i = 0
+          while (i + n <= toks.length) {
+            seen.add(toks.slice(i, i + n).mkString(" "))
+            i += 1
+          }
+          seen.toArray(new Array[String](0))
+        }
+      new GenericArrayData(grams.map(UTF8String.fromString(_): AnyRef))
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
+  /** Whitespace tokens of the input string (empty → empty array). */
+  case class Tokenize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString
+        .split("\\s+").filter(_.nonEmpty)
+      new GenericArrayData(toks.map(UTF8String.fromString(_): AnyRef))
+    }
+    override protected def withNewChildInternal(c: Expression): Tokenize = copy(child = c)
+  }
+
+  // ----------------------------------------------------------- Column API
+
+  private def expr(c: Column) = ColumnShim.expression(c)
+  private def col(e: Expression): Column = ColumnShim.column(e)
+
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    col(MinHashSig(expr(shingles), numHashes))
+
+  def simhash64(tokenArr: Column): Column = col(SimHash64(expr(tokenArr)))
+
+  def vec_dot(a: Column, b: Column): Column = col(VecDot(expr(a), expr(b)))
+
+  def hyperplane_bits(vec: Column, planes: Int): Column =
+    col(HyperplaneBits(expr(vec), planes))
+
+  def char_shingles(text: Column, k: Int): Column = col(CharShingles(expr(text), k))
+
+  def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
+
+  def tokenize(text: Column): Column = col(Tokenize(expr(text)))
+}

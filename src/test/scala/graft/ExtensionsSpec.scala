@@ -43,10 +43,10 @@ class ExtensionsSpec extends SparkTestBase {
 
   test("simhash near-dup: identical docs at distance 0, unrelated far") {
     val sigs = docs.filter(length($"text") > 0).select(
-      $"doc_id", simhashBits(tokens(lower($"text"))).as("bits"))
+      $"doc_id", simhash64(tokens(lower($"text"))).as("sig"))
     val d = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id", $"b.doc_id",
-        hammingDistance($"a.bits", $"b.bits").as("h"))
+        hamming64($"a.sig", $"b.sig").cast("int").as("h"))
       .as[(Long, Long, Int)].collect()
       .map { case (a, b, h) => (a, b) -> h }.toMap
     assert(d((0L, 1L)) == 0)
