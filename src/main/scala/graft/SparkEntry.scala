@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ext.{Dedup, IvfIndex, Similarity, TextAnalysis, Multimodal}
+import graft.functions.{GraftFunctions, TypedAggregates}
 import graft.functions.GraftFunctions._
-import graft.operators.{PositionalTake, Relational}
+import graft.operators.{PositionalTake, Relational, SkewJoin}
 import graft.sources.Tables
 import graft.streaming.EventsPipeline
 
@@ -272,6 +273,48 @@ object SparkEntry {
         rollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("id")
 
+  /** Pure-SQL path through the registered graft_* functions: the library's
+    * SQL surface (`GraftExtensions` / `GraftFunctions.registerAll`).
+    */
+  private def qSqlText(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(
+      """SELECT doc_id AS id,
+        |       CAST(size(graft_tokenize(text)) AS BIGINT) AS n_tokens,
+        |       CAST(size(graft_word_shingles(text, 3)) AS BIGINT) AS n_shingles
+        |FROM graft_documents ORDER BY id""".stripMargin)
+  }
+
+  /** Typed custom aggregate (the reference's `aggregator_fn_t` seam →
+    * `Aggregator[IN,BUF,OUT]`, SURVEY §2.3): Welford mean/variance.
+    */
+  private def qStatsMoments(s: SparkSession, d: String): DataFrame = {
+    val moments = udaf(TypedAggregates.Moments)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(moments(col("l_quantity")).as("m"))
+      .select(
+        col("l_returnflag"),
+        round(col("m._1"), 4).as("mean_qty"),
+        round(col("m._2"), 4).as("var_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Salted skew join — row-multiset identical to the plain PK–FK join. */
+  private def qSaltedJoin(s: SparkSession, d: String): DataFrame =
+    SkewJoin.saltedInnerJoin(
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        "l_orderkey", "o_orderkey", saltFactor = 8)
+      .drop("o_orderkey")
+      .orderBy("l_orderkey", "l_quantity", "o_totalprice")
+
+  /** IVF approximate top-k (coarse-quantizer ANN scale path). */
+  private def qIvfTopK(s: SparkSession, d: String): DataFrame =
+    IvfIndex.topK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVector(s, d), k = 20, nlist = 16, nprobe = 4)
+
   // -------------------------------------------- north-star: multimodal
 
   private def qMultimodal(s: SparkSession, d: String): DataFrame =
@@ -308,7 +351,11 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
-    "q_multimodal" -> (qMultimodal _)
+    "q_multimodal" -> (qMultimodal _),
+    "q_sql_text" -> (qSqlText _),
+    "q_stats_moments" -> (qStatsMoments _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_ivf_topk" -> (qIvfTopK _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -440,6 +487,28 @@ object SparkEntry {
         |            + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
         |         AS n_tokens_re
         |FROM documents ORDER BY id""".stripMargin,
+    "q_sql_text" ->
+      """SELECT doc_id AS id,
+        |       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                            x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |       CAST(GREATEST(len(list_distinct(
+        |              [concat_ws(' ', t[i], t[i+1], t[i+2])
+        |               for i in generate_series(1, greatest(len(t)-2, 1))])), 1) AS BIGINT)
+        |         AS n_shingles
+        |FROM (SELECT doc_id, text,
+        |             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                         x -> len(x) > 0) AS t
+        |      FROM documents)
+        |ORDER BY id""".stripMargin,
+    "q_stats_moments" ->
+      """SELECT l_returnflag,
+        |       ROUND(AVG(l_quantity), 4) AS mean_qty,
+        |       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_quantity, o.o_totalprice""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id AS id,
         |       list_reduce(

@@ -1,0 +1,64 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.NativeExpressions._
+
+/** `SparkSessionExtensions` installer exposing the engine's native
+  * expressions to SQL, so the library is usable from pure `spark.sql(...)`
+  * (and from any SQL-only client) as well as the Column API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: spark.sql.extensions=graft.engine.GraftExtensions
+  * spark.sql("SELECT graft_simhash64(graft_tokenize(text)) FROM docs")
+  * }}}
+  *
+  * Registered: graft_minhash_sig(arr, n), graft_simhash64(arr),
+  * graft_vec_dot(a, b), graft_hyperplane_bits(vec, planes),
+  * graft_char_shingles(text, k), graft_word_shingles(text, n),
+  * graft_tokenize(text).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got: $other")
+  }
+
+  private def entry(
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.NativeExpressions", name), builder)
+
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(entry("graft_minhash_sig",
+      "graft_minhash_sig(shingles, numHashes) - MinHash signature (array<long>)",
+      args => MinHashSig(args(0), intArg(args(1), "graft_minhash_sig"))))
+    e.injectFunction(entry("graft_simhash64",
+      "graft_simhash64(tokens) - packed 64-bit SimHash",
+      args => SimHash64(args(0))))
+    e.injectFunction(entry("graft_vec_dot",
+      "graft_vec_dot(a, b) - dot product of two double arrays",
+      args => VecDot(args(0), args(1))))
+    e.injectFunction(entry("graft_hyperplane_bits",
+      "graft_hyperplane_bits(vec, planes) - packed hyperplane-LSH signature",
+      args => HyperplaneBits(args(0), intArg(args(1), "graft_hyperplane_bits"))))
+    e.injectFunction(entry("graft_char_shingles",
+      "graft_char_shingles(text, k) - distinct char k-shingles of lower(trim(text))",
+      args => CharShingles(args(0), intArg(args(1), "graft_char_shingles"))))
+    e.injectFunction(entry("graft_word_shingles",
+      "graft_word_shingles(text, n) - distinct word n-grams of lower(text)",
+      args => WordShingles(args(0), intArg(args(1), "graft_word_shingles"))))
+    e.injectFunction(entry("graft_tokenize",
+      "graft_tokenize(text) - whitespace tokens, empties dropped",
+      args => Tokenize(args(0))))
+  }
+}

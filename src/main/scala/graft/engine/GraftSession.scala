@@ -15,6 +15,7 @@ object GraftSession {
   def builder(master: String = s"local[${defaultCpus}]"): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", defaultCpus)

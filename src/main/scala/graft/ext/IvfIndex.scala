@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path for embedding search (north-star extension, SURVEY §7.6).
+  *
+  * Build: pick `nlist` centroids by deterministic hash-order sampling
+  * (`orderBy(hash).limit` = per-partition top-k + driver merge, never a
+  * global sort), collect them — they are tiny by construction, the same
+  * way the reference returns per-partition metadata to the host
+  * (`host/partition/partitioner.cc:166-180`) — and assign every corpus
+  * vector to its nearest centroid with a single scan: the centroid matrix
+  * is a plan literal, so assignment is `nlist` native dot products per row,
+  * no join, no shuffle, no window.
+  *
+  * Query: score the query against the centroid literals, scan only the
+  * `nprobe` nearest lists. At cluster scale the assigned table would be
+  * written bucketed by `list_id`, making the probe a partition-pruned read.
+  */
+object IvfIndex {
+
+  /** Corpus → (vector table with `list_id`, centroid table (list_id,
+    * centroid)). Deterministic for a fixed input.
+    */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+    val sampled: Array[Seq[Double]] = v
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy(col("__h"), col("id"))
+      .limit(nlist)
+      .select("v").as[Seq[Double]].collect()
+    val centroids = sampled.toSeq.zipWithIndex
+      .map { case (c, i) => (i + 1, c) }
+      .toDF("list_id", "centroid")
+    val centLit = typedlit(sampled.toSeq)
+    val normLit = typedlit(sampled.toSeq.map(c => math.sqrt(c.map(x => x * x).sum)))
+    // argmax over dot(v, c_i)/||c_i|| — ||v|| is a per-row constant and
+    // cannot change the argmax, so it is not computed at all.
+    val best = array_max(transform(
+      sequence(lit(1), lit(sampled.length)),
+      i => struct(
+        (dot(col("v"), element_at(centLit, i)) / element_at(normLit, i)).as("score"),
+        (-i).as("neg_i"),
+        i.as("list_id"))))
+    val assigned = v
+      .withColumn("list_id", best.getField("list_id"))
+      .select("id", "v", "list_id")
+    (assigned, centroids)
+  }
+
+  /** Approximate cosine top-k over a built index: probe the `nprobe`
+    * centroid lists nearest to the query, score only their members.
+    */
+  def search(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val probeLists = centroids
+      .withColumn("__cos", cosineSimilarity(col("centroid"), q))
+      .orderBy(col("__cos").desc, col("list_id"))
+      .limit(nprobe)
+      .select("list_id")
+    assigned
+      .join(broadcast(probeLists), "list_id")
+      .select(col("id"), round(cosineSimilarity(col("v"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Convenience end-to-end: build + search in one call. */
+  def topK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val (assigned, centroids) = build(df, idCol, vecCol, nlist)
+    search(assigned, centroids, query, k, nprobe)
+  }
+}

@@ -13,6 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
 
+  /** Register the graft_* SQL functions on an existing session (for
+    * sessions not built with [[graft.engine.GraftExtensions]]).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import NativeExpressions._
+    val r = spark.sessionState.functionRegistry
+    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+        .value.asInstanceOf[Number].intValue()
+    r.createOrReplaceTempFunction("graft_tokenize", a => Tokenize(a.head), "scala_udf")
+    r.createOrReplaceTempFunction("graft_simhash64", a => SimHash64(a.head), "scala_udf")
+    r.createOrReplaceTempFunction("graft_vec_dot", a => VecDot(a(0), a(1)), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_minhash_sig", a => MinHashSig(a(0), intArg(a(1))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_hyperplane_bits", a => HyperplaneBits(a(0), intArg(a(1))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_char_shingles", a => CharShingles(a(0), intArg(a(1))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_word_shingles", a => WordShingles(a(0), intArg(a(1))), "scala_udf")
+  }
+
   // ---------------------------------------------------------------- tokens
 
   /** Whitespace tokens; empty input → empty array (never `[""]`).

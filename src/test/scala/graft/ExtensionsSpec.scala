@@ -120,6 +120,56 @@ class ExtensionsSpec extends SparkTestBase {
     assert(fp(0L) == expected)
   }
 
+  test("registered SQL functions: graft_* callable from pure SQL") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dot = spark.sql(
+      "SELECT graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(dot == 11.0)
+    val toks = spark.sql("SELECT size(graft_tokenize('  a b  c ')) AS n")
+      .as[Int].head()
+    assert(toks == 3)
+    assert(spark.sql("SELECT graft_simhash64(graft_tokenize('x y z')) AS s")
+      .as[Long].head() != 0L)
+  }
+
+  test("IVF top-k recalls the query vector itself first") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" === 0)
+      .select(toDoubleArray($"embedding")).as[Seq[Double]].head()
+    val out = graft.ext.IvfIndex.topK(emb, "vec_id", "embedding", q, k = 5)
+      .as[(Long, Double)].collect()
+    assert(out.head._1 == 0L && out.head._2 == 1.0)
+    assert(out.length == 5)
+  }
+
+  test("salted join multiset equals the plain join") {
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity")
+    val o = graft.sources.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .drop("o_orderkey")
+    val salted = graft.operators.SkewJoin
+      .saltedInnerJoin(li, o, "l_orderkey", "o_orderkey", saltFactor = 4)
+      .drop("o_orderkey")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("Moments aggregator matches built-in avg/var_samp") {
+    import org.apache.spark.sql.functions.udaf
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val m = udaf(graft.functions.TypedAggregates.Moments)
+    val gotRow = li.agg(m($"l_quantity").as("m"))
+      .select(round($"m._1", 6).as("a"), round($"m._2", 6).as("v"))
+      .as[(Double, Double)].head()
+    val want = li.agg(round(avg($"l_quantity"), 6), round(var_samp($"l_quantity"), 6))
+      .as[(Double, Double)].head()
+    assert(gotRow == want)
+  }
+
   test("multimodal featurize: real plumbing, deterministic stub decode") {
     val df = Seq((0L, "hello world"), (1L, "hello world"), (2L, "different"))
       .toDF("doc_id", "text")
