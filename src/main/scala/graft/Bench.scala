@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
+import graft.bench.MetricsListener
 import graft.engine.GraftSession
 
 /** Benchmark main — runs the full query catalog on
@@ -13,31 +12,38 @@ import graft.engine.GraftSession
   * listing / code generation / JIT are excluded from the measured run, then
   * each query is executed once end-to-end. Results are materialized through
   * the `noop` sink so every output column is computed (a bare `.count()`
-  * would let Catalyst prune the projection).
+  * would let Catalyst prune the projection). Per-query execution counters
+  * (the reference's phase-timer analog) go to stderr; stdout carries only
+  * the JSON contract line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
 
-    def materialize(name: String): Double = {
+    def materialize(name: String, report: Boolean): Double = {
+      val before = listener.snapshot()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        if (report) System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (report) {
+        Thread.sleep(100) // let the listener bus drain before snapshotting
+        System.err.println(
+          f"[bench] $name%-20s ${sec}%8.3f s  ${(listener.snapshot() - before).render}")
+      }
+      sec
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Warm-up: JVM/codegen/file-listing; not measured.
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    val results = names.map(n => n -> materialize(n))
+    names.foreach(n => materialize(n, report = false)) // warm-up, unmeasured
+    val results = names.map(n => n -> materialize(n, report = true))
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -487,6 +487,28 @@ object SparkEntry {
         |            + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
         |         AS n_tokens_re
         |FROM documents ORDER BY id""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id AS id,
+        |         len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+        |         len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS s_de,
+        |         len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS s_fr,
+        |         len(list_filter(t, x -> x IN ('el','la','los','las','y','es','un','una','que','por'))) AS s_es,
+        |         len(list_filter(t, x -> x IN ('il','la','gli','e','che','un','una','per','non','sono'))) AS s_it
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents))
+        |SELECT id,
+        |       CASE
+        |         WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_it = 0 THEN 'und'
+        |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_it THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_it THEN 'de'
+        |         WHEN s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+        |         WHEN s_es >= s_it THEN 'es'
+        |         ELSE 'it'
+        |       END AS lang_pred
+        |FROM s ORDER BY id""".stripMargin,
     "q_sql_text" ->
       """SELECT doc_id AS id,
         |       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),

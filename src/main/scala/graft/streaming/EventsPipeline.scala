@@ -54,6 +54,51 @@ object EventsPipeline {
       .drop("prev_ts", "new_session")
   }
 
+  /** Per-user running aggregate state for [[streamingUserStats]]. */
+  case class UserState(nEvents: Long, sumValue: Double)
+
+  /** Per-user event row (streaming input shape). */
+  case class UserEvent(user_id: Long, value: Double)
+
+  /** Per-user output of the stateful stream. */
+  case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Stateful streaming: running per-user counters via
+    * `flatMapGroupsWithState` — the custom-state seam
+    * (`KeyValueGroupedDataset`) for logic windowed aggregation can't
+    * express. State is per-key, partitioned by the grouping hash —
+    * scales with the key cardinality, not the stream length.
+    */
+  def streamingUserStats(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+    val stats = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.nEvents
+          var s = prev.sumValue
+          rows.foreach { e => n += 1; s += e.value }
+          state.update(UserState(n, s))
+          Iterator(UserStats(userId, n, math.rint(s * 10000) / 10000))
+      }
+    stats.toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   /** The same windowed aggregate as a streaming query reading parquet from
     * `inputDir` with a watermark; results land in the in-memory table
     * `queryName` (tests drive it with `processAllAvailable()`).

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.GraftFunctions._
+import graft.operators.{PositionalTake, Relational}
+
+/** ScalaCheck-generated property tests (SURVEY §5.2): the reference's
+  * invariants hold for arbitrary data, not just the fixtures. Generators
+  * are sampled with fixed seeds (deterministic CI), mirroring the
+  * reference's seeded randomness (`rng(42)`, `filter_benchmark.cc:76`).
+  */
+class PropertyCheckSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to 10).iterator
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+      .take(n)
+      .toSeq
+
+  private val longsGen: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 32) - 1))
+
+  test("property: filter+compact output = scala filter on any uint32 list") {
+    samples(longsGen, 5).foreach { xs =>
+      val got = Relational
+        .filterCompact(xs.toDF("v"), col("v") < (1L << 30), Seq("v"))
+        .as[Long].collect().sorted.toList
+      assert(got == xs.filter(_ < (1L << 30)).sorted)
+    }
+  }
+
+  test("property: sum matches BigInt fold for any uint32 list") {
+    samples(longsGen, 5).foreach { xs =>
+      val got = Relational.sumAgg(xs.toDF("v"), "v").as[Long].head()
+      assert(BigInt(got) == xs.map(BigInt(_)).sum)
+    }
+  }
+
+  test("property: take at any valid index set gathers exactly those rows") {
+    samples(Gen.zip(longsGen, Gen.chooseNum(1, 7)), 5).foreach { case (xs, step) =>
+      val values = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("ord", "v")
+      val idx = xs.indices.filter(_ % step == 0).map(_.toLong)
+      val got = PositionalTake
+        .takeByPosition(values, Seq("ord"), Seq("v"), idx.toDF("idx"))
+        .select("idx", "v").as[(Long, Long)].collect().sortBy(_._1).toList
+      val want = idx.map(i => (i, xs(i.toInt))).toList
+      assert(got == want)
+    }
+  }
+
+  test("property: hash partition conserves multiset for any key/payload") {
+    samples(longsGen, 5).foreach { xs =>
+      val rows = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      val parts = Relational.hashPartition(rows.toDF("k", "p"), 4, "k")
+      assert(parts.as[(Long, Long)].collect().sorted.toList == rows.sorted.toList)
+    }
+  }
+
+  test("property: identical inputs give identical minhash signatures; disjoint differ") {
+    samples(Gen.nonEmptyListOf(Gen.identifier), 5).foreach { ws =>
+      val df = Seq(
+        (1L, ws.mkString(" ")),
+        (2L, ws.mkString(" ")),
+        (3L, ws.map(_ + "zzz").mkString(" "))).toDF("id", "text")
+      val sigs = df.select($"id",
+        minhashSignature(wordShingles($"text", 1), 32).as("s"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(sigs(1L) == sigs(2L))
+      assert(sigs(1L) != sigs(3L))
+    }
+  }
+
+  test("property: simhash is order-insensitive over the token multiset") {
+    samples(Gen.nonEmptyListOf(Gen.identifier), 5).foreach { ts =>
+      val df = Seq((1L, ts.mkString(" ")), (2L, ts.reverse.mkString(" ")))
+        .toDF("id", "text")
+      val sigs = df.select($"id", simhash64(tokens($"text")).as("s"))
+        .as[(Long, Long)].collect().toMap
+      assert(sigs(1L) == sigs(2L))
+    }
+  }
+}

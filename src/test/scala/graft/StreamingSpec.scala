@@ -30,6 +30,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful flatMapGroupsWithState: per-user totals match batch groupBy") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_events_state").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(staged)
+    val q = EventsPipeline.streamingUserStats(spark, staged, "user_stats_out")
+    try {
+      q.processAllAvailable()
+      // update-mode memory sink: last row per user is the final state
+      val streamed = spark.table("user_stats_out")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"sum_value")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = Tables.events(spark, sf0001)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          (round(sum($"value") * 10000) / 10000).as("s"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed.map(t => (t._1, t._2)) == batch.map(t => (t._1, t._2)))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionization: session count bounded by event count, monotone seq") {
     val s = EventsPipeline.sessionize(Tables.events(spark, sf0001))
     val bad = s.filter($"session_seq" < 1).count()
