@@ -57,10 +57,14 @@ object SparkEntry {
       "l_extendedprice")
 
   private def qTake(s: SparkSession, d: String): DataFrame = {
+    val values = Tables.lineitem(s, d).select(liKey.map(col): _*)
+    // The index table is every 8th position — generated directly from the
+    // row count, so the values lineage is evaluated once (in the gather).
+    val n = values.count()
+    val indices = s.range(0, n, 8).toDF("idx")
     val indexed = PositionalTake
-      .withGlobalIndex(Tables.lineitem(s, d).select(liKey.map(col): _*), liKey)
+      .withGlobalIndex(values, liKey)
       .select(col("idx"), col("l_extendedprice").as("v"))
-    val indices = indexed.filter(col("idx") % 8 === 0).select("idx")
     PositionalTake.take(indexed, indices, "idx").orderBy("idx")
   }
 
@@ -166,6 +170,53 @@ object SparkEntry {
       .orderBy(col("l_orderkey") +: tie :+ col("rn"): _*)
       .select("l_orderkey", "l_linenumber", "rn", "run_qty")
   }
+
+  /** ROLLUP grouping sets (no grouping concept at all in the reference). */
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Set operations: UNION ALL / INTERSECT / EXCEPT over key projections. */
+  private def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val b = Tables.orders(s, d).filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey").as("k"))
+    a.intersect(b).withColumn("op", lit("both"))
+      .unionAll(a.distinct().exceptAll(b.distinct()).withColumn("op", lit("urgent_only")))
+      .orderBy("op", "k")
+  }
+
+  /** Scalar-function sampler: math/string/conditional projections. */
+  private def qScalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        round(abs(col("o_totalprice") - 100000.0), 2).as("abs_diff"),
+        round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        upper(col("o_orderstatus")).as("status_u"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        when(col("o_totalprice") > 200000.0, lit("big"))
+          .otherwise(lit("small")).as("bucket"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .orderBy("o_orderkey")
+
+  /** Distinct (dedup as a relational operator) + exact distinct count. */
+  private def qDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linestatus")).as("n_status"))
+      .orderBy("l_returnflag")
 
   /** Tumbling-window event aggregation (batch twin of the streaming path). */
   private def qEventsWindow(s: SparkSession, d: String): DataFrame =
@@ -336,6 +387,10 @@ object SparkEntry {
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_window" -> (qWindow _),
+    "q_rollup" -> (qRollup _),
+    "q_set_ops" -> (qSetOps _),
+    "q_scalar_funcs" -> (qScalarFuncs _),
+    "q_distinct" -> (qDistinct _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_events_json" -> (qEventsJson _),
@@ -422,6 +477,35 @@ object SparkEntry {
         |                      l_extendedprice)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         |         l_extendedprice, rn""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT k, 'both' AS op FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT k, 'urgent_only' AS op
+        |FROM (SELECT DISTINCT k FROM a EXCEPT ALL SELECT DISTINCT k FROM b)
+        |ORDER BY op, k""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       ROUND(ABS(o_totalprice - 100000.0), 2) AS abs_diff,
+        |       ROUND(SQRT(o_totalprice), 4) AS sqrt_price,
+        |       substring(o_orderpriority, 1, 1) AS prio_code,
+        |       upper(o_orderstatus) AS status_u,
+        |       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+        |       CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS bucket,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(month(o_orderdate) AS BIGINT) AS o_month
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status
+        |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
         |       event_type,
