@@ -171,6 +171,40 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "rn", "run_qty")
   }
 
+  /** Multi-way join (TPC-H Q5 shape): region → nation → customer → orders
+    * → lineitem with a date-range filter; dims broadcast down the chain,
+    * the fact table never shuffles for the joins.
+    */
+  private def qMultiJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Exact percentiles (linear interpolation — matches QUANTILE_CONT). */
+  private def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP grouping sets (no grouping concept at all in the reference). */
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -387,6 +421,8 @@ object SparkEntry {
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_window" -> (qWindow _),
+    "q_multi_join" -> (qMultiJoin _),
+    "q_percentiles" -> (qPercentiles _),
     "q_rollup" -> (qRollup _),
     "q_set_ops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
@@ -477,6 +513,25 @@ object SparkEntry {
         |                      l_extendedprice)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         |         l_extendedprice, rn""".stripMargin,
+    "q_multi_join" ->
+      """SELECT n.n_name,
+        |       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
