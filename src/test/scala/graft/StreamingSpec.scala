@@ -30,6 +30,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("append-mode windowed agg with watermark emits only finalized windows") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_events_wm").toString
+    val events = Tables.events(spark, sf0001)
+    events.write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(EventsPipeline.eventSchema)
+      .parquet(staged)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp($"window.start").as("ws"), $"event_type", $"n_events")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("wm_out")
+        .as[(Long, String, Long)].collect()
+      // watermark = max(ts) - 2h after the first batch; only windows whose
+      // END is at/before it are finalized and emitted
+      val maxTs = events.agg(max(unix_timestamp($"ts"))).as[Long].head()
+      val wm = maxTs - 2 * 3600
+      assert(emitted.nonEmpty)
+      assert(emitted.forall { case (ws, _, _) => ws + 3600 <= wm })
+      // every emitted (window, type) count matches the batch computation
+      val batch = events
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"window.start").as("ws"), $"event_type", $"n")
+        .as[(Long, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      emitted.foreach { case (ws, et, n) => assert(batch((ws, et)) == n) }
+    } finally q.stop()
+  }
+
   test("stateful flatMapGroupsWithState: per-user totals match batch groupBy") {
     import org.apache.spark.sql.functions._
     val staged = java.nio.file.Files.createTempDirectory("graft_events_state").toString
