@@ -402,10 +402,15 @@ object SparkEntry {
 
   // -------------------------------------------- north-star: multimodal
 
-  private def qMultimodal(s: SparkSession, d: String): DataFrame =
-    Multimodal.featurize(Tables.documents(s, d), "doc_id", "text", "text/plain")
-      .select("id", "media_type", "byte_len", "width", "height", "n_frames")
+  private def qMultimodal(s: SparkSession, d: String): DataFrame = {
+    val feats = Multimodal.featurize(Tables.documents(s, d), "doc_id", "text", "text/plain")
+    Multimodal.sampleFrames(Multimodal.resizeMeta(feats, 256, 256), 4)
+      .select(
+        col("id"), col("media_type"), col("byte_len"), col("width"), col("height"),
+        col("n_frames"), col("resized_width"), col("resized_height"),
+        size(col("frame_idx")).as("n_sampled"))
       .orderBy("id")
+  }
 
   // -------------------------------------------------------------- catalog
 

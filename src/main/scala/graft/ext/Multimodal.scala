@@ -86,4 +86,30 @@ object Multimodal {
   /** End-to-end: text table → media payloads → decoded feature table. */
   def featurize(df: DataFrame, idCol: String, payloadCol: String, mediaType: String): DataFrame =
     decodeFeatures(asMedia(df, idCol, payloadCol, mediaType))
+
+  /** Resize stage (metadata math; a real pipeline would also transform the
+    * pixel payload here): fit (width, height) inside (maxW, maxH)
+    * preserving aspect ratio. Pure column arithmetic — no shuffle.
+    */
+  def resizeMeta(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(1.0),
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"))
+    features
+      .withColumn("resized_width", floor(col("width") * scale).cast("int"))
+      .withColumn("resized_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** Frame-sampling stage: up to `k` frame indices, evenly spaced over
+    * [0, n_frames) — the standard video keyframe-selection shape.
+    */
+  def sampleFrames(features: DataFrame, k: Int): DataFrame =
+    features.withColumn(
+      "frame_idx",
+      when(col("n_frames") <= k,
+        sequence(lit(0), col("n_frames") - 1))
+        .otherwise(transform(
+          sequence(lit(0), lit(k - 1)),
+          i => (i * col("n_frames") / k).cast("int"))))
 }

@@ -61,15 +61,21 @@ object PositionalTake {
   /** The gather itself: for each row of `indices` (column `idxCol`), emit the
     * matching row of `indexedValues` (which must already carry `idxCol`,
     * e.g. from [[withGlobalIndex]]). Output columns: `idxCol` ++ value cols.
-    * `broadcastIndices` should be true whenever the index list is small
-    * relative to the values table (the reference's shape: indices = ⅛ of
-    * values, `host/take/take_benchmark.cc:139`).
+    *
+    * By default the join strategy is left to Catalyst/AQE: when the index
+    * list is broadcastable (the reference's shape — indices = ⅛ of values,
+    * `host/take/take_benchmark.cc:139` — at moderate totals) AQE broadcasts
+    * it at runtime and the values table never shuffles; when it is not
+    * (⅛ of 100 TB is not broadcastable), the join degrades safely to a
+    * shuffled hash join instead of OOMing the driver. Pass
+    * `broadcastIndices = true` only when the caller KNOWS the index side
+    * is small.
     */
   def take(
       indexedValues: DataFrame,
       indices: DataFrame,
       idxCol: String,
-      broadcastIndices: Boolean = true): DataFrame = {
+      broadcastIndices: Boolean = false): DataFrame = {
     val idx = if (broadcastIndices) broadcast(indices) else indices
     idx.join(indexedValues, Seq(idxCol), "inner")
   }
