@@ -205,6 +205,25 @@ object SparkEntry {
         round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
       .orderBy("l_returnflag")
 
+  /** Per-key top-k via the custom bounded-heap operator
+    * (`graft.plans.TopKPerKey` — logical node + strategy + exec): no
+    * per-group sort, one shuffle on the key. Ordering struct carries the
+    * full unique key so ties are deterministic.
+    */
+  private def qTopKPerKey(s: SparkSession, d: String): DataFrame = {
+    val ord = struct(
+      col("l_extendedprice"), col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"), col("l_linenumber"))
+    graft.plans.TopKPerKey
+      .topKPerKey(Tables.lineitem(s, d), Seq("l_returnflag"), ord, k = 3)
+      .select(
+        col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"))
+      .orderBy(
+        col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+  }
+
   /** ROLLUP grouping sets (no grouping concept at all in the reference). */
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -426,6 +445,7 @@ object SparkEntry {
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_window" -> (qWindow _),
+    "q_topk_per_key" -> (qTopKPerKey _),
     "q_multi_join" -> (qMultiJoin _),
     "q_percentiles" -> (qPercentiles _),
     "q_rollup" -> (qRollup _),
@@ -518,6 +538,19 @@ object SparkEntry {
         |                      l_extendedprice)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         |         l_extendedprice, rn""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber
+        |FROM (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice DESC, l_orderkey DESC, l_partkey DESC,
+        |                    l_suppkey DESC, l_quantity DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey DESC,
+        |         l_linenumber DESC""".stripMargin,
     "q_multi_join" ->
       """SELECT n.n_name,
         |       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,

@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.types.PhysicalDataType
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftshim.DatasetShim
+
+/** Per-key top-k as a first-class operator — SURVEY §7.4's tier (c):
+  * logical node + planner strategy + physical exec.
+  *
+  * Motivation: the idiomatic formulation
+  * `row_number().over(Window.partitionBy(keys).orderBy(ord)) <= k`
+  * fully sorts every key group; this operator keeps a size-k bounded heap
+  * per key instead — O(n log k) per partition, no sort, memory bounded by
+  * (distinct keys per partition) × k rows, the same contract as
+  * hash aggregation. The shuffle on the keys is declared via
+  * `requiredChildDistribution`, so Catalyst inserts (or elides, if the
+  * child is already clustered) the exchange exactly like any aggregate.
+  *
+  * Ordering ties are broken arbitrarily — pass a struct ordering column
+  * with a unique tiebreaker for deterministic results.
+  */
+case class TopKPerKeyNode(
+    child: LogicalPlan,
+    keys: Seq[Expression],
+    order: Expression,
+    k: Int,
+    largest: Boolean)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+case class TopKPerKeyExec(
+    child: SparkPlan,
+    keys: Seq[Expression],
+    order: Expression,
+    k: Int,
+    largest: Boolean)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val ordExpr = order
+    val childOutput = child.output
+    val kk = k
+    val big = largest
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordEval = ordExpr // bound below via projection-free eval
+      val boundOrd = org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(ordEval, childOutput)
+      val valueOrdering = PhysicalDataType.ordering(ordExpr.dataType)
+        .asInstanceOf[Ordering[Any]]
+      // keep the k LARGEST under `ord` (or smallest if !largest): the heap
+      // root is the current worst element, evicted on overflow
+      val heapOrd: Ordering[(Any, UnsafeRow)] =
+        if (big) Ordering.by[(Any, UnsafeRow), Any](_._1)(valueOrdering).reverse
+        else Ordering.by[(Any, UnsafeRow), Any](_._1)(valueOrdering)
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, UnsafeRow)]]()
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[(Any, UnsafeRow)](heapOrd)
+          heaps.put(key.copy(), heap)
+        }
+        val v = boundOrd.eval(row)
+        if (heap.size < kk) heap.enqueue((v, rowProj(row).copy()))
+        else {
+          val worst = heap.head._1
+          val better = if (big) valueOrdering.compare(v, worst) > 0
+            else valueOrdering.compare(v, worst) < 0
+          if (better) { heap.dequeue(); heap.enqueue((v, rowProj(row).copy())) }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator.map(_._2))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(child, keys, order, k, largest) =>
+      TopKPerKeyExec(planLater(child), keys, order, k, largest) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+
+  /** Column-API entry: top `k` rows per key group under `order`. Registers
+    * the planner strategy on the session if missing (idempotent), so it
+    * works on any session, not only `GraftSession`-built ones.
+    */
+  def topKPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      order: Column,
+      k: Int,
+      largest: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    val keyExprs: Seq[Expression] =
+      keyCols.map(n => analyzed.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${analyzed.output}")))
+    // Resolve the ordering Column against this exact child (a Column from
+    // the public API wraps unresolved ColumnNodes, which the analyzer only
+    // resolves through Dataset operations — so run it through a select and
+    // take the resolved expression; expression IDs line up because the
+    // child plan is shared).
+    val resolvedOrder: Expression =
+      df.select(order.as("__graft_ord")).queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        .projectList.head match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case e => e
+      }
+    DatasetShim.ofRows(spark,
+      TopKPerKeyNode(analyzed, keyExprs, resolvedOrder, k, largest))
+  }
+}
