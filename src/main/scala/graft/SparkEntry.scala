@@ -313,9 +313,12 @@ object SparkEntry {
         shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  /** chunks = 4 makes candidate recall COMPLETE for hamming < 4
+    * (pigeonhole), so maxHamming = 3 is exact, not approximate.
+    */
   private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 12, chunks = 4)
+        maxHamming = 3, chunks = 4)
       .orderBy("id_a", "id_b")
 
   private def qNgramJaccardPairs(s: SparkSession, d: String): DataFrame =
