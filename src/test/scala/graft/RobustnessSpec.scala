@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.functions.GraftFunctions._
+import graft.operators.{PositionalTake, Relational}
+
+/** Degenerate-input robustness: nulls, empties, and empty frames must not
+  * crash any operator (the reference never faces these — its generator
+  * produces non-null uint32 only, SURVEY §1.2 — but a real pipeline does).
+  */
+class RobustnessSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsWithNulls = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0L, "hello world hello"),
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, ""),
+        org.apache.spark.sql.Row(3L, "   ")),
+      schema)
+  }
+
+  test("null/empty text flows through tokens, shingles, simhash, fingerprints") {
+    val out = docsWithNulls.select(
+      $"doc_id",
+      tokenCount($"text").as("n"),
+      charShingles($"text", 5).as("cs"),
+      wordShingles($"text", 3).as("ws"),
+      simhash64(tokens(lower($"text"))).as("sh"),
+      rollingFingerprint($"text").as("fp"))
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getAs[Int]("n") == 3)
+    // null text -> null outputs (never exceptions)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("n")) || rows(1).getAs[Int]("n") == 0)
+    assert(rows(2).getAs[Int]("n") == 0)
+    assert(rows(3).getAs[Int]("n") == 0)
+  }
+
+  test("dedup operators tolerate null text rows") {
+    assert(Dedup.exact(docsWithNulls, "doc_id", "text").count() >= 3)
+    assert(Dedup.minhashPairs(docsWithNulls, "doc_id", "text").count() >= 0)
+    assert(Dedup.simhashPairs(docsWithNulls, "doc_id", "text").count() >= 0)
+    assert(Dedup.ngramJaccardPairs(docsWithNulls, "doc_id", "text").count() >= 0)
+  }
+
+  test("language id / quality stats on null and empty text") {
+    val langs = docsWithNulls
+      .select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(langs(2L) == "und")
+    assert(TextAnalysis.qualityStats(docsWithNulls, "doc_id", "text").count() == 4)
+  }
+
+  test("operators on empty input frames return empty, not errors") {
+    val empty = spark.emptyDataset[(Long, Double)].toDF("k", "v")
+    assert(Relational.filterCompact(empty, $"v" > 0, Seq("v")).count() == 0)
+    assert(Relational.hashPartition(empty, 4, "k").count() == 0)
+    assert(Relational.sumAgg(empty, "v").as[Option[Double]].head().isEmpty)
+    assert(PositionalTake.withGlobalIndex(empty, Seq("k")).count() == 0)
+    val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("cosine on zero vectors is 0, never NaN or divide error") {
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0), 2)
+      .as[(Long, Double)].collect().toMap
+    assert(out(0L) == 0.0)
+    assert(out(1L) == 1.0)
+  }
+}
