@@ -348,6 +348,17 @@ object SparkEntry {
         threshold = 0.3, planes = 8, chunks = 4)
       .orderBy("id_a", "id_b")
 
+  /** End-to-end text→embedding→near-dup pipeline: hashing-TF document
+    * vectors (no external model) fed through the embedding pair finder —
+    * the cosine counterpart of [[qMinhashPairs]] on the same corpus.
+    */
+  private def qDocEmbedPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.hashingTfEmbedding(col("text")).as("emb")),
+        "doc_id", "emb", threshold = 0.9, planes = 16, chunks = 4)
+      .orderBy("id_a", "id_b")
+
   // ------------------------------------------------- north-star: text
 
   private def qTextStats(s: SparkSession, d: String): DataFrame =
@@ -466,6 +477,7 @@ object SparkEntry {
     "q_embed_topk" -> (qEmbedTopK _),
     "q_embed_lsh_topk" -> (qEmbedLshTopK _),
     "q_embed_pairs" -> (qEmbedPairs _),
+    "q_doc_embed_pairs" -> (qDocEmbedPairs _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),

@@ -89,6 +89,14 @@ object TextAnalysis {
         lenOk * (lit(0.5) + stopRatio * 2) - punctRatio * 2)), 4)
   }
 
+  /** Deterministic model-free document embedding: L2-normalized
+    * hashing-trick term-frequency vector over the whitespace tokens
+    * (native single-pass expression). Feeds the embedding-based dedup /
+    * similarity operators without any external model.
+    */
+  def hashingTfEmbedding(text: Column, dims: Int = 128): Column =
+    graft.functions.NativeExpressions.hashing_tf(tokens(lower(text)), dims)
+
   /** doc_id + fingerprints: whole-document rolling hash plus a w-shingle
     * min-fingerprint (winnowing-style representative).
     */

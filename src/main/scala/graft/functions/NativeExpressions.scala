@@ -196,6 +196,38 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** Hashing-trick term-frequency vector over an array<string> of tokens:
+    * bucket = xxhash64(token) mod dims, value = count, L2-normalized —
+    * a deterministic, model-free text embedding (the classic HashingTF),
+    * one pass per row. Empty input → zero vector.
+    */
+  case class HashingTf(child: Expression, dims: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(dims > 0)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val v = new Array[Double](dims)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
+        v(java.lang.Math.floorMod(h, dims.toLong).toInt) += 1.0
+        i += 1
+      }
+      var norm = 0.0
+      var j = 0
+      while (j < dims) { norm += v(j) * v(j); j += 1 }
+      if (norm > 0) {
+        val inv = 1.0 / math.sqrt(norm)
+        j = 0
+        while (j < dims) { v(j) *= inv; j += 1 }
+      }
+      new GenericArrayData(v)
+    }
+    override protected def withNewChildInternal(c: Expression): HashingTf = copy(child = c)
+  }
+
   /** Whitespace tokens of the input string (empty → empty array). */
   case class Tokenize(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -228,4 +260,7 @@ object NativeExpressions {
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 
   def tokenize(text: Column): Column = col(Tokenize(expr(text)))
+
+  def hashing_tf(tokenArr: Column, dims: Int): Column =
+    col(HashingTf(expr(tokenArr), dims))
 }

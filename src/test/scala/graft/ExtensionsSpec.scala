@@ -170,6 +170,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(gotRow == want)
   }
 
+  test("hashing-TF embedding: near-dups cluster, unrelated docs stay apart") {
+    import graft.ext.TextAnalysis
+    val df = docs.filter(length($"text") > 0)
+      .select($"doc_id", TextAnalysis.hashingTfEmbedding($"text", 64).as("emb"))
+    val pairs = graft.ext.Dedup
+      .embeddingPairs(df, "doc_id", "emb", threshold = 0.9, planes = 8, chunks = 4)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical text -> identical unit vector
+    assert(pairs.get((0L, 2L)).forall(_ >= 0.9)) // near-dup stays close if recalled
+    assert(!pairs.contains((0L, 4L))) // unrelated below threshold
+    // unit norm
+    val norm = df.select(graft.functions.GraftFunctions.l2Norm($"emb")).as[Double].head()
+    assert(math.abs(norm - 1.0) < 1e-9)
+  }
+
   test("multimodal featurize: real plumbing, deterministic stub decode") {
     val df = Seq((0L, "hello world"), (1L, "hello world"), (2L, "different"))
       .toDF("doc_id", "text")
