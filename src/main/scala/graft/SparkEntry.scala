@@ -96,6 +96,19 @@ object SparkEntry {
 
   // -------------------------------------------------------- analytics ops
 
+  /** Scan-heavy filter+aggregate (TPC-H Q6 shape): every predicate reaches
+    * the parquet scan; the aggregate is a single partial→final pair.
+    */
+  private def qFilterAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24.0)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
   /** Grouped aggregation (TPC-H Q1 shape — beyond the reference's scalar-only
     * SUM, SURVEY §2.3).
     */
@@ -343,9 +356,14 @@ object SparkEntry {
     Similarity.lshTopK(
       Tables.embeddings(s, d), "vec_id", "embedding", queryVector(s, d), 20)
 
+  /** planes=16/chunks=4 → 4-bit buckets: ~6% of random pairs per chunk
+    * become candidates (vs 25% with 2-bit buckets, which grows quadratic
+    * bucket joins at scale). Recall at cos≥0.3 ≈ 0.4 — approximate by
+    * design; the exact baseline is q_embed_topk.
+    */
   private def qEmbedPairs(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.3, planes = 8, chunks = 4)
+        threshold = 0.3, planes = 16, chunks = 4)
       .orderBy("id_a", "id_b")
 
   /** End-to-end text→embedding→near-dup pipeline: hashing-TF document
@@ -355,8 +373,9 @@ object SparkEntry {
   private def qDocEmbedPairs(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingPairs(
         Tables.documents(s, d)
-          .select(col("doc_id"), TextAnalysis.hashingTfEmbedding(col("text")).as("emb")),
-        "doc_id", "emb", threshold = 0.9, planes = 16, chunks = 4)
+          .select(col("doc_id"),
+            TextAnalysis.hashingTfEmbedding(col("text"), dims = 256, ngram = 2).as("emb")),
+        "doc_id", "emb", threshold = 0.8, planes = 32, chunks = 4)
       .orderBy("id_a", "id_b")
 
   // ------------------------------------------------- north-star: text
@@ -453,6 +472,7 @@ object SparkEntry {
     "q_take" -> (qTake _),
     "q_partition" -> (qPartition _),
     "q_join" -> (qJoin _),
+    "q_filter_agg" -> (qFilterAgg _),
     "q_group_agg" -> (qGroupAgg _),
     "q_topk" -> (qTopK _),
     "q_join_agg_topk" -> (qJoinAggTopK _),
@@ -515,6 +535,14 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY l.l_orderkey, l.l_quantity, o.o_totalprice""".stripMargin,
+    "q_filter_agg" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,

@@ -90,12 +90,18 @@ object TextAnalysis {
   }
 
   /** Deterministic model-free document embedding: L2-normalized
-    * hashing-trick term-frequency vector over the whitespace tokens
-    * (native single-pass expression). Feeds the embedding-based dedup /
-    * similarity operators without any external model.
+    * hashing-trick term-frequency vector (native single-pass expression).
+    * `ngram` > 1 hashes word n-grams instead of unigrams — essential when
+    * the corpus shares a small vocabulary (unigram TF vectors of
+    * word-salad docs are all mutually similar, which defeats LSH pruning);
+    * bigrams carry word order and separate unrelated documents.
     */
-  def hashingTfEmbedding(text: Column, dims: Int = 128): Column =
-    graft.functions.NativeExpressions.hashing_tf(tokens(lower(text)), dims)
+  def hashingTfEmbedding(text: Column, dims: Int = 128, ngram: Int = 1): Column = {
+    val units =
+      if (ngram <= 1) tokens(lower(text))
+      else graft.functions.GraftFunctions.wordShingles(text, ngram)
+    graft.functions.NativeExpressions.hashing_tf(units, dims)
+  }
 
   /** doc_id + fingerprints: whole-document rolling hash plus a w-shingle
     * min-fingerprint (winnowing-style representative).

@@ -88,6 +88,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicates within watermark removes repeats") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_events_dd").toString
+    // duplicate the whole feed so every event_id appears twice
+    val ev = Tables.events(spark, sf0001)
+    ev.unionAll(ev).write.mode("overwrite").parquet(staged)
+    val q = spark.readStream
+      .schema(EventsPipeline.eventSchema)
+      .parquet(staged)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+      .groupBy()
+      .count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").as[Long].head()
+      assert(n == ev.count()) // each duplicate pair collapsed to one
+    } finally q.stop()
+  }
+
   test("sessionization: session count bounded by event count, monotone seq") {
     val s = EventsPipeline.sessionize(Tables.events(spark, sf0001))
     val bad = s.filter($"session_seq" < 1).count()
