@@ -22,6 +22,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // NOT setting preferSortMergeJoin=false: shuffled-hash measures ~2x
+      // faster than sort-merge on the reference's join shapes (RefBench),
+      // but its hash-relation BUILD cannot spill — at 16x the shape it
+      // hard-fails with "Can't acquire ... to build hash relation" while
+      // sort-merge completes. Sort-merge + AQE (which still converts to
+      // SHJ/broadcast when runtime sizes allow) is the spill-safe default
+      // a 100 TB run needs; callers with known-bounded sides can hint
+      // SHUFFLE_HASH per join.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
