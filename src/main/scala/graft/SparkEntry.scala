@@ -208,14 +208,20 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
-  /** Exact percentiles (linear interpolation — matches QUANTILE_CONT). */
+  /** Exact percentiles (linear interpolation — matches QUANTILE_CONT).
+    * One `percentile(col, array(...))` aggregate: a single value buffer
+    * per group instead of three.
+    */
   private def qPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+      .select(
+        col("l_returnflag"),
+        round(col("ps").getItem(0), 4).as("p50"),
+        round(col("ps").getItem(1), 4).as("p90"),
+        round(col("ps").getItem(2), 4).as("p99"))
       .orderBy("l_returnflag")
 
   /** Per-key top-k via the custom bounded-heap operator
