@@ -290,6 +290,29 @@ object SparkEntry {
       .agg(countDistinct(col("l_linestatus")).as("n_status"))
       .orderBy("l_returnflag")
 
+  /** Pivot: status × returnflag quantity matrix. */
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .select(
+        col("l_returnflag"),
+        coalesce(col("F"), lit(0.0)).cast("double").as("qty_f"),
+        coalesce(col("O"), lit(0.0)).cast("double").as("qty_o"))
+      .orderBy("l_returnflag")
+
+  /** Uncorrelated scalar subquery through the SQL surface. */
+  private def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |       ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM graft_orders), 2)
+        |         AS diff_from_avg
+        |FROM graft_orders
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Tumbling-window event aggregation (batch twin of the streaming path). */
   private def qEventsWindow(s: SparkSession, d: String): DataFrame =
     EventsPipeline.windowedAgg(Tables.events(s, d))
@@ -492,6 +515,8 @@ object SparkEntry {
     "q_set_ops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_distinct" -> (qDistinct _),
+    "q_pivot" -> (qPivot _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_events_json" -> (qEventsJson _),
@@ -648,6 +673,18 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status
         |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0)
+        |            AS DOUBLE) AS qty_f,
+        |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0)
+        |            AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |       ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2)
+        |         AS diff_from_avg
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
         |       event_type,
