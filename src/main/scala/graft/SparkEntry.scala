@@ -290,6 +290,26 @@ object SparkEntry {
       .agg(countDistinct(col("l_linestatus")).as("n_status"))
       .orderBy("l_returnflag")
 
+  /** Sketch aggregates: HLL distinct counts next to exact (rows-only — no
+    * cross-engine sketch parity exists by construction; HLL merge is
+    * order-insensitive, so the result is still deterministic).
+    */
+  private def qSketches(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Generator/flatten (Catalyst `Generate`): one row per token. */
+  private def qExplodeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .orderBy("doc_id", "token")
+
   /** Pivot: status × returnflag quantity matrix. */
   private def qPivot(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -516,6 +536,8 @@ object SparkEntry {
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_distinct" -> (qDistinct _),
     "q_pivot" -> (qPivot _),
+    "q_sketches" -> (qSketches _),
+    "q_explode_tokens" -> (qExplodeTokens _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
@@ -680,6 +702,12 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0)
         |            AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_explode_tokens" ->
+      """SELECT doc_id,
+        |       unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                          x -> len(x) > 0)) AS token
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id, token""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o_orderkey,
         |       ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2)
