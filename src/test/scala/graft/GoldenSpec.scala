@@ -61,6 +61,11 @@ class GoldenSpec extends SparkTestBase {
       (2L, 23L, 102L), (3L, 24L, 103L)))
   }
 
+  test("driver smoke contract: entry() returns rows on a vanilla session") {
+    // the driver calls entry(spark) with its own session (no extensions)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("global index is dense, 0-based, and follows the key order") {
     val df = Seq(30L, 10L, 50L, 20L, 40L).toDF("k")
     val out = PositionalTake.withGlobalIndex(df, Seq("k"))
