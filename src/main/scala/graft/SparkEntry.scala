@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, IvfIndex, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, TypedAggregates}
 import graft.functions.GraftFunctions._
-import graft.operators.{PositionalTake, Relational, SkewJoin}
+import graft.operators.{AsOfJoin, PositionalTake, Relational, SkewJoin}
 import graft.sources.Tables
 import graft.streaming.EventsPipeline
 
@@ -290,6 +290,23 @@ object SparkEntry {
       .agg(countDistinct(col("l_linestatus")).as("n_status"))
       .orderBy("l_returnflag")
 
+  /** As-of join: each error event picks up the user's most recent prior
+    * purchase value (see [[graft.operators.AsOfJoin]]).
+    */
+  private def qAsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    AsOfJoin
+      .asOfJoinLatest(errors, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purchase_value"))
+      .select(col("event_id"), round(col("purchase_value"), 4).as("purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Sketch aggregates: HLL distinct counts next to exact (rows-only — no
     * cross-engine sketch parity exists by construction; HLL merge is
     * order-insensitive, so the result is still deterministic).
@@ -537,6 +554,7 @@ object SparkEntry {
     "q_distinct" -> (qDistinct _),
     "q_pivot" -> (qPivot _),
     "q_sketches" -> (qSketches _),
+    "q_asof_join" -> (qAsOfJoin _),
     "q_explode_tokens" -> (qExplodeTokens _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_events_window" -> (qEventsWindow _),
@@ -702,6 +720,16 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0)
         |            AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, MAX(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |errors AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, ROUND(p.purchase_value, 4) AS purchase_value
+        |FROM errors e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_explode_tokens" ->
       """SELECT doc_id,
         |       unnest(list_filter(string_split_regex(trim(text), '\s+'),

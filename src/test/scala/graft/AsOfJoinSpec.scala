@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+/** As-of join semantics on literal data: latest-prior match, inclusive
+  * equality, null when no prior right row, per-key isolation.
+  */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks latest prior value, inclusive at equal ts") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // before any right -> null
+      (2L, 100L, ts("2024-01-01 12:00:00")), // exact match at 12:00
+      (3L, 100L, ts("2024-01-01 13:30:00")), // latest prior is 13:00
+      (4L, 200L, ts("2024-01-01 23:00:00"))  // other key, own timeline
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, ts("2024-01-01 11:00:00"), 1.0),
+      (100L, ts("2024-01-01 12:00:00"), 2.0),
+      (100L, ts("2024-01-01 13:00:00"), 3.0),
+      (200L, ts("2024-01-01 01:00:00"), 9.0)
+    ).toDF("k", "rt", "v")
+    val out = AsOfJoin
+      .asOfJoinLatest(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(2.0))
+    assert(out(3L).contains(3.0))
+    assert(out(4L).contains(9.0))
+  }
+
+  test("left rows are preserved 1:1") {
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq.empty[(Long, Timestamp, Double)].toDF("k", "rt", "v")
+    val out = AsOfJoin.asOfJoinLatest(left, right, Seq("k"), "t", "rt", Seq("v"))
+    assert(out.count() == 1)
+    assert(out.select($"v").as[Option[Double]].head().isEmpty)
+  }
+}
