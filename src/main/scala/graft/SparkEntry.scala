@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, IvfIndex, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, TypedAggregates}
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, PositionalTake, Relational, SkewJoin}
+import graft.operators.{AsOfJoin, PositionalTake, RangeJoin, Relational, SkewJoin}
 import graft.sources.Tables
 import graft.streaming.EventsPipeline
 
@@ -307,6 +307,23 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Range join: customers whose balance falls within ±50 of a supplier's
+    * balance — bucketed interval join, no cross product
+    * (see [[graft.operators.RangeJoin]]).
+    */
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val bands = Tables.supplier(s, d)
+      .select(
+        col("s_suppkey"),
+        (col("s_acctbal") - 50.0).as("lo"),
+        (col("s_acctbal") + 50.0).as("hi"))
+    RangeJoin
+      .pointInIntervalJoin(c, bands, "c_acctbal", "lo", "hi", bucketWidth = 100.0)
+      .select("c_custkey", "s_suppkey")
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   /** Sketch aggregates: HLL distinct counts next to exact (rows-only — no
     * cross-engine sketch parity exists by construction; HLL merge is
     * order-insensitive, so the result is still deterministic).
@@ -555,6 +572,7 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_sketches" -> (qSketches _),
     "q_asof_join" -> (qAsOfJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_explode_tokens" -> (qExplodeTokens _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_events_window" -> (qEventsWindow _),
@@ -720,6 +738,11 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0)
         |            AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_range_join" ->
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c JOIN supplier s
+        |  ON c.c_acctbal BETWEEN s.s_acctbal - 50.0 AND s.s_acctbal + 50.0
+        |ORDER BY c.c_custkey, s.s_suppkey""".stripMargin,
     "q_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, ts, MAX(value) AS purchase_value

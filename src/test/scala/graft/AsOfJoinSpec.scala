@@ -34,6 +34,22 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(4L).contains(9.0))
   }
 
+  test("range join equals the naive theta-join on literal intervals") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, -3.0))
+      .toDF("id", "p")
+    val intervals = Seq((10L, 0.0, 10.0), (20L, 14.0, 16.0), (30L, -100.0, 100.0))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin
+      .pointInIntervalJoin(points, intervals, "p", "lo", "hi", bucketWidth = 7.0)
+      .select($"id", $"iid").as[(Long, Long)].collect().toSet
+    val want = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"id", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want == Set((1L, 10L), (1L, 30L), (2L, 20L), (2L, 30L),
+      (3L, 30L), (4L, 30L)))
+  }
+
   test("left rows are preserved 1:1") {
     val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
     val right = Seq.empty[(Long, Timestamp, Double)].toDF("k", "rt", "v")
