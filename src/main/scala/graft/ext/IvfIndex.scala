@@ -58,6 +58,59 @@ object IvfIndex {
     (assigned, centroids)
   }
 
+  /** Lloyd's refinement over a built assignment: per-list elementwise mean
+    * becomes the new centroid (k-means step for the coarse quantizer).
+    * Each iteration is one posexplode + two group-bys — fully parallel,
+    * no driver-side math beyond re-collecting the (tiny) centroid table.
+    */
+  def refine(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
+    var (assigned, centroids) = build(df, idCol, vecCol, nlist)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var it = 0
+    while (it < iterations) {
+      val means = assigned
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+      // lists can die (lose all members); renumber the survivors so the
+      // assignment ids and the centroid table stay aligned
+      val newCents: Seq[Seq[Double]] = means
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
+      assigned = assignTo(df, idCol, vecCol, newCents)
+      centroids = newCents.zipWithIndex
+        .map { case (c, i) => (i + 1, c) }.toDF("list_id", "centroid")
+      it += 1
+    }
+    (assigned, centroids)
+  }
+
+  /** Assign every vector to its nearest centroid (cosine) — pure scan. */
+  private def assignTo(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    val v = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+    val centLit = typedlit(cents)
+    val normLit = typedlit(cents.map(c => math.max(1e-300, math.sqrt(c.map(x => x * x).sum))))
+    val best = array_max(transform(
+      sequence(lit(1), lit(cents.length)),
+      i => struct(
+        (dot(col("v"), element_at(centLit, i)) / element_at(normLit, i)).as("score"),
+        (-i).as("neg_i"),
+        i.as("list_id"))))
+    v.withColumn("list_id", best.getField("list_id")).select("id", "v", "list_id")
+  }
+
   /** Approximate cosine top-k over a built index: probe the `nprobe`
     * centroid lists nearest to the query, score only their members.
     */

@@ -143,6 +143,29 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out.length == 5)
   }
 
+  test("IVF k-means refinement keeps full coverage and improves cohesion") {
+    import graft.ext.IvfIndex
+    import graft.functions.GraftFunctions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val (a0, c0) = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val (a2, c2) = IvfIndex.refine(emb, "vec_id", "embedding", nlist = 8, iterations = 2)
+    assert(a2.count() == n) // every vector still assigned
+    assert(c2.count() <= 8 && c2.count() > 0)
+    // mean cosine of each vector to its own centroid should not degrade
+    def cohesion(a: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame): Double =
+      a.join(c, "list_id")
+        .select(avg(cosineSimilarity($"v", toDoubleArray($"centroid"))))
+        .as[Double].head()
+    assert(cohesion(a2, c2) >= cohesion(a0, c0) - 1e-9)
+    // search still recalls the query itself
+    val q = emb.filter($"vec_id" === 0)
+      .select(toDoubleArray($"embedding")).as[Seq[Double]].head()
+    val top = IvfIndex.search(a2, c2, q, k = 3, nprobe = 3)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L && top.head._2 == 1.0)
+  }
+
   test("salted join multiset equals the plain join") {
     val li = graft.sources.Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_quantity")
