@@ -333,8 +333,8 @@ object SparkEntry {
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
       .orderBy("l_returnflag")
 
   /** Generator/flatten (Catalyst `Generate`): one row per token. */
