@@ -243,6 +243,18 @@ object SparkEntry {
         col("l_linenumber").desc)
   }
 
+  /** Exact decimal aggregation: sums carried in DECIMAL (no float drift),
+    * converted to double only for the final comparison.
+    */
+  private def qDecimalSum(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(14,4)")).cast("double").as("sum_disc_price"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP grouping sets (no grouping concept at all in the reference). */
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -569,6 +581,7 @@ object SparkEntry {
     "q_set_ops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_distinct" -> (qDistinct _),
+    "q_decimal_sum" -> (qDecimalSum _),
     "q_pivot" -> (qPivot _),
     "q_sketches" -> (qSketches _),
     "q_asof_join" -> (qAsOfJoin _),
@@ -731,6 +744,13 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status
         |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_decimal_sum" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(14,4)))
+        |            AS DOUBLE) AS sum_disc_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0)
