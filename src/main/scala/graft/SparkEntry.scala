@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, IvfIndex, Similarity, TextAnalysis, Multimodal}
+import graft.ext.{Dedup, IvfIndex, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, TypedAggregates}
 import graft.functions.GraftFunctions._
 import graft.operators.{AsOfJoin, PositionalTake, RangeJoin, Relational, SkewJoin}
@@ -547,6 +547,22 @@ object SparkEntry {
     IvfIndex.topK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryVector(s, d), k = 20, nlist = 16, nprobe = 4)
 
+  /** Deterministic sampling: mod-sample (oracled) + per-split counts from
+    * the hash-based train/val/test assignment (rows-only component kept in
+    * one query to exercise both paths).
+    */
+  private def qSample(s: SparkSession, d: String): DataFrame =
+    Sampling.modSample(Tables.orders(s, d), "o_orderkey", m = 10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  private def qSplitCounts(s: SparkSession, d: String): DataFrame =
+    Sampling.assignSplits(Tables.documents(s, d), "doc_id",
+        valFraction = 0.1, testFraction = 0.1)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+
   // -------------------------------------------- north-star: multimodal
 
   private def qMultimodal(s: SparkSession, d: String): DataFrame = {
@@ -605,6 +621,8 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal" -> (qMultimodal _),
+    "q_sample" -> (qSample _),
+    "q_split_counts" -> (qSplitCounts _),
     "q_sql_text" -> (qSqlText _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -744,6 +762,9 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status
         |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sample" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin,
     "q_decimal_sum" ->
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)

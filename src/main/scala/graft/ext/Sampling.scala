@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split operators for training-data pipelines:
+  * reproducible across runs and engines (no RNG state), stable under
+  * repartitioning — the property `df.sample()` lacks — because membership
+  * is a pure function of the row's key.
+  */
+object Sampling {
+
+  /** Keep rows whose key ≡ residue (mod m) — the simplest cross-engine-
+    * reproducible sample (any SQL engine can replicate it).
+    */
+  def modSample(df: DataFrame, keyCol: String, m: Int, residue: Int = 0): DataFrame =
+    df.filter(pmod(col(keyCol), lit(m)) === residue)
+
+  /** Keep a `fraction` of rows by seeded key hash — uniform, deterministic,
+    * and independent of partitioning; the standard held-out-split primitive.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double, seed: Int = 42): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    val buckets = 1000000L
+    df.filter(pmod(xxhash64(col(keyCol), lit(seed)), lit(buckets)) <
+      lit((fraction * buckets).toLong))
+  }
+
+  /** Per-stratum hash sample: an independent `fraction` within every value
+    * of `stratumCol` (e.g. balance languages in a training mix).
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      fraction: Double,
+      seed: Int = 42): DataFrame = {
+    val buckets = 1000000L
+    df.filter(pmod(xxhash64(col(keyCol), col(stratumCol), lit(seed)), lit(buckets)) <
+      lit((fraction * buckets).toLong))
+  }
+
+  /** Disjoint train/validation/test assignment by key hash; returns the
+    * input plus a `split` column ("train" | "val" | "test").
+    */
+  def assignSplits(
+      df: DataFrame,
+      keyCol: String,
+      valFraction: Double,
+      testFraction: Double,
+      seed: Int = 42): DataFrame = {
+    val buckets = 1000000L
+    val h: Column = pmod(xxhash64(col(keyCol), lit(seed)), lit(buckets))
+    df.withColumn(
+      "split",
+      when(h < (valFraction * buckets).toLong, lit("val"))
+        .when(h < ((valFraction + testFraction) * buckets).toLong, lit("test"))
+        .otherwise(lit("train")))
+  }
+}

@@ -181,6 +181,24 @@ class ExtensionsSpec extends SparkTestBase {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("deterministic sampling: stable under repartitioning, splits disjoint and complete") {
+    import graft.ext.Sampling
+    val df = spark.range(10000).toDF("k")
+    val s1 = Sampling.hashSample(df, "k", 0.2).as[Long].collect().toSet
+    val s2 = Sampling.hashSample(df.repartition(13), "k", 0.2).as[Long].collect().toSet
+    assert(s1 == s2) // partitioning-independent membership
+    assert(math.abs(s1.size - 2000) < 200) // ~fraction
+    val splits = Sampling.assignSplits(df, "k", 0.1, 0.1)
+    assert(splits.count() == 10000)
+    val counts = splits.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // per-stratum sampling keeps every stratum represented
+    val strat = Sampling.stratifiedHashSample(
+      df.withColumn("g", pmod($"k", lit(5))), "k", "g", 0.3)
+    assert(strat.select(countDistinct($"g")).as[Long].head() == 5)
+  }
+
   test("Moments aggregator matches built-in avg/var_samp") {
     import org.apache.spark.sql.functions.udaf
     val li = graft.sources.Tables.lineitem(spark, sf0001)
