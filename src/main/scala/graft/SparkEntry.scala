@@ -556,8 +556,13 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** Train/val/test assignment on the engine-portable md5 key hash — the
+    * same SQL reproduces the split in DuckDB, which makes the disjoint
+    * partition itself oracle-checkable (the xxhash64 variant stays
+    * available as [[Sampling.assignSplits]] for Spark-only pipelines).
+    */
   private def qSplitCounts(s: SparkSession, d: String): DataFrame =
-    Sampling.assignSplits(Tables.documents(s, d), "doc_id",
+    Sampling.assignSplitsPortable(Tables.documents(s, d), "doc_id",
         valFraction = 0.1, testFraction = 0.1)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"))
@@ -914,6 +919,65 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY l.l_orderkey, l.l_quantity, o.o_totalprice""".stripMargin,
+    "q_split_counts" ->
+      """SELECT CASE WHEN h < 100000 THEN 'val'
+        |            WHEN h < 200000 THEN 'test'
+        |            ELSE 'train' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |                  AS BIGINT) % 1000000 AS h
+        |      FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM posting a JOIN posting b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b,
+        |       ROUND(CAST(i.n_inter AS DOUBLE) /
+        |             CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.id_a = sa.id
+        |JOIN sizes sb ON i.id_b = sb.id
+        |WHERE CAST(i.n_inter AS DOUBLE) /
+        |      CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.03
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_multimodal" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id,
+        |         'text/plain' AS media_type,
+        |         CAST(strlen(text) AS BIGINT) AS byte_len,
+        |         list_reduce(
+        |           list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |             list_transform(string_split(text, ''),
+        |                            c -> CAST(ascii(c) AS HUGEINT))),
+        |           (a, b) -> (a * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        |  FROM documents),
+        |m AS (
+        |  SELECT id, media_type, byte_len,
+        |         CAST(16 + u % 1024 AS INTEGER) AS width,
+        |         CAST(16 + (u // 1024) % 1024 AS INTEGER) AS height,
+        |         CAST(1 + (u // 1048576) % 32 AS INTEGER) AS n_frames
+        |  FROM f),
+        |r AS (
+        |  SELECT *, LEAST(1.0, 256.0 / width, 256.0 / height) AS scale FROM m)
+        |SELECT id, media_type, byte_len, width, height, n_frames,
+        |       CAST(FLOOR(width * scale) AS INTEGER) AS resized_width,
+        |       CAST(FLOOR(height * scale) AS INTEGER) AS resized_height,
+        |       CAST(LEAST(n_frames, 4) AS INTEGER) AS n_sampled
+        |FROM r ORDER BY id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id AS id,
         |       list_reduce(

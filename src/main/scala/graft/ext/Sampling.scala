@@ -48,13 +48,36 @@ object Sampling {
       keyCol: String,
       valFraction: Double,
       testFraction: Double,
-      seed: Int = 42): DataFrame = {
-    val buckets = 1000000L
-    val h: Column = pmod(xxhash64(col(keyCol), lit(seed)), lit(buckets))
+      seed: Int = 42): DataFrame =
+    splitFromBucket(df, pmod(xxhash64(col(keyCol), lit(seed)), lit(SplitBuckets)),
+      valFraction, testFraction)
+
+  /** [[assignSplits]] on an engine-portable hash: the first 12 hex chars of
+    * `md5(cast(key as string))` as an integer. Any SQL engine (DuckDB,
+    * Trino, Postgres) reproduces the assignment bit-for-bit, so held-out
+    * splits survive an engine migration — xxhash64 is Spark-only.
+    */
+  def assignSplitsPortable(
+      df: DataFrame,
+      keyCol: String,
+      valFraction: Double,
+      testFraction: Double): DataFrame = {
+    val h = pmod(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10).cast("long"),
+      lit(SplitBuckets))
+    splitFromBucket(df, h, valFraction, testFraction)
+  }
+
+  private val SplitBuckets = 1000000L
+
+  private def splitFromBucket(
+      df: DataFrame,
+      h: Column,
+      valFraction: Double,
+      testFraction: Double): DataFrame =
     df.withColumn(
       "split",
-      when(h < (valFraction * buckets).toLong, lit("val"))
-        .when(h < ((valFraction + testFraction) * buckets).toLong, lit("test"))
+      when(h < (valFraction * SplitBuckets).toLong, lit("val"))
+        .when(h < ((valFraction + testFraction) * SplitBuckets).toLong, lit("test"))
         .otherwise(lit("train")))
-  }
 }
