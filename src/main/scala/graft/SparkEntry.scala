@@ -461,6 +461,14 @@ object SparkEntry {
         threshold = 0.3, planes = 16, chunks = 4)
       .orderBy("id_a", "id_b")
 
+  /** Exact quadratic pair scan — the recall oracle for [[qEmbedPairs]];
+    * oracled in SQL, unlike the LSH variants.
+    */
+  private def qCosinePairs(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForcePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
   /** End-to-end text→embedding→near-dup pipeline: hashing-TF document
     * vectors (no external model) fed through the embedding pair finder —
     * the cosine counterpart of [[qMinhashPairs]] on the same corpus.
@@ -568,6 +576,179 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("split")
 
+  // ------------------------------------------- relational surface, cont.
+
+  /** Left outer join with null-aware aggregation: per customer, the count
+    * and value of URGENT orders (0 for customers with none — the rows an
+    * inner join would drop).
+    */
+  private def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_urgent"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("urgent_value"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join of two keyed aggregates (urgent vs low order counts
+    * per customer) — exercises null key coalescing on both sides.
+    */
+  private def qFullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_urgent"))
+    val b = o.filter(col("o_orderpriority") === "5-LOW")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_low"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(
+        col("k"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("n_low"), lit(0L)).as("n_low"))
+      .orderBy("k")
+  }
+
+  /** CUBE grouping sets with grouping flags (ROLLUP's sibling). */
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    * max-quantity line, counted by priority.
+    */
+  private def qExistsCorrelated(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM graft_orders o
+        |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Correlated scalar subquery: line items priced at their order's
+    * minimum (Q2's min-per-group shape on the tables we have).
+    */
+  private def qCorrelatedScalar(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_orderkey, l_extendedprice
+        |FROM graft_lineitem l1
+        |WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                         FROM graft_lineitem l2
+        |                         WHERE l2.l_orderkey = l1.l_orderkey)
+        |ORDER BY l_orderkey, l_extendedprice""".stripMargin)
+  }
+
+  /** arg-min/arg-max aggregates (value at the extremum of another column —
+    * keyed on the unique o_orderkey so ties cannot occur).
+    */
+  private def qArgMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_totalprice"), col("o_orderkey")).as("price_at_max_key"),
+        min_by(col("o_totalprice"), col("o_orderkey")).as("price_at_min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderpriority")
+
+  /** List aggregation, canonicalized to a string so the result is
+    * engine-comparable: each customer's sorted order ids.
+    */
+  private def qCollectList(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")))
+        .as("order_ids"))
+      .orderBy("o_custkey")
+
+  /** Second-moment statistics: correlation / covariance / stddev (rounded —
+    * float summation order differs across engines).
+    */
+  private def qStatsCorr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
+      .orderBy("l_returnflag")
+
+  /** Date/time arithmetic surface (dates rendered as strings — identical
+    * text in every engine beats praying over date encodings).
+    */
+  private def qDateOps(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("o_date"),
+        date_format(trunc(col("o_orderdate").cast("date"), "month"), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd")
+          .as("month_end"),
+        date_format(add_months(col("o_orderdate").cast("date"), 3), "yyyy-MM-dd")
+          .as("plus3m"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        dayofweek(col("o_orderdate").cast("date")).cast("long").as("dow"),
+        quarter(col("o_orderdate").cast("date")).cast("long").as("qtr"))
+      .orderBy("o_orderkey")
+
+  /** String-function surface over the customer dimension. */
+  private def qStringOps(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_u"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+        reverse(col("c_name")).as("name_rev"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_num"),
+        replace(col("c_name"), lit("Customer"), lit("C")).as("name_short"),
+        concat_ws("|", col("c_mktsegment"), col("c_custkey").cast("string"))
+          .as("seg_key"))
+      .orderBy("c_custkey")
+
+  /** Fact-to-dimension join on part (TPC-H Q14 flavor): revenue by brand,
+    * dimension broadcast.
+    */
+  private def qPartJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Conditional/null-handling scalar surface. */
+  private def qConditional(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_x"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("floor_price"),
+        least(col("o_totalprice"), lit(250000.0)).as("cap_price"),
+        when(col("o_totalprice").between(50000.0, 250000.0), lit("mid"))
+          .when(col("o_totalprice") < 50000.0, lit("low"))
+          .otherwise(lit("high")).as("band"))
+      .orderBy("o_orderkey")
+
   // -------------------------------------------- north-star: multimodal
 
   private def qMultimodal(s: SparkSession, d: String): DataFrame = {
@@ -631,7 +812,20 @@ object SparkEntry {
     "q_sql_text" -> (qSqlText _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
-    "q_ivf_topk" -> (qIvfTopK _)
+    "q_ivf_topk" -> (qIvfTopK _),
+    "q_outer_join" -> (qOuterJoin _),
+    "q_full_outer_join" -> (qFullOuterJoin _),
+    "q_cube" -> (qCube _),
+    "q_exists_correlated" -> (qExistsCorrelated _),
+    "q_correlated_scalar" -> (qCorrelatedScalar _),
+    "q_arg_minmax" -> (qArgMinMax _),
+    "q_collect_list" -> (qCollectList _),
+    "q_stats_corr" -> (qStatsCorr _),
+    "q_date_ops" -> (qDateOps _),
+    "q_string_ops" -> (qStringOps _),
+    "q_part_join" -> (qPartJoin _),
+    "q_conditional" -> (qConditional _),
+    "q_cosine_pairs" -> (qCosinePairs _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -850,6 +1044,18 @@ object SparkEntry {
         |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
         |             6) AS cos
         |FROM e, q ORDER BY cos DESC, id LIMIT 20""".stripMargin,
+    "q_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) *
+        |              sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id AS id,
         |       CAST(length(text) AS BIGINT) AS n_chars,
@@ -919,6 +1125,101 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY l.l_orderkey, l.l_quantity, o.o_totalprice""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c.c_custkey,
+        |       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_urgent,
+        |       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS urgent_value
+        |FROM customer c LEFT JOIN (SELECT * FROM orders
+        |                           WHERE o_orderpriority = '1-URGENT') o
+        |  ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "q_full_outer_join" ->
+      """WITH a AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_urgent
+        |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |     b AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_low
+        |           FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT COALESCE(a.k, b.k) AS k,
+        |       COALESCE(a.n_urgent, 0) AS n_urgent,
+        |       COALESCE(b.n_low, 0) AS n_low
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |ORDER BY k""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""".stripMargin,
+    "q_exists_correlated" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_correlated_scalar" ->
+      """SELECT l_orderkey, l_extendedprice
+        |FROM lineitem l1
+        |WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_orderkey = l1.l_orderkey)
+        |ORDER BY l_orderkey, l_extendedprice""".stripMargin,
+    "q_arg_minmax" ->
+      """SELECT o_orderpriority,
+        |       ARG_MAX(o_totalprice, o_orderkey) AS price_at_max_key,
+        |       ARG_MIN(o_totalprice, o_orderkey) AS price_at_min_key,
+        |       MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_collect_list" ->
+      """SELECT o_custkey,
+        |       array_to_string(list_transform(list_sort(list(o_orderkey)),
+        |                                      x -> CAST(x AS VARCHAR)), ',')
+        |         AS order_ids
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_stats_corr" ->
+      """SELECT l_returnflag,
+        |       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_date_ops" ->
+      """SELECT o_orderkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+        |       strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d')
+        |         AS month_start,
+        |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |       strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d')
+        |         AS plus3m,
+        |       CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |            AS BIGINT) AS days_since,
+        |       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        |       CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_string_ops" ->
+      """SELECT c_custkey,
+        |       upper(c_mktsegment) AS seg_u,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+        |       reverse(c_name) AS name_rev,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+        |       replace(c_name, 'Customer', 'C') AS name_short,
+        |       concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_part_join" ->
+      """SELECT p.p_brand,
+        |       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    "q_conditional" ->
+      """SELECT o_orderkey,
+        |       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_x,
+        |       GREATEST(o_totalprice, 50000.0) AS floor_price,
+        |       LEAST(o_totalprice, 250000.0) AS cap_price,
+        |       CASE WHEN o_totalprice BETWEEN 50000.0 AND 250000.0 THEN 'mid'
+        |            WHEN o_totalprice < 50000.0 THEN 'low'
+        |            ELSE 'high' END AS band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_split_counts" ->
       """SELECT CASE WHEN h < 100000 THEN 'val'
         |            WHEN h < 200000 THEN 'test'

@@ -30,6 +30,14 @@ object GraftSession {
       // SHJ/broadcast when runtime sizes allow) is the spill-safe default
       // a 100 TB run needs; callers with known-bounded sides can hint
       // SHUFFLE_HASH per join.
+      // COUNT/MIN/MAX with no filter answer from parquet footer metadata
+      // instead of scanning row groups (the reference's row-count bookkeeping
+      // is likewise metadata, `host/generator/generator.cc:76-99`).
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Runtime bloom-filter semi-join reduction: a selective dimension
+      // filter is pushed into the fact scan as a bloom probe — at 100 TB
+      // this prunes shuffle input before it exists.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -132,8 +132,19 @@ object Dedup {
     val posting = sh.select(col("id"), explode(col("shingles")).as("gram"))
       // Compact the shuffle key: 8-byte gram hash instead of the string.
       .select(col("id"), xxhash64(col("gram")).as("gram_h"))
-    val inter = posting.as("a")
-      .join(posting.as("b"), "gram_h")
+    // Inverted-index prefilter: a gram in exactly one document can't
+    // contribute to any pair, and in a real corpus MOST grams are unique —
+    // dropping them before the self-join removes the bulk of the join
+    // input. The frequency aggregate shuffles on the same key as the join,
+    // so the exchange is planned once and reused.
+    val sharedGrams = posting
+      .groupBy(col("gram_h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .select("gram_h")
+    val pruned = posting.join(sharedGrams, "gram_h")
+    val inter = pruned.as("a")
+      .join(pruned.as("b"), "gram_h")
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))

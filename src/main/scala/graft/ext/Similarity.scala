@@ -64,4 +64,31 @@ object Similarity {
   /** All-pairs cosine ≥ threshold — delegates to [[Dedup.embeddingPairs]]. */
   def similarPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame =
     Dedup.embeddingPairs(df, idCol, vecCol, threshold)
+
+  /** EXACT all-pairs cosine ≥ threshold — deliberately quadratic (a
+    * nested-loop join over the full cross product). This is the recall
+    * oracle for [[Dedup.embeddingPairs]]; at corpus scale use the LSH
+    * variant and sample-audit against this one.
+    */
+  def bruteForcePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    // Norms are per-ROW, computed once before the quadratic join — the
+    // naive cosineSimilarity(a, b) would re-derive both norms per PAIR
+    // (3 dot products instead of 1). The product na·nb is bit-identical
+    // to computing the norms inside the pair loop, so exactness holds.
+    val v = df.select(
+      col(idCol).as("id"),
+      toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+  }
 }

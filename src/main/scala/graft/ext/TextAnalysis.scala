@@ -31,20 +31,11 @@ object TextAnalysis {
 
   /** Predicted language: argmax of stopword votes, ties broken by language
     * code order, "und" (undetermined) when no stopword hits at all.
+    * Single-pass native expression — the composed-HOF formulation
+    * re-tokenized the document once per candidate language.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    // array_max on (score, rank, lang) structs: rank is reversed list
-    // position, so ties on score resolve to the FIRST language in order.
-    val ranked = stopwords.zipWithIndex.map { case ((lang, words), i) =>
-      struct(
-        langScore(toks, words).as("score"),
-        lit(stopwords.size - i).as("rank"),
-        lit(lang).as("lang"))
-    }
-    val best = array_max(array(ranked: _*))
-    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.NativeExpressions.lang_id(text, stopwords)
 
   /** Per-document quality statistics. */
   def qualityStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -263,4 +263,55 @@ object NativeExpressions {
 
   def hashing_tf(tokenArr: Column, dims: Int): Column =
     col(HashingTf(expr(tokenArr), dims))
+
+  /** Stopword-vote language ID in one pass: lowercase → whitespace tokens →
+    * per-language membership counts → argmax (ties break to the earlier
+    * language in `langs` order; zero votes everywhere → "und").
+    *
+    * Replaces a 5-language `filter(tokens(lower(text)), …)` HOF tree that
+    * re-tokenized the document once per language (interpreted HOFs get no
+    * common-subexpression elimination).
+    */
+  case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    // One word can be a stopword of several languages ("la" ∈ fr/es/it),
+    // so the lookup value is a language bitmask, not a single index.
+    @transient private lazy val wordToLangMask: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      langs.zipWithIndex.foreach { case ((_, words), i) =>
+        words.foreach(w => m.merge(w, Integer.valueOf(1 << i), (a, b) => a | b))
+      }
+      m
+    }
+    @transient private lazy val langNames = langs.map(_._1).toArray
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.toLowerCase.split("\\s+")
+      val votes = new Array[Int](langNames.length)
+      var i = 0
+      while (i < toks.length) {
+        val mask = wordToLangMask.getOrDefault(toks(i), Integer.valueOf(0)).intValue()
+        if (mask != 0) {
+          var li = 0
+          while (li < votes.length) {
+            if ((mask & (1 << li)) != 0) votes(li) += 1
+            li += 1
+          }
+        }
+        i += 1
+      }
+      var best = -1
+      var bestVotes = 0
+      i = 0
+      while (i < votes.length) {
+        if (votes(i) > bestVotes) { bestVotes = votes(i); best = i }
+        i += 1
+      }
+      UTF8String.fromString(if (best < 0) "und" else langNames(best))
+    }
+    override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
+  }
+
+  def lang_id(text: Column, langs: Seq[(String, Seq[String])]): Column =
+    col(LangId(expr(text), langs))
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Positional gather — `out[i] = values[indices[i]]` (ref
@@ -41,17 +40,15 @@ object PositionalTake {
       .withColumn(LocalIdxCol, monotonically_increasing_id().bitwiseAND(lit(LocalMask)))
     // Exclusive prefix sum of partition sizes: numPartitions rows, computed
     // once, broadcast back as a join on pid (range partitions are ordered,
-    // so pid order == key order and the index is globally dense).
-    val offsets = local
-      .groupBy(PidCol)
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn(
-        "__offset",
-        coalesce(
-          sum(col("__cnt")).over(
-            Window.orderBy(col(PidCol)).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col(PidCol), col("__offset"))
+    // so pid order == key order and the index is globally dense). The prefix
+    // sum is a triangular self-join over the numPartitions-row aggregate —
+    // same O(P²) metadata work as a window, without WindowExec's
+    // single-partition warning noise in logs.
+    val counts = local.groupBy(PidCol).agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col(s"b.$PidCol") < col(s"a.$PidCol"), "left_outer")
+      .groupBy(col(s"a.$PidCol").as(PidCol))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
     local
       .join(broadcast(offsets), PidCol)
       .withColumn(idxCol, col(LocalIdxCol) + col("__offset"))
