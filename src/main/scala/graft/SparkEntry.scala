@@ -578,6 +578,54 @@ object SparkEntry {
 
   // ------------------------------------------- relational surface, cont.
 
+  /** Ranking/navigation window battery: lag, lead, ntile, percent_rank,
+    * cume_dist over a per-group total order (full unique key ⇒
+    * deterministic across engines).
+    */
+  private def qWindowFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(ord: _*)
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
+  /** HAVING + IN-subquery (TPC-H Q18 shape): orders whose total line
+    * quantity clears a threshold.
+    */
+  private def qHavingIn(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+        |FROM graft_orders o JOIN graft_lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM graft_lineitem
+        |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 210)
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  /** Explicit GROUPING SETS — the general form behind rollup/cube. */
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
   /** Left outer join with null-aware aggregation: per customer, the count
     * and value of URGENT orders (0 for customers with none — the rows an
     * inner join would drop).
@@ -825,7 +873,10 @@ object SparkEntry {
     "q_string_ops" -> (qStringOps _),
     "q_part_join" -> (qPartJoin _),
     "q_conditional" -> (qConditional _),
-    "q_cosine_pairs" -> (qCosinePairs _)
+    "q_cosine_pairs" -> (qCosinePairs _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_having_in" -> (qHavingIn _),
+    "q_grouping_sets" -> (qGroupingSets _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1125,6 +1176,32 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY l.l_orderkey, l.l_quantity, o.o_totalprice""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |       ROUND(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_having_in" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 210)
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_outer_join" ->
       """SELECT c.c_custkey,
         |       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_urgent,
