@@ -34,10 +34,14 @@ object GraftSession {
       // instead of scanning row groups (the reference's row-count bookkeeping
       // is likewise metadata, `host/generator/generator.cc:76-99`).
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // Runtime bloom-filter semi-join reduction: a selective dimension
-      // filter is pushed into the fact scan as a bloom probe — at 100 TB
-      // this prunes shuffle input before it exists.
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // Runtime bloom-filter semi-join reduction is OPT-IN, not default:
+      // with a selective dim filter and sound stats it prunes fact-side
+      // shuffle input, but measured on the reference join shape (33M×33M,
+      // no selective filter, in-memory inputs with unknown stats) it
+      // regresses the join 3× — Spark builds a 33M-key bloom over a side
+      // it misestimates as small. Enable per-run when the workload has the
+      // selective-dim pattern.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", sys.env.getOrElse("SPARK_GRAFT_BLOOM", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
