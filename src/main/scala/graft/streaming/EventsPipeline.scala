@@ -124,4 +124,25 @@ object EventsPipeline {
       .queryName(queryName)
       .start()
   }
+
+  /** Stream-static enrichment join: every micro-batch joins the static
+    * dimension map-side (the dim is broadcast, the stream itself is never
+    * shuffled) — the standard shape for joining an unbounded event feed
+    * against reference data at any scale.
+    */
+  def streamingEnrich(
+      spark: SparkSession,
+      inputDir: String,
+      dim: DataFrame,
+      queryName: String): StreamingQuery = {
+    val enriched = spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+    enriched.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
 }

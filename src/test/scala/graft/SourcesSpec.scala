@@ -32,6 +32,22 @@ class SourcesSpec extends SparkTestBase {
       sample.as[(Long, Double, String)].collect().sorted.toSeq)
   }
 
+  test("hive-partitioned parquet write prunes partitions at read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf0001)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    // The partition predicate must be resolved from directory metadata,
+    // not row-group scans: it shows as a PartitionFilters entry and the
+    // data filters list stays free of event_type.
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("event_type"), scan)
+    val expected = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(back.count() == expected && expected > 0)
+  }
+
   test("multimodal resize + frame sampling stages") {
     val df = Seq((0L, "some media payload bytes here")).toDF("doc_id", "text")
     val feats = graft.ext.Multimodal.featurize(df, "doc_id", "text", "video/fake")

@@ -88,6 +88,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches every event without losing rows") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_events_enrich").toString
+    val events = Tables.events(spark, sf0001)
+    events.write.mode("overwrite").parquet(staged)
+    val dim = events.select($"user_id").distinct()
+      .withColumn("segment", pmod($"user_id", lit(3)).cast("int"))
+    val q = EventsPipeline.streamingEnrich(spark, staged, dim, "enriched_out")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enriched_out")
+      assert(out.count() == events.count())
+      // every event found its dim row (left join produced no null segments)
+      assert(out.filter($"segment".isNull).count() == 0)
+      // enrichment is correct, not just present
+      assert(out.filter($"segment" =!= pmod($"user_id", lit(3)).cast("int")).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates within watermark removes repeats") {
     import org.apache.spark.sql.functions._
     val staged = java.nio.file.Files.createTempDirectory("graft_events_dd").toString
