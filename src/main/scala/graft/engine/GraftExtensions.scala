@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.NativeExpressions", name), builder)
 
   def apply(e: SparkSessionExtensions): Unit = {
+    // Operator tier: the per-key top-k planner strategy plus the optimizer
+    // rule that rewrites `filter(row_number() over (...) <= k)` onto it —
+    // a full sort per key group becomes one O(n log k) heap pass.
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RankLimitRule)
     e.injectFunction(entry("graft_minhash_sig",
       "graft_minhash_sig(shingles, numHashes) - MinHash signature (array<long>)",
       args => MinHashSig(args(0), intArg(args(1), "graft_minhash_sig"))))
