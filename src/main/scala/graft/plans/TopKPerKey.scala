@@ -37,17 +37,30 @@ case class TopKPerKeyNode(
     copy(child = c)
 }
 
+/** `partial = true` is the map-side combine: it runs BEFORE the exchange
+  * (no distribution requirement) so at most k rows per key per input
+  * partition are shuffled — the aggregation-style two-phase plan
+  *
+  * {{{ Final(Exchange(Partial(child))) }}}
+  *
+  * that a 100 TB top-k needs; shuffle volume is bounded by
+  * k · |keys| · numMapPartitions instead of the full input.
+  */
 case class TopKPerKeyExec(
     child: SparkPlan,
     keys: Seq[Expression],
     order: Expression,
     k: Int,
-    largest: Boolean)
+    largest: Boolean,
+    partial: Boolean = false)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(keys)) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
@@ -97,7 +110,9 @@ case class TopKPerKeyExec(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(child, keys, order, k, largest) =>
-      TopKPerKeyExec(planLater(child), keys, order, k, largest) :: Nil
+      TopKPerKeyExec(
+        TopKPerKeyExec(planLater(child), keys, order, k, largest, partial = true),
+        keys, order, k, largest) :: Nil
     case _ => Nil
   }
 }

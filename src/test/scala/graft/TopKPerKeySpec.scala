@@ -38,12 +38,20 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(bottom2 == Set(("a", 1L), ("a", 2L), ("b", 9L)))
   }
 
-  test("physical plan uses TopKPerKeyExec with a single shuffle, no sort") {
+  test("physical plan: partial heap before the exchange, final after, no sort") {
     val li = Tables.lineitem(spark, sf0001)
     val plan = TopKPerKey
       .topKPerKey(li, Seq("l_returnflag"), $"l_extendedprice", 3)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    // map-side combine: the shuffle reads the partial's output, so at most
+    // k rows per key per input partition cross the exchange
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    val iExchange = plan.indexOf("Exchange")
+    val iFinal = plan.indexOf("TopKPerKey ")
+    assert(iFinal >= 0 && iExchange >= 0 && iPartial >= 0)
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"expected Final above Exchange above Partial:\n$plan")
     assert(!plan.contains("Sort"), s"unexpected sort:\n$plan")
   }
 }
