@@ -797,6 +797,22 @@ object SparkEntry {
           .otherwise(lit("high")).as("band"))
       .orderBy("o_orderkey")
 
+  /** Sliding-window chunking — one row per (doc, token window). */
+  private def qChunkDocs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+      .select(col("id"), col("chunk_idx"), col("n_chunk_tokens"),
+        substring(col("chunk_text"), 1, 40).as("chunk_head"))
+      .orderBy("id", "chunk_idx")
+
+  /** Deterministic per-source sequence packing into 512-token bins. */
+  private def qPackSequences(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(s, d), "source", "doc_id", "text",
+        capacity = 512)
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("grp", "bin")
+
   // -------------------------------------------- north-star: multimodal
 
   private def qMultimodal(s: SparkSession, d: String): DataFrame = {
@@ -876,7 +892,9 @@ object SparkEntry {
     "q_cosine_pairs" -> (qCosinePairs _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_having_in" -> (qHavingIn _),
-    "q_grouping_sets" -> (qGroupingSets _)
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_pack_sequences" -> (qPackSequences _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1202,6 +1220,39 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |nz AS (SELECT * FROM tk WHERE len(t) > 0),
+        |x AS (
+        |  SELECT id, t,
+        |         unnest(generate_series(0, CAST(floor((len(t) - 1) / 48) AS BIGINT)))
+        |           AS chunk_idx
+        |  FROM nz),
+        |c AS (
+        |  SELECT id, chunk_idx,
+        |         t[1 + chunk_idx * 48 : least(chunk_idx * 48 + 64, len(t))] AS chunk
+        |  FROM x)
+        |SELECT id, chunk_idx,
+        |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |       substr(array_to_string(chunk, ' '), 1, 40) AS chunk_head
+        |FROM c ORDER BY id, chunk_idx""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT source AS grp, doc_id AS id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT grp, id, n_tokens,
+        |             SUM(n_tokens) OVER (PARTITION BY grp ORDER BY id
+        |                                 ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT grp, CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY grp, bin ORDER BY grp, bin""".stripMargin,
     "q_outer_join" ->
       """SELECT c.c_custkey,
         |       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_urgent,

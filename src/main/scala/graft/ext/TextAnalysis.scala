@@ -103,4 +103,64 @@ object TextAnalysis {
       rollingFingerprint(col(textCol)).as("fingerprint"),
       array_min(transform(charShingles(col(textCol), k), g => xxhash64(g)))
         .as("min_shingle_hash"))
+
+  /** Sliding-window document chunking — the standard LLM-pretraining
+    * preprocessing step: token windows of `chunkSize` every `stride` tokens
+    * (overlap = chunkSize − stride), last window ragged. One output row per
+    * chunk: (id, chunk_idx, n_chunk_tokens, chunk_text).
+    *
+    * Shape note: the chunk indices are EXPLODED first and each row slices
+    * the already-computed token-array attribute. Slicing inside an array
+    * HOF instead (`transform(sequence(...), i -> slice(tokens(text),...))`)
+    * re-tokenizes the document once per chunk — the interpreted-HOF
+    * captured-subtree trap.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0)
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    toks
+      .select(
+        col("id"),
+        col("toks"),
+        posexplode(sequence(lit(0), floor((size(col("toks")) - 1) / stride).cast("int"))))
+      .select(
+        col("id"),
+        col("pos").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("pos") * stride + 1, lit(chunkSize)).as("chunk"))
+      .select(
+        col("id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic sequence packing: documents are concatenated in
+    * (`groupCol`, `idCol`) order and cut every `capacity` tokens — the
+    * "concat and chunk" packing used to fill training context windows.
+    * The running token count is windowed PER GROUP (e.g. per source), so
+    * no global single-partition window exists at any scale. Returns one
+    * row per document: its bin and position.
+    */
+  def packSequences(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      capacity: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(
+        col(groupCol).as("grp"),
+        col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / capacity).cast("long"))
+  }
 }
