@@ -125,6 +125,39 @@ object EventsPipeline {
       .start()
   }
 
+  /** Stream-stream interval join with watermarks on BOTH sides: errors
+    * pair with same-user purchases from the preceding hour. The time-range
+    * condition bounds the buffered state — each side retains only
+    * watermark-deep history, which is what keeps an unbounded×unbounded
+    * join finite at any scale.
+    */
+  def streamingPurchaseErrorJoin(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String): StreamingQuery = {
+    val ev = spark.readStream.schema(eventSchema).parquet(inputDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id"))
+      .withWatermark("e_ts", "2 hours")
+    val joined = errors.join(
+      purchases,
+      expr("""e_user = p_user AND
+              e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR"""),
+      "inner")
+      .select(col("event_id"), col("e_user").as("user_id"), col("e_ts"),
+        col("p_ts"), col("p_value"))
+    joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   /** Stream-static enrichment join: every micro-batch joins the static
     * dimension map-side (the dim is broadcast, the stream itself is never
     * shuffled) — the standard shape for joining an unbounded event feed

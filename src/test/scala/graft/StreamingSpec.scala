@@ -107,6 +107,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_events_ssj").toString
+    val events = Tables.events(spark, sf0001)
+    events.write.mode("overwrite").parquet(staged)
+    val q = EventsPipeline.streamingPurchaseErrorJoin(spark, staged, "ssj_out")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .select($"event_id", $"p_ts", $"p_value")
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+      val p = events.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value".as("p_value"))
+      val e = events.filter($"event_type" === "error")
+        .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id")
+      val batch = e.join(p,
+          expr("e_user = p_user AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR"))
+        .select($"event_id", $"p_ts", $"p_value")
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates within watermark removes repeats") {
     import org.apache.spark.sql.functions._
     val staged = java.nio.file.Files.createTempDirectory("graft_events_dd").toString
