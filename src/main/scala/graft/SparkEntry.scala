@@ -797,6 +797,16 @@ object SparkEntry {
           .otherwise(lit("high")).as("band"))
       .orderBy("o_orderkey")
 
+  /** PII scrub over the corpus: redacted text + did-anything-change flag. */
+  private def qRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("id"),
+        TextAnalysis.redactPii(col("text")).as("clean_text"))
+      .withColumn("changed",
+        (col("clean_text") rlike "<EMAIL>|<PHONE>|<ID>").cast("int").cast("long"))
+      .orderBy("id")
+
   /** Sliding-window chunking — one row per (doc, token window). */
   private def qChunkDocs(s: SparkSession, d: String): DataFrame =
     TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
@@ -894,7 +904,8 @@ object SparkEntry {
     "q_having_in" -> (qHavingIn _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_chunk_docs" -> (qChunkDocs _),
-    "q_pack_sequences" -> (qPackSequences _)
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_redact" -> (qRedact _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1220,6 +1231,20 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id AS id,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(text,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+        |           '[0-9]{9,}', '<ID>', 'g') AS clean_text
+        |  FROM documents)
+        |SELECT id, clean_text,
+        |       CAST(CASE WHEN regexp_matches(clean_text, '<EMAIL>|<PHONE>|<ID>')
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM r ORDER BY id""".stripMargin,
     "q_chunk_docs" ->
       """WITH tk AS (
         |  SELECT doc_id AS id,

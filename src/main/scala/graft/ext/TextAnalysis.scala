@@ -139,6 +139,22 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** PII redaction — the standard training-corpus scrub: email addresses,
+    * international-ish phone numbers, and long digit runs (IDs, credit
+    * cards) are replaced with typed placeholder tags. Pure regexp column
+    * expressions; patterns are engine-portable (the DuckDB oracle runs the
+    * same three).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  val LongDigitsRe = "[0-9]{9,}"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhoneRe, "<PHONE>")
+    regexp_replace(noPhone, LongDigitsRe, "<ID>")
+  }
+
   /** Deterministic sequence packing: documents are concatenated in
     * (`groupCol`, `idCol`) order and cut every `capacity` tokens — the
     * "concat and chunk" packing used to fill training context windows.

@@ -62,12 +62,24 @@ case class TopKPerKeyExec(
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
+  // Plan/UI observability, matching the built-in operators' conventions.
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of key groups"),
+    "numEvictions" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "heap evictions"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val ordExpr = order
     val childOutput = child.output
     val kk = k
     val big = largest
+    val mOut = longMetric("numOutputRows")
+    val mGroups = longMetric("numGroups")
+    val mEvict = longMetric("numEvictions")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordEval = ordExpr // bound below via projection-free eval
@@ -88,6 +100,7 @@ case class TopKPerKeyExec(
         if (heap == null) {
           heap = scala.collection.mutable.PriorityQueue.empty[(Any, UnsafeRow)](heapOrd)
           heaps.put(key.copy(), heap)
+          mGroups += 1
         }
         val v = boundOrd.eval(row)
         if (heap.size < kk) heap.enqueue((v, rowProj(row).copy()))
@@ -95,11 +108,11 @@ case class TopKPerKeyExec(
           val worst = heap.head._1
           val better = if (big) valueOrdering.compare(v, worst) > 0
             else valueOrdering.compare(v, worst) < 0
-          if (better) { heap.dequeue(); heap.enqueue((v, rowProj(row).copy())) }
+          if (better) { heap.dequeue(); heap.enqueue((v, rowProj(row).copy())); mEvict += 1 }
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator.map(_._2))
+      heaps.values().iterator().asScala.flatMap { h => mOut += h.size; h.iterator.map(_._2) }
     }, preservesPartitioning = true)
   }
 
