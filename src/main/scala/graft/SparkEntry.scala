@@ -797,6 +797,57 @@ object SparkEntry {
           .otherwise(lit("high")).as("band"))
       .orderBy("o_orderkey")
 
+  /** Unpivot/melt: wide per-flag aggregates to (flag, metric, value) rows. */
+  private def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_base")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  /** Array-function battery over the token arrays (canonicalized to
+    * scalars/strings so results are engine-comparable).
+    */
+  private def qArrayOps(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("id"),
+        array_join(slice(sort_array(toks), 1, 3), ",").as("first3"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        array_contains(toks, "the").cast("int").cast("long").as("has_the"),
+        array_position(toks, "the").as("pos_the"))
+      .orderBy("id")
+  }
+
+  /** Time-series resample: hourly buckets per user over each user's active
+    * span, zero-filled where no events landed (sequence + explode + left
+    * join — the standard gap-fill shape).
+    */
+  private def qResampleFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 50)
+    val buckets = ev.groupBy(col("user_id"))
+      .agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val counts = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    buckets.join(counts, Seq("user_id", "bucket"), "left_outer")
+      .select(
+        col("user_id"),
+        unix_timestamp(col("bucket")).as("bucket_ts"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "bucket_ts")
+  }
+
   /** PII scrub over the corpus: redacted text + did-anything-change flag. */
   private def qRedact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -905,7 +956,10 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_sequences" -> (qPackSequences _),
-    "q_redact" -> (qRedact _)
+    "q_redact" -> (qRedact _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_array_ops" -> (qArrayOps _),
+    "q_resample_fill" -> (qResampleFill _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1231,6 +1285,49 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |         ROUND(SUM(l_extendedprice), 2) AS sum_base
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_base' AS metric, sum_base AS value FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q_array_ops" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT id,
+        |       array_to_string(list_sort(toks)[1:3], ',') AS first3,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |       CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS BIGINT)
+        |         AS has_the,
+        |       CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the
+        |FROM t ORDER BY id""".stripMargin,
+    "q_resample_fill" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+        |span AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM ev GROUP BY user_id),
+        |buckets AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM span),
+        |counts AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT b.user_id,
+        |       CAST(epoch(b.bucket) AS BIGINT) AS bucket_ts,
+        |       COALESCE(c.n, 0) AS n_events
+        |FROM buckets b LEFT JOIN counts c
+        |  ON b.user_id = c.user_id AND b.bucket = c.bucket
+        |ORDER BY b.user_id, bucket_ts""".stripMargin,
     "q_redact" ->
       """WITH r AS (
         |  SELECT doc_id AS id,
