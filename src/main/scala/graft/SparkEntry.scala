@@ -797,6 +797,51 @@ object SparkEntry {
           .otherwise(lit("high")).as("band"))
       .orderBy("o_orderkey")
 
+  /** CDC-style merge/upsert expressed relationally: a deterministic
+    * "updates" slice (every 7th order, repriced) full-outer-merged into the
+    * base — updated rows take the new values, inserts survive, untouched
+    * rows pass through. The engine-level building block behind MERGE INTO.
+    */
+  private def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val updates = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey").as("k"),
+        // +1000 not ×1.1: a multiply can land exactly on a half-cent
+        // boundary where Spark (HALF_UP on shortest repr) and DuckDB
+        // round differently; adding an exact constant cannot
+        round(col("o_totalprice") + 1000.0, 2).as("new_price"))
+    base.join(updates, Seq("k"), "full_outer")
+      .select(
+        col("k"),
+        round(coalesce(col("new_price"), col("price")), 2).as("price"),
+        when(col("new_price").isNotNull, lit("updated"))
+          .otherwise(lit("unchanged")).as("op"))
+      .orderBy("k")
+  }
+
+  /** Per-dimension standardization (z-scores) of the embedding column —
+    * classic feature scaling, kept in exploded (vec_id, dim, z) form: the
+    * per-dim moments are a 64-row aggregate joined back to the elements.
+    */
+  private def qStandardize(s: SparkSession, d: String): DataFrame = {
+    val el = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
+    val stats = el.groupBy(col("dim"))
+      .agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sd"))
+    el.join(broadcast(stats), Seq("dim"))
+      .select(
+        col("vec_id"),
+        col("dim").cast("long").as("dim"),
+        // + 0.0 canonicalizes IEEE -0.0 (a tiny negative rounded to
+        // zero keeps its sign bit and breaks byte-level hash compares)
+        (round((col("x") - col("mu")) / col("sd"), 4) + lit(0.0)).as("z"))
+      .filter(col("vec_id") < 100)
+      .orderBy("vec_id", "dim")
+  }
+
   /** Unpivot/melt: wide per-flag aggregates to (flag, metric, value) rows. */
   private def qUnpivot(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -959,7 +1004,9 @@ object SparkEntry {
     "q_redact" -> (qRedact _),
     "q_unpivot" -> (qUnpivot _),
     "q_array_ops" -> (qArrayOps _),
-    "q_resample_fill" -> (qResampleFill _)
+    "q_resample_fill" -> (qResampleFill _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_standardize" -> (qStandardize _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1285,6 +1332,28 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |u AS (SELECT o_orderkey AS k, ROUND(o_totalprice + 1000.0, 2) AS new_price
+        |      FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT COALESCE(b.k, u.k) AS k,
+        |       ROUND(COALESCE(u.new_price, b.price), 2) AS price,
+        |       CASE WHEN u.new_price IS NOT NULL THEN 'updated'
+        |            ELSE 'unchanged' END AS op
+        |FROM base b FULL OUTER JOIN u ON b.k = u.k
+        |ORDER BY k""".stripMargin,
+    "q_standardize" ->
+      """WITH e AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |el AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i, v FROM e),
+        |x AS (SELECT vec_id, i - 1 AS dim, v[i] AS x FROM el),
+        |st AS (SELECT dim, AVG(x) AS mu, STDDEV_SAMP(x) AS sd FROM x GROUP BY dim)
+        |SELECT x.vec_id, CAST(x.dim AS BIGINT) AS dim,
+        |       ROUND((x.x - st.mu) / st.sd, 4) + 0.0 AS z
+        |FROM x JOIN st USING (dim)
+        |WHERE x.vec_id < 100
+        |ORDER BY vec_id, dim""".stripMargin,
     "q_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag,
