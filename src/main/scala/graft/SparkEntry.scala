@@ -1404,8 +1404,8 @@ object SparkEntry {
         |           regexp_replace(
         |             regexp_replace(text,
         |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |             '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
-        |           '[0-9]{9,}', '<ID>', 'g') AS clean_text
+        |             '[0-9]{9,}', '<ID>', 'g'),
+        |           '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
         |  FROM documents)
         |SELECT id, clean_text,
         |       CAST(CASE WHEN regexp_matches(clean_text, '<EMAIL>|<PHONE>|<ID>')

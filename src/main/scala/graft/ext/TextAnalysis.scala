@@ -150,9 +150,11 @@ object TextAnalysis {
   val LongDigitsRe = "[0-9]{9,}"
 
   def redactPii(text: Column): Column = {
+    // IDs before phones: a 9+ digit run also matches the phone pattern,
+    // so the more specific rule must fire first or it never fires.
     val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
-    val noPhone = regexp_replace(noEmail, PhoneRe, "<PHONE>")
-    regexp_replace(noPhone, LongDigitsRe, "<ID>")
+    val noIds = regexp_replace(noEmail, LongDigitsRe, "<ID>")
+    regexp_replace(noIds, PhoneRe, "<PHONE>")
   }
 
   /** Deterministic sequence packing: documents are concatenated in

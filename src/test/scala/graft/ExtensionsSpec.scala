@@ -109,6 +109,41 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out(3L) == ((3, 7))) // don ' t stop , world !
   }
 
+  test("chunking: sliding windows cover every token with the ragged tail") {
+    val df = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (1L, "one"), (2L, " "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .select($"id", $"chunk_idx", $"n_chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    // doc 0: starts at tokens 0,3,6,9 → lengths 4,4,4,1
+    assert(out.filter(_._1 == 0L).map(c => c._2 -> c._3) ==
+      Set(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 1L))
+    assert(out.contains((0L, 0L, 4L, "t0 t1 t2 t3")))
+    assert(out.contains((0L, 3L, 1L, "t9")))
+    assert(out.filter(_._1 == 1L) == Set((1L, 0L, 1L, "one")))
+    assert(!out.exists(_._1 == 2L)) // whitespace-only doc yields no chunks
+  }
+
+  test("packing: concat-and-cut bins respect capacity and group boundaries") {
+    val df = Seq(
+      ("a", 0L, "w w"), ("a", 1L, "w w"), ("a", 2L, "w w w"),
+      ("b", 3L, "w w w w w")).toDF("src", "doc_id", "text")
+    val out = TextAnalysis.packSequences(df, "src", "doc_id", "text", capacity = 4)
+      .select($"grp", $"id", $"bin")
+      .as[(String, Long, Long)].collect().toSet
+    // group a: cum 2,4,7 → exclusive prefix 0,2,4 → bins 0,0,1; group b restarts
+    assert(out == Set(("a", 0L, 0L), ("a", 1L, 0L), ("a", 2L, 1L), ("b", 3L, 0L)))
+  }
+
+  test("PII redaction replaces emails, phones, and long digit runs") {
+    val df = Seq((0L, "mail a.b+x@c-d.example.org or +1 (555) 123-4567, id 12345678901"))
+      .toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.redactPii($"text")).as[String].head()
+    assert(out.contains("<EMAIL>") && out.contains("<PHONE>") && out.contains("<ID>"))
+    assert(!out.exists(_.isDigit) || !"""[0-9]{9,}""".r.findFirstIn(out).isDefined)
+    assert(out.startsWith("mail <EMAIL> or <PHONE>, id <ID>"))
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val df = Seq((0L, "abc"), (1L, "abc"), (2L, "acb")).toDF("id", "text")
     val fp = df.select($"id", rollingFingerprint($"text").as("f"))
