@@ -57,4 +57,42 @@ object TypedAggregates {
     def outputEncoder: Encoder[(Double, Double)] = Encoders.tuple(
       Encoders.scalaDouble, Encoders.scalaDouble)
   }
+
+  /** Misra–Gries heavy hitters: a bounded `k`-counter summary whose merge
+    * is the standard pairwise-decrement combine. GUARANTEE (the property
+    * tests assert): every item with true frequency > n/(k+1) is in the
+    * output, and each reported count is an under-estimate by at most the
+    * total decrement — the right tool for "which keys need salting"
+    * diagnostics over 100 TB, where an exact group-by is itself the
+    * problem being diagnosed.
+    *
+    * Estimated counts depend on partitioning (bounded error, not a fixed
+    * value), so this surface is spec-verified rather than DuckDB-oracled.
+    */
+  class HeavyHitters(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 0)
+    def zero: Map[String, Long] = Map.empty
+
+    private def offer(b: Map[String, Long], item: String, w: Long): Map[String, Long] =
+      b.get(item) match {
+        case Some(c) => b.updated(item, c + w)
+        case None if b.size < k => b.updated(item, w)
+        case None =>
+          // decrement all by the smaller of w and the min counter; drop zeros
+          val dec = math.min(w, b.values.min)
+          val kept = b.collect { case (i, c) if c > dec => i -> (c - dec) }
+          if (w > dec) kept.updated(item, w - dec) else kept
+      }
+
+    def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      offer(b, item, 1L)
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (acc, (item, w)) => offer(acc, item, w) }
+
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Map[String, Long]] = bufferEncoder
+  }
 }
