@@ -94,6 +94,37 @@ object SparkEntry {
         broadcastRight = true)
       .orderBy("l_orderkey", "l_quantity", "o_totalprice")
 
+  /** Bucket-co-located PK–FK join: both sides are written ONCE as bucketed
+    * tables on the join key (16 buckets, sorted), after which every join is
+    * exchange-free AND sort-free — the persistent form of the reference's
+    * partition-then-join pipeline (`host/join/join_dpu.cc` phase 1), paying
+    * the shuffle at write time instead of per query. Result is identical to
+    * [[qJoin]] (same oracle).
+    */
+  private def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val liTable = s"graft_li_bkt_$tag"
+    val oTable = s"graft_o_bkt_$tag"
+    if (!s.catalog.tableExists(liTable)) {
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"/tmp/graft_bucketed/$tag/lineitem")
+        .mode("overwrite").saveAsTable(liTable)
+    }
+    if (!s.catalog.tableExists(oTable)) {
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"/tmp/graft_bucketed/$tag/orders")
+        .mode("overwrite").saveAsTable(oTable)
+    }
+    val li = s.table(liTable)
+    val o = s.table(oTable)
+    li.join(o.hint("MERGE"), li("l_orderkey") === o("o_orderkey"), "inner")
+      .drop("o_orderkey")
+      .orderBy("l_orderkey", "l_quantity", "o_totalprice")
+  }
+
   // -------------------------------------------------------- analytics ops
 
   /** Scan-heavy filter+aggregate (TPC-H Q6 shape): every predicate reaches
@@ -1006,7 +1037,8 @@ object SparkEntry {
     "q_array_ops" -> (qArrayOps _),
     "q_resample_fill" -> (qResampleFill _),
     "q_merge_upsert" -> (qMergeUpsert _),
-    "q_standardize" -> (qStandardize _)
+    "q_standardize" -> (qStandardize _),
+    "q_bucketed_join" -> (qBucketedJoin _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1332,6 +1364,10 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_quantity, o.o_totalprice""".stripMargin,
     "q_merge_upsert" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
         |u AS (SELECT o_orderkey AS k, ROUND(o_totalprice + 1000.0, 2) AS new_price
