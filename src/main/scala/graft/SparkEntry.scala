@@ -581,6 +581,16 @@ object SparkEntry {
       .drop("o_orderkey")
       .orderBy("l_orderkey", "l_quantity", "o_totalprice")
 
+  /** Product-quantization top-k: ADC scan over 16-byte codes (rows-only —
+    * k-means codebooks are not expressible in portable SQL; the spec
+    * asserts self-recall and determinism instead).
+    */
+  private def qPqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = graft.ext.Pq.train(emb, "embedding", m = 16, k = 16)
+    graft.ext.Pq.topK(emb, "vec_id", "embedding", queryVector(s, d), 20, cb)
+  }
+
   /** IVF approximate top-k (coarse-quantizer ANN scale path). */
   private def qIvfTopK(s: SparkSession, d: String): DataFrame =
     IvfIndex.topK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1038,7 +1048,8 @@ object SparkEntry {
     "q_resample_fill" -> (qResampleFill _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_standardize" -> (qStandardize _),
-    "q_bucketed_join" -> (qBucketedJoin _)
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_pq_topk" -> (qPqTopK _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in

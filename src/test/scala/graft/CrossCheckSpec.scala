@@ -50,6 +50,26 @@ class CrossCheckSpec extends SparkTestBase {
     }
   }
 
+  test("PQ: codebook centroids encode losslessly; ADC self-query ranks first") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cb = graft.ext.Pq.train(emb, "embedding", m = 16, k = 16)
+    // a centroid's own sub-vector quantizes to itself (distance 0)
+    val synthetic = (0 until cb.m).flatMap(s => cb.centroids(s)(3)).toSeq
+    assert(cb.encode(synthetic).forall(_ == 3.toByte))
+    assert(cb.adcTable(synthetic).map(_(3)).sum == 0.0)
+    // self-query: vec 0's quantized distance to itself is the quantization
+    // error, far below the distance to 499 unrelated random vectors
+    val q = emb.filter($"vec_id" === 0)
+      .select(graft.functions.GraftFunctions.toDoubleArray($"embedding"))
+      .as[Seq[Double]].head()
+    val top = graft.ext.Pq.topK(emb, "vec_id", "embedding", q, 5, cb)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L, s"self-query not first: ${top.toSeq}")
+    // training + encoding are deterministic run to run
+    val cb2 = graft.ext.Pq.train(emb, "embedding", m = 16, k = 16)
+    assert(cb.centroids.flatten.flatten.toSeq == cb2.centroids.flatten.flatten.toSeq)
+  }
+
   test("LSH top-k ids all appear in the brute-force ranking with equal scores") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb
