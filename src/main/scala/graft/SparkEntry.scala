@@ -883,6 +883,16 @@ object SparkEntry {
       .orderBy("vec_id", "dim")
   }
 
+  /** Boolean aggregates: bool_and / bool_or / count_if per group. */
+  private def qBoolAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_quantity") > 0.0).as("all_positive"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        count_if(col("l_tax") > 0.04).as("n_high_tax"))
+      .orderBy("l_returnflag")
+
   /** Unpivot/melt: wide per-flag aggregates to (flag, metric, value) rows. */
   private def qUnpivot(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -1049,7 +1059,8 @@ object SparkEntry {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_standardize" -> (qStandardize _),
     "q_bucketed_join" -> (qBucketedJoin _),
-    "q_pq_topk" -> (qPqTopK _)
+    "q_pq_topk" -> (qPqTopK _),
+    "q_bool_agg" -> (qBoolAgg _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1375,6 +1386,12 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_bool_agg" ->
+      """SELECT l_returnflag,
+        |       BOOL_AND(l_quantity > 0.0) AS all_positive,
+        |       BOOL_OR(l_discount > 0.09) AS any_deep_discount,
+        |       CAST(COUNT(*) FILTER (WHERE l_tax > 0.04) AS BIGINT) AS n_high_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_bucketed_join" ->
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
