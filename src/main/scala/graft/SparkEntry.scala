@@ -58,13 +58,13 @@ object SparkEntry {
 
   private def qTake(s: SparkSession, d: String): DataFrame = {
     val values = Tables.lineitem(s, d).select(liKey.map(col): _*)
-    // The index table is every 8th position — generated directly from the
-    // row count, so the values lineage is evaluated once (in the gather).
-    val n = values.count()
-    val indices = s.range(0, n, 8).toDF("idx")
     val indexed = PositionalTake
       .withGlobalIndex(values, liKey)
       .select(col("idx"), col("l_extendedprice").as("v"))
+    // The index table is every 8th position, derived by filtering the
+    // indexed table itself — no driver-side count(), no extra scan (the
+    // duplicated subtree shares its exchange via ReuseExchange).
+    val indices = indexed.filter(col("idx") % 8 === 0).select("idx")
     PositionalTake.take(indexed, indices, "idx").orderBy("idx")
   }
 
@@ -1625,9 +1625,12 @@ object SparkEntry {
         |        FROM documents)),
         |posting AS (SELECT id, unnest(g) AS gram FROM sh),
         |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
         |inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-        |  FROM posting a JOIN posting b USING (gram)
+        |  FROM pruned a JOIN pruned b USING (gram)
         |  WHERE a.id < b.id GROUP BY 1, 2)
         |SELECT i.id_a, i.id_b,
         |       ROUND(CAST(i.n_inter AS DOUBLE) /

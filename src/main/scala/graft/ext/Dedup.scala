@@ -48,6 +48,44 @@ object Dedup {
       .join(payload.select(col("id").as("id_a"), col(valueCol).as(s"${valueCol}_a")), "id_a")
       .join(payload.select(col("id").as("id_b"), col(valueCol).as(s"${valueCol}_b")), "id_b")
 
+  /** Bucket-size ceiling for LSH candidate self-joins. A bucket with m
+    * members yields m² candidate rows, so one degenerate hot bucket (a
+    * boilerplate band, an all-zeros hyperplane chunk) turns the join
+    * quadratic at scale. Buckets larger than `maxBucket` are dropped — an
+    * explicit recall-for-survival trade, standard inverted-index practice —
+    * and singleton buckets are dropped too (a bucket of one can produce no
+    * pair, and in a real corpus MOST buckets are singletons).
+    *
+    * The size aggregate shuffles on the same key as the candidate join, so
+    * the exchange is planned once and reused; only (key, id) rows move.
+    * Dropped mass is auditable via [[bucketStats]].
+    */
+  private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
+    val kept = bucketed
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+      .select(keyCol)
+    bucketed.join(kept, keyCol)
+  }
+
+  /** Audit query for [[capBuckets]]: one row with the number of buckets and
+    * candidate-pair mass removed by a `maxBucket` ceiling. Run (or `observe`)
+    * this alongside a capped pair query to LOG what the ceiling dropped.
+    */
+  def bucketStats(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
+    bucketed
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("bsz"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        count(when(col("bsz") > maxBucket, lit(1))).as("n_dropped_buckets"),
+        coalesce(sum(when(col("bsz") > maxBucket, col("bsz"))), lit(0L))
+          .as("n_dropped_rows"),
+        coalesce(sum(when(col("bsz") > maxBucket,
+            (col("bsz") * (col("bsz") - 1) / 2).cast("long"))),
+          lit(0L)).as("n_dropped_pairs"))
+
   /** MinHash + LSH near-dup candidate pairs with exact-Jaccard verification.
     *
     * shingles → native minhash signature → band keys → id-only self-join
@@ -61,14 +99,16 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val sh = df.select(
       col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("shingles"))
     val sig = sh.select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig"))
-    val banded = sig
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key"))
+    val banded = capBuckets(
+      sig.select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key")),
+      "band_key", maxBucket)
     val cand = banded.as("a")
       .join(banded.as("b"), "band_key")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -97,12 +137,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
     val sig = df.select(
       col(idCol).as("id"),
       simhash64(tokens(lower(col(textCol)))).as("sig"))
-    val bucketed = sig.select(col("id"),
-      explode(chunkKeys(col("sig"), 64, chunks)).as("bucket"))
+    val bucketed = capBuckets(
+      sig.select(col("id"), explode(chunkKeys(col("sig"), 64, chunks)).as("bucket")),
+      "bucket", maxBucket)
     val cand = bucketed.as("a")
       .join(bucketed.as("b"), "bucket")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -124,7 +166,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxDf: Int = 10000): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("shingles"))
@@ -137,10 +180,17 @@ object Dedup {
     // dropping them before the self-join removes the bulk of the join
     // input. The frequency aggregate shuffles on the same key as the join,
     // so the exchange is planned once and reused.
+    //
+    // Document-frequency CEILING: a gram shared by m documents still yields
+    // m² join rows, so one stop-phrase-like gram ("of the and"-class) makes
+    // a bucket quadratic at scale. Grams with df > maxDf are dropped — they
+    // carry near-zero Jaccard signal (a gram in everything distinguishes
+    // nothing) while carrying almost all of the join cost. Dropped mass is
+    // auditable via [[ngramDfStats]].
     val sharedGrams = posting
       .groupBy(col("gram_h"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1)
+      .filter(col("df") > 1 && col("df") <= maxDf)
       .select("gram_h")
     val pruned = posting.join(sharedGrams, "gram_h")
     val inter = pruned.as("a")
@@ -159,6 +209,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Audit query for the [[ngramJaccardPairs]] df ceiling: one row with the
+    * gram/posting/pair mass a given `maxDf` drops. Run it alongside the pair
+    * query to LOG the recall trade the ceiling makes.
+    */
+  def ngramDfStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDf: Int = 10000): DataFrame =
+    bucketStats(
+      df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("gram"))
+        .select(col("id"), xxhash64(col("gram")).as("gram_h")),
+      "gram_h", maxDf)
+      .withColumnsRenamed(Map(
+        "n_buckets" -> "n_grams",
+        "n_dropped_buckets" -> "n_dropped_grams",
+        "n_dropped_rows" -> "n_dropped_postings"))
+
   /** Embedding near-dup pairs: cosine ≥ threshold via packed hyperplane-LSH
     * bucketing + native-dot verification with precomputed norms.
     */
@@ -168,12 +237,14 @@ object Dedup {
       vecCol: String,
       threshold: Double = 0.95,
       planes: Int = 16,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
     val v = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
       .withColumn("sig", hyperplaneBits(col("v"), planes))
       .withColumn("vn", struct(col("v").as("vec"), l2Norm(col("v")).as("norm")))
-    val bucketed = v.select(col("id"),
-      explode(chunkKeys(col("sig"), planes, chunks)).as("bucket"))
+    val bucketed = capBuckets(
+      v.select(col("id"), explode(chunkKeys(col("sig"), planes, chunks)).as("bucket")),
+      "bucket", maxBucket)
     val cand = bucketed.as("a")
       .join(bucketed.as("b"), "bucket")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

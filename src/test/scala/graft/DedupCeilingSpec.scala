@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.sources.Tables
+
+/** Hot-bucket / document-frequency ceilings under a DEGENERATE corpus: a
+  * flood of identical documents (boilerplate pages), the worst case for
+  * candidate generation — every gram / band / chunk key lands all of them in
+  * one bucket and an uncapped self-join goes quadratic. The ceilings must
+  * (a) keep the candidate count bounded on the degenerate corpus, (b) report
+  * the dropped mass, and (c) be a no-op on the real testdata at defaults.
+  */
+class DedupCeilingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val nDocs = 300
+  private val quadraticPairs = nDocs.toLong * (nDocs - 1) / 2
+
+  // 300 copies of the same paragraph under distinct ids.
+  private lazy val degenerate = {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away across the wide green field toward the old stone bridge"
+    (0 until nDocs).map(i => (i.toLong, base)).toDF("doc_id", "text")
+  }
+
+  test("ngram df ceiling bounds the degenerate corpus and reports dropped mass") {
+    // Every 3-gram has df = 300 > 50: all dropped, zero candidates instead
+    // of the quadratic pair set.
+    val capped = Dedup.ngramJaccardPairs(degenerate, "doc_id", "text",
+      n = 3, threshold = 0.1, maxDf = 50)
+    assert(capped.count() == 0)
+
+    val (nGrams, droppedGrams, droppedPostings, droppedPairs) =
+      Dedup.ngramDfStats(degenerate, "doc_id", "text", n = 3, maxDf = 50)
+        .as[(Long, Long, Long, Long)].head()
+    assert(nGrams > 0 && droppedGrams == nGrams)
+    assert(droppedPostings == nGrams * nDocs)
+    assert(droppedPairs == nGrams * quadraticPairs)
+
+    // without the ceiling the same corpus yields the full quadratic pair set
+    val uncapped = Dedup.ngramJaccardPairs(degenerate, "doc_id", "text",
+      n = 3, threshold = 0.1, maxDf = Int.MaxValue)
+    assert(uncapped.count() == quadraticPairs)
+  }
+
+  test("LSH bucket ceilings bound the degenerate corpus") {
+    // Identical docs have identical signatures: every occupied band / chunk
+    // bucket holds all 300 docs, exceeds the cap, and is dropped.
+    val mh = Dedup.minhashPairs(degenerate, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8, maxBucket = 50)
+    assert(mh.count() == 0)
+
+    val sh = Dedup.simhashPairs(degenerate, "doc_id", "text",
+      maxHamming = 3, chunks = 4, maxBucket = 50)
+    assert(sh.count() == 0)
+  }
+
+  test("ceilings at their defaults are a no-op on the real corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.03)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.03, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped && capped.nonEmpty)
+
+    val mhCapped = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val mhUncapped = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8,
+        maxBucket = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mhCapped == mhUncapped && mhCapped.nonEmpty)
+  }
+}
