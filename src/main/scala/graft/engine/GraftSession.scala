@@ -1,6 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Session factory with scale-oriented defaults.
   *
@@ -47,9 +49,34 @@ object GraftSession {
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Surfaces the `graft_cap_*` metrics `observe`d by the dedup/LSH bucket
+    * ceilings (`ext/Dedup.scala`): a ceiling that silently swallows most of
+    * a corpus (the under-sized-key-space failure mode at scale) becomes a
+    * loud stderr warning instead of a quietly empty result.
+    */
+  private final class CapAuditListener extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        if (name.startsWith("graft_cap_")) {
+          val n = row.getAs[Long]("n_rows")
+          val dropped = row.getAs[Long]("n_dropped_rows")
+          if (n > 0 && dropped * 2 > n)
+            System.err.println(
+              s"[graft] WARNING: bucket ceiling $name dropped $dropped of $n candidate rows " +
+                "(>50%) — the key space is under-sized for this corpus; raise planes/bands " +
+                "or the bucket cap (see Dedup.bucketStats for the full audit)")
+        }
+      }
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+  }
+
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    if (!s.conf.getOption("graft.capAuditRegistered").contains("true")) {
+      s.listenerManager.register(new CapAuditListener)
+      s.conf.set("graft.capAuditRegistered", "true")
+    }
     s
   }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -56,17 +57,29 @@ object Dedup {
     * and singleton buckets are dropped too (a bucket of one can produce no
     * pair, and in a real corpus MOST buckets are singletons).
     *
-    * The size aggregate shuffles on the same key as the candidate join, so
-    * the exchange is planned once and reused; only (key, id) rows move.
-    * Dropped mass is auditable via [[bucketStats]].
+    * The size is a window `count(*)` over the bucket key, NOT a
+    * `groupBy` + join-back: the window sizes rows in the same exchange the
+    * candidate self-join consumes, so the (possibly expensive) signature
+    * subtree below it is planned and evaluated ONCE — a groupBy would
+    * re-evaluate it as the join's probe side. Window buffering is per
+    * bucket and spillable, i.e. linear even on a degenerate hot bucket.
+    *
+    * Dropped mass is auditable via [[bucketStats]]; additionally an
+    * `observe`d metric `graft_cap_<key>` (total vs dropped bucket rows)
+    * rides every capped query, which
+    * [[graft.engine.GraftSession]]'s listener turns into a stderr warning
+    * when the ceiling silently swallows a large fraction of the corpus —
+    * the failure mode of an under-sized key space at scale.
     */
   private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
-    val kept = bucketed
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
-      .select(keyCol)
-    bucketed.join(kept, keyCol)
+    val sized = bucketed
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .observe(
+        s"graft_cap_$keyCol",
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("__bsz") > maxBucket, lit(1L))), lit(0L))
+          .as("n_dropped_rows"))
+    sized.filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket).drop("__bsz")
   }
 
   /** Audit query for [[capBuckets]]: one row with the number of buckets and
@@ -82,8 +95,11 @@ object Dedup {
         count(when(col("bsz") > maxBucket, lit(1))).as("n_dropped_buckets"),
         coalesce(sum(when(col("bsz") > maxBucket, col("bsz"))), lit(0L))
           .as("n_dropped_rows"),
+        // bsz*(bsz-1) is a product of consecutive longs, hence even:
+        // shiftright(·, 1) is exact integral /2 (the `/` operator would go
+        // through double division and lose exactness past 2^53).
         coalesce(sum(when(col("bsz") > maxBucket,
-            (col("bsz") * (col("bsz") - 1) / 2).cast("long"))),
+            shiftright(col("bsz") * (col("bsz") - 1), 1))),
           lit(0L)).as("n_dropped_pairs"))
 
   /** MinHash + LSH near-dup candidate pairs with exact-Jaccard verification.
@@ -131,6 +147,13 @@ object Dedup {
   /** SimHash near-dup pairs: packed 64-bit signature, chunk-bucketed
     * candidates (pigeonhole-complete for hamming < chunks), `bit_count`
     * hamming verification.
+    *
+    * Exactness caveat: pigeonhole completeness holds only while no chunk
+    * bucket exceeds `maxBucket` — a capped bucket drops its pairs (audit
+    * with [[bucketStats]] / the `graft_cap_bucket` observed metric). With
+    * 16-bit chunk keys (~262k buckets) the default cap starts biting at
+    * corpora of a few hundred million docs; raise `maxBucket` or accept
+    * the recall trade there.
     */
   def simhashPairs(
       df: DataFrame,
@@ -172,14 +195,13 @@ object Dedup {
       col(idCol).as("id"),
       wordShingles(col(textCol), n).as("shingles"))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
-    val posting = sh.select(col("id"), explode(col("shingles")).as("gram"))
-      // Compact the shuffle key: 8-byte gram hash instead of the string.
-      .select(col("id"), xxhash64(col("gram")).as("gram_h"))
     // Inverted-index prefilter: a gram in exactly one document can't
     // contribute to any pair, and in a real corpus MOST grams are unique —
     // dropping them before the self-join removes the bulk of the join
-    // input. The frequency aggregate shuffles on the same key as the join,
-    // so the exchange is planned once and reused.
+    // input. The document frequency is a window count over the gram hash
+    // (same single-shuffle shape as [[capBuckets]], same rationale: the
+    // shingling subtree is evaluated once, and the windowed exchange is the
+    // one the self-join consumes).
     //
     // Document-frequency CEILING: a gram shared by m documents still yields
     // m² join rows, so one stop-phrase-like gram ("of the and"-class) makes
@@ -187,12 +209,15 @@ object Dedup {
     // carry near-zero Jaccard signal (a gram in everything distinguishes
     // nothing) while carrying almost all of the join cost. Dropped mass is
     // auditable via [[ngramDfStats]].
-    val sharedGrams = posting
-      .groupBy(col("gram_h"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1 && col("df") <= maxDf)
-      .select("gram_h")
-    val pruned = posting.join(sharedGrams, "gram_h")
+    val pruned = posting(df, idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram_h"))))
+      .observe(
+        "graft_cap_gram_h",
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("__df") > maxDf, lit(1L))), lit(0L))
+          .as("n_dropped_rows"))
+      .filter(col("__df") > 1 && col("__df") <= maxDf)
+      .drop("__df")
     val inter = pruned.as("a")
       .join(pruned.as("b"), "gram_h")
       .filter(col("a.id") < col("b.id"))
@@ -209,6 +234,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The (id, gram_h) posting list both [[ngramJaccardPairs]] and
+    * [[ngramDfStats]] are built from — shared so the audit can never drift
+    * from what the pair query's ceiling actually drops. The 8-byte gram
+    * hash, not the string, is what crosses the shuffle.
+    */
+  private def posting(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gram_h"))
+
   /** Audit query for the [[ngramJaccardPairs]] df ceiling: one row with the
     * gram/posting/pair mass a given `maxDf` drops. Run it alongside the pair
     * query to LOG the recall trade the ceiling makes.
@@ -219,10 +253,7 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       maxDf: Int = 10000): DataFrame =
-    bucketStats(
-      df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("gram"))
-        .select(col("id"), xxhash64(col("gram")).as("gram_h")),
-      "gram_h", maxDf)
+    bucketStats(posting(df, idCol, textCol, n), "gram_h", maxDf)
       .withColumnsRenamed(Map(
         "n_buckets" -> "n_grams",
         "n_dropped_buckets" -> "n_dropped_grams",
@@ -230,6 +261,17 @@ object Dedup {
 
   /** Embedding near-dup pairs: cosine ≥ threshold via packed hyperplane-LSH
     * bucketing + native-dot verification with precomputed norms.
+    *
+    * SIZE THE KEY SPACE TO THE CORPUS: the chunk-key space is
+    * `chunks · 2^(planes/chunks)` buckets (planes=16/chunks=4 → 64), and
+    * by pigeonhole the mean bucket holds n/keyspace vectors — once that
+    * crosses `maxBucket`, the cap starts dropping whole buckets and recall
+    * decays toward zero rather than degrading gracefully. For corpora
+    * beyond ~`maxBucket · keyspace / 10` vectors, raise `planes` (each
+    * extra plane per chunk doubles the key space at a measurable recall
+    * cost — see the recall floor in `CrossCheckSpec`) before raising
+    * `maxBucket`. The `graft_cap_bucket` observed metric warns on a run
+    * where the ceiling swallowed a large fraction of the corpus.
     */
   def embeddingPairs(
       df: DataFrame,
