@@ -65,6 +65,38 @@ object Similarity {
   def similarPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame =
     Dedup.embeddingPairs(df, idCol, vecCol, threshold)
 
+  /** Linear-cost production form of the quadratic recall oracle
+    * ([[bruteForcePairs]]): restrict both the LSH pair finder and the exact
+    * scan to a deterministic id-hash sample of `frac` of the corpus and
+    * report achieved recall as one row (n_lsh, n_exact, recall). Because
+    * every LSH pair is exact-cosine-verified, LSH ⊆ exact and recall is a
+    * plain count ratio. The exact side costs O((frac·n)²) — at 100 TB pick
+    * frac so frac·n is a few thousand vectors and the audit stays a
+    * negligible fraction of the pair query it monitors, while the id-hash
+    * keeps the sample identical run to run (regressions are comparable).
+    */
+  def sampledRecallAudit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      frac: Double,
+      planes: Int = 16,
+      chunks: Int = 4): DataFrame = {
+    val m = 1L << 20
+    val sample =
+      if (frac >= 1.0) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(m)) < lit((frac * m).toLong))
+    val lsh = Dedup.embeddingPairs(sample, idCol, vecCol, threshold, planes, chunks)
+      .agg(count(lit(1)).as("n_lsh"))
+    val exact = bruteForcePairs(sample, idCol, vecCol, threshold)
+      .agg(count(lit(1)).as("n_exact"))
+    lsh.crossJoin(exact).select(
+      col("n_lsh"), col("n_exact"),
+      when(col("n_exact") === 0, lit(1.0))
+        .otherwise(col("n_lsh").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** EXACT all-pairs cosine ≥ threshold — deliberately quadratic (a
     * nested-loop join over the full cross product). This is the recall
     * oracle for [[Dedup.embeddingPairs]]; at corpus scale use the LSH

@@ -70,6 +70,120 @@ class CrossCheckSpec extends SparkTestBase {
     assert(cb.centroids.flatten.flatten.toSeq == cb2.centroids.flatten.flatten.toSeq)
   }
 
+  // ---- quantitative recall floors for the rows-only catalog queries ----
+  // (each `no_oracle` query's approximate operator is differentially bounded
+  // against its exact twin — the reference's native-twin discipline,
+  // `host/join/join_test.cc:76-79`)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("minhash pairs: recall floor vs exact char-shingle jaccard (q_minhash_pairs)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val docs = Tables.documents(spark, sf0001)
+    val sh = docs.select(col("doc_id").as("id"), charShingles(col("text"), 5).as("s"))
+    // exact twin: brute-force char-shingle jaccard on the near-dup band the
+    // 8x8 banding is tuned for (recall >= 1-(1-0.9^8)^8 ~ 0.989 at j=0.9)
+    val exact = pairSet(sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.s"), col("b.s")).as("j"))
+      .filter(col("j") >= 0.9))
+    val mh = pairSet(Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8))
+    assert(exact.nonEmpty, "corpus has no planted near-dup pairs at j >= 0.9")
+    val recall = exact.count(mh.contains).toDouble / exact.size
+    info(s"minhash recall at j>=0.9: $recall (${exact.size} exact pairs)")
+    assert(recall >= 0.9, s"minhash recall $recall below floor on ${exact.size} pairs")
+  }
+
+  test("simhash pairs: exact-equality vs brute-force hamming (q_simhash_pairs)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val docs = Tables.documents(spark, sf0001)
+    val sig = docs.select(col("doc_id").as("id"),
+      simhash64(tokens(lower(col("text")))).as("sig"))
+    // pigeonhole completeness below the bucket cap makes chunked simhash
+    // EXACT, not approximate: assert set equality, not a recall floor
+    val exact = pairSet(sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .filter(hamming64(col("a.sig"), col("b.sig")) <= 3)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
+    val lsh = pairSet(Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, chunks = 4))
+    assert(exact.nonEmpty, "corpus has no pairs at hamming <= 3")
+    assert(lsh == exact,
+      s"simhash chunking lost/invented pairs: missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("doc-TF embedding pairs: recall floor vs exact cosine (q_doc_embed_pairs)") {
+    import org.apache.spark.sql.functions._
+    val tf = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.hashingTfEmbedding(col("text"), dims = 256, ngram = 2).as("emb"))
+    val exact = pairSet(
+      Similarity.bruteForcePairs(tf, "doc_id", "emb", threshold = 0.8))
+    val lsh = pairSet(
+      Dedup.embeddingPairs(tf, "doc_id", "emb", threshold = 0.8, planes = 32, chunks = 4))
+    assert(exact.nonEmpty, "corpus has no TF-cosine pairs at >= 0.8")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    info(s"doc-TF LSH recall at cos>=0.8: $recall (${exact.size} exact pairs)")
+    assert(recall >= 0.7, s"doc-TF LSH recall $recall below floor on ${exact.size} pairs")
+    assert((lsh -- exact).isEmpty, "LSH invented pairs the exact scan does not have")
+  }
+
+  test("IVF top-k: overlap floor vs brute force (q_ivf_topk)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb
+      .filter($"vec_id" === 0)
+      .select(graft.functions.GraftFunctions.toDoubleArray($"embedding"))
+      .as[Seq[Double]].head()
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // nprobe = nlist degenerates IVF to an exact scan: the result must
+    // EQUAL brute force (same ids), not merely overlap
+    val full = graft.ext.IvfIndex.topK(emb, "vec_id", "embedding", q,
+        k = 20, nlist = 16, nprobe = 16)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(full == exact,
+      s"full-probe IVF != brute force: missing=${exact -- full} extra=${full -- exact}")
+    // at the catalog operating point (nprobe 4/16) the floor is modest:
+    // these embeddings are deliberately structureless (no clusters), the
+    // worst case for a coarse quantizer — probing 1/4 of the lists keeps
+    // about 1/3 of the true neighbors (observed 7/20, stable because
+    // k-means init is seeded)
+    val ivf = graft.ext.IvfIndex.topK(emb, "vec_id", "embedding", q,
+        k = 20, nlist = 16, nprobe = 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val overlap = (exact & ivf).size
+    info(s"IVF top-20 overlap with brute force: $overlap/20")
+    assert(ivf.contains(0L), "self-query did not survive IVF probing")
+    assert(overlap >= 5, s"IVF top-k overlap $overlap/20 below floor")
+  }
+
+  test("sampled recall audit tracks the full-corpus oracle (Similarity.sampledRecallAudit)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // frac = 1.0: the audit IS the full oracle ratio
+    val full = Similarity.sampledRecallAudit(emb, "vec_id", "embedding",
+        threshold = 0.3, frac = 1.0)
+      .as[(Long, Long, Double)].head()
+    val lsh = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.3).count()
+    val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", threshold = 0.3).count()
+    assert(full._1 == lsh && full._2 == exact)
+    assert(math.abs(full._3 - lsh.toDouble / exact) < 1e-12)
+    // a half sample: deterministic, non-empty, recall within [0, 1] and
+    // within a loose band of the full-corpus recall (the audit's purpose:
+    // a linear-cost estimate that moves with the real recall)
+    val s = Similarity.sampledRecallAudit(emb, "vec_id", "embedding",
+        threshold = 0.3, frac = 0.5)
+      .as[(Long, Long, Double)].head()
+    info(s"sampled audit frac=0.5: n_lsh=${s._1} n_exact=${s._2} recall=${s._3} (full=${full._3})")
+    assert(s._2 > 0 && s._3 >= 0.0 && s._3 <= 1.0)
+    val s2 = Similarity.sampledRecallAudit(emb, "vec_id", "embedding",
+        threshold = 0.3, frac = 0.5)
+      .as[(Long, Long, Double)].head()
+    assert(s == s2, "id-hash sampling must be deterministic run to run")
+  }
+
   test("LSH top-k ids all appear in the brute-force ranking with equal scores") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb
