@@ -23,22 +23,25 @@ object Bench {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
-    def materialize(name: String, report: Boolean): Double = {
+    // (seconds, input rows, input bytes); rows/bytes are the per-query
+    // listener deltas — the reference's items/bytes-processed counters
+    // (`host/filter/filter_benchmark.cc:65-67`)
+    def materialize(name: String, report: Boolean): (Double, Long, Long) = {
       val before = listener.snapshot()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         if (report) System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        return -1.0
+        return (-1.0, 0L, 0L)
       }
       val sec = (System.nanoTime() - t0) / 1e9
       if (report) {
         Thread.sleep(100) // let the listener bus drain before snapshotting
-        System.err.println(
-          f"[bench] $name%-20s ${sec}%8.3f s  ${(listener.snapshot() - before).render}")
-      }
-      sec
+        val d = listener.snapshot() - before
+        System.err.println(f"[bench] $name%-20s ${sec}%8.3f s  ${d.render}")
+        (sec, d.recordsRead, d.bytesRead)
+      } else (sec, 0L, 0L)
     }
 
     // optional args = subset of query names (focused local iteration);
@@ -51,17 +54,32 @@ object Bench {
     // same way the reference's repeated iterations do
     val pass1 = names.map(n => n -> materialize(n, report = true)).toMap
     val results = names.map { n =>
-      val second = materialize(n, report = false)
-      val best = (pass1(n), second) match {
+      val second = materialize(n, report = false)._1
+      val best = (pass1(n)._1, second) match {
         case (a, b) if a < 0 => b
         case (a, b) if b < 0 => a
         case (a, b) => math.min(a, b)
       }
       n -> best
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def jmap(f: String => String): String =
+      names.map(k => s""""$k":${f(k)}""").mkString("{", ",", "}")
+    val secs = results.toMap
+    val qs = jmap(k => secs(k).toString)
+    // reference metric parity (items_per_second / bytes_per_second,
+    // `host/filter/filter_benchmark.cc:65-67`): input rows and input bytes
+    // per query, and their rates over the best measured pass. Emitted as
+    // parallel maps so "queries" stays a plain name->seconds map for
+    // existing consumers.
+    val rows = jmap(k => pass1(k)._2.toString)
+    val rowRate = jmap(k =>
+      if (secs(k) > 0) f"${pass1(k)._2 / secs(k)}%.0f" else "0")
+    val byteRate = jmap(k =>
+      if (secs(k) > 0) f"${pass1(k)._3 / secs(k)}%.0f" else "0")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""rows":$rows,"rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

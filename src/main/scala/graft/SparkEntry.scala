@@ -991,6 +991,59 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
+    * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
+    * counters per partition, merged map-side — no shuffle of raw items.
+    *
+    * The catalog row checks the sketch's GUARANTEE set: every item with
+    * true frequency > n/(k+1) must appear, and Misra-Gries estimates are
+    * under-counts, so `est > T` implies `true > T`. The item column is
+    * derived with a designed gap (h0 ≈ 50%, h1 ≈ 25%, each tail item
+    * ≈ 0.05%) so that with k = 19 (error ≤ n/20) the set
+    * `{item : est·10 > n}` provably equals the exact-frequency set
+    * `{item : freq·10 > n}` DuckDB computes — the sketch is oracle-checked
+    * without requiring exact counts from an approximate operator.
+    */
+  private def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val hh = udaf(new TypedAggregates.HeavyHitters(19))
+    val items = Tables.orders(s, d).select(
+      when(col("o_orderkey") % 2 === 0, lit("h0"))
+        .when(col("o_orderkey") % 4 === 1, lit("h1"))
+        .otherwise(concat(lit("tail_"), (col("o_orderkey") % 499).cast("string")))
+        .as("item"))
+    items
+      .agg(hh(col("item")).as("sketch"), count(lit(1)).as("n"))
+      .select(explode(col("sketch")).as(Seq("item", "est")), col("n"))
+      .filter(col("est") * 10 > col("n"))
+      .select("item")
+      .orderBy("item")
+  }
+
+  /** Partition-pruned scan: events are written ONCE as a date-partitioned
+    * table — the write-side layout that lets a 100 TB time-range query read
+    * only the partitions it touches (directory-level pruning, before any
+    * row group is opened) — then one day is read back through a partition
+    * filter. `PlanAuditSpec` asserts the scan's `PartitionFilters` is
+    * non-empty, the plan-shape property this query exists to pin (the
+    * bucketed-join counterpart of `BucketingSpec`'s exchange-free check).
+    */
+  private def qPrunedScan(s: SparkSession, d: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val table = s"graft_ev_bydate_$tag"
+    if (!s.catalog.tableExists(table)) {
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date")
+        .option("path", s"/tmp/graft_partitioned/$tag/events")
+        .mode("overwrite").saveAsTable(table)
+    }
+    s.table(table)
+      .filter(col("event_date") === lit("2024-01-15").cast("date"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1069,7 +1122,9 @@ object SparkEntry {
     "q_standardize" -> (qStandardize _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_pq_topk" -> (qPqTopK _),
-    "q_bool_agg" -> (qBoolAgg _)
+    "q_bool_agg" -> (qBoolAgg _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_pruned_scan" -> (qPrunedScan _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1401,6 +1456,22 @@ object SparkEntry {
         |       BOOL_OR(l_discount > 0.09) AS any_deep_discount,
         |       CAST(COUNT(*) FILTER (WHERE l_tax > 0.04) AS BIGINT) AS n_high_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q_heavy_hitters: the sketch's guarantee set equals the exact-frequency
+    // set because the item distribution has a designed gap around the
+    // threshold (see qHeavyHitters doc) — DuckDB computes exact frequencies.
+    "q_heavy_hitters" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'h0'
+        |              WHEN o_orderkey % 4 = 1 THEN 'h1'
+        |              ELSE 'tail_' || CAST(o_orderkey % 499 AS VARCHAR) END AS item
+        |  FROM orders),
+        |c AS (SELECT item, COUNT(*) AS cnt FROM src GROUP BY item),
+        |n AS (SELECT COUNT(*) AS n FROM src)
+        |SELECT item FROM c, n WHERE cnt * 10 > n ORDER BY item""".stripMargin,
+    "q_pruned_scan" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |ORDER BY event_id""".stripMargin,
     "q_bucketed_join" ->
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

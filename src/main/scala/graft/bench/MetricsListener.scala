@@ -18,6 +18,7 @@ class MetricsListener extends SparkListener {
   private val shuffleReadBytes = new LongAdder
   private val shuffleWriteBytes = new LongAdder
   private val recordsRead = new LongAdder
+  private val bytesRead = new LongAdder
   private val memorySpillBytes = new LongAdder
   private val diskSpillBytes = new LongAdder
   private val nTasks = new LongAdder
@@ -31,6 +32,7 @@ class MetricsListener extends SparkListener {
       shuffleReadBytes.add(m.shuffleReadMetrics.totalBytesRead)
       shuffleWriteBytes.add(m.shuffleWriteMetrics.bytesWritten)
       recordsRead.add(m.inputMetrics.recordsRead)
+      bytesRead.add(m.inputMetrics.bytesRead)
       memorySpillBytes.add(m.memoryBytesSpilled)
       diskSpillBytes.add(m.diskBytesSpilled)
       peakExecMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
@@ -46,6 +48,7 @@ class MetricsListener extends SparkListener {
       shuffleReadBytes: Long,
       shuffleWriteBytes: Long,
       recordsRead: Long,
+      bytesRead: Long,
       memorySpillBytes: Long,
       diskSpillBytes: Long,
       nTasks: Long,
@@ -55,18 +58,19 @@ class MetricsListener extends SparkListener {
       shuffleReadBytes - prev.shuffleReadBytes,
       shuffleWriteBytes - prev.shuffleWriteBytes,
       recordsRead - prev.recordsRead,
+      bytesRead - prev.bytesRead,
       memorySpillBytes - prev.memorySpillBytes,
       diskSpillBytes - prev.diskSpillBytes,
       nTasks - prev.nTasks,
       nStages - prev.nStages)
     def render: String =
       f"taskTime=${taskTimeMs}ms shufR=${shuffleReadBytes}B shufW=${shuffleWriteBytes}B " +
-        f"recordsIn=$recordsRead spillMem=${memorySpillBytes}B spillDisk=${diskSpillBytes}B " +
-        f"tasks=$nTasks stages=$nStages"
+        f"recordsIn=$recordsRead bytesIn=${bytesRead}B spillMem=${memorySpillBytes}B " +
+        f"spillDisk=${diskSpillBytes}B tasks=$nTasks stages=$nStages"
   }
 
   def snapshot(): Snapshot = Snapshot(
     taskTimeMs.sum(), shuffleReadBytes.sum(), shuffleWriteBytes.sum(),
-    recordsRead.sum(), memorySpillBytes.sum(), diskSpillBytes.sum(),
+    recordsRead.sum(), bytesRead.sum(), memorySpillBytes.sum(), diskSpillBytes.sum(),
     nTasks.sum(), nStages.sum())
 }

@@ -67,4 +67,32 @@ object Relational {
     val dim = if (broadcastRight) broadcast(right) else right
     left.join(dim, left(fkCol) === dim(pkCol), "inner").drop(dim(pkCol))
   }
+
+  /** Shuffled-hash join with a SPILL-SAFETY guard. SHJ measures ~2× faster
+    * than sort-merge on the reference's join shape (BASELINE.md), but its
+    * hash-relation build cannot spill: an unconditional SHUFFLE_HASH hint
+    * hard-fails ("Can't acquire … to build hash relation") once the build
+    * side outgrows execution memory — measured at 16× the reference shape
+    * under an 8 GiB heap. The hint is therefore applied only when the
+    * build side's estimated bytes, times a hash-table expansion factor,
+    * fit in half the unified execution memory; otherwise the join stays
+    * sort-merge (spillable at any size). AQE can still upgrade the SMJ to
+    * SHJ/broadcast from runtime sizes — this guard only bounds the
+    * DOWNSIDE of the planner-time hint.
+    *
+    * The memory bound defaults to this JVM's heap (exact in local mode; on
+    * a cluster pass the per-executor execution budget explicitly).
+    */
+  def boundedHashJoin(
+      left: DataFrame,
+      right: DataFrame,
+      joinExprs: Column,
+      joinType: String = "inner",
+      executionMemBytes: Long = (Runtime.getRuntime.maxMemory * 0.3).toLong,
+      hashExpansion: Double = 4.0): DataFrame = {
+    val est = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fits = est * BigInt((hashExpansion * 2).toLong) <= BigInt(executionMemBytes)
+    val hinted = if (fits) right.hint("SHUFFLE_HASH") else right.hint("MERGE")
+    left.join(hinted, joinExprs, joinType)
+  }
 }

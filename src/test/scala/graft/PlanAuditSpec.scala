@@ -1,0 +1,42 @@
+package graft
+
+/** Plan-shape assertions for write-layout catalog queries: the property
+  * these rows exist to pin (which bytes a scan is allowed to touch) is
+  * visible only in the physical plan, not in the result — the counterpart
+  * of `BucketingSpec`'s exchange-free check for the bucketed join.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  test("q_pruned_scan prunes at the partition level (PartitionFilters non-empty)") {
+    val df = SparkEntry.queries("q_pruned_scan")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters in plan:\n$plan")
+    val pf = plan.split("PartitionFilters: \\[").last.takeWhile(_ != ']')
+    assert(pf.contains("event_date"),
+      s"partition filter does not carry the date predicate: [$pf]")
+    // the date predicate prunes directories, so it must NOT also appear as
+    // a row-level data filter on the scan
+    val dataF = plan.split("PushedFilters: \\[").last.takeWhile(_ != ']')
+    assert(!dataF.contains("event_date"),
+      s"date predicate leaked into row-group filters: [$dataF]")
+    assert(df.count() > 0)
+  }
+
+  test("boundedHashJoin picks SHJ only when the build fits execution memory") {
+    import org.apache.spark.sql.functions._
+    val left = spark.range(10000).select(col("id").as("fk"), col("id").as("y"))
+    val right = spark.range(1000).select(col("id").as("pk"), col("id").as("x"))
+    // generous budget -> shuffled hash (the fast path)
+    val shj = graft.operators.Relational
+      .boundedHashJoin(left, right, col("fk") === col("pk"),
+        executionMemBytes = 1L << 34)
+      .queryExecution.sparkPlan.toString
+    assert(shj.contains("ShuffledHashJoin"), shj)
+    // starved budget -> the hint must NOT be applied; spillable sort-merge
+    val smj = graft.operators.Relational
+      .boundedHashJoin(left, right, col("fk") === col("pk"),
+        executionMemBytes = 1024)
+      .queryExecution.sparkPlan.toString
+    assert(smj.contains("SortMergeJoin"), smj)
+  }
+}
