@@ -93,12 +93,12 @@ object RefBench {
       .select(pmod(xxhash64($"id", lit(7)), lit(nJoin)).as("fk"), u32($"id").as("y"))
       .cache()
     right.count(); left.count()
-    // SHUFFLE_HASH via the spill-safety guard: picks SHJ (the measured ~2×
-    // win) while the build side fits execution memory, and falls back to
-    // spillable sort-merge at the sizes where the unguarded hint hard-fails
-    // (SF=16 under an 8 GiB heap, BASELINE.md).
+    // SHUFFLE_HASH via the spill-safety guard: keeps SHJ (the measured ~2×
+    // win over sort-merge) at any scale by sizing the partition count so
+    // per-task builds fit execution memory — the shape where the unguarded
+    // hint hard-fails (SF=16 under an 8 GiB heap, BASELINE.md).
     val (jSec, jRows) = timed(
-      graft.operators.Relational.boundedHashJoin(left, right, $"fk" === $"pk").count())
+      graft.operators.Relational.boundedHashJoin(left, right, "fk", "pk").count())
     report("join", sf, nJoin, jSec, jRows)
     val (jSmjSec, jSmjRows) = timed(
       left.join(right.hint("MERGE"), $"fk" === $"pk", "inner").count())

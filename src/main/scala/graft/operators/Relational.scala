@@ -71,28 +71,48 @@ object Relational {
   /** Shuffled-hash join with a SPILL-SAFETY guard. SHJ measures ~2× faster
     * than sort-merge on the reference's join shape (BASELINE.md), but its
     * hash-relation build cannot spill: an unconditional SHUFFLE_HASH hint
-    * hard-fails ("Can't acquire … to build hash relation") once the build
-    * side outgrows execution memory — measured at 16× the reference shape
-    * under an 8 GiB heap. The hint is therefore applied only when the
-    * build side's estimated bytes, times a hash-table expansion factor,
-    * fit in half the unified execution memory; otherwise the join stays
-    * sort-merge (spillable at any size). AQE can still upgrade the SMJ to
-    * SHJ/broadcast from runtime sizes — this guard only bounds the
-    * DOWNSIDE of the planner-time hint.
+    * hard-fails ("Can't acquire … to build hash relation") once the
+    * per-task builds outgrow execution memory — measured at 16× the
+    * reference shape under an 8 GiB heap.
+    *
+    * The failure is per-TASK, so the guard's lever is the partition count,
+    * not the join strategy: both sides are explicitly repartitioned on
+    * their keys so that `concurrent tasks × (build bytes / partitions) ×
+    * hash expansion` fits half the execution-memory budget. An explicit
+    * repartition count is exempt from AQE partition coalescing, so the
+    * sizing survives planning. Only when the required count would exceed
+    * `maxParts` (build side mis-/un-estimated or genuinely enormous) does
+    * the join fall back to sort-merge, which spills at any size.
     *
     * The memory bound defaults to this JVM's heap (exact in local mode; on
-    * a cluster pass the per-executor execution budget explicitly).
+    * a cluster pass the per-executor execution budget explicitly —
+    * partitions land on executors, so the budget is per executor, not per
+    * cluster).
     */
   def boundedHashJoin(
       left: DataFrame,
       right: DataFrame,
-      joinExprs: Column,
+      leftKey: String,
+      rightKey: String,
       joinType: String = "inner",
       executionMemBytes: Long = (Runtime.getRuntime.maxMemory * 0.3).toLong,
-      hashExpansion: Double = 4.0): DataFrame = {
+      hashExpansion: Double = 4.0,
+      maxParts: Int = 16384): DataFrame = {
+    val sc = left.sparkSession.sparkContext
+    val cores = math.max(1, sc.defaultParallelism)
+    val defaultParts =
+      left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val est = right.queryExecution.optimizedPlan.stats.sizeInBytes
-    val fits = est * BigInt((hashExpansion * 2).toLong) <= BigInt(executionMemBytes)
-    val hinted = if (fits) right.hint("SHUFFLE_HASH") else right.hint("MERGE")
-    left.join(hinted, joinExprs, joinType)
+    // per-task build budget: half the execution memory, shared by all
+    // concurrently running tasks
+    val perTask = BigInt(executionMemBytes) / (2L * cores) max BigInt(1)
+    val needed = (est * BigInt(hashExpansion.toLong) + perTask - 1) / perTask
+    if (needed <= BigInt(maxParts)) {
+      val parts = math.max(defaultParts, needed.toInt)
+      val l = left.repartition(parts, left(leftKey))
+      val r = right.repartition(parts, right(rightKey))
+      l.join(r.hint("SHUFFLE_HASH"), l(leftKey) === r(rightKey), joinType)
+    } else
+      left.join(right.hint("MERGE"), left(leftKey) === right(rightKey), joinType)
   }
 }

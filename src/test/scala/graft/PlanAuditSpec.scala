@@ -22,20 +22,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
-  test("boundedHashJoin picks SHJ only when the build fits execution memory") {
+  test("boundedHashJoin sizes partitions to the build budget, else sort-merge") {
     import org.apache.spark.sql.functions._
     val left = spark.range(10000).select(col("id").as("fk"), col("id").as("y"))
     val right = spark.range(1000).select(col("id").as("pk"), col("id").as("x"))
-    // generous budget -> shuffled hash (the fast path)
+    // generous budget -> shuffled hash at the default partition count
     val shj = graft.operators.Relational
-      .boundedHashJoin(left, right, col("fk") === col("pk"),
-        executionMemBytes = 1L << 34)
+      .boundedHashJoin(left, right, "fk", "pk", executionMemBytes = 1L << 34)
       .queryExecution.sparkPlan.toString
     assert(shj.contains("ShuffledHashJoin"), shj)
-    // starved budget -> the hint must NOT be applied; spillable sort-merge
+    // tight budget -> still SHJ, but the partition count grows so each
+    // per-task build fits (16 KB / 2 / 4 cores = 2 KB per task; 16 KB
+    // build x4 expansion -> 32+ partitions instead of the default 4)
+    val sized = graft.operators.Relational
+      .boundedHashJoin(left, right, "fk", "pk", executionMemBytes = 16384)
+      .queryExecution.sparkPlan
+    assert(sized.toString.contains("ShuffledHashJoin"), sized.toString)
+    val parts = sized.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.numPartitions
+    }
+    assert(parts.nonEmpty && parts.forall(_ > 4), s"partitions not raised: $parts")
+    // hopeless budget -> the hint must NOT be applied; spillable sort-merge
     val smj = graft.operators.Relational
-      .boundedHashJoin(left, right, col("fk") === col("pk"),
-        executionMemBytes = 1024)
+      .boundedHashJoin(left, right, "fk", "pk", executionMemBytes = 2,
+        maxParts = 64)
       .queryExecution.sparkPlan.toString
     assert(smj.contains("SortMergeJoin"), smj)
   }
