@@ -405,15 +405,31 @@ object SparkEntry {
         coalesce(col("O"), lit(0.0)).cast("double").as("qty_o"))
       .orderBy("l_returnflag")
 
+  /** Registers a temp view whose name is unique per data directory, so
+    * queries over different directories can run concurrently in one
+    * session without clobbering each other's views (a fixed name would be
+    * replaced mid-query by the other run). Within one directory the
+    * replace is idempotent — same definition, benign.
+    */
+  private def tempView(
+      s: SparkSession, d: String, name: String,
+      df: org.apache.spark.sql.DataFrame): String = {
+    val tag = java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val full = s"${name}_$tag"
+    df.createOrReplaceTempView(full)
+    full
+  }
+
   /** Uncorrelated scalar subquery through the SQL surface. */
   private def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    val orders = tempView(s, d, "graft_orders", Tables.orders(s, d))
     s.sql(
-      """SELECT o_orderkey,
-        |       ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM graft_orders), 2)
-        |         AS diff_from_avg
-        |FROM graft_orders
-        |ORDER BY o_orderkey""".stripMargin)
+      s"""SELECT o_orderkey,
+         |       ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM $orders), 2)
+         |         AS diff_from_avg
+         |FROM $orders
+         |ORDER BY o_orderkey""".stripMargin)
   }
 
   /** Tumbling-window event aggregation (batch twin of the streaming path). */
@@ -558,12 +574,12 @@ object SparkEntry {
     */
   private def qSqlText(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.registerAll(s)
-    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    val docs = tempView(s, d, "graft_documents", Tables.documents(s, d))
     s.sql(
-      """SELECT doc_id AS id,
-        |       CAST(size(graft_tokenize(text)) AS BIGINT) AS n_tokens,
-        |       CAST(size(graft_word_shingles(text, 3)) AS BIGINT) AS n_shingles
-        |FROM graft_documents ORDER BY id""".stripMargin)
+      s"""SELECT doc_id AS id,
+         |       CAST(size(graft_tokenize(text)) AS BIGINT) AS n_tokens,
+         |       CAST(size(graft_word_shingles(text, 3)) AS BIGINT) AS n_shingles
+         |FROM $docs ORDER BY id""".stripMargin)
   }
 
   /** Typed custom aggregate (the reference's `aggregator_fn_t` seam →
@@ -652,28 +668,28 @@ object SparkEntry {
     * quantity clears a threshold.
     */
   private def qHavingIn(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    val orders = tempView(s, d, "graft_orders", Tables.orders(s, d))
+    val li = tempView(s, d, "graft_lineitem", Tables.lineitem(s, d))
     s.sql(
-      """SELECT o.o_orderkey, o.o_totalprice,
-        |       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
-        |FROM graft_orders o JOIN graft_lineitem l ON o.o_orderkey = l.l_orderkey
-        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM graft_lineitem
-        |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 210)
-        |GROUP BY o.o_orderkey, o.o_totalprice
-        |ORDER BY o.o_orderkey""".stripMargin)
+      s"""SELECT o.o_orderkey, o.o_totalprice,
+         |       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+         |FROM $orders o JOIN $li l ON o.o_orderkey = l.l_orderkey
+         |WHERE o.o_orderkey IN (SELECT l_orderkey FROM $li
+         |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 210)
+         |GROUP BY o.o_orderkey, o.o_totalprice
+         |ORDER BY o.o_orderkey""".stripMargin)
   }
 
   /** Explicit GROUPING SETS — the general form behind rollup/cube. */
   private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    val li = tempView(s, d, "graft_lineitem", Tables.lineitem(s, d))
     s.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-        |       COUNT(*) AS n
-        |FROM graft_lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         |       COUNT(*) AS n
+         |FROM $li
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
   /** Left outer join with null-aware aggregation: per customer, the count
@@ -725,29 +741,29 @@ object SparkEntry {
     * max-quantity line, counted by priority.
     */
   private def qExistsCorrelated(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    val orders = tempView(s, d, "graft_orders", Tables.orders(s, d))
+    val li = tempView(s, d, "graft_lineitem", Tables.lineitem(s, d))
     s.sql(
-      """SELECT o_orderpriority, COUNT(*) AS n_orders
-        |FROM graft_orders o
-        |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
-        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders
+         |FROM $orders o
+         |WHERE EXISTS (SELECT 1 FROM $li l
+         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
   }
 
   /** Correlated scalar subquery: line items priced at their order's
     * minimum (Q2's min-per-group shape on the tables we have).
     */
   private def qCorrelatedScalar(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    val li = tempView(s, d, "graft_lineitem", Tables.lineitem(s, d))
     s.sql(
-      """SELECT l_orderkey, l_extendedprice
-        |FROM graft_lineitem l1
-        |WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice)
-        |                         FROM graft_lineitem l2
-        |                         WHERE l2.l_orderkey = l1.l_orderkey)
-        |ORDER BY l_orderkey, l_extendedprice""".stripMargin)
+      s"""SELECT l_orderkey, l_extendedprice
+         |FROM $li l1
+         |WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+         |                         FROM $li l2
+         |                         WHERE l2.l_orderkey = l1.l_orderkey)
+         |ORDER BY l_orderkey, l_extendedprice""".stripMargin)
   }
 
   /** arg-min/arg-max aggregates (value at the extremum of another column —

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -116,41 +116,33 @@ object Pq {
   }
 
   /** One-pass encode: (id, code) — the compressed index a real deployment
-    * would persist.
+    * would persist. A native expression scan ([[graft.functions
+    * .NativeExpressions.PqEncode]]): the nearest-centroid loops read the
+    * columnar `ArrayData` in place, with none of the per-row
+    * encoder/decoder round-trips a `Dataset.map` pays.
     */
-  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) => (id, cb.encode(v)) }
-      .toDF("id", "code")
-  }
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      graft.functions.NativeExpressions
+        .pq_encode(toDoubleArray(col(vecCol)), cb.centroids).as("code"))
 
-  /** ADC top-k: approximate squared-distance scan over the codes. */
+  /** ADC top-k: approximate squared-distance scan over the codes — a
+    * table-lookup expression per row feeding `TakeOrderedAndProject`
+    * (per-partition heaps, never a global sort).
+    */
   def topK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       query: Seq[Double],
       k: Int,
-      cb: Codebook): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val table = cb.adcTable(query)
-    val scored: Dataset[(Long, Double)] = encode(df, idCol, vecCol, cb)
-      .as[(Long, Array[Byte])]
-      .map { case (id, code) =>
-        var d = 0.0
-        var s = 0
-        while (s < code.length) {
-          d += table(s)(java.lang.Byte.toUnsignedInt(code(s)))
-          s += 1
-        }
-        (id, math.rint(d * 1e6) / 1e6)
-      }
-    scored.toDF("id", "adc_dist")
+      cb: Codebook): DataFrame =
+    encode(df, idCol, vecCol, cb)
+      .select(
+        col("id"),
+        graft.functions.NativeExpressions
+          .pq_adc_dist(col("code"), cb.adcTable(query)).as("adc_dist"))
       .orderBy(col("adc_dist"), col("id"))
       .limit(k)
-  }
 }

@@ -270,6 +270,69 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Tokenize = copy(child = c)
   }
 
+  /** Product-quantization encode: array<double> → `m`-byte code, byte `s` =
+    * index of the nearest `centroids(s)(·)` to the vector's s-th sub-space
+    * slice. The codebook is driver metadata baked into the expression (the
+    * closure-shipping discipline of [[graft.ext.Pq]]); the loop reads
+    * `ArrayData` directly — no row decode to `Seq[Double]`, which is what
+    * the previous `Dataset.map` encode paid per row.
+    */
+  case class PqEncode(child: Expression, centroids: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val m = centroids.length
+    @transient private lazy val k = centroids(0).length
+    @transient private lazy val dsub = centroids(0)(0).length
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val code = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cs = centroids(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val cent = cs(c)
+          var d = 0.0
+          var j = 0
+          while (j < dsub) {
+            val t = arr.getDouble(s * dsub + j) - cent(j)
+            d += t * t
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        code(s) = best.toByte
+        s += 1
+      }
+      code
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  }
+
+  /** Asymmetric-distance (ADC) lookup: binary PQ code → Σ_s table(s)(code_s),
+    * the approximate squared distance to the query the `table` was built
+    * from. Rounded to 1e-6 with rint (half-even) for run-to-run stable
+    * ordering — must stay bit-identical to the previous Dataset.map scan.
+    */
+  case class PqAdcDist(child: Expression, table: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val code = input.asInstanceOf[Array[Byte]]
+      var d = 0.0
+      var s = 0
+      while (s < code.length) {
+        d += table(s)(java.lang.Byte.toUnsignedInt(code(s)))
+        s += 1
+      }
+      java.lang.Double.valueOf(math.rint(d * 1e6) / 1e6)
+    }
+    override protected def withNewChildInternal(c: Expression): PqAdcDist = copy(child = c)
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def expr(c: Column) = ColumnShim.expression(c)
@@ -293,6 +356,12 @@ object NativeExpressions {
 
   def hashing_tf(tokenArr: Column, dims: Int): Column =
     col(HashingTf(expr(tokenArr), dims))
+
+  def pq_encode(vec: Column, centroids: Array[Array[Array[Double]]]): Column =
+    col(PqEncode(expr(vec), centroids))
+
+  def pq_adc_dist(code: Column, table: Array[Array[Double]]): Column =
+    col(PqAdcDist(expr(code), table))
 
   /** Stopword-vote language ID in one pass: lowercase → whitespace tokens →
     * per-language membership counts → argmax (ties break to the earlier
