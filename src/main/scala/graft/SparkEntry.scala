@@ -1060,6 +1060,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** JSON-lines source/sink roundtrip: events written once as JSON (the
+    * interchange format ingest pipelines actually receive), read back with
+    * an explicit schema — schema-on-read, no inference pass over the data —
+    * and oracle-verified against the parquet original. Doubles survive via
+    * shortest-representation roundtrip. The timestamp column deliberately
+    * stays out: Spark's default JSON timestamp format is
+    * millisecond-precision, so a µs-precision event stream silently loses
+    * fidelity through JSON — a real interchange pitfall this query's
+    * column choice documents rather than papers over.
+    */
+  private def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val dir = s"/tmp/graft_json/$tag/events"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      Tables.events(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").json(dir)
+    s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(dir)
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1140,7 +1161,8 @@ object SparkEntry {
     "q_pq_topk" -> (qPqTopK _),
     "q_bool_agg" -> (qBoolAgg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
-    "q_pruned_scan" -> (qPrunedScan _)
+    "q_pruned_scan" -> (qPrunedScan _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1488,6 +1510,10 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |ORDER BY event_id""".stripMargin,
+    // q_json_roundtrip: the roundtrip is the identity on these columns, so
+    // the oracle is simply the original table
+    "q_json_roundtrip" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
     "q_bucketed_join" ->
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

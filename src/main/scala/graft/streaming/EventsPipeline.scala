@@ -158,6 +158,33 @@ object EventsPipeline {
       .start()
   }
 
+  /** Streaming exact dedup: emits each `event_id` once, dropping repeats
+    * that arrive within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming form of the batch
+    * [[graft.ext.Dedup.exact]], and the standard at-least-once →
+    * effectively-once repair stage in an event ingest path. The state
+    * store holds only watermark-deep keys (older keys are evicted as the
+    * watermark advances), so state is bounded by event rate × horizon, not
+    * by stream length — the property that keeps the operator alive on an
+    * unbounded 100 TB/day feed, where a plain `dropDuplicates` would
+    * accumulate state forever.
+    */
+  def streamingDedup(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String,
+      watermark: String = "2 hours"): StreamingQuery =
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
   /** Stream-static enrichment join: every micro-batch joins the static
     * dimension map-side (the dim is broadcast, the stream itself is never
     * shuffled) — the standard shape for joining an unbounded event feed

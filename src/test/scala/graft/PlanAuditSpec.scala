@@ -22,6 +22,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("q_filter's predicate reaches the parquet scan (PushedFilters)") {
+    val plan = SparkEntry.queries("q_filter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ") &&
+      plan.contains("LessThan(l_extendedprice"),
+      s"filter not pushed to scan:\n${plan.take(2000)}")
+  }
+
+  test("q_sum reads only the aggregated column (ReadSchema pruning)") {
+    val plan = SparkEntry.queries("q_sum")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_quantity"),
+      s"scan schema not pruned to l_quantity:\n${plan.take(2000)}")
+    assert(!plan.contains("l_extendedprice"),
+      "sum scan reads columns the aggregate never touches")
+  }
+
   test("boundedHashJoin sizes partitions to the build budget, else sort-merge") {
     import org.apache.spark.sql.functions._
     val left = spark.range(10000).select(col("id").as("fk"), col("id").as("y"))

@@ -153,6 +153,20 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingDedup: bounded-state dedup emits each event_id once") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_events_dd2").toString
+    val ev = Tables.events(spark, sf0001)
+    ev.unionAll(ev).write.mode("overwrite").parquet(staged)
+    val q = EventsPipeline.streamingDedup(spark, staged, "dedup2_out", watermark = "1 hour")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup2_out")
+      val distinctIds = ev.select($"event_id").distinct().count()
+      assert(out.count() == distinctIds)
+      assert(out.select($"event_id").distinct().count() == distinctIds)
+    } finally q.stop()
+  }
+
   test("sessionization: session count bounded by event count, monotone seq") {
     val s = EventsPipeline.sessionize(Tables.events(spark, sf0001))
     val bad = s.filter($"session_seq" < 1).count()
