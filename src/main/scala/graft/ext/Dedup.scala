@@ -165,18 +165,24 @@ object Dedup {
     val sig = df.select(
       col(idCol).as("id"),
       simhash64(tokens(lower(col(textCol)))).as("sig"))
+    // The signature is ONE long, so it rides through the explode and the
+    // self-join (8 bytes per shuffle row) instead of being re-derived and
+    // join-attached afterwards — two fewer joins and no second pass over
+    // the corpus. (minhashPairs/embeddingPairs attach instead: their
+    // payloads are 64-long arrays / full vectors, where carrying would
+    // multiply shuffle volume by the fan-out.)
     val bucketed = capBuckets(
-      sig.select(col("id"), explode(chunkKeys(col("sig"), 64, chunks)).as("bucket")),
+      sig.select(col("id"), col("sig"),
+        explode(chunkKeys(col("sig"), 64, chunks)).as("bucket")),
       "bucket", maxBucket)
-    val cand = bucketed.as("a")
+    bucketed.as("a")
       .join(bucketed.as("b"), "bucket")
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    attach(cand, sig, "sig")
-      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("int"))
+      .filter(col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Word n-gram Jaccard pairs via shared-shingle inverted index — exact,
