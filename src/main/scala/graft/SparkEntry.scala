@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, IvfIndex, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.ext.{Components, Dedup, IvfIndex, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, TypedAggregates}
 import graft.functions.GraftFunctions._
 import graft.operators.{AsOfJoin, PositionalTake, RangeJoin, Relational, SkewJoin}
@@ -1060,6 +1060,26 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Duplicate-cluster resolution: connected components over the exact
+    * n-gram-Jaccard near-dup graph — pair finding tells you WHO matches;
+    * this answers what a dedup pipeline actually needs, WHICH GROUPS to
+    * collapse and which survivor to keep (cluster_id = min member doc id).
+    * Oracled in DuckDB with a recursive CTE computing min-reachable-id
+    * over the identical pair set.
+    *
+    * Threshold 0.5 (vs q_ngram_jaccard's 0.03): clustering needs DUP-level
+    * edges. At 0.03 the pair graph is topic-level similarity — long chains
+    * of weakly-related docs merge into sprawling components (measured:
+    * 8 pointer-jumping rounds, i.e. ~100-hop paths), which is both slow
+    * and the wrong semantics for "collapse these duplicates".
+    */
+  private def qDupClusters(s: SparkSession, d: String): DataFrame =
+    Components.duplicateClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5),
+        "id_a", "id_b")
+      .orderBy("cluster_id")
+
   /** JSON-lines source/sink roundtrip: events written once as JSON (the
     * interchange format ingest pipelines actually receive), read back with
     * an explicit schema — schema-on-read, no inference pass over the data —
@@ -1162,7 +1182,8 @@ object SparkEntry {
     "q_bool_agg" -> (qBoolAgg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pruned_scan" -> (qPrunedScan _),
-    "q_json_roundtrip" -> (qJsonRoundtrip _)
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_dup_clusters" -> (qDupClusters _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1514,6 +1535,47 @@ object SparkEntry {
     // the oracle is simply the original table
     "q_json_roundtrip" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    // q_dup_clusters: the q_ngram_jaccard pair pipeline as a CTE, then
+    // min-reachable-id per node via a recursive CTE (transitive closure is
+    // fine at oracle scale; the engine side uses iterative label
+    // propagation instead)
+    "q_dup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b
+        |  FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.id
+        |  JOIN sizes sb ON i.id_b = sb.id
+        |  WHERE CAST(i.n_inter AS DOUBLE) /
+        |        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+        |SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM lbl GROUP BY comp ORDER BY cluster_id""".stripMargin,
     "q_bucketed_join" ->
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the
+  * duplicate-CLUSTER resolution step a dedup pipeline runs after pair
+  * finding: near-dup pairs form a graph, each component is one duplicate
+  * cluster, and the component label (the minimum member id) is the
+  * canonical survivor the pipeline keeps.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with its own id; each round replaces a node's label with the minimum of
+  * its own and its neighbors' labels; fixpoint = components. Each round is
+  * ONE shuffle of the (small) edge list joined against the (smaller) label
+  * table, and rounds needed = graph diameter — for duplicate clusters
+  * (cliques and short chains) that is 2–3, not the log-n of the
+  * large-star/small-star algorithms a billion-edge social graph would
+  * need. `localCheckpoint` after every round truncates the lineage an
+  * iterative plan otherwise grows without bound; the driver loop is
+  * orchestration only — every data operation is a distributed plan.
+  *
+  * Only nodes that appear in at least one edge are labeled (singletons are
+  * not duplicate clusters; the caller's corpus minus the labeled nodes is
+  * the unique set).
+  */
+object Components {
+
+  /** (id, comp) for every node of `edges`; comp = min node id reachable,
+    * i.e. the component representative. `maxIter` bounds the rounds;
+    * propagation is checked for convergence each round and stops early.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list BEFORE symmetrizing: the union would
+    // otherwise evaluate the (possibly expensive — e.g. a whole pair-
+    // finding pipeline) edge subtree twice.
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // Round 0 fused into initialization: label = min(own id, min neighbor
+    // id) — one aggregate instead of a distinct + a full propagation round.
+    var labels = sym
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    // Labels only ever DECREASE, so sum(comp) is a strictly monotone
+    // convergence witness: one scalar aggregate per round replaces a
+    // join-and-diff.
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    while (iter < maxIter && !converged) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_comp")).as("nbr_comp"))
+      val prop = labels
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // Pointer jumping (path halving): also adopt the label OF the label.
+      // Plain neighbor propagation moves a label one hop per round (O(
+      // diameter) rounds — slow on near-dup CHAINS, where A≈B≈C≈… links
+      // arbitrarily long paths); jumping through the label table doubles
+      // the reach each round, i.e. O(log diameter).
+      val next = prop
+        .join(
+          prop.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left_outer")
+        .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    System.err.println(s"[graft] connectedComponents: $iter rounds (converged=$converged)")
+    labels
+  }
+
+  /** One row per duplicate cluster: (cluster_id = min member id,
+    * n_members), from a pair list such as [[Dedup.ngramJaccardPairs]].
+    */
+  def duplicateClusters(pairs: DataFrame, idACol: String, idBCol: String): DataFrame =
+    connectedComponents(pairs, idACol, idBCol)
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+}

@@ -184,6 +184,27 @@ class CrossCheckSpec extends SparkTestBase {
     assert(s == s2, "id-hash sampling must be deterministic run to run")
   }
 
+  test("connected components: exact labels on chains, cliques, and islands") {
+    import org.apache.spark.sql.functions._
+    // one 6-node chain (diameter 5 — beyond one propagation round), one
+    // triangle, one isolated pair
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // chain
+      (20L, 21L), (21L, 22L), (20L, 22L),                         // triangle
+      (30L, 31L)                                                  // pair
+    ).toDF("a", "b")
+    val comp = graft.ext.Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 15L).forall(comp(_) == 10L), s"chain mislabeled: $comp")
+    assert((20L to 22L).forall(comp(_) == 20L))
+    assert(comp(30L) == 30L && comp(31L) == 30L)
+    assert(comp.size == 11)
+    // cluster rollup matches
+    val clusters = graft.ext.Components.duplicateClusters(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(10L -> 6L, 20L -> 3L, 30L -> 2L))
+  }
+
   test("LSH top-k ids all appear in the brute-force ranking with equal scores") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb
