@@ -664,6 +664,47 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Time-RANGE rolling window: per event, count/sum of the SAME TYPE's
+    * events in the trailing hour — a RANGE frame over epoch seconds, the
+    * per-row sliding aggregate (vs `q_events_window`'s tumbling buckets).
+    * RANGE semantics include peers, so ties on the timestamp are
+    * order-independent and the result is deterministic in both engines.
+    */
+  private def qRollingWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+      .select(
+        col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_prev_hour"),
+        round(sum(col("value")).over(w), 4).as("sum_prev_hour"))
+      .orderBy("event_id")
+  }
+
+  /** Edit-distance near-dup pairs: customer names within levenshtein ≤ 2,
+    * blocked on the nation key — fuzzy matching with the same block-then-
+    * verify discipline as the LSH family (the quadratic verify runs only
+    * inside a block; at scale the block key IS the scale contract, like
+    * band/chunk keys for MinHash/SimHash).
+    */
+  private def qEditPairs(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    cust.as("a")
+      .join(cust.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(
+        col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("id_a", "id_b")
+  }
+
   /** HAVING + IN-subquery (TPC-H Q18 shape): orders whose total line
     * quantity clears a threshold.
     */
@@ -1183,7 +1224,9 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pruned_scan" -> (qPrunedScan _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
-    "q_dup_clusters" -> (qDupClusters _)
+    "q_dup_clusters" -> (qDupClusters _),
+    "q_rolling_window" -> (qRollingWindow _),
+    "q_edit_pairs" -> (qEditPairs _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -1535,6 +1578,25 @@ object SparkEntry {
     // the oracle is simply the original table
     "q_json_roundtrip" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    // q_rolling_window: floor(epoch(·)) matches Spark's unix_timestamp
+    // truncation of the µs-truncated nanos timestamp
+    "q_rolling_window" ->
+      """SELECT event_id, event_type,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
+        |       ROUND(SUM(value) OVER w, 4) AS sum_prev_hour
+        |FROM (SELECT event_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_edit_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // q_dup_clusters: the q_ngram_jaccard pair pipeline as a CTE, then
     // min-reachable-id per node via a recursive CTE (transitive closure is
     // fine at oracle scale; the engine side uses iterative label
