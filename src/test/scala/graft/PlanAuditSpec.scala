@@ -66,5 +66,14 @@ class PlanAuditSpec extends SparkTestBase {
         maxParts = 64)
       .queryExecution.sparkPlan.toString
     assert(smj.contains("SortMergeJoin"), smj)
+    // and every strategy returns the same row multiset
+    val expected = left.join(right, col("fk") === col("pk")).count()
+    Seq(1L << 34, 16384L, 2L).foreach { mem =>
+      val n = graft.operators.Relational
+        .boundedHashJoin(left, right, "fk", "pk",
+          executionMemBytes = mem, maxParts = 64)
+        .count()
+      assert(n == expected, s"mem=$mem: $n != $expected")
+    }
   }
 }

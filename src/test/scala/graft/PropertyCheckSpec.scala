@@ -84,4 +84,31 @@ class PropertyCheckSpec extends SparkTestBase {
       assert(sigs(1L) == sigs(2L))
     }
   }
+
+  test("property: connected components match a local union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)).suchThat(p => p._1 != p._2))
+    samples(edgeGen, 4).foreach { edges =>
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonicalize union-find labels to the min member id per component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.groupBy(find).flatMap { case (_, members) =>
+        val rep = members.min
+        members.map(_ -> rep)
+      }
+      val got = graft.ext.Components
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
 }
