@@ -333,6 +333,58 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): PqAdcDist = copy(child = c)
   }
 
+  /** Bounded (banded / Ukkonen) Levenshtein distance: EXACT when the true
+    * distance is ≤ `k`, else returns `k+1`. The DP visits only the ±k
+    * diagonal band — O(k·n) cells instead of O(n·m) — with an early exit
+    * when an entire band row exceeds k, which is what makes a
+    * quadratic-within-block fuzzy match affordable: a threshold filter
+    * `dist ≤ k` never needs the full distance of far-apart strings (the
+    * overwhelming majority of candidate pairs). Distance is over UTF-16
+    * code units (== characters for ASCII data, matching other engines'
+    * levenshtein there).
+    */
+  case class BoundedLevenshtein(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression with CodegenFallback {
+    require(k >= 0)
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[UTF8String].toString
+      val b = r.asInstanceOf[UTF8String].toString
+      val n = a.length
+      val m = b.length
+      val inf = k + 1
+      if (math.abs(n - m) > k) return Integer.valueOf(inf)
+      var prev = new Array[Int](m + 1)
+      var curr = new Array[Int](m + 1)
+      java.util.Arrays.fill(prev, inf)
+      var j = 0
+      while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+      var i = 1
+      while (i <= n) {
+        java.util.Arrays.fill(curr, inf)
+        var rowMin = inf
+        if (i <= k) { curr(0) = i; rowMin = i }
+        val lo = math.max(1, i - k)
+        val hi = math.min(m, i + k)
+        var jj = lo
+        while (jj <= hi) {
+          val sub = if (a.charAt(i - 1) == b.charAt(jj - 1)) prev(jj - 1)
+            else prev(jj - 1) + 1
+          val v = math.min(inf, math.min(sub, math.min(prev(jj) + 1, curr(jj - 1) + 1)))
+          curr(jj) = v
+          if (v < rowMin) rowMin = v
+          jj += 1
+        }
+        if (rowMin >= inf) return Integer.valueOf(inf)
+        val t = prev; prev = curr; curr = t
+        i += 1
+      }
+      Integer.valueOf(math.min(prev(m), inf))
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): BoundedLevenshtein = copy(left = l, right = r)
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def expr(c: Column) = ColumnShim.expression(c)
@@ -356,6 +408,9 @@ object NativeExpressions {
 
   def hashing_tf(tokenArr: Column, dims: Int): Column =
     col(HashingTf(expr(tokenArr), dims))
+
+  def bounded_levenshtein(a: Column, b: Column, k: Int): Column =
+    col(BoundedLevenshtein(expr(a), expr(b), k))
 
   def pq_encode(vec: Column, centroids: Array[Array[Array[Double]]]): Column =
     col(PqEncode(expr(vec), centroids))

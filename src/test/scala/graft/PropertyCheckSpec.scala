@@ -85,6 +85,24 @@ class PropertyCheckSpec extends SparkTestBase {
     }
   }
 
+  test("property: bounded levenshtein agrees with Spark's levenshtein up to the band") {
+    val strGen = Gen.zip(
+      Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString),
+      Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString),
+      Gen.chooseNum(0, 4))
+    // 3-letter alphabet makes near pairs likely, exercising both the exact
+    // (dist <= k) and the clamped (k+1) branches
+    samples(strGen, 40).foreach { case (a, b, k) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val (bounded, full) = df.select(
+          graft.functions.NativeExpressions.bounded_levenshtein($"a", $"b", k),
+          levenshtein($"a", $"b"))
+        .as[(Int, Int)].head()
+      if (full <= k) assert(bounded == full, s"($a,$b,k=$k)")
+      else assert(bounded == k + 1, s"($a,$b,k=$k): full=$full bounded=$bounded")
+    }
+  }
+
   test("property: connected components match a local union-find on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)).suchThat(p => p._1 != p._2))
