@@ -54,7 +54,9 @@ object Components {
     // Labels only ever DECREASE, so sum(comp) is a strictly monotone
     // convergence witness: one scalar aggregate per round replaces a
     // join-and-diff.
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    // coalesce: an EMPTY edge list (no duplicates found upstream) must
+    // yield an empty labeling, not a null-aggregate error
+    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
     while (iter < maxIter && !converged) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
@@ -76,7 +78,7 @@ object Components {
           Seq("comp"), "left_outer")
         .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      val s = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -203,6 +203,10 @@ class CrossCheckSpec extends SparkTestBase {
     val clusters = graft.ext.Components.duplicateClusters(edges, "a", "b")
       .as[(Long, Long)].collect().toMap
     assert(clusters == Map(10L -> 6L, 20L -> 3L, 30L -> 2L))
+    // a corpus with NO duplicates: empty pair list -> empty labeling
+    val none = graft.ext.Components
+      .connectedComponents(edges.filter(col("a") < 0), "a", "b")
+    assert(none.isEmpty)
   }
 
   test("LSH top-k ids all appear in the brute-force ranking with equal scores") {
