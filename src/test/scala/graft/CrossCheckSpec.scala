@@ -184,6 +184,20 @@ class CrossCheckSpec extends SparkTestBase {
     assert(s == s2, "id-hash sampling must be deterministic run to run")
   }
 
+  test("HLL sketches stay within their declared error of the exact counts (q_sketches)") {
+    // the query computes exact and approx side by side; rsd = 0.05, so 3σ
+    // = 15% bounds the relative error with overwhelming probability
+    val rows = SparkEntry.queries("q_sketches")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_orders")
+      val approx = r.getAs[Long]("approx_orders")
+      assert(exact > 0 &&
+        math.abs(approx - exact).toDouble / exact <= 0.15,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("connected components: exact labels on chains, cliques, and islands") {
     import org.apache.spark.sql.functions._
     // one 6-node chain (diameter 5 — beyond one propagation round), one
