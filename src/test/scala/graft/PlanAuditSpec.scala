@@ -39,6 +39,30 @@ class PlanAuditSpec extends SparkTestBase {
       "sum scan reads columns the aggregate never touches")
   }
 
+  test("no catalog query plans a cartesian/nested-loop join outside the allowlist") {
+    // BroadcastNestedLoopJoin / CartesianProduct are O(n·m) — at 100 TB a
+    // plan containing one (outside a deliberate, size-bounded use) is a
+    // scale bug regardless of what the small-SF result says.
+    val allow = Set(
+      "q_cosine_pairs", // the quarantined quadratic recall oracle (by design)
+      "q_take" // PositionalTake's prefix-sum: triangular join over the
+               // numPartitions-row count aggregate — metadata-sized
+    )
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow)
+      .flatMap { name =>
+        val plan =
+          try SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"PLAN FAILED: $e" }
+        if (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin") ||
+          plan.startsWith("PLAN FAILED")) Some(name -> plan.linesIterator.take(3).mkString("; "))
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes outside the allowlist:\n${offenders.mkString("\n")}")
+  }
+
   test("boundedHashJoin sizes partitions to the build budget, else sort-merge") {
     import org.apache.spark.sql.functions._
     val left = spark.range(10000).select(col("id").as("fk"), col("id").as("y"))
