@@ -14,7 +14,12 @@ import graft.functions.GraftFunctions._
   *  - Candidate generation shuffles ONLY (bucket_key, id) pairs — never
   *    shingle arrays or vectors. Payloads are re-attached to the (much
   *    smaller) candidate set by a keyed join afterwards, which AQE turns
-  *    into a broadcast when the payload side is small.
+  *    into a broadcast when the payload side is small. The attach side
+  *    re-derives signatures per query here; a STANDING pipeline writes the
+  *    compact (id, signature) projection once as a table (the same
+  *    pay-at-write discipline as the bucketed join) so derivation happens
+  *    once per corpus, not once per query. SimHash instead carries its
+  *    8-byte signature through the self-join — cheaper than any re-attach.
   *  - Exact n-gram Jaccard is computed by counting — |A∩B| from an
   *    inverted-index group-by, |A|,|B| from a per-doc size table — so no
   *    array ever crosses a shuffle boundary.
