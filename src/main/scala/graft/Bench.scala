@@ -65,7 +65,11 @@ object Bench {
     def jmap(f: String => String): String =
       names.map(k => s""""$k":${f(k)}""").mkString("{", ",", "}")
     val secs = results.toMap
-    val qs = jmap(k => secs(k).toString)
+    // ms precision is plenty; short values matter because downstream
+    // tooling may retain only the LINE TAIL — keep the seconds map compact
+    // and put it LAST so a truncated prefix loses the auxiliary maps, not
+    // the per-query seconds.
+    val qs = jmap(k => f"${secs(k)}%.3f")
     // reference metric parity (items_per_second / bytes_per_second,
     // `host/filter/filter_benchmark.cc:65-67`): input rows and input bytes
     // per query, and their rates over the best measured pass. Emitted as
@@ -76,10 +80,10 @@ object Bench {
       if (secs(k) > 0) f"${pass1(k)._2 / secs(k)}%.0f" else "0")
     val byteRate = jmap(k =>
       if (secs(k) > 0) f"${pass1(k)._3 / secs(k)}%.0f" else "0")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = f"${results.map(_._2).filter(_ >= 0).sum}%.3f"
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""rows":$rows,"rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","rows":$rows,""" +
+        s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
