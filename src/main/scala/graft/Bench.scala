@@ -36,12 +36,11 @@ object Bench {
         return (-1.0, 0L, 0L)
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (report) {
-        Thread.sleep(100) // let the listener bus drain before snapshotting
-        val d = listener.snapshot() - before
+      Thread.sleep(100) // let the listener bus drain before snapshotting
+      val d = listener.snapshot() - before
+      if (report)
         System.err.println(f"[bench] $name%-20s ${sec}%8.3f s  ${d.render}")
-        (sec, d.recordsRead, d.bytesRead)
-      } else (sec, 0L, 0L)
+      (sec, d.recordsRead, d.bytesRead)
     }
 
     // optional args = subset of query names (focused local iteration);
@@ -53,15 +52,22 @@ object Bench {
     // two measured passes, min per query — damps scheduler/GC noise the
     // same way the reference's repeated iterations do
     val pass1 = names.map(n => n -> materialize(n, report = true)).toMap
+    // seconds: min of the two passes; rows/bytes: from whichever pass
+    // succeeded (a transient pass-1 failure must not report a false
+    // zero rate beside a valid time)
+    val pass2 = names.map(n => n -> materialize(n, report = false)).toMap
     val results = names.map { n =>
-      val second = materialize(n, report = false)._1
-      val best = (pass1(n)._1, second) match {
+      val best = (pass1(n)._1, pass2(n)._1) match {
         case (a, b) if a < 0 => b
         case (a, b) if b < 0 => a
         case (a, b) => math.min(a, b)
       }
       n -> best
     }
+    val counts = names.map { n =>
+      n -> (if (pass1(n)._1 >= 0) (pass1(n)._2, pass1(n)._3)
+            else (pass2(n)._2, pass2(n)._3))
+    }.toMap
     def jmap(f: String => String): String =
       names.map(k => s""""$k":${f(k)}""").mkString("{", ",", "}")
     val secs = results.toMap
@@ -75,11 +81,11 @@ object Bench {
     // per query, and their rates over the best measured pass. Emitted as
     // parallel maps so "queries" stays a plain name->seconds map for
     // existing consumers.
-    val rows = jmap(k => pass1(k)._2.toString)
+    val rows = jmap(k => counts(k)._1.toString)
     val rowRate = jmap(k =>
-      if (secs(k) > 0) f"${pass1(k)._2 / secs(k)}%.0f" else "0")
+      if (secs(k) > 0) f"${counts(k)._1 / secs(k)}%.0f" else "0")
     val byteRate = jmap(k =>
-      if (secs(k) > 0) f"${pass1(k)._3 / secs(k)}%.0f" else "0")
+      if (secs(k) > 0) f"${counts(k)._2 / secs(k)}%.0f" else "0")
     val total = f"${results.map(_._2).filter(_ >= 0).sum}%.3f"
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","rows":$rows,""" +

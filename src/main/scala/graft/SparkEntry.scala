@@ -56,6 +56,16 @@ object SparkEntry {
     Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
       "l_extendedprice")
 
+  /** Directory tag for write-once artifacts (bucketed/partitioned/json
+    * tables) and temp-view names: a 64-bit md5 prefix of the path. A
+    * 32-bit `hashCode` tag can collide across directories, and the
+    * exists/tableExists guards would then silently serve one directory's
+    * artifacts as the other's.
+    */
+  private def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   private def qTake(s: SparkSession, d: String): DataFrame = {
     val values = Tables.lineitem(s, d).select(liKey.map(col): _*)
     // The indexed table is cached: index ONCE, gather many — the
@@ -108,8 +118,7 @@ object SparkEntry {
     * [[qJoin]] (same oracle).
     */
   private def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val tag = dirTag(d)
     val liTable = s"graft_li_bkt_$tag"
     val oTable = s"graft_o_bkt_$tag"
     if (!s.catalog.tableExists(liTable)) {
@@ -414,9 +423,7 @@ object SparkEntry {
   private def tempView(
       s: SparkSession, d: String, name: String,
       df: org.apache.spark.sql.DataFrame): String = {
-    val tag = java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(d.hashCode))
-    val full = s"${name}_$tag"
+    val full = s"${name}_${dirTag(d)}"
     df.createOrReplaceTempView(full)
     full
   }
@@ -1099,8 +1106,7 @@ object SparkEntry {
     * bucketed-join counterpart of `BucketingSpec`'s exchange-free check).
     */
   private def qPrunedScan(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val tag = dirTag(d)
     val table = s"graft_ev_bydate_$tag"
     if (!s.catalog.tableExists(table)) {
       Tables.events(s, d)
@@ -1146,10 +1152,10 @@ object SparkEntry {
     * column choice documents rather than papers over.
     */
   private def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(d.hashCode))
-    val dir = s"/tmp/graft_json/$tag/events"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val dir = s"/tmp/graft_json/${dirTag(d)}/events"
+    // guard on _SUCCESS, not the directory: a crashed mid-write leaves a
+    // partial directory that a bare exists-check would serve forever
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
       Tables.events(s, d).select("event_id", "event_type", "value")
         .write.mode("overwrite").json(dir)
     s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(dir)

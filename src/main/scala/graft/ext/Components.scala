@@ -53,10 +53,18 @@ object Components {
     var converged = false
     // Labels only ever DECREASE, so sum(comp) is a strictly monotone
     // convergence witness: one scalar aggregate per round replaces a
-    // join-and-diff.
-    // coalesce: an EMPTY edge list (no duplicates found upstream) must
-    // yield an empty labeling, not a null-aggregate error
-    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    // join-and-diff. Summed as decimal(38,0): ids may span the full signed
+    // 64-bit range (xxhash64-derived ids are this repo's own idiom), where
+    // a long sum overflows — and ANSI mode turns that into a query-killing
+    // exception — while a double sum's ulp at ~1e18 would swallow
+    // single-label changes and falsely converge. coalesce: an EMPTY edge
+    // list (no duplicates upstream) must yield an empty labeling, not a
+    // null-aggregate error.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     while (iter < maxIter && !converged) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
@@ -71,15 +79,19 @@ object Components {
       // Plain neighbor propagation moves a label one hop per round (O(
       // diameter) rounds — slow on near-dup CHAINS, where A≈B≈C≈… links
       // arbitrarily long paths); jumping through the label table doubles
-      // the reach each round, i.e. O(log diameter).
-      val next = prop
+      // the reach each round, i.e. O(log diameter). `prop` is materialized
+      // first: it appears on BOTH sides of the jump self-join, and an
+      // un-checkpointed subtree would re-run the round's edge-join
+      // aggregation (the dominant per-round cost) twice.
+      val propM = prop.localCheckpoint()
+      val next = propM
         .join(
-          prop.select(col("id").as("comp"), col("comp").as("comp2")),
+          propM.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left_outer")
         .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val s = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
-      converged = s == prevSum
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1

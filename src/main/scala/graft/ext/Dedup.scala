@@ -79,9 +79,13 @@ object Dedup {
   private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
     val sized = bucketed
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      // denominator = CANDIDATE rows (bucket size ≥ 2): in a real corpus
+      // most buckets are singletons (zero pairable mass), and counting
+      // them would mute the warning exactly when the ceiling swallowed
+      // all of the actual candidates
       .observe(
         s"graft_cap_$keyCol",
-        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("__bsz") >= 2, lit(1L))), lit(0L)).as("n_rows"),
         coalesce(sum(when(col("__bsz") > maxBucket, lit(1L))), lit(0L))
           .as("n_dropped_rows"))
     sized.filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket).drop("__bsz")
@@ -222,9 +226,10 @@ object Dedup {
     // auditable via [[ngramDfStats]].
     val pruned = posting(df, idCol, textCol, n)
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram_h"))))
+      // denominator = shared grams only, same rationale as [[capBuckets]]
       .observe(
         "graft_cap_gram_h",
-        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("__df") > 1, lit(1L))), lit(0L)).as("n_rows"),
         coalesce(sum(when(col("__df") > maxDf, lit(1L))), lit(0L))
           .as("n_dropped_rows"))
       .filter(col("__df") > 1 && col("__df") <= maxDf)

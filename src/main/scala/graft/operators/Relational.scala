@@ -106,7 +106,10 @@ object Relational {
     // per-task build budget: half the execution memory, shared by all
     // concurrently running tasks
     val perTask = BigInt(executionMemBytes) / (2L * cores) max BigInt(1)
-    val needed = (est * BigInt(hashExpansion.toLong) + perTask - 1) / perTask
+    // expansion applied in double space: truncating the factor to a long
+    // would turn e.g. 0.8 into 0 and silently disable the guard
+    val expanded = BigDecimal(est) * hashExpansion
+    val needed = (expanded.toBigInt + perTask - 1) / perTask
     if (needed <= BigInt(maxParts)) {
       val parts = math.max(defaultParts, needed.toInt)
       val l = left.repartition(parts, left(leftKey))
