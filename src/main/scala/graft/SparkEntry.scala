@@ -628,6 +628,17 @@ object SparkEntry {
     IvfIndex.topK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryVector(s, d), k = 20, nlist = 16, nprobe = 4)
 
+  /** Composed IVF+PQ top-k: coarse lists pruned, PQ codes scanned within
+    * them (rows-only — k-means codebooks are not portable SQL; CrossCheck
+    * pins self-query rank and overlap with the full PQ scan).
+    */
+  private def qIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = graft.ext.Pq.train(emb, "embedding", m = 16, k = 16)
+    IvfIndex.topKPq(emb, "vec_id", "embedding", queryVector(s, d),
+      k = 20, cb, nlist = 16, nprobe = 4)
+  }
+
   /** Deterministic sampling: mod-sample (oracled) + per-split counts from
     * the hash-based train/val/test assignment (rows-only component kept in
     * one query to exercise both paths).
@@ -1246,7 +1257,8 @@ object SparkEntry {
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_rolling_window" -> (qRollingWindow _),
-    "q_edit_pairs" -> (qEditPairs _)
+    "q_edit_pairs" -> (qEditPairs _),
+    "q_ivfpq_topk" -> (qIvfPqTopK _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in

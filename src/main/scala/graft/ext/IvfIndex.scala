@@ -145,4 +145,44 @@ object IvfIndex {
     val (assigned, centroids) = build(df, idCol, vecCol, nlist)
     search(assigned, centroids, query, k, nprobe)
   }
+
+  /** Composed IVF+PQ search (the classic inverted-file-with-product-
+    * quantization shape): the coarse quantizer prunes the corpus to
+    * `nprobe`/`nlist` of its lists, and WITHIN those lists the scan reads
+    * the m-byte PQ codes through an ADC table instead of the raw vectors.
+    * The two reductions multiply — at 100 TB, probe coverage (say 1/4)
+    * times the 32× code shrink leaves ~1% of the raw bytes actually
+    * scanned, which is what makes billion-vector ANN affordable. List
+    * selection ranks centroids by cosine; within-list ranking is ADC
+    * squared-L2 (the PQ codebook's native metric) — the standard mixed-
+    * metric composition, audited by the exact twin in `CrossCheckSpec`.
+    */
+  def topKPq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      cb: Pq.Codebook,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val (assigned, centroids) = build(df, idCol, vecCol, nlist)
+    val q = array(query.map(lit): _*)
+    val probeLists = centroids
+      .withColumn("__cos", cosineSimilarity(col("centroid"), q))
+      .orderBy(col("__cos").desc, col("list_id"))
+      .limit(nprobe)
+      .select("list_id")
+    assigned
+      .join(broadcast(probeLists), "list_id")
+      .select(
+        col("id"),
+        graft.functions.NativeExpressions
+          .pq_adc_dist(
+            graft.functions.NativeExpressions.pq_encode(col("v"), cb.centroids),
+            cb.adcTable(query))
+          .as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(k)
+  }
 }

@@ -160,6 +160,33 @@ class CrossCheckSpec extends SparkTestBase {
     assert(overlap >= 5, s"IVF top-k overlap $overlap/20 below floor")
   }
 
+  test("IVF+PQ: self-query ranks first; overlap floor vs the full PQ scan (q_ivfpq_topk)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cb = graft.ext.Pq.train(emb, "embedding", m = 16, k = 16)
+    val q = emb.filter($"vec_id" === 0)
+      .select(graft.functions.GraftFunctions.toDoubleArray($"embedding"))
+      .as[Seq[Double]].head()
+    val ivfpq = graft.ext.IvfIndex
+      .topKPq(emb, "vec_id", "embedding", q, k = 20, cb, nlist = 16, nprobe = 4)
+      .as[(Long, Double)].collect()
+    // the query vector's own list is by construction the nearest centroid,
+    // so it is always probed, and its quantization error is minimal
+    assert(ivfpq.head._1 == 0L, s"self-query not first: ${ivfpq.toSeq.take(3)}")
+    // every returned (id, adc_dist) agrees exactly with the full PQ scan's
+    // scoring of the same id (pruning changes the candidate set, never
+    // the score), and overlap with the full scan's top-20 clears a floor
+    val full = graft.ext.Pq.topK(emb, "vec_id", "embedding", q, 500, cb)
+      .as[(Long, Double)].collect().toMap
+    ivfpq.foreach { case (id, dist) =>
+      assert(full(id) == dist, s"ADC score drift for $id")
+    }
+    val fullTop = graft.ext.Pq.topK(emb, "vec_id", "embedding", q, 20, cb)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val overlap = (ivfpq.map(_._1).toSet & fullTop).size
+    info(s"IVF+PQ top-20 overlap with full PQ scan: $overlap/20")
+    assert(overlap >= 5, s"overlap $overlap/20 below floor")
+  }
+
   test("sampled recall audit tracks the full-corpus oracle (Similarity.sampledRecallAudit)") {
     val emb = Tables.embeddings(spark, sf0001)
     // frac = 1.0: the audit IS the full oracle ratio
