@@ -70,12 +70,17 @@ object Bench {
     }.toMap
     def jmap(f: String => String): String =
       names.map(k => s""""$k":${f(k)}""").mkString("{", ",", "}")
+    // The stdout line is a JSON CONTRACT: format numerics with an explicit
+    // ROOT locale — the `f` interpolator honors the JVM default locale, and
+    // a comma-decimal locale (de_DE etc.) would emit invalid JSON.
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val secs = results.toMap
     // ms precision is plenty; short values matter because downstream
     // tooling may retain only the LINE TAIL — keep the seconds map compact
     // and put it LAST so a truncated prefix loses the auxiliary maps, not
     // the per-query seconds.
-    val qs = jmap(k => f"${secs(k)}%.3f")
+    val qs = jmap(k => num(secs(k), 3))
     // reference metric parity (items_per_second / bytes_per_second,
     // `host/filter/filter_benchmark.cc:65-67`): input rows and input bytes
     // per query, and their rates over the best measured pass. Emitted as
@@ -83,10 +88,10 @@ object Bench {
     // existing consumers.
     val rows = jmap(k => counts(k)._1.toString)
     val rowRate = jmap(k =>
-      if (secs(k) > 0) f"${counts(k)._1 / secs(k)}%.0f" else "0")
+      if (secs(k) > 0) num(counts(k)._1 / secs(k), 0) else "0")
     val byteRate = jmap(k =>
-      if (secs(k) > 0) f"${counts(k)._2 / secs(k)}%.0f" else "0")
-    val total = f"${results.map(_._2).filter(_ >= 0).sum}%.3f"
+      if (secs(k) > 0) num(counts(k)._2 / secs(k), 0) else "0")
+    val total = num(results.map(_._2).filter(_ >= 0).sum, 3)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","rows":$rows,""" +
         s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,"queries":$qs,"sf":"$sfDir"}""")

@@ -96,6 +96,15 @@ object Components {
       labels = next
       iter += 1
     }
+    // Unconverged labels are WRONG labels (a cluster split across two
+    // survivors) — failing loudly beats silently emitting them. With
+    // pointer jumping the round count is O(log diameter), so `maxIter`
+    // exhaustion only fires on genuinely pathological inputs (or a
+    // mis-set maxIter), where the caller must decide, not guess.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "labels would be incorrect — raise maxIter")
     System.err.println(s"[graft] connectedComponents: $iter rounds (converged=$converged)")
     labels
   }

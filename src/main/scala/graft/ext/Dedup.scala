@@ -275,19 +275,79 @@ object Dedup {
         "n_dropped_buckets" -> "n_dropped_grams",
         "n_dropped_rows" -> "n_dropped_postings"))
 
+  /** Bounded-edit-distance near-dup pairs via SYMMETRIC-DELETE blocking
+    * (SymSpell's candidate scheme): every row emits the 64-bit hashes of
+    * all ≤`maxDist`-deletion variants of `strCol`
+    * ([[graft.functions.NativeExpressions.DeletionHashes]] — complete for
+    * lev ≤ maxDist by the alignment argument in its doc), candidates are an
+    * id-only equi-join per (group, variant) bucket, and every candidate is
+    * verified with the exact banded levenshtein. Output: (id_a, id_b,
+    * dist), id_a < id_b, restricted to pairs agreeing on `groupCols`.
+    *
+    * Scale contract — the reason this replaces coarse attribute blocking
+    * (e.g. a 25-value nation key): the block key space GROWS with the
+    * corpus (distinct variant hashes ~ distinct strings × neighborhood
+    * size), so block sizes stay bounded and the quadratic verify
+    * parallelizes over as many buckets as there are near-duplicate
+    * families, not over a fixed attribute cardinality. Degenerate hot
+    * buckets (mass-duplicated strings) hit the same [[capBuckets]] ceiling
+    * + `graft_cap_bucket` drop audit as the LSH families. `groupCols`
+    * equality is enforced at verify time (the group hash is folded into the
+    * bucket key only as a discriminator, so a 64-bit collision can never
+    * leak a cross-group pair into the output).
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int = 2,
+      groupCols: Seq[String] = Nil,
+      maxBucket: Int = 10000): DataFrame = {
+    import graft.functions.NativeExpressions
+    val grpKey =
+      if (groupCols.isEmpty) lit(0L) else xxhash64(groupCols.map(col): _*)
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"), grpKey.as("g"))
+    // only the 8-byte (id, bucket) pair crosses the candidate shuffle
+    val keyed = base
+      .select(col("id"), col("g"),
+        explode(NativeExpressions.deletion_hashes(col("s"), maxDist)).as("del_h"))
+      .select(col("id"), xxhash64(col("g"), col("del_h")).as("bucket"))
+    val bucketed = capBuckets(keyed, "bucket", maxBucket)
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"), "bucket")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    attach(cand, base.select(col("id"), struct(col("s"), col("g")).as("sg")), "sg")
+      .filter(col("sg_a.g") === col("sg_b.g"))
+      .select(col("id_a"), col("id_b"),
+        NativeExpressions
+          .bounded_levenshtein(col("sg_a.s"), col("sg_b.s"), maxDist)
+          .cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold via packed hyperplane-LSH
     * bucketing + native-dot verification with precomputed norms.
     *
-    * SIZE THE KEY SPACE TO THE CORPUS: the chunk-key space is
-    * `chunks · 2^(planes/chunks)` buckets (planes=16/chunks=4 → 64), and
-    * by pigeonhole the mean bucket holds n/keyspace vectors — once that
-    * crosses `maxBucket`, the cap starts dropping whole buckets and recall
-    * decays toward zero rather than degrading gracefully. For corpora
-    * beyond ~`maxBucket · keyspace / 10` vectors, raise `planes` (each
-    * extra plane per chunk doubles the key space at a measurable recall
-    * cost — see the recall floor in `CrossCheckSpec`) before raising
-    * `maxBucket`. The `graft_cap_bucket` observed metric warns on a run
-    * where the ceiling swallowed a large fraction of the corpus.
+    * THE KEY SPACE AUTO-SCALES TO THE CORPUS (round-5 fix of the silent
+    * over-capacity failure): the chunk-key space is
+    * `chunks · 2^(planes/chunks)` buckets (planes=16/chunks=4 → 64), and by
+    * pigeonhole the mean bucket holds n/2^(planes/chunks) vectors — once
+    * that crosses `maxBucket`, the cap drops WHOLE buckets and recall
+    * collapses toward zero instead of degrading gracefully. With
+    * `autoScalePlanes` (default), the per-chunk bit width is raised until
+    * the mean bucket sits at ≤ maxBucket/10 (10× headroom for skew):
+    * `bits = max(planes/chunks, ceil(log2(10n/maxBucket)))`, capped at the
+    * 64-bit packed signature. Each extra bit per chunk doubles the key
+    * space at a measurable recall cost (the graceful trade — audited by
+    * [[graft.ext.Similarity.sampledRecallAudit]] and the CrossCheckSpec
+    * floors), which replaces the cliff. Sizing needs the corpus count —
+    * pass `corpusSize` when known (a standing pipeline knows it from the
+    * snapshot it indexes); otherwise ONE count() pass is spent, which
+    * column-prunes to a metadata-cheap scan for stored tables. The
+    * `graft_cap_bucket` observed metric still warns if a skewed corpus
+    * outruns the headroom.
     */
   def embeddingPairs(
       df: DataFrame,
@@ -296,12 +356,29 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 16,
       chunks: Int = 4,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      corpusSize: Option[Long] = None,
+      autoScalePlanes: Boolean = true): DataFrame = {
+    val effPlanes =
+      if (!autoScalePlanes) planes
+      else {
+        val n = corpusSize.getOrElse(df.count())
+        val defaultBits = math.max(1, planes / chunks)
+        val needBits = math.ceil(
+          math.log(math.max(1.0, 10.0 * n / maxBucket)) / math.log(2.0)).toInt
+        val bits = math.min(64 / chunks, math.max(defaultBits, needBits))
+        if (bits > defaultBits)
+          System.err.println(
+            s"[graft] embeddingPairs: corpus n=$n outgrows the " +
+              s"${chunks}x2^$defaultBits key space at maxBucket=$maxBucket; " +
+              s"auto-scaled to $bits bits/chunk (${bits * chunks} planes)")
+        bits * chunks
+      }
     val v = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
-      .withColumn("sig", hyperplaneBits(col("v"), planes))
+      .withColumn("sig", hyperplaneBits(col("v"), effPlanes))
       .withColumn("vn", struct(col("v").as("vec"), l2Norm(col("v")).as("norm")))
     val bucketed = capBuckets(
-      v.select(col("id"), explode(chunkKeys(col("sig"), planes, chunks)).as("bucket")),
+      v.select(col("id"), explode(chunkKeys(col("sig"), effPlanes, chunks)).as("bucket")),
       "bucket", maxBucket)
     val cand = bucketed.as("a")
       .join(bucketed.as("b"), "bucket")

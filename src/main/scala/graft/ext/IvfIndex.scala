@@ -133,6 +133,66 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Driver-side probe selection over a COLLECTED centroid table — `nlist`
+    * rows of metadata, the same host-side discipline as [[build]]'s
+    * centroid collect. Ranking matches [[search]]: cosine desc, ties to
+    * the lower list id.
+    */
+  def probeListIds(
+      centroids: Seq[(Int, Seq[Double])],
+      query: Seq[Double],
+      nprobe: Int): Seq[Int] = {
+    val nq = math.sqrt(query.map(x => x * x).sum)
+    def cos(c: Seq[Double]): Double = {
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      if (nc == 0 || nq == 0) 0.0
+      else c.iterator.zip(query.iterator).map { case (a, b) => a * b }.sum / (nc * nq)
+    }
+    centroids.map { case (id, c) => (cos(c), id) }
+      .sortBy { case (s, id) => (-s, id) }
+      .take(nprobe).map(_._2)
+  }
+
+  /** Probe-pruned exact-cosine search over a PERSISTED index table
+    * (id, v, list_id, …) written `partitionBy("list_id")`: the static
+    * `isin` filter on the partition column prunes unprobed lists at the
+    * SOURCE (partition pruning, not a post-scan filter) — the read half of
+    * the write-once index discipline. Output: (id, cos).
+    */
+  def searchIndexed(
+      assigned: DataFrame,
+      probe: Seq[Int],
+      query: Seq[Double],
+      k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    assigned
+      .filter(col("list_id").isin(probe: _*))
+      .select(col("id"), round(cosineSimilarity(col("v"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Probe-pruned ADC search over a PERSISTED index carrying PQ codes
+    * (id, code, list_id, …): partition-pruned lists scanned as m-byte codes
+    * through the query's ADC table — probe coverage × code shrink multiply,
+    * and neither the raw vectors nor the unprobed lists are read at all.
+    * Output: (id, adc_dist).
+    */
+  def searchIndexedPq(
+      assigned: DataFrame,
+      probe: Seq[Int],
+      query: Seq[Double],
+      k: Int,
+      cb: Pq.Codebook): DataFrame =
+    assigned
+      .filter(col("list_id").isin(probe: _*))
+      .select(
+        col("id"),
+        graft.functions.NativeExpressions
+          .pq_adc_dist(col("code"), cb.adcTable(query)).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(k)
+
   /** Convenience end-to-end: build + search in one call. */
   def topK(
       df: DataFrame,

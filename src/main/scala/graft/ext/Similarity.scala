@@ -87,13 +87,22 @@ object Similarity {
     val sample =
       if (frac >= 1.0) df
       else df.filter(pmod(xxhash64(col(idCol)), lit(m)) < lit((frac * m).toLong))
-    val lsh = Dedup.embeddingPairs(sample, idCol, vecCol, threshold, planes, chunks)
+    // corpusSize = the FULL corpus count, not the sample's: the LSH side
+    // auto-scales its key space from corpus size, and the audit must run
+    // the same planes the production pair query would — sizing off the
+    // sample would measure a different (easier) configuration.
+    val lsh = Dedup.embeddingPairs(sample, idCol, vecCol, threshold, planes, chunks,
+        corpusSize = Some(df.count()))
       .agg(count(lit(1)).as("n_lsh"))
     val exact = bruteForcePairs(sample, idCol, vecCol, threshold)
       .agg(count(lit(1)).as("n_exact"))
+    // n_exact = 0 means NO SIGNAL (sample too small, or a pair-free slice),
+    // not perfect recall — report null so monitoring can tell "nothing to
+    // measure" apart from "measured 1.0" and widen the sample instead of
+    // green-lighting it.
     lsh.crossJoin(exact).select(
       col("n_lsh"), col("n_exact"),
-      when(col("n_exact") === 0, lit(1.0))
+      when(col("n_exact") === 0, lit(null).cast("double"))
         .otherwise(col("n_lsh").cast("double") / col("n_exact")).as("recall"))
   }
 

@@ -385,6 +385,78 @@ object NativeExpressions {
         l: Expression, r: Expression): BoundedLevenshtein = copy(left = l, right = r)
   }
 
+  /** All ≤`k`-deletion variants of a string as 64-bit hashes — the
+    * symmetric-delete (SymSpell-style) BLOCKING signature for bounded edit
+    * distance. Completeness: if lev(a,b) ≤ k (over UTF-16 code units,
+    * matching [[BoundedLevenshtein]]), an optimal alignment deletes at most
+    * k units from EACH side to reach a common string — every substitution
+    * deletes one unit from both, every insert/delete one unit from one — so
+    * a and b always share at least one variant hash and an equi-join on the
+    * hashes is a complete candidate generator. Hash collisions only ADD
+    * candidates; the exact verify removes them.
+    *
+    * Each variant is hashed in place (seeded polynomial over the surviving
+    * code units) — the O(L^k) variant STRINGS are never materialized, and
+    * the output array is deduplicated (repeated characters yield equal
+    * variants). Output: array<long>, ascending. Cost is O(L^(k+1)) hashing
+    * work per row: meant for short identifier-like strings (names, titles,
+    * SKUs), not documents — shingle-based families cover those.
+    */
+  case class DeletionHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val len = s.length
+      val kk = math.min(k, len)
+      // Σ_{d=0..kk} C(len, d) variants
+      var total = 0L
+      var d = 0
+      while (d <= kk) {
+        var c = 1L
+        var i = 0
+        while (i < d) { c = c * (len - i) / (i + 1); i += 1 }
+        total += c
+        d += 1
+      }
+      val out = new Array[Long](total.toInt)
+      var n = 0
+      val del = new Array[Int](math.max(kk, 1))
+      def hashSkipping(depth: Int): Long = {
+        var h = 1125899906842597L
+        var i = 0
+        var di = 0
+        while (i < len) {
+          if (di < depth && del(di) == i) di += 1
+          else h = h * 1099511628211L + s.charAt(i)
+          i += 1
+        }
+        h
+      }
+      def rec(start: Int, depth: Int, dd: Int): Unit = {
+        if (depth == dd) { out(n) = hashSkipping(dd); n += 1 }
+        else {
+          var i = start
+          while (i <= len - (dd - depth)) { del(depth) = i; rec(i + 1, depth + 1, dd); i += 1 }
+        }
+      }
+      d = 0
+      while (d <= kk) { rec(0, 0, d); d += 1 }
+      java.util.Arrays.sort(out)
+      // in-place dedup (identical variants from repeated characters)
+      var w = 0
+      var r = 0
+      while (r < out.length) {
+        if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+        r += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    }
+    override protected def withNewChildInternal(c: Expression): DeletionHashes =
+      copy(child = c)
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def expr(c: Column) = ColumnShim.expression(c)
@@ -411,6 +483,9 @@ object NativeExpressions {
 
   def bounded_levenshtein(a: Column, b: Column, k: Int): Column =
     col(BoundedLevenshtein(expr(a), expr(b), k))
+
+  def deletion_hashes(str: Column, k: Int): Column =
+    col(DeletionHashes(expr(str), k))
 
   def pq_encode(vec: Column, centroids: Array[Array[Array[Double]]]): Column =
     col(PqEncode(expr(vec), centroids))

@@ -68,21 +68,38 @@ object Relational {
     left.join(dim, left(fkCol) === dim(pkCol), "inner").drop(dim(pkCol))
   }
 
-  /** Shuffled-hash join with a SPILL-SAFETY guard. SHJ measures ~2× faster
-    * than sort-merge on the reference's join shape (BASELINE.md), but its
-    * hash-relation build cannot spill: an unconditional SHUFFLE_HASH hint
-    * hard-fails ("Can't acquire … to build hash relation") once the
-    * per-task builds outgrow execution memory — measured at 16× the
-    * reference shape under an 8 GiB heap.
+  /** OPT-IN shuffled-hash join with a SPILL-SAFETY guard — NOT the default
+    * join path (that is plain sort-merge + AQE, which [[pkFkJoin]] and
+    * `GraftSession`'s defaults already produce).
     *
-    * The failure is per-TASK, so the guard's lever is the partition count,
-    * not the join strategy: both sides are explicitly repartitioned on
-    * their keys so that `concurrent tasks × (build bytes / partitions) ×
-    * hash expansion` fits half the execution-memory budget. An explicit
-    * repartition count is exempt from AQE partition coalescing, so the
-    * sizing survives planning. Only when the required count would exceed
-    * `maxParts` (build side mis-/un-estimated or genuinely enormous) does
-    * the join fall back to sort-merge, which spills at any size.
+    * Status after two rounds of measurement (BASELINE.md): at the
+    * reference's SF=16 join shape the guarded SHJ LOSES to SMJ+AQE under
+    * both 8 GiB (5.1–5.3 s vs 3.2–4.2 s) and 32 GiB heaps (judge: 10.9–12.2
+    * s vs 4.0–8.3 s) — the explicit double repartition pins a partition
+    * count AQE can neither coalesce nor serve through local shuffle
+    * readers, and at sizes where that count exceeds the default the
+    * exchange overhead exceeds SMJ's sort cost. SHJ only wins when the
+    * per-task build genuinely fits at the DEFAULT partition count (the
+    * SF≤4 shapes, where this method no longer repartitions at all). Use it
+    * when the build side is known-bounded and a measured win exists at the
+    * target size; otherwise let Catalyst pick.
+    *
+    * Guard mechanics: SHJ's hash-relation build cannot spill — an
+    * unconditional SHUFFLE_HASH hint hard-fails ("Can't acquire … to build
+    * hash relation") once per-task builds outgrow execution memory. The
+    * failure is per-TASK, so the lever is the partition count:
+    *  - if the estimated build fits at the session's default shuffle
+    *    partitioning, the join is hinted SHUFFLE_HASH with NO explicit
+    *    repartition — AQE keeps its coalescing and local-reader
+    *    optimizations (this is the only regime where SHJ has measured
+    *    wins);
+    *  - if it needs more partitions (≤ `maxParts`), both sides are
+    *    explicitly repartitioned so `build bytes / partitions ×
+    *    hashExpansion` fits the per-task share of half the execution
+    *    memory — slower than SMJ at every size measured, but never
+    *    hard-fails;
+    *  - beyond `maxParts` (mis-/un-estimated or enormous build): sort-merge,
+    *    which spills at any size.
     *
     * The memory bound defaults to this JVM's heap (exact in local mode; on
     * a cluster pass the per-executor execution budget explicitly —
@@ -110,8 +127,11 @@ object Relational {
     // would turn e.g. 0.8 into 0 and silently disable the guard
     val expanded = BigDecimal(est) * hashExpansion
     val needed = (expanded.toBigInt + perTask - 1) / perTask
-    if (needed <= BigInt(maxParts)) {
-      val parts = math.max(defaultParts, needed.toInt)
+    if (needed <= BigInt(defaultParts))
+      // fits at the session default: plain hint, AQE keeps all its levers
+      left.join(right.hint("SHUFFLE_HASH"), left(leftKey) === right(rightKey), joinType)
+    else if (needed <= BigInt(maxParts)) {
+      val parts = needed.toInt
       val l = left.repartition(parts, left(leftKey))
       val r = right.repartition(parts, right(rightKey))
       l.join(r.hint("SHUFFLE_HASH"), l(leftKey) === r(rightKey), joinType)

@@ -250,6 +250,51 @@ class CrossCheckSpec extends SparkTestBase {
     assert(none.isEmpty)
   }
 
+  test("symmetric-delete edit pairs equal the brute-force same-group set (q_edit_pairs)") {
+    import org.apache.spark.sql.functions._
+    // exact brute force: full same-nation cross product, bounded levenshtein
+    val cust = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val brute = cust.as("a")
+      .join(cust.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        graft.functions.NativeExpressions
+          .bounded_levenshtein(col("a.c_name"), col("b.c_name"), 2)
+          .cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val blocked = Dedup.editDistancePairs(cust, "c_custkey", "c_name",
+        maxDist = 2, groupCols = Seq("c_nationkey"))
+      .as[(Long, Long, Long)].collect().toSet
+    // the blocking is COMPLETE for lev <= 2 (deletion-neighborhood
+    // pigeonhole), so this is set equality, not a recall floor
+    assert(brute.nonEmpty, "test data produced no pairs — oracle is vacuous")
+    assert(blocked == brute,
+      s"missing=${brute -- blocked} invented=${blocked -- brute}")
+    // synthetic adversarial shapes: substitutions at both ends, an insert,
+    // a delete, a cross-group twin that must NOT pair, and an exact dup
+    val docs = Seq(
+      (1L, "alpha-0001", 1), (2L, "alpha-0002", 1),  // dist 1 (sub)
+      (3L, "alpha-001", 1),                          // dist 1 del vs 1; 1 vs 2: dist 2
+      (4L, "Xlpha-0001", 1),                         // dist 1 vs 1 (head sub)
+      (5L, "alpha-0001", 2),                         // same string, OTHER group
+      (6L, "totally-different", 1),
+      (7L, "alpha-0001", 1)                          // exact dup of 1
+    ).toDF("id", "s", "grp")
+    val pairs = Dedup.editDistancePairs(docs, "id", "s",
+        maxDist = 2, groupCols = Seq("grp"))
+      .as[(Long, Long, Long)].collect().map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1L)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 1L)
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1L)
+    assert(pairs.contains((1L, 7L)) && pairs((1L, 7L)) == 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      s"cross-group pair leaked: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("LSH top-k ids all appear in the brute-force ranking with equal scores") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb

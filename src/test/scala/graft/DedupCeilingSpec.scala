@@ -57,6 +57,48 @@ class DedupCeilingSpec extends SparkTestBase {
     assert(sh.count() == 0)
   }
 
+  test("embedding-LSH planes auto-scale on an over-capacity corpus (graceful recall)") {
+    // 240 vectors in 80 near-dup triples (base + two tiny perturbations,
+    // cos >= ~0.999), deterministic seed. With maxBucket = 5 and the
+    // default 4x2^4 = 64-bucket key space, the mean bucket holds ~15
+    // vectors (3.75x the cap): most buckets are DROPPED whole and the
+    // un-scaled query returns (almost) nothing — the silent cliff. The
+    // auto-scaled key space keeps buckets under the cap, so near-identical
+    // pairs keep colliding per-chunk and recall degrades gracefully
+    // instead.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val vecs = (0 until 80).flatMap { g =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 3).map { j =>
+        val v = if (j == 0) base
+        else base.map(_ + rnd.nextGaussian() * 1e-3)
+        ((g * 3 + j).toLong, v.toSeq)
+      }
+    }.toDF("id", "vec")
+    // 80 groups x 3 pairs each
+    val truePairs = 240L
+    val fixed = Dedup.embeddingPairs(vecs, "id", "vec", threshold = 0.99,
+      maxBucket = 5, autoScalePlanes = false)
+    val auto = Dedup.embeddingPairs(vecs, "id", "vec", threshold = 0.99,
+      maxBucket = 5)
+    val nFixed = fixed.count()
+    val nAuto = auto.count()
+    info(s"over-capacity corpus: fixed-planes pairs=$nFixed auto-scaled=$nAuto of $truePairs")
+    assert(nFixed < truePairs / 4,
+      s"test premise broken: the un-scaled key space should collapse ($nFixed)")
+    assert(nAuto >= (truePairs * 0.9).toLong,
+      s"auto-scaled recall collapsed: $nAuto of $truePairs")
+    // and the auto path stays a no-op when the corpus fits the key space
+    val small = vecs.filter(col("id") < 24)
+    val smallFixed = Dedup.embeddingPairs(small, "id", "vec", threshold = 0.99,
+        autoScalePlanes = false)
+      .as[(Long, Long, Double)].collect().toSet
+    val smallAuto = Dedup.embeddingPairs(small, "id", "vec", threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(smallAuto == smallFixed)
+  }
+
   test("ceilings at their defaults are a no-op on the real corpus") {
     val docs = Tables.documents(spark, sf0001)
     val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
