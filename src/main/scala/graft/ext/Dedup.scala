@@ -134,8 +134,12 @@ object Dedup {
     val banded = capBuckets(
       sig.select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key")),
       "band_key", maxBucket)
+    // MERGE hint: same single-evaluation rationale as [[editDistancePairs]]
+    // — an AQE broadcast of one side would re-run the (expensive) shingle+
+    // signature subtree for the build, while the merge join reuses the
+    // window's exchange and sort on both sides.
     val cand = banded.as("a")
-      .join(banded.as("b"), "band_key")
+      .join(banded.as("b").hint("MERGE"), "band_key")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
@@ -184,8 +188,9 @@ object Dedup {
       sig.select(col("id"), col("sig"),
         explode(chunkKeys(col("sig"), 64, chunks)).as("bucket")),
       "bucket", maxBucket)
+    // MERGE hint: single-evaluation rationale, see [[editDistancePairs]]
     bucketed.as("a")
-      .join(bucketed.as("b"), "bucket")
+      .join(bucketed.as("b").hint("MERGE"), "bucket")
       .filter(col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -234,8 +239,9 @@ object Dedup {
           .as("n_dropped_rows"))
       .filter(col("__df") > 1 && col("__df") <= maxDf)
       .drop("__df")
+    // MERGE hint: single-evaluation rationale, see [[editDistancePairs]]
     val inter = pruned.as("a")
-      .join(pruned.as("b"), "gram_h")
+      .join(pruned.as("b").hint("MERGE"), "gram_h")
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -313,8 +319,15 @@ object Dedup {
         explode(NativeExpressions.deletion_hashes(col("s"), maxDist)).as("del_h"))
       .select(col("id"), xxhash64(col("g"), col("del_h")).as("bucket"))
     val bucketed = capBuckets(keyed, "bucket", maxBucket)
+    // MERGE hint on the self-join: at small inputs AQE would BROADCAST one
+    // side, which re-evaluates the whole explode+window subtree for the
+    // build (ReuseExchange cannot fire across a BroadcastExchange) —
+    // measured slower than the merge join even at sf0.1. The hinted join
+    // consumes the window's own exchange AND its bucket sort on both sides
+    // (zero extra exchange or sort, one evaluation), and sort-merge is the
+    // shape a 100 TB self-join takes anyway.
     val cand = bucketed.as("a")
-      .join(bucketed.as("b"), "bucket")
+      .join(bucketed.as("b").hint("MERGE"), "bucket")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
@@ -380,8 +393,9 @@ object Dedup {
     val bucketed = capBuckets(
       v.select(col("id"), explode(chunkKeys(col("sig"), effPlanes, chunks)).as("bucket")),
       "bucket", maxBucket)
+    // MERGE hint: single-evaluation rationale, see [[editDistancePairs]]
     val cand = bucketed.as("a")
-      .join(bucketed.as("b"), "bucket")
+      .join(bucketed.as("b").hint("MERGE"), "bucket")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()

@@ -25,3 +25,19 @@ object DatasetShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Bridge to `private[sql] SparkSession.internalCreateDataFrame` for
+  * operators that produce an `RDD[InternalRow]` directly (the
+  * `mapPartitions`-as-last-resort tier, SURVEY §4.3 — e.g. the positional
+  * merge gather, whose per-partition pointer state no Catalyst expression
+  * can carry).
+  */
+object RddShim {
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+}

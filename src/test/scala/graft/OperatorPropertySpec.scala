@@ -71,4 +71,28 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(Relational.sumAgg(df, "v").as[Long].head() == expected)
     assert(Relational.sumAgg(df.repartition(13), "v").as[Long].head() == expected)
   }
+
+  test("merge gather equals the join gather on indexed testdata") {
+    import graft.operators.PositionalTake
+    val values = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice")
+    val indexed = PositionalTake
+      .withGlobalIndex(values,
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice"))
+      .select(col("idx"), col("l_extendedprice").as("v"))
+      .localCheckpoint() // pin one instance: both gathers must see the same rows
+    val indices = indexed.filter(col("idx") % 7 === 0).select("idx")
+    val viaJoin = PositionalTake.take(indexed, indices, "idx")
+      .select("idx", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val idxArr = indices.as[Long].collect().sorted
+    val viaMerge = PositionalTake.mergeTake(indexed, idxArr)
+      .select("idx", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaMerge.nonEmpty && viaMerge == viaJoin)
+    // empty index array -> empty gather; out-of-range indices are ignored
+    assert(PositionalTake.mergeTake(indexed, Array.empty[Long]).count() == 0)
+    val far = PositionalTake.mergeTake(indexed, Array(-5L, Long.MaxValue))
+    assert(far.count() == 0)
+  }
 }
