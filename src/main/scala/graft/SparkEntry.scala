@@ -468,6 +468,29 @@ object SparkEntry {
     EventsPipeline.windowedAgg(Tables.events(s, d))
       .orderBy("window_start", "event_type")
 
+  /** The STREAMING tier as a catalog row: the same tumbling-window
+    * aggregate executed as a real Structured Streaming query (micro-batch
+    * source → watermark → stateful agg → complete-mode memory sink), run
+    * to completion on the finite events input. With all input processed,
+    * the final complete-mode table equals the batch aggregate, so the SAME
+    * DuckDB oracle that checks [[qEventsWindow]] now also checks a true
+    * micro-batch execution end to end. The staged event copy is a
+    * write-once artifact (dirTag discipline): `readStream` needs an
+    * explicit schema, and the raw testdata is TIMESTAMP(NANOS) parquet
+    * that only the batch reader ([[Tables.events]]) normalizes to µs.
+    */
+  private def qStreamAgg(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val staged = s"/tmp/graft_stream/$tag/events"
+    if (!new java.io.File(staged, "_SUCCESS").exists())
+      Tables.events(s, d).write.mode("overwrite").parquet(staged)
+    val name = s"graft_stream_agg_$tag"
+    val q = EventsPipeline.streamingWindowedAgg(s, staged, name)
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy("window_start", "event_type")
+  }
+
   /** Gap-based sessionization statistics. */
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     EventsPipeline.sessionize(Tables.events(s, d))
@@ -1275,6 +1298,7 @@ object SparkEntry {
     "q_explode_tokens" -> (qExplodeTokens _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_events_window" -> (qEventsWindow _),
+    "q_stream_agg" -> (qStreamAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_events_json" -> (qEventsJson _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1510,6 +1534,14 @@ object SparkEntry {
         |         AS diff_from_avg
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_events_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_stream_agg: a finite stream processed to completion equals the
+    // batch aggregate, so the streaming row shares q_events_window's oracle
+    "q_stream_agg" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
         |       event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
