@@ -103,6 +103,44 @@ class PropertyCheckSpec extends SparkTestBase {
     }
   }
 
+  test("property: strings within edit distance k share a deletion-variant hash") {
+    // the completeness claim behind the symmetric-delete blocking
+    // (Dedup.editDistancePairs): apply <= k random edits (sub/ins/del) to a
+    // random base string; original and mutant MUST share a variant hash
+    val editGen = for {
+      base <- Gen.listOfN(12, Gen.alphaNumChar).map(_.mkString)
+      nEdits <- Gen.chooseNum(0, 2)
+      seeds <- Gen.listOfN(6, Gen.chooseNum(0, Int.MaxValue))
+    } yield (base, nEdits, seeds)
+    samples(editGen, 40).foreach { case (base, nEdits, seeds) =>
+      var m = base
+      var i = 0
+      while (i < nEdits) {
+        val r = new scala.util.Random(seeds(i))
+        val pos = if (m.isEmpty) 0 else r.nextInt(m.length)
+        m = r.nextInt(3) match {
+          case 0 if m.nonEmpty => m.updated(pos, r.nextPrintableChar())       // sub
+          case 1 => m.take(pos) + r.nextPrintableChar() + m.drop(pos)         // ins
+          case _ if m.nonEmpty => m.take(pos) + m.drop(pos + 1)               // del
+          case _ => m
+        }
+        i += 1
+      }
+      val df = Seq((base, m)).toDF("a", "b")
+      val (ha, hb, dist) = df.select(
+          graft.functions.NativeExpressions.deletion_hashes($"a", 2),
+          graft.functions.NativeExpressions.deletion_hashes($"b", 2),
+          graft.functions.NativeExpressions.bounded_levenshtein($"a", $"b", 2))
+        .as[(Seq[Long], Seq[Long], Int)].head()
+      if (dist <= 2)
+        assert(ha.toSet.intersect(hb.toSet).nonEmpty,
+          s"no shared variant for ('$base','$m') at dist=$dist")
+      // identical strings always share the zero-deletion variant
+      assert(ha.toSet.intersect(ha.toSet).nonEmpty && ha == ha.sorted,
+        "variant array must be sorted (dedup contract)")
+    }
+  }
+
   test("property: connected components match a local union-find on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)).suchThat(p => p._1 != p._2))
