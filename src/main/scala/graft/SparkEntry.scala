@@ -419,6 +419,26 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Approximate-quantile sketch (Greenwald–Khanna via
+    * `percentile_approx`) beside the exact percentiles — completing the
+    * mergeable-sketch family (HLL `q_sketches`, Misra-Gries
+    * `q_heavy_hitters`, quantiles here). Rows-only: the GK summary's picks
+    * are engine-specific; CrossCheckSpec pins the rank-error guarantee
+    * (|rank(approx) − q·n| ≤ n/accuracy) against the exact distribution
+    * instead. At 100 TB the sketch is the only viable path — exact
+    * percentiles need a full sort per group, GK merges bounded summaries.
+    */
+  private def qApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(
+          col("l_extendedprice"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("approx_p"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("exact_p"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Generator/flatten (Catalyst `Generate`): one row per token. */
   private def qExplodeTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1293,6 +1313,7 @@ object SparkEntry {
     "q_decimal_sum" -> (qDecimalSum _),
     "q_pivot" -> (qPivot _),
     "q_sketches" -> (qSketches _),
+    "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_asof_join" -> (qAsOfJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_explode_tokens" -> (qExplodeTokens _),

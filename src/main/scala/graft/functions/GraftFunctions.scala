@@ -122,10 +122,16 @@ object GraftFunctions {
     */
   def chunkKeys(sig: Column, totalBits: Int, chunks: Int): Column = {
     val k = totalBits / chunks
-    val mask = (1L << k) - 1
+    // k >= 64: (1L << 64) wraps to 1 (JVM shifts are mod 64) and the mask
+    // would zero every key; -1L is the correct all-bits mask
+    val mask = if (k >= 64) lit(-1L) else lit((1L << k) - 1)
     array((0 until chunks).map { c =>
-      lit(c.toLong * 4294967296L) +
-        shiftrightunsigned(sig, c * k).bitwiseAND(lit(mask))
+      // chunk index folded in by HASHING, not by an additive tag: the old
+      // `c·2^32 + bits` spacing collides across chunks once a chunk is
+      // wider than 32 bits. Key VALUES change but the grouping partition
+      // does not (same chunk bits → same key), so candidate sets and all
+      // verified outputs are unchanged.
+      xxhash64(lit(c), shiftrightunsigned(sig, c * k).bitwiseAND(mask))
     }: _*)
   }
 

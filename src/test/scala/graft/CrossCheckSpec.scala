@@ -225,6 +225,34 @@ class CrossCheckSpec extends SparkTestBase {
     }
   }
 
+  test("approx quantiles honor the GK rank-error bound vs the exact distribution (q_approx_quantiles)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_approx_quantiles")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // exact per-group sorted values, to rank the sketch's picks against
+    val byGroup = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val qs = Seq(0.5, 0.95, 0.99)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val approx = r.getSeq[Double](r.fieldIndex("approx_p"))
+      val n = r.getAs[Long]("n")
+      val sorted = byGroup(flag)
+      assert(n == sorted.length)
+      qs.zip(approx).foreach { case (q, a) =>
+        // rank of the sketch's pick = #values <= a; GK guarantees it is
+        // within n/accuracy of the target rank (accuracy = 1000 in the
+        // query, so the bound is n/1000, floored at 1 for tiny groups)
+        val rank = sorted.count(_ <= a)
+        val bound = math.max(1L, n / 1000)
+        assert(math.abs(rank - q * n) <= bound + 1,
+          s"$flag q=$q: pick=$a rank=$rank target=${q * n} n=$n")
+      }
+    }
+  }
+
   test("connected components: exact labels on chains, cliques, and islands") {
     import org.apache.spark.sql.functions._
     // one 6-node chain (diameter 5 — beyond one propagation round), one
