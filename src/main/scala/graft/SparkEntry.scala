@@ -564,6 +564,29 @@ object SparkEntry {
         n = 3, threshold = 0.03)
       .orderBy("id_a", "id_b")
 
+  /** Train/test CONTAMINATION check — the release gate every training
+    * pipeline runs: near-dup document pairs whose members land in
+    * DIFFERENT splits of the held-out assignment. Composes two oracled
+    * pieces — exact n-gram Jaccard pairs and the engine-portable md5
+    * split — so the whole pipeline query is DuckDB-checkable end to end.
+    * The split attach is a compact (id, split) projection joined onto the
+    * (small) verified pair set, so the composition adds no quadratic work.
+    */
+  private def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.03)
+    val splits = Sampling
+      .assignSplitsPortable(docs, "doc_id", valFraction = 0.1, testFraction = 0.1)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+      .orderBy("id_a", "id_b")
+  }
+
   // --------------------------------------------- north-star: similarity
 
   private def queryVector(s: SparkSession, d: String): Seq[Double] =
@@ -1327,6 +1350,7 @@ object SparkEntry {
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccardPairs _),
+    "q_contamination" -> (qContamination _),
     "q_embed_topk" -> (qEmbedTopK _),
     "q_embed_lsh_topk" -> (qEmbedLshTopK _),
     "q_embed_pairs" -> (qEmbedPairs _),
@@ -2043,6 +2067,50 @@ object SparkEntry {
         |JOIN sizes sb ON i.id_b = sb.id
         |WHERE CAST(i.n_inter AS DOUBLE) /
         |      CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.03
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q_contamination: the q_ngram_jaccard pipeline with the portable md5
+    // split attached; only cross-split pairs survive
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |splits AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN h < 100000 THEN 'val'
+        |              WHEN h < 200000 THEN 'test'
+        |              ELSE 'train' END AS split
+        |  FROM (SELECT doc_id,
+        |               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |                    AS BIGINT) % 1000000 AS h
+        |        FROM documents))
+        |SELECT i.id_a, i.id_b,
+        |       ROUND(CAST(i.n_inter AS DOUBLE) /
+        |             CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard,
+        |       pa.split AS split_a, pb.split AS split_b
+        |FROM inter i
+        |JOIN sizes sa ON i.id_a = sa.id
+        |JOIN sizes sb ON i.id_b = sb.id
+        |JOIN splits pa ON i.id_a = pa.id
+        |JOIN splits pb ON i.id_b = pb.id
+        |WHERE CAST(i.n_inter AS DOUBLE) /
+        |      CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.03
+        |  AND pa.split <> pb.split
         |ORDER BY id_a, id_b""".stripMargin,
     "q_multimodal" ->
       """WITH f AS (

@@ -22,6 +22,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("ANN queries scan the persisted index table with list_id partition pruning") {
+    // first invocation builds the write-once index; the second must READ it
+    SparkEntry.queries("q_ivf_topk")(spark, sf0001).collect()
+    val df = SparkEntry.queries("q_ivf_topk")(spark, sf0001)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_ann_idx_"),
+      s"second execution does not read the persisted index:\n${analyzed.take(800)}")
+    val physical = df.queryExecution.executedPlan.toString
+    // the isin probe filter must prune at the PARTITION level (list_id is
+    // the partition column), not as a post-scan row filter
+    assert(physical.contains("PartitionFilters: ["), physical.take(800))
+    val pf = physical.split("PartitionFilters: \\[").last.takeWhile(_ != ']')
+    assert(pf.contains("list_id"), s"probe not partition-pruned: [$pf]")
+    // and the composed IVF+PQ path reads the same artifact
+    val ivfpq = SparkEntry.queries("q_ivfpq_topk")(spark, sf0001)
+      .queryExecution.analyzed.toString
+    assert(ivfpq.contains("graft_ann_idx_"))
+  }
+
   test("q_filter's predicate reaches the parquet scan (PushedFilters)") {
     val plan = SparkEntry.queries("q_filter")(spark, sf0001)
       .queryExecution.executedPlan.toString
