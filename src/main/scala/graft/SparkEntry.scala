@@ -1270,6 +1270,29 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Multi-dimensional clustered scan: events are written ONCE z-ordered
+    * on (user_id, value) ([[graft.sources.Layout]]), then a range
+    * predicate on `value` — NOT the leading dimension of any
+    * lexicographic sort — reads only the files whose min/max stats admit
+    * the range. The plan-audit spec measures the decoded-row reduction vs
+    * a user_id-sorted layout of the same data; the oracle checks the
+    * filtered result itself against DuckDB on the original table (layout
+    * must never change ANSWERS, only bytes touched).
+    */
+  private def qZorderScan(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val path = s"/tmp/graft_zorder/$tag/events"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      graft.sources.Layout.writeZOrdered(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        Seq("user_id", "value"), path)
+    s.read.parquet(path)
+      .filter(col("value") >= 100.0 && col("value") < 120.0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** Duplicate-cluster resolution: connected components over the exact
     * n-gram-Jaccard near-dup graph — pair finding tells you WHO matches;
     * this answers what a dedup pipeline actually needs, WHICH GROUPS to
@@ -1395,6 +1418,7 @@ object SparkEntry {
     "q_bool_agg" -> (qBoolAgg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pruned_scan" -> (qPrunedScan _),
+    "q_zorder_scan" -> (qZorderScan _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_rolling_window" -> (qRollingWindow _),
@@ -1754,6 +1778,12 @@ object SparkEntry {
     "q_pruned_scan" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |ORDER BY event_id""".stripMargin,
+    // q_zorder_scan: layout changes bytes touched, never answers — the
+    // oracle is the same filter on the original table
+    "q_zorder_scan" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE value >= 100.0 AND value < 120.0
         |ORDER BY event_id""".stripMargin,
     // q_json_roundtrip: the roundtrip is the identity on these columns, so
     // the oracle is simply the original table

@@ -65,5 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(entry("graft_tokenize",
       "graft_tokenize(text) - whitespace tokens, empties dropped",
       args => Tokenize(args(0))))
+    e.injectFunction(entry("graft_bounded_levenshtein",
+      "graft_bounded_levenshtein(a, b, k) - banded edit distance, clamped to k+1",
+      args => BoundedLevenshtein(args(0), args(1),
+        intArg(args(2), "graft_bounded_levenshtein"))))
+    e.injectFunction(entry("graft_deletion_hashes",
+      "graft_deletion_hashes(s, k) - sorted distinct hashes of all <=k-deletion variants",
+      args => DeletionHashes(args(0), intArg(args(1), "graft_deletion_hashes"))))
   }
 }

@@ -33,6 +33,11 @@ object GraftFunctions {
       "graft_char_shingles", a => CharShingles(a(0), intArg(a(1))), "scala_udf")
     r.createOrReplaceTempFunction(
       "graft_word_shingles", a => WordShingles(a(0), intArg(a(1))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_bounded_levenshtein",
+      a => BoundedLevenshtein(a(0), a(1), intArg(a(2))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_deletion_hashes", a => DeletionHashes(a(0), intArg(a(1))), "scala_udf")
   }
 
   // ---------------------------------------------------------------- tokens

@@ -457,6 +457,48 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Bit-interleaving (Morton/Z-order) of 2–4 already-scaled non-negative
+    * int columns into one long — the multi-dimensional clustering key for
+    * layout-time sorting ([[graft.sources.Layout]]): sorting by the
+    * interleaved value keeps EVERY input dimension locally clustered, so
+    * parquet min/max stats prune range predicates on any single dimension
+    * (a plain lexicographic sort only prunes its leading column).
+    *
+    * Inputs must already be scaled to `bits` bits (the Layout operator
+    * rank-scales by min/max); wider values are masked. A null input is
+    * treated as 0 (nulls cluster at the curve origin — they must land
+    * SOMEWHERE deterministic, and origin keeps them co-located for the
+    * null-handling scan).
+    */
+  case class InterleaveBits(children: Seq[Expression], bits: Int)
+      extends Expression with CodegenFallback {
+    require(children.size >= 2 && children.size <= 4, "interleave 2-4 columns")
+    require(bits > 0 && bits * children.size <= 63, "interleaved value must fit a long")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any = {
+      val n = children.size
+      var out = 0L
+      var i = 0
+      while (i < n) {
+        val raw = children(i).eval(input)
+        val v =
+          if (raw == null) 0L
+          else (raw.asInstanceOf[Number].longValue()) & ((1L << bits) - 1)
+        var b = 0
+        while (b < bits) {
+          out |= ((v >>> b) & 1L) << (b * n + i)
+          b += 1
+        }
+        i += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): InterleaveBits =
+      copy(children = newChildren)
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def expr(c: Column) = ColumnShim.expression(c)
@@ -486,6 +528,9 @@ object NativeExpressions {
 
   def deletion_hashes(str: Column, k: Int): Column =
     col(DeletionHashes(expr(str), k))
+
+  def interleave_bits(cols: Seq[Column], bits: Int): Column =
+    col(InterleaveBits(cols.map(expr), bits))
 
   def pq_encode(vec: Column, centroids: Array[Array[Array[Double]]]): Column =
     col(PqEncode(expr(vec), centroids))

@@ -166,6 +166,11 @@ class ExtensionsSpec extends SparkTestBase {
     assert(toks == 3)
     assert(spark.sql("SELECT graft_simhash64(graft_tokenize('x y z')) AS s")
       .as[Long].head() != 0L)
+    assert(spark.sql("SELECT graft_bounded_levenshtein('kitten', 'sitten', 2) AS d")
+      .as[Int].head() == 1)
+    // "ab" at k=1: variants {ab, a, b} -> 3 distinct hashes
+    assert(spark.sql("SELECT size(graft_deletion_hashes('ab', 1)) AS n")
+      .as[Int].head() == 3)
   }
 
   test("IVF top-k recalls the query vector itself first") {

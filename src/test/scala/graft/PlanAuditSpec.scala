@@ -41,6 +41,45 @@ class PlanAuditSpec extends SparkTestBase {
     assert(ivfpq.contains("graft_ann_idx_"))
   }
 
+  test("z-ordered layout prunes a non-leading-dimension range scan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zo").toString
+    // comparison layout: same data, same file count, user_id-sorted — the
+    // layout a single-column sortBy gives, where value stats span every file
+    events.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(s"$dir/byuser")
+    graft.sources.Layout.writeZOrdered(events, Seq("user_id", "value"), s"$dir/zorder")
+    def scanned(path: String): (Long, Set[Long]) = {
+      val df = spark.read.parquet(path)
+        .filter(col("value") >= 100.0 && col("value") < 120.0)
+      // collect THIS dataset (a .select would plan a fresh queryExecution
+      // and the metrics below would read an unexecuted plan)
+      val ids = df.collect().map(_.getAs[Long]("event_id")).toSet
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val decoded = plan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (decoded, ids)
+    }
+    val (plainRows, plainIds) = scanned(s"$dir/byuser")
+    val (zoRows, zoIds) = scanned(s"$dir/zorder")
+    info(s"decoded rows for the value-range filter: user-sorted=$plainRows z-ordered=$zoRows")
+    // identical ANSWERS — layout must never change results
+    assert(zoIds == plainIds && zoIds.nonEmpty)
+    // the z-ordered layout's min/max stats admit far fewer rows for a
+    // range on the NON-leading dimension
+    assert(zoRows * 2 <= plainRows,
+      s"z-order pruned nothing: $zoRows vs $plainRows decoded")
+  }
+
   test("q_filter's predicate reaches the parquet scan (PushedFilters)") {
     val plan = SparkEntry.queries("q_filter")(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -49,6 +49,14 @@ class RobustnessSpec extends SparkTestBase {
     assert(Dedup.minhashPairs(docsWithNulls, "doc_id", "text").count() >= 0)
     assert(Dedup.simhashPairs(docsWithNulls, "doc_id", "text").count() >= 0)
     assert(Dedup.ngramJaccardPairs(docsWithNulls, "doc_id", "text").count() >= 0)
+    // null strings never pair (explode of the null variant array drops the
+    // row); empty strings pair only with other empties at dist 0
+    assert(Dedup.editDistancePairs(docsWithNulls, "doc_id", "text").count() >= 0)
+    val empties = Seq((1L, ""), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(empties, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
   test("language id / quality stats on null and empty text") {
