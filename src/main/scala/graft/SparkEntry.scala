@@ -802,6 +802,20 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** Per-stratum deterministic sample (balance a training mix): an
+    * independent 20% within every event_type, on the engine-portable md5
+    * hash so the DuckDB oracle reproduces the exact sampled SET, not just
+    * its size. Stable under repartitioning — membership is a pure function
+    * of (stratum, key) — which `df.sample`/`sampleBy` are not.
+    */
+  private def qStratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedPortableSample(
+        Tables.events(s, d), "event_id", "event_type", fraction = 0.2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("event_id")).cast("long").as("sum_ids"))
+      .orderBy("event_type")
+
   /** Train/val/test assignment on the engine-portable md5 key hash — the
     * same SQL reproduces the split in DuckDB, which makes the disjoint
     * partition itself oracle-checkable (the xxhash64 variant stays
@@ -1385,6 +1399,7 @@ object SparkEntry {
     "q_multimodal" -> (qMultimodal _),
     "q_sample" -> (qSample _),
     "q_split_counts" -> (qSplitCounts _),
+    "q_stratified_sample" -> (qStratifiedSample _),
     "q_sql_text" -> (qSqlText _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -2060,6 +2075,19 @@ object SparkEntry {
         |            WHEN o_totalprice < 50000.0 THEN 'low'
         |            ELSE 'high' END AS band
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // q_stratified_sample: sum_ids pins the exact sampled SET per stratum,
+    // not just its cardinality
+    "q_stratified_sample" ->
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        |FROM (SELECT event_type, event_id,
+        |             CAST(('0x' || substr(md5(event_type || ':' ||
+        |                                      CAST(event_id AS VARCHAR)), 1, 12))
+        |                  AS BIGINT) % 1000000 AS h
+        |      FROM events)
+        |WHERE h < 200000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_split_counts" ->
       """SELECT CASE WHEN h < 100000 THEN 'val'
         |            WHEN h < 200000 THEN 'test'

@@ -40,6 +40,27 @@ object Sampling {
       lit((fraction * buckets).toLong))
   }
 
+  /** [[stratifiedHashSample]] on the engine-portable md5 hash (stratum and
+    * key concatenated with a ':' separator so ("ab","c") and ("a","bc")
+    * hash differently): any SQL engine reproduces the per-stratum sample
+    * bit-for-bit — the property that lets a DuckDB oracle check the
+    * sampled set itself, and lets a training mix survive an engine
+    * migration.
+    */
+  def stratifiedPortableSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    val h = pmod(
+      conv(substring(md5(concat_ws(":",
+        col(stratumCol).cast("string"), col(keyCol).cast("string"))), 1, 12), 16, 10)
+        .cast("long"),
+      lit(SplitBuckets))
+    df.filter(h < (fraction * SplitBuckets).toLong)
+  }
+
   /** Disjoint train/validation/test assignment by key hash; returns the
     * input plus a `split` column ("train" | "val" | "test").
     */
