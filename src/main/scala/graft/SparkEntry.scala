@@ -564,6 +564,21 @@ object SparkEntry {
         n = 3, threshold = 0.03)
       .orderBy("id_a", "id_b")
 
+  /** Incremental-ingest dedup: the simulated daily batch (every 10th doc)
+    * checked against the standing corpus — only (new, old) pairs, never
+    * corpus×corpus ([[Dedup.ngramJaccardAcross]]). The per-ingest cost at
+    * scale is |batch|-driven candidate generation against the shared
+    * inverted index, not a rescan of the corpus pair space.
+    */
+  private def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.ngramJaccardAcross(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3, threshold = 0.03)
+      .orderBy("id_new", "id_old")
+  }
+
   /** Train/test CONTAMINATION check — the release gate every training
     * pipeline runs: near-dup document pairs whose members land in
     * DIFFERENT splits of the held-out assignment. Composes two oracled
@@ -657,6 +672,26 @@ object SparkEntry {
         col("doc_id").as("id"),
         tokenCount(col("text")).cast("long").as("n_tokens_ws"),
         regexTokenCount(col("text")).cast("long").as("n_tokens_re"))
+      .orderBy("id")
+
+  /** Intra-document repetition ratio (the Gopher-class quality signal): the
+    * fraction of word-3-gram occurrences that repeat an earlier gram of the
+    * SAME document, 1 − distinct/total. High values flag boilerplate, spam,
+    * and degenerate generations; pure per-row math — scales as a scan.
+    */
+  private def qRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(wordShingles(col("text"), 3)).cast("long").as("n_distinct"))
+      .select(
+        col("id"), col("n_tokens"),
+        when(col("n_tokens") < 3, lit(0.0))
+          .otherwise(round(
+            lit(1.0) - col("n_distinct").cast("double") /
+              (col("n_tokens") - 2).cast("double"), 6))
+          .as("rep_frac"))
       .orderBy("id")
 
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
@@ -1388,6 +1423,7 @@ object SparkEntry {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccardPairs _),
     "q_contamination" -> (qContamination _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_embed_topk" -> (qEmbedTopK _),
     "q_embed_lsh_topk" -> (qEmbedLshTopK _),
     "q_embed_pairs" -> (qEmbedPairs _),
@@ -1395,6 +1431,7 @@ object SparkEntry {
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
+    "q_repetition" -> (qRepetition _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal" -> (qMultimodal _),
     "q_sample" -> (qSample _),
@@ -1702,6 +1739,23 @@ object SparkEntry {
         |            + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
         |         AS n_tokens_re
         |FROM documents ORDER BY id""".stripMargin,
+    // q_repetition: the gram builder mirrors q_ngram_jaccard's sh CTE
+    // (lowercase, \s+ tokens, distinct 3-grams); total grams = n_tokens - 2
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |       CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CASE WHEN len(t) < 3 THEN 0.0
+        |            ELSE ROUND(1.0 -
+        |              CAST(len(list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                      for i in generate_series(1, len(t) - 2)]))
+        |                   AS DOUBLE) / CAST(len(t) - 2 AS DOUBLE), 6)
+        |       END AS rep_frac
+        |FROM tok ORDER BY id""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id AS id,
@@ -2126,6 +2180,38 @@ object SparkEntry {
         |WHERE CAST(i.n_inter AS DOUBLE) /
         |      CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.03
         |ORDER BY id_a, id_b""".stripMargin,
+    // q_incremental_dedup: the q_ngram_jaccard gram builder with a side
+    // flag; shared-gram df ceiling over the UNION, only (new, old) pairs
+    "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS side,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, side, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, side, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, side, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_new, b.id AS id_old, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.side = 1 AND b.side = 0 GROUP BY 1, 2)
+        |SELECT i.id_new, i.id_old,
+        |       ROUND(CAST(i.n_inter AS DOUBLE) /
+        |             CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.id_new = sa.id AND sa.side = 1
+        |JOIN sizes sb ON i.id_old = sb.id AND sb.side = 0
+        |WHERE CAST(i.n_inter AS DOUBLE) /
+        |      CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.03
+        |ORDER BY id_new, id_old""".stripMargin,
     // q_contamination: the q_ngram_jaccard pipeline with the portable md5
     // split attached; only cross-split pairs survive
     "q_contamination" ->

@@ -256,6 +256,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** CROSS-corpus exact n-gram Jaccard — the INCREMENTAL ingest shape: find
+    * near-duplicates of a NEW batch against the EXISTING corpus, emitting
+    * only (new, old) pairs — never corpus×corpus. This is what a standing
+    * pipeline runs per ingest: the self-join families answer "dedup this
+    * corpus once"; this answers "does today's batch duplicate anything we
+    * already have". Same counting construction as [[ngramJaccardPairs]]
+    * (|A∩B| from the gram-joined posting list, sizes re-attached), with the
+    * document-frequency ceiling computed over the UNION — a gram's cost in
+    * the cross join is its combined frequency, so that is the honest cap
+    * key. Caller contract: the two inputs' id spaces must be disjoint.
+    * Output: (id_new, id_old, jaccard).
+    */
+  def ngramJaccardAcross(
+      newDf: DataFrame,
+      oldDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Int = 10000): DataFrame = {
+    val tagged = newDf
+      .select(col(idCol).as("id"), col(textCol).as("text"), lit(1).as("side"))
+      .unionByName(oldDf
+        .select(col(idCol).as("id"), col(textCol).as("text"), lit(0).as("side")))
+    val sh = tagged.select(col("id"), col("side"),
+      wordShingles(col("text"), n).as("shingles"))
+    val sizes = sh.select(col("side"), col("id"), size(col("shingles")).as("n_sh"))
+    val posting = tagged
+      .select(col("id"), col("side"),
+        explode(wordShingles(col("text"), n)).as("gram"))
+      .select(col("id"), col("side"), xxhash64(col("gram")).as("gram_h"))
+    val pruned = posting
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram_h"))))
+      .observe(
+        "graft_cap_gram_across",
+        coalesce(sum(when(col("__df") > 1, lit(1L))), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__df") > maxDf, lit(1L))), lit(0L))
+          .as("n_dropped_rows"))
+      .filter(col("__df") > 1 && col("__df") <= maxDf)
+      .drop("__df")
+    // MERGE hint: single-evaluation rationale, see [[editDistancePairs]]
+    val inter = pruned.as("a")
+      .join(pruned.as("b").hint("MERGE"), "gram_h")
+      .filter(col("a.side") === 1 && col("b.side") === 0)
+      .groupBy(col("a.id").as("id_new"), col("b.id").as("id_old"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.filter(col("side") === 1)
+        .select(col("id").as("id_new"), col("n_sh").as("n_a")), "id_new")
+      .join(sizes.filter(col("side") === 0)
+        .select(col("id").as("id_old"), col("n_sh").as("n_b")), "id_old")
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** The (id, gram_h) posting list both [[ngramJaccardPairs]] and
     * [[ngramDfStats]] are built from — shared so the audit can never drift
     * from what the pair query's ceiling actually drops. The 8-byte gram

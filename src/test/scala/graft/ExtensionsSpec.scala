@@ -62,6 +62,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs.get((0L, 4L)).forall(_ < 0.1))
   }
 
+  test("cross-corpus ngram jaccard: only (new, old) pairs, values match the self-join") {
+    // docs 0 and 3 are the "new batch"; 1, 2, 4, 5 the standing corpus.
+    val newBatch = docs.filter($"doc_id".isin(0L, 3L))
+    val corpus = docs.filter(!$"doc_id".isin(0L, 3L))
+    val across = Dedup.ngramJaccardAcross(newBatch, corpus, "doc_id", "text",
+        n = 2, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+    val newIds = Set(0L, 3L)
+    assert(across.forall { case (n, o, _) => newIds.contains(n) && !newIds.contains(o) },
+      s"pair outside (new, old): ${across.mkString(",")}")
+    // doc 0 duplicates 1 (exact) and near-dups 2; never pairs with 4.
+    val byPair = across.map { case (n, o, j) => (n, o) -> j }.toMap
+    assert(byPair((0L, 1L)) == 1.0)
+    assert(byPair((0L, 2L)) > 0.5)
+    assert(byPair.get((0L, 4L)).forall(_ < 0.1))
+    // Cross-pair jaccards agree exactly with the self-join construction.
+    val self = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => Set(a, b) -> j }.toMap
+    byPair.foreach { case ((n, o), j) =>
+      assert(self(Set(n, o)) == j, s"($n,$o): across=$j self=${self(Set(n, o))}")
+    }
+  }
+
   test("brute-force cosine top-k: self first with cos 1.0, orthogonal excluded") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
