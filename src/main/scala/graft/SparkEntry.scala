@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Components, Dedup, IvfIndex, Sampling, Similarity, TextAnalysis, Multimodal}
-import graft.functions.{GraftFunctions, TypedAggregates}
+import graft.functions.{GraftFunctions, NativeExpressions, TypedAggregates}
 import graft.functions.GraftFunctions._
 import graft.operators.{AsOfJoin, PositionalTake, RangeJoin, Relational, SkewJoin}
 import graft.sources.Tables
@@ -439,12 +439,147 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Bloom semi-join reduction — the 100 TB shuffle-cutting pattern made
+    * explicit as an operator: build a bloom filter over the selective build
+    * side (distributed treeAggregate via `stat.bloomFilter`; the filter
+    * itself is KB-scale host metadata), probe it in the fact scan's filter
+    * BEFORE the shuffle, then run the exact semi-join over the survivors.
+    * False positives are removed by the join, so the result is exact and
+    * the DuckDB oracle is the plain semi-join — the bloom changes the
+    * plan's traffic, never its answer. The probe is a fully-codegen'd
+    * native expression ([[graft.functions.NativeExpressions.BloomMightContain]]);
+    * at 1000 executors the filter broadcast replaces shuffling the ~96% of
+    * fact rows that cannot match. (Session-level runtime bloom stays
+    * opt-in — `GraftSession` measured it regressing on unselective builds;
+    * this row is the measured-selective case where the pattern pays.)
+    */
+  private def qBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    // build-side cardinality sizes the filter: one metadata-sized count
+    // job, then the distributed build (fpp 1% at that capacity)
+    val n = math.max(urgent.count(), 1L)
+    val bf = urgent.stat.bloomFilter("o_orderkey", n, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    Tables.lineitem(s, d)
+      .filter(NativeExpressions.bloom_might_contain(col("l_orderkey"), bytes))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Mergeable-sketch re-aggregation: per-day HLL user sketches unioned
+    * into a single corpus-wide estimate WITHOUT rescanning the events —
+    * the store-daily / roll-up-monthly shape that makes sketches the only
+    * viable distinct-count path at 100 TB (exact distinct needs a full
+    * user_id shuffle per window). Rows-only: sketch internals are
+    * engine-specific; `CrossCheckSpec` pins the estimate against the exact
+    * count within the configured standard error instead.
+    */
+  private def qHllMerge(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val daily = e
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    daily
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+      .select(col("n_days"), col("merged_users"))
+  }
+
+  /** Count-min-sketch frequency estimates beside the exact counts: one
+    * pass builds the sketch (mergeable, fixed KB-scale memory); the probe
+    * is a native expression over the serialized sketch
+    * ([[graft.functions.NativeExpressions.CmsEstimate]]). Rows-only:
+    * sketch layout is engine-specific; the CMS guarantee (estimate ≥
+    * exact, ≤ exact + ε·N at the configured confidence) is pinned by
+    * `CrossCheckSpec`. At 100 TB the sketch answers point-frequency
+    * queries from KBs of state where the exact group-by needs a full
+    * shuffle of the key column.
+    */
+  private def qCmsFreq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    // eps=0.001 → width 2719, depth 5 at 99% confidence; seed fixed for
+    // deterministic output. The sketch binary is host metadata (KBs).
+    val skBytes = e
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("est_n",
+        NativeExpressions.cms_estimate(col("event_type"), skBytes))
+      .orderBy("event_type")
+  }
+
   /** Generator/flatten (Catalyst `Generate`): one row per token. */
   private def qExplodeTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .orderBy("doc_id", "token")
+
+  /** TF-IDF: the highest-scoring term per document (score = tf · ln(N/df),
+    * rounded before ranking so the Spark and oracle rankings agree at ties;
+    * term-ascending tie-break makes the winner unique). Shape: tokenize →
+    * (doc, term) partial-agg tf → term-keyed df agg → term-keyed join back —
+    * two aggregations and one join, each with map-side combine. The corpus
+    * size N is an uncorrelated scalar subquery: Catalyst executes it once
+    * and inlines the value (no join node, no driver collect). The per-doc
+    * argmax is a window over the doc partition — each doc's postings are
+    * tiny, so the window never spills.
+    */
+  private def qTfidf(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val docs = tempView(s, d, "graft_tfidf_docs", Tables.documents(s, d))
+    s.sql(
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, explode(graft_tokenize(text)) AS term
+         |        FROM $docs)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM $docs) AS DOUBLE)
+         |                          / df.df), 6) AS score
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id, term AS top_term, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Top-20 corpus bigrams: adjacent-token pairs via a zip of the token
+    * array against its own tail (no generator self-join — the pair list is
+    * built inside the row), then a count partial-agg and a
+    * TakeOrderedAndProject. The only shuffle is the bigram-keyed count; the
+    * top-k never materializes a global sort.
+    */
+  private def qBigrams(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val pairs = when(size(t) >= 2,
+        zip_with(
+          slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, d)
+      .select(explode(pairs).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
 
   /** Pivot: status × returnflag quantity matrix. */
   private def qPivot(s: SparkSession, d: String): DataFrame =
@@ -527,6 +662,59 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
+
+  /** Ordered-sequence funnel (view → click-after-view →
+    * purchase-after-click): per-stage user counts where each stage's event
+    * must strictly follow the user's earliest previous-stage event. Every
+    * stage is a per-user min-reduce (map-side partial agg) followed by a
+    * user_id-keyed join — all three stages shuffle on the SAME key, so at
+    * 100 TB the exchanges reuse one hash partitioning of user_id and the
+    * per-stage state is one timestamp per surviving user, not the event
+    * stream.
+    */
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def stage(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as(outTs))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = stage("click", v, "t_view", "t_click")
+    val p = stage("purchase", c, "t_click", "t_purchase")
+    v.select(lit(1).as("stage"), col("user_id"))
+      .union(c.select(lit(2).as("stage"), col("user_id")))
+      .union(p.select(lit(3).as("stage"), col("user_id")))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention: users grouped by first-seen day, counted on day
+    * offsets 0/1/7/14. The cohort assignment is a per-user min-reduce; the
+    * activity join is user_id-keyed (same partitioning as the cohort
+    * reduce); the final matrix is tiny. At 100 TB the only wide state is
+    * one (user_id, cohort_day) row per user — the offset filter prunes the
+    * activity stream before the distinct-count shuffle.
+    */
+  private def qRetention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .select(
+        col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset").isin(0, 1, 7, 14))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 
   // -------------------------------------------------- north-star: dedup
 
@@ -1409,6 +1597,9 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_sketches" -> (qSketches _),
     "q_approx_quantiles" -> (qApproxQuantiles _),
+    "q_bloom_prefilter" -> (qBloomPrefilter _),
+    "q_hll_merge" -> (qHllMerge _),
+    "q_cms_freq" -> (qCmsFreq _),
     "q_asof_join" -> (qAsOfJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_explode_tokens" -> (qExplodeTokens _),
@@ -1417,6 +1608,10 @@ object SparkEntry {
     "q_stream_agg" -> (qStreamAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_events_json" -> (qEventsJson _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+    "q_tfidf" -> (qTfidf _),
+    "q_bigrams" -> (qBigrams _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_minhash_pairs" -> (qMinhashPairs _),
@@ -1683,6 +1878,74 @@ object SparkEntry {
     "q_events_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // q_bloom_prefilter: the bloom probe is plan traffic, not semantics —
+    // the oracle is the plain exact semi-join
+    "q_bloom_prefilter" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+        |  SELECT CAST(1 AS INT) AS stage, user_id FROM v
+        |  UNION ALL SELECT CAST(2 AS INT), user_id FROM c
+        |  UNION ALL SELECT CAST(3 AS INT), user_id FROM p)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+        |x AS (
+        |  SELECT e.user_id, c.cohort_day,
+        |         CAST(datediff('day', c.cohort_day, e.day) AS INT) AS day_offset
+        |  FROM e JOIN cohort c ON e.user_id = c.user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM x WHERE day_offset IN (0, 1, 7, 14)
+        |GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                            x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term AS top_term, score FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_bigrams" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> len(x) > 0) AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(generate_series(2, len(l)),
+        |                               i -> l[i-1] || ' ' || l[i])) AS bigram
+        |  FROM tok WHERE len(l) >= 2)
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "q_dedup_exact" ->
       """SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -499,6 +499,60 @@ object NativeExpressions {
       copy(children = newChildren)
   }
 
+  /** Bloom-filter membership probe against a pre-built serialized
+    * `org.apache.spark.util.sketch.BloomFilter` (Spark's own mergeable
+    * bloom, built distributed via `Dataset.stat.bloomFilter`). The filter
+    * rides into the plan as expression metadata — the same host-metadata
+    * discipline as the IVF centroids (ref: the reference also stages its
+    * probe-side selection structures host-side,
+    * `host/join/join_dpu.cc:255-301`) — and is deserialized lazily once per
+    * executor, not per row.
+    *
+    * Fully codegen'd (no CodegenFallback): the probe sits in the scan's hot
+    * filter path ahead of a shuffle, exactly where an interpreted boundary
+    * per input row would cost the most.
+    */
+  case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    @transient private lazy val filter =
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Boolean.valueOf(filter.mightContainLong(input.asInstanceOf[Long]))
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bf = ctx.addReferenceObj("graftBloom", filter,
+          classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+        s"${ev.value} = $bf.mightContainLong($c);"
+      })
+    override protected def withNewChildInternal(c: Expression): BloomMightContain =
+      copy(child = c)
+  }
+
+  /** Count-min-sketch point estimate against a pre-built serialized
+    * `org.apache.spark.util.sketch.CountMinSketch` (the binary produced by
+    * SQL `count_min_sketch(...)`). Probes with the UTF8 bytes of the input
+    * string — the same encoding the aggregate inserts — so estimates are
+    * exact-modulo-collisions for string keys. Same host-metadata + lazy
+    * per-executor deserialize discipline as [[BloomMightContain]].
+    */
+  case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    @transient private lazy val sketch =
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        sketch.estimateCount(input.asInstanceOf[UTF8String].getBytes))
+    override protected def withNewChildInternal(c: Expression): CmsEstimate =
+      copy(child = c)
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def expr(c: Column) = ColumnShim.expression(c)
@@ -588,4 +642,10 @@ object NativeExpressions {
 
   def lang_id(text: Column, langs: Seq[(String, Seq[String])]): Column =
     col(LangId(expr(text), langs))
+
+  def bloom_might_contain(key: Column, bloomBytes: Array[Byte]): Column =
+    col(BloomMightContain(expr(key), bloomBytes))
+
+  def cms_estimate(key: Column, sketchBytes: Array[Byte]): Column =
+    col(CmsEstimate(expr(key), sketchBytes))
 }

@@ -323,6 +323,62 @@ class CrossCheckSpec extends SparkTestBase {
     assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("merged HLL estimate is within the configured error of the exact count") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("q_hll_merge")(spark, sf0001)
+      .as[(Long, Long)].head()
+    val exact = Tables.events(spark, sf0001)
+      .agg(countDistinct(col("user_id"))).as[Long].head()
+    // lgConfigK=12 → relative standard error ≈ 1.04/√4096 ≈ 1.6%; 5× slack
+    val relErr = math.abs(row._2.toDouble - exact) / exact.max(1L)
+    assert(relErr <= 0.08, s"merged HLL estimate ${row._2} vs exact $exact")
+    assert(row._1 > 0)
+  }
+
+  test("CMS estimates overcount by at most eps*N (and never undercount)") {
+    val rows = SparkEntry.queries("q_cms_freq")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum // total stream length
+    rows.foreach { case (k, exact, est) =>
+      assert(est >= exact, s"CMS undercounted $k: est=$est exact=$exact")
+      assert(est <= exact + (0.001 * n).ceil.toLong,
+        s"CMS overcount beyond eps*N for $k: est=$est exact=$exact n=$n")
+    }
+  }
+
+  test("bloom prefilter admits every true match and bounds false positives") {
+    import org.apache.spark.sql.functions._
+    val urgent = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val n = math.max(urgent.count(), 1L)
+    val bf = urgent.stat.bloomFilter("o_orderkey", n, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val li = Tables.lineitem(spark, sf0001)
+    val kept = li.filter(graft.functions.NativeExpressions
+      .bloom_might_contain(col("l_orderkey"), bytes))
+    // no false negatives: the prefilter output is a superset of the exact
+    // semi-join (bloom membership can only overcount)
+    val lost = li
+      .join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .join(kept.select(col("l_orderkey").as("k")),
+        col("l_orderkey") === col("k"), "left_anti")
+    assert(lost.count() == 0, "bloom dropped a true match")
+    // false-positive traffic is bounded: kept rows ≤ true matches + fpp
+    // slack on the non-matching population (1% nominal; 5% guard)
+    val trueMatches = li
+      .join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .count()
+    val total = li.count()
+    assert(kept.count() <= trueMatches + ((total - trueMatches) * 0.05).toLong,
+      s"bloom admits too much traffic: kept=${kept.count()} true=$trueMatches")
+  }
+
   test("LSH top-k ids all appear in the brute-force ranking with equal scores") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb

@@ -95,4 +95,60 @@ class OperatorPropertySpec extends SparkTestBase {
     val far = PositionalTake.mergeTake(indexed, Array(-5L, Long.MaxValue))
     assert(far.count() == 0)
   }
+
+  test("funnel stage counts are monotonically non-increasing") {
+    // Each stage requires a strictly-later event from the previous stage's
+    // survivors, so the user set can only shrink.
+    val rows = SparkEntry.queries("q_funnel")(spark, sf0001)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows.sliding(2).forall { case Array((_, a), (_, b)) => b <= a })
+  }
+
+  test("retention offset-0 counts cover every active user exactly once") {
+    // Every user is active on their own cohort day, and belongs to exactly
+    // one cohort: the offset-0 column must sum to the distinct-user count.
+    val ret = SparkEntry.queries("q_retention")(spark, sf0001)
+    val day0 = ret.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).as[Long].head()
+    val users = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(day0 == users)
+    // later offsets never exceed their cohort's day-0 population
+    val byCohort = ret.as[(String, Int, Long)].collect()
+      .groupBy(_._1).values
+    assert(byCohort.forall { rows =>
+      val d0 = rows.find(_._2 == 0).map(_._3).getOrElse(0L)
+      rows.forall(_._3 <= d0)
+    })
+  }
+
+  test("tfidf emits exactly one argmax row per non-empty document") {
+    val out = SparkEntry.queries("q_tfidf")(spark, sf0001)
+    val nonEmptyDocs = Tables.documents(spark, sf0001)
+      .filter(size(graft.functions.GraftFunctions.tokens(col("text"))) > 0)
+      .count()
+    assert(out.count() == nonEmptyDocs)
+    assert(out.select("doc_id").distinct().count() == nonEmptyDocs)
+    // every winning term actually occurs in its document
+    val joined = out.join(Tables.documents(spark, sf0001), "doc_id")
+      .filter(!array_contains(
+        graft.functions.GraftFunctions.tokens(col("text")), col("top_term")))
+    assert(joined.count() == 0)
+  }
+
+  test("bigram top-20 is count-descending and counts match a direct recount") {
+    val out = SparkEntry.queries("q_bigrams")(spark, sf0001)
+      .as[(String, Long)].collect()
+    assert(out.length == 20)
+    assert(out.sliding(2).forall { case Array((_, a), (_, b)) => b <= a })
+    // recount the top bigram by brute force over the token arrays
+    val (top, n) = out.head
+    val brute = Tables.documents(spark, sf0001)
+      .select(graft.functions.GraftFunctions.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+      .iterator.flatMap(t => t.sliding(2).filter(_.length == 2))
+      .count(p => s"${p.head} ${p(1)}" == top)
+    assert(brute.toLong == n)
+  }
 }
