@@ -520,6 +520,43 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Equi-width histogram over a measure column: one partial-agg pass, the
+    * primitive behind distribution profiling at 100 TB (each executor emits
+    * ≤ n_buckets partials; the final reduce is bucket-count-sized). Fixed
+    * a-priori bucket edges (width 6000) keep the bucketing engine-portable:
+    * k·6000 is exactly representable in IEEE double, so Spark and DuckDB
+    * floor identically at the boundaries.
+    */
+  private def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / lit(6000.0)).cast("int").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy("bucket")
+
+  /** Gaps-and-islands: each user's longest run of consecutive active days.
+    * The island key is `day − row_number·1d` (constant within a run,
+    * distinct across runs) — a window over the user partition, so the only
+    * wide state is one row per (user, active-day) after the distinct, and
+    * every step shuffles on user_id alone.
+    */
+  private def qStreaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", date_add(col("day"), -row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("streak"))
+      .groupBy("user_id")
+      .agg(max(col("streak")).as("longest_streak"))
+      .orderBy("user_id")
+  }
+
   /** Generator/flatten (Catalyst `Generate`): one row per token. */
   private def qExplodeTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -644,6 +681,66 @@ object SparkEntry {
     try q.processAllAvailable()
     finally q.stop()
     s.table(name).orderBy("window_start", "event_type")
+  }
+
+  /** The stateful-streaming seam as a catalog row: per-user running
+    * counters via `flatMapGroupsWithState` (custom state, not windowed
+    * agg), driven to completion on the staged finite events copy (same
+    * write-once artifact as [[qStreamAgg]]). The memory sink in Update
+    * mode may emit one row per user per micro-batch; the final state is
+    * selected with `max_by` on the monotonically-growing event counter, so
+    * the row is batch-count-independent. With all input processed the
+    * final state equals the batch group-by, giving the row a plain DuckDB
+    * oracle. State is per-key and hash-partitioned — it scales with user
+    * cardinality, never stream length.
+    */
+  private def qStreamStats(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val staged = s"/tmp/graft_stream/$tag/events"
+    if (!new java.io.File(staged, "_SUCCESS").exists())
+      Tables.events(s, d).write.mode("overwrite").parquet(staged)
+    val name = s"graft_stream_stats_$tag"
+    val q = EventsPipeline.streamingUserStats(s, staged, name)
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .groupBy("user_id")
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max_by(col("sum_value"), col("n_events")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** Schema-on-read evolution: two parquet generations of the events feed
+    * — an early one without the `value` column, a later one with it —
+    * merged by `mergeSchema` into one logical table (missing columns read
+    * as null), then aggregated. This is the ingest reality at 100 TB:
+    * upstream producers add columns mid-corpus and a rewrite of petabytes
+    * of old files is not an option; schema merge at the footer level costs
+    * metadata only. Write-once staged artifact (dirTag discipline); the
+    * oracle reconstructs the same split arithmetically from the original
+    * table.
+    */
+  private def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val base = s"/tmp/graft_evo/$tag"
+    if (!new java.io.File(s"$base/gen2", "_SUCCESS").exists()) {
+      val e = Tables.events(s, d)
+      e.filter(col("event_id") % 2 === 0)
+        .select("event_id", "event_type")
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      e.filter(col("event_id") % 2 =!= 0)
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$base/gen2")
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("value")).as("n_with_value"),
+        round(sum(coalesce(col("value"), lit(0.0))), 4).as("sum_value"))
+      .orderBy("event_type")
   }
 
   /** Gap-based sessionization statistics. */
@@ -1606,10 +1703,14 @@ object SparkEntry {
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_events_window" -> (qEventsWindow _),
     "q_stream_agg" -> (qStreamAgg _),
+    "q_stream_stats" -> (qStreamStats _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_sessionize" -> (qSessionize _),
     "q_events_json" -> (qEventsJson _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
+    "q_histogram" -> (qHistogram _),
+    "q_streaks" -> (qStreaks _),
     "q_tfidf" -> (qTfidf _),
     "q_bigrams" -> (qBigrams _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1863,6 +1964,22 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_stream_stats: finite stream driven to completion — final
+    // flatMapGroupsWithState state equals the batch per-user aggregate
+    "q_stream_stats" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_schema_evolution: the two staged parquet generations split events
+    // by event_id parity (gen1 lacks `value`); the oracle reconstructs the
+    // same split arithmetically
+    "q_schema_evolution" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_with_value,
+        |       ROUND(SUM(CASE WHEN event_id % 2 <> 0 THEN value ELSE 0 END), 4)
+        |         AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id,
@@ -1917,6 +2034,25 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM x WHERE day_offset IN (0, 1, 7, 14)
         |GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 6000.0) AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(MIN(l_extendedprice), 2) AS lo,
+        |       ROUND(MAX(l_extendedprice), 2) AS hi
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |runs AS (
+        |  SELECT user_id,
+        |         day - CAST(row_number() OVER (
+        |           PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, grp, COUNT(*) AS streak
+        |  FROM runs GROUP BY user_id, grp)
+        |SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak
+        |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,
