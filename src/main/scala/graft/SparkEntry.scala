@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Components, Dedup, IvfIndex, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.ext.{Components, Dedup, IvfIndex, PageRank, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, NativeExpressions, TypedAggregates}
 import graft.functions.GraftFunctions._
 import graft.operators.{AsOfJoin, PositionalTake, RangeJoin, Relational, SkewJoin}
@@ -741,6 +741,37 @@ object SparkEntry {
         count(col("value")).as("n_with_value"),
         round(sum(coalesce(col("value"), lit(0.0))), 4).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** PageRank centrality over the customer↔supplier co-purchase graph of
+    * urgent-priority orders (edges: customer bought a lineitem that
+    * supplier supplied; symmetrized, supplier ids offset into a disjoint
+    * id space — the priority filter keeps the demo row's edge build
+    * proportionate while exercising the identical operator). The
+    * quality-weighting signal of a curation pipeline — rank sources by
+    * linkage — on a genuinely multi-hop bipartite graph. Five fixed power
+    * iterations ([[graft.ext.PageRank]]); the oracle unrolls the identical
+    * recurrence as five chained CTEs, so even the iterative operator is
+    * DuckDB-checked value-for-value (rounded to 8 decimals — double
+    * summation-order slack is ~1e-15 of rank mass, six orders below the
+    * rounding grain).
+    */
+  private def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val cs = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+    val edges = cs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
+    PageRank.run(edges, "src", "dst", iterations = 5)
+      .select(col("id"), round(col("rank"), 8).as("rank"))
+      .orderBy("id")
   }
 
   /** Gap-based sessionization statistics. */
@@ -1711,6 +1742,7 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_histogram" -> (qHistogram _),
     "q_streaks" -> (qStreaks _),
+    "q_pagerank" -> (qPagerank _),
     "q_tfidf" -> (qTfidf _),
     "q_bigrams" -> (qBigrams _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -2034,6 +2066,34 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM x WHERE day_offset IN (0, 1, 7, 14)
         |GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin,
+    // q_pagerank: the same 5-step power iteration unrolled as chained CTEs
+    // (recursive CTEs cannot aggregate over their own recursive term)
+    "q_pagerank" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |edges AS (SELECT cust AS src, supp AS dst FROM cs
+        |          UNION ALL SELECT supp, cust FROM cs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT src AS id, 1.0 / nn.n AS rank FROM deg, nn),
+        |r1 AS (SELECT e.dst AS id, 0.15 / MAX(nn.n) + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.id, nn
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS id, 0.15 / MAX(nn.n) + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.id, nn
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS id, 0.15 / MAX(nn.n) + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.id, nn
+        |       GROUP BY e.dst),
+        |r4 AS (SELECT e.dst AS id, 0.15 / MAX(nn.n) + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r3 r ON e.src = r.id, nn
+        |       GROUP BY e.dst),
+        |r5 AS (SELECT e.dst AS id, 0.15 / MAX(nn.n) + 0.85 * SUM(r.rank / d.deg) AS rank
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r4 r ON e.src = r.id, nn
+        |       GROUP BY e.dst)
+        |SELECT id, ROUND(rank, 8) AS rank FROM r5 ORDER BY id""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 6000.0) AS INT) AS bucket,
         |       CAST(COUNT(*) AS BIGINT) AS n,

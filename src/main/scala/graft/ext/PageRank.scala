@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over an edge list — the graph-centrality signal a
+  * training-data pipeline uses to quality-weight sources (rank domains /
+  * suppliers / hosts by linkage), and the repo's second iterative graph
+  * operator beside [[Components]].
+  *
+  * Fixed-iteration push-style formulation: each round every vertex pushes
+  * `rank/out_degree` along its out-edges and collects
+  * `(1−d)/n + d·Σ contributions`. A FIXED iteration count (no convergence
+  * action per round) keeps the whole run to `iterations` chained
+  * join+aggregate stages — at 100 TB a convergence probe per round costs
+  * one extra job each; power iteration's geometric convergence makes the
+  * count a tuning knob, not a correctness one. It also makes the operator
+  * expressible as unrolled SQL, so the catalog row gets a full DuckDB
+  * oracle (a recursive CTE cannot aggregate over its own recursive term).
+  *
+  * Scale shape: the edge list is materialized once (`localCheckpoint`) and
+  * repartitioned on `src`; out-degrees are computed once from that same
+  * partitioning; each iteration shuffles rank rows (2 columns) — never the
+  * edges again. Callers must pass a SYMMETRIZED edge list if the graph is
+  * undirected; vertices with no out-edges (dangling) would leak rank mass
+  * and are rejected, keeping Σ ranks = 1 an invariant the specs can pin.
+  */
+object PageRank {
+
+  /** (id, rank) for every vertex of `edges`. Requires every vertex to
+    * have at least one out-edge (symmetrize undirected graphs first);
+    * throws otherwise rather than silently leaking rank mass.
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1, "iterations must be >= 1")
+    // One materialized pass: distinct edges partitioned by src with the
+    // out-degree folded in, so each iteration then needs exactly one
+    // join. The degree join is left to AQE: vertex-sized side broadcasts
+    // when it fits, else it is a sort-merge over the co-partitioning both
+    // sides already share (deg derives from e0 grouped on the same key).
+    // The per-edge term stays rank/deg (not rank·(1/deg)): deg is exact,
+    // and the division order matches any engine computing the textbook
+    // recurrence — the catalog oracle depends on that bit-parity.
+    val e0 = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e0.join(deg, "src").localCheckpoint()
+    // dangling check: every dst must also appear as a src. Anti-join of
+    // the distinct dst set against the (already vertex-sized) degree
+    // table — cheaper than an EXCEPT over the raw edge list twice.
+    val dangling = ed.select(col("dst").as("v")).distinct()
+      .join(deg.select(col("src").as("v")), Seq("v"), "left_anti")
+      .limit(1).count()
+    require(dangling == 0,
+      "PageRank.run: graph has dangling vertices (no out-edges); " +
+        "symmetrize the edge list or drop sink-only vertices first")
+    val verts = ed.select(col("src").as("id")).distinct()
+    val n = verts.count() // vertex count — scalar driver metadata
+    var ranks = verts.withColumn("rank", lit(1.0 / n))
+    var i = 0
+    while (i < iterations) {
+      ranks = ed
+        .join(ranks, col("src") === col("id"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst").as("id"))
+        .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c")))
+          .as("rank"))
+        .select(col("id"), col("rank"))
+      i += 1
+    }
+    ranks
+  }
+}

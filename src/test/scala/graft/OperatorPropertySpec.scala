@@ -96,6 +96,34 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(far.count() == 0)
   }
 
+  test("pagerank: mass conservation, symmetry, centrality, dangling rejection") {
+    import graft.ext.PageRank
+    // ring of 10 (symmetric): perfect symmetry → every rank exactly 1/10
+    val ring = (0 until 10).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 10).toLong), (((i + 1) % 10).toLong, i.toLong)))
+      .toDF("src", "dst")
+    val ringRanks = PageRank.run(ring, "src", "dst", iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(ringRanks.size == 10)
+    ringRanks.values.foreach(r => assert(math.abs(r - 0.1) < 1e-12))
+    // star of 1 center + 8 leaves (symmetrized): center outranks every
+    // leaf, leaves are equal by symmetry, and Σ ranks = 1
+    val star = (1 to 8).flatMap(l => Seq((0L, l.toLong), (l.toLong, 0L)))
+      .toDF("src", "dst")
+    val starRanks = PageRank.run(star, "src", "dst", iterations = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(starRanks.values.sum - 1.0) < 1e-9,
+      s"rank mass not conserved: ${starRanks.values.sum}")
+    val leaves = (1 to 8).map(l => starRanks(l.toLong))
+    assert(leaves.forall(r => starRanks(0L) > r))
+    assert(leaves.forall(r => math.abs(r - leaves.head) < 1e-12))
+    // dangling vertex (edge into a sink with no out-edge) must be rejected
+    val dangling = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      PageRank.run(dangling, "src", "dst", iterations = 2)
+    }
+  }
+
   test("funnel stage counts are monotonically non-increasing") {
     // Each stage requires a strictly-later event from the previous stage's
     // survivors, so the user set can only shrink.
