@@ -536,6 +536,30 @@ object SparkEntry {
         round(max(col("l_extendedprice")), 2).as("hi"))
       .orderBy("bucket")
 
+  /** Quantile discretization (ML feature prep): per-group deciles of the
+    * price column via `ntile` over a TOTAL order (price + the unique
+    * 6-column key — ties would otherwise make bucket assignment
+    * engine-dependent), summarized per bucket. This is the exact variant:
+    * it pays a per-group sort, which is the right tool up to the sizes a
+    * partition sort handles; past that, [[qApproxQuantiles]]' GK cutpoints
+    * are the 100 TB path (bounded summaries, no global sort) — the two
+    * rows document the trade explicitly.
+    */
+  private def qDeciles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag").orderBy(
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    Tables.lineitem(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("l_returnflag", "decile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy("l_returnflag", "decile")
+  }
+
   /** Gaps-and-islands: each user's longest run of consecutive active days.
     * The island key is `day − row_number·1d` (constant within a run,
     * distinct across runs) — a window over the user partition, so the only
@@ -795,10 +819,11 @@ object SparkEntry {
     * purchase-after-click): per-stage user counts where each stage's event
     * must strictly follow the user's earliest previous-stage event. Every
     * stage is a per-user min-reduce (map-side partial agg) followed by a
-    * user_id-keyed join — all three stages shuffle on the SAME key, so at
-    * 100 TB the exchanges reuse one hash partitioning of user_id and the
-    * per-stage state is one timestamp per surviving user, not the event
-    * stream.
+    * user_id-keyed join — every shuffle in the plan is keyed on user_id
+    * alone, and each stage's wide state is one timestamp per surviving
+    * user (the event stream itself is reduced map-side before any
+    * exchange). The stage joins are AQE-sized: survivor sets shrink
+    * monotonically, so later stages broadcast.
     */
   private def qFunnel(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select("user_id", "event_type", "ts")
@@ -1142,6 +1167,25 @@ object SparkEntry {
     val (assigned, cents, cb) = annIndex(s, d)
     val qv = queryVector(s, d)
     IvfIndex.searchIndexedPq(assigned, IvfIndex.probeListIds(cents, qv, 4), qv, 20, cb)
+  }
+
+  /** Incremental ANN ingest: a hash-designated new batch (vec_id ≡ 9 mod
+    * 10) assigned to the PERSISTED coarse quantizer — no retraining, pure
+    * scan against the collected centroid metadata — summarized as per-list
+    * landing counts (the "which lists need their stats refreshed" signal).
+    * Rows-only: k-means lists are not portable SQL; `CrossCheckSpec` pins
+    * that incremental assignment lands every vector in exactly the list a
+    * full rebuild chooses. At 100 TB this is the ingest path that keeps
+    * the index write-once-plus-appends instead of periodically retrained.
+    */
+  private def qIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    val (_, cents, _) = annIndex(s, d)
+    val batch = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(10)) === 9)
+    IvfIndex.assign(batch, "vec_id", "embedding", cents.map(_._2))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_new"))
+      .orderBy("list_id")
   }
 
   /** Deterministic sampling: mod-sample (oracled) + per-split counts from
@@ -1741,6 +1785,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_histogram" -> (qHistogram _),
+    "q_deciles" -> (qDeciles _),
     "q_streaks" -> (qStreaks _),
     "q_pagerank" -> (qPagerank _),
     "q_tfidf" -> (qTfidf _),
@@ -1803,7 +1848,8 @@ object SparkEntry {
     "q_dup_clusters" -> (qDupClusters _),
     "q_rolling_window" -> (qRollingWindow _),
     "q_edit_pairs" -> (qEditPairs _),
-    "q_ivfpq_topk" -> (qIvfPqTopK _)
+    "q_ivfpq_topk" -> (qIvfPqTopK _),
+    "q_ivf_incremental" -> (qIvfIncremental _)
   )
 
   /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
@@ -2100,6 +2146,18 @@ object SparkEntry {
         |       ROUND(MIN(l_extendedprice), 2) AS lo,
         |       ROUND(MAX(l_extendedprice), 2) AS hi
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_deciles" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         ntile(10) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+        |                    l_partkey, l_suppkey, l_quantity) AS decile
+        |  FROM lineitem)
+        |SELECT l_returnflag, decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(MIN(l_extendedprice), 2) AS lo,
+        |       ROUND(MAX(l_extendedprice), 2) AS hi
+        |FROM t GROUP BY l_returnflag, decile
+        |ORDER BY l_returnflag, decile""".stripMargin,
     "q_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -93,6 +93,19 @@ object IvfIndex {
     (assigned, centroids)
   }
 
+  /** Incremental-ingest entry point: assign a NEW batch to an EXISTING
+    * coarse quantizer (no retrain). Centroids must be passed in ascending
+    * list_id order (as [[build]]/[[refine]] return them); the batch lands
+    * in exactly the lists a full rebuild would choose, so only the touched
+    * lists need statistics refreshed — the index stays a write-once
+    * artifact plus appends, never a periodic full retrain.
+    */
+  def assign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame = assignTo(df, idCol, vecCol, cents)
+
   /** Assign every vector to its nearest centroid (cosine) — pure scan. */
   private def assignTo(
       df: DataFrame,

@@ -379,6 +379,24 @@ class CrossCheckSpec extends SparkTestBase {
       s"bloom admits too much traffic: kept=${kept.count()} true=$trueMatches")
   }
 
+  test("incremental ANN assignment lands vectors in the full build's lists") {
+    import graft.ext.IvfIndex
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val (assigned, centsDf) = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+    val cents = centsDf.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val batch = emb.filter(pmod($"vec_id", lit(10)) === 9)
+    val incr = IvfIndex.assign(batch, "vec_id", "embedding", cents.map(_._2))
+      .select($"id", $"list_id".as("incr_list"))
+    val mismatches = assigned
+      .select($"id", $"list_id".as("full_list"))
+      .join(incr, "id")
+      .filter($"full_list" =!= $"incr_list")
+    assert(incr.count() > 0)
+    assert(mismatches.count() == 0,
+      "incremental assignment disagrees with the full build")
+  }
+
   test("LSH top-k ids all appear in the brute-force ranking with equal scores") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb

@@ -97,6 +97,19 @@ class PlanAuditSpec extends SparkTestBase {
       "sum scan reads columns the aggregate never touches")
   }
 
+  test("bloom prefilter probes the fact scan below the semi join") {
+    val plan = SparkEntry.queries("q_bloom_prefilter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloommightcontain"),
+      "bloom probe expression missing from the physical plan")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(joinIdx >= 0, "semi join missing from the physical plan")
+    // the tree prints top-down: the probe's Filter must sit BELOW the
+    // join (i.e. in the scan stage, cutting rows before any exchange)
+    assert(plan.indexOf("bloommightcontain") > joinIdx,
+      "bloom probe is not below the semi join")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside the allowlist") {
     // BroadcastNestedLoopJoin / CartesianProduct are O(n·m) — at 100 TB a
     // plan containing one (outside a deliberate, size-bounded use) is a
