@@ -86,4 +86,35 @@ class RobustnessSpec extends SparkTestBase {
     assert(out(0L) == 0.0)
     assert(out(1L) == 1.0)
   }
+
+  test("pagerank on an empty edge list returns empty, not an error") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    assert(graft.ext.PageRank.run(empty, "src", "dst", iterations = 3).count() == 0)
+  }
+
+  test("sketch probes pass nulls through as null (codegen and interpreted)") {
+    import graft.functions.NativeExpressions
+    val keys = Seq(Some(1L), None, Some(42L)).toDF("k")
+    val bf = keys.filter($"k".isNotNull).stat.bloomFilter("k", 10, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    // codegen'd path (DataFrame filter) and interpreted eval (collect of the
+    // raw column) must agree: null in → null out, present keys → true
+    val probed = keys
+      .select($"k", NativeExpressions.bloom_might_contain($"k", bytes).as("hit"))
+      .collect().map(r => (r.get(0), r.get(1)))
+    assert(probed.contains((1L, true)) && probed.contains((42L, true)))
+    assert(probed.exists { case (k, h) => k == null && h == null })
+    val strs = Seq(Some("view"), None).toDF("s")
+    val sk = strs.filter($"s".isNotNull)
+      .agg(org.apache.spark.sql.functions.expr(
+        "count_min_sketch(s, 0.01d, 0.99d, 7)"))
+      .head().getAs[Array[Byte]](0)
+    val est = strs
+      .select($"s", NativeExpressions.cms_estimate($"s", sk).as("e"))
+      .collect().map(r => (r.get(0), r.get(1)))
+    assert(est.contains(("view", 1L)))
+    assert(est.exists { case (s, e) => s == null && e == null })
+  }
 }
