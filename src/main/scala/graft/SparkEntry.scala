@@ -141,24 +141,45 @@ object SparkEntry {
     * the shuffle at write time instead of per query. Result is identical to
     * [[qJoin]] (same oracle).
     */
+  /** Bucketed-table gate that is write-once ACROSS JVMs, not just within
+    * one: the in-memory catalog is empty in every fresh JVM (the driver
+    * runs Verify and Bench as separate processes), so gating on
+    * `tableExists` alone would rewrite the files on every run — wasted
+    * work charged to the first touching query, and a race against any
+    * concurrent reader of the old files. If the path is already fully
+    * written (`_SUCCESS`), ATTACH it as an external bucketed table
+    * (`CREATE TABLE … CLUSTERED BY … LOCATION`) instead of rebuilding;
+    * bucket ids live in the file names, so the attached table keeps the
+    * exchange-free join property (pinned by `BucketingSpec`).
+    */
+  private def bucketedTable(
+      s: SparkSession, table: String, path: String, schemaDdl: String,
+      key: String)(build: => DataFrame): DataFrame = {
+    if (!s.catalog.tableExists(table)) {
+      if (new java.io.File(path, "_SUCCESS").exists())
+        s.sql(
+          s"""CREATE TABLE IF NOT EXISTS $table ($schemaDdl) USING parquet
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO 16 BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      else
+        build.write.bucketBy(16, key).sortBy(key)
+          .option("path", path).mode("overwrite").saveAsTable(table)
+    }
+    s.table(table)
+  }
+
   private def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
-    val liTable = s"graft_li_bkt_$tag"
-    val oTable = s"graft_o_bkt_$tag"
-    if (!s.catalog.tableExists(liTable)) {
+    val li = bucketedTable(s, s"graft_li_bkt_$tag",
+      s"/tmp/graft_bucketed/$tag/lineitem",
+      "l_orderkey BIGINT, l_quantity DOUBLE", "l_orderkey") {
       Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
-        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"/tmp/graft_bucketed/$tag/lineitem")
-        .mode("overwrite").saveAsTable(liTable)
     }
-    if (!s.catalog.tableExists(oTable)) {
+    val o = bucketedTable(s, s"graft_o_bkt_$tag",
+      s"/tmp/graft_bucketed/$tag/orders",
+      "o_orderkey BIGINT, o_totalprice DOUBLE", "o_orderkey") {
       Tables.orders(s, d).select("o_orderkey", "o_totalprice")
-        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"/tmp/graft_bucketed/$tag/orders")
-        .mode("overwrite").saveAsTable(oTable)
     }
-    val li = s.table(liTable)
-    val o = s.table(oTable)
     li.join(o.hint("MERGE"), li("l_orderkey") === o("o_orderkey"), "inner")
       .drop("o_orderkey")
       .orderBy("l_orderkey", "l_quantity", "o_totalprice")
@@ -459,13 +480,7 @@ object SparkEntry {
       .select("o_orderkey")
     // build-side cardinality sizes the filter: one metadata-sized count
     // job, then the distributed build (fpp 1% at that capacity)
-    val n = math.max(urgent.count(), 1L)
-    val bf = urgent.stat.bloomFilter("o_orderkey", n, 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = GraftFunctions.buildBloom(urgent, "o_orderkey")
     Tables.lineitem(s, d)
       .filter(NativeExpressions.bloom_might_contain(col("l_orderkey"), bytes))
       .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
@@ -1102,7 +1117,28 @@ object SparkEntry {
     val cbTable = s"graft_ann_cb_$tag"
     // the INDEX table is written last: it is the existence gate, so a
     // partial earlier failure re-runs the whole build rather than serving
-    // a centroid table with no index behind it
+    // a centroid table with no index behind it. The gate is CROSS-JVM:
+    // a fresh JVM (empty in-memory catalog) whose path already carries
+    // the fully-written artifact ATTACHES it (external tables + partition
+    // recovery) instead of retraining — training stays per-corpus, not
+    // per-process, and no overwrite can race a concurrent reader.
+    if (!s.catalog.tableExists(idxTable) &&
+        new java.io.File(s"/tmp/graft_ann/$tag/index", "_SUCCESS").exists()) {
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS $cbTable
+           |(sub INT, code INT, centroid ARRAY<DOUBLE>)
+           |USING parquet LOCATION '/tmp/graft_ann/$tag/codebook'""".stripMargin)
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS $centTable
+           |(list_id INT, centroid ARRAY<DOUBLE>)
+           |USING parquet LOCATION '/tmp/graft_ann/$tag/centroids'""".stripMargin)
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS $idxTable
+           |(id BIGINT, v ARRAY<DOUBLE>, code BINARY, list_id INT)
+           |USING parquet PARTITIONED BY (list_id)
+           |LOCATION '/tmp/graft_ann/$tag/index'""".stripMargin)
+      s.sql(s"ALTER TABLE $idxTable RECOVER PARTITIONS")
+    }
     if (!s.catalog.tableExists(idxTable)) {
       val emb = Tables.embeddings(s, d)
       val cb = graft.ext.Pq.train(emb, "embedding", m = 16, k = 16)

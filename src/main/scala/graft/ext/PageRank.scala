@@ -62,18 +62,27 @@ object PageRank {
     require(dangling == 0,
       "PageRank.run: graph has dangling vertices (no out-edges); " +
         "symmetrize the edge list or drop sink-only vertices first")
-    val verts = ed.select(col("src").as("id")).distinct()
+    val verts = ed.select(col("src").as("id")).distinct().localCheckpoint()
     val n = verts.count() // vertex count — scalar driver metadata
     var ranks = verts.withColumn("rank", lit(1.0 / n))
     var i = 0
     while (i < iterations) {
-      ranks = ed
+      // aggregate contributions, then LEFT-join back onto the full vertex
+      // set: a vertex with out-edges but no in-edges receives no
+      // contribution, yet must keep its teleport share (1−d)/n — grouping
+      // by dst alone would silently drop it (and leak its pushed mass
+      // from the next round on, breaking Σ ranks = 1).
+      val contrib = ed
         .join(ranks, col("src") === col("id"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("dst").as("id"))
-        .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c")))
-          .as("rank"))
-        .select(col("id"), col("rank"))
+        .agg(sum(col("c")).as("contrib"))
+      ranks = verts
+        .join(contrib, Seq("id"), "left")
+        .select(
+          col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
       i += 1
     }
     ranks

@@ -57,6 +57,27 @@ object GraftFunctions {
     regexp_count(text, lit("[A-Za-z]+|[0-9]+")) +
       regexp_count(text, lit("[^A-Za-z0-9\\s]"))
 
+  // ---------------------------------------------------------------- sketch
+
+  /** Distributed build + serialize of a bloom filter over a long key
+    * column — the build half of the
+    * [[NativeExpressions.BloomMightContain]] probe. One metadata-sized
+    * count job sizes the filter (capacity floor 1), then `stat.bloomFilter`
+    * runs the treeAggregate build; the returned bytes are KB-scale host
+    * metadata. Single definition so sizing/serialization can never drift
+    * between the operator and the specs that audit it.
+    */
+  def buildBloom(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      fpp: Double = 0.01): Array[Byte] = {
+    val n = math.max(df.count(), 1L)
+    val bf = df.stat.bloomFilter(keyCol, n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
   // --------------------------------------------------------------- hashing
 
   /** Seeded 64-bit stable hash (xxhash64). */

@@ -514,6 +514,13 @@ object NativeExpressions {
     */
   case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
       extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    // analysis-time type gate: a wrong-typed key would otherwise surface
+    // as a Janino compile failure + per-row ClassCastException at runtime
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires a BIGINT key, got ${child.dataType.catalogString}")
     override def dataType: DataType = BooleanType
     @transient private lazy val filter =
       org.apache.spark.util.sketch.BloomFilter
@@ -542,6 +549,11 @@ object NativeExpressions {
     */
   case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
       extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate requires a STRING key, got ${child.dataType.catalogString}")
     override def dataType: DataType = LongType
     @transient private lazy val sketch =
       org.apache.spark.util.sketch.CountMinSketch

@@ -35,4 +35,41 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("bucketed artifact survives a fresh catalog: attach, don't rebuild") {
+    // Simulates the driver's process model (Verify and Bench are separate
+    // JVMs with empty in-memory catalogs): after dropping the catalog
+    // entries the files must be ATTACHED, not rewritten — same rows, the
+    // merge join still exchange-free, and the parquet files untouched.
+    val q = SparkEntry.queries("q_bucketed_join")
+    val first = q(spark, sf0001)
+    val rows = first.count()
+    assert(rows > 0)
+    val dataDir = new java.io.File("/tmp/graft_bucketed")
+    val dirs = dataDir.listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    val files = dirs.flatMap(d => new java.io.File(d, "lineitem").listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    val mtimes = files.map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    // wipe ONLY the catalog entries (external tables — files survive)
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_li_bkt_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_o_bkt_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val second = q(spark, sf0001)
+    assert(second.count() == rows)
+    // the full catalog query ends in orderBy (one range exchange is
+    // inherent); the bucketing property is NO HASH exchange into the join
+    val plan = second.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"attached bucketed tables lost the exchange-free join:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"attached table not recognized as bucketed:\n$plan")
+    files.foreach { f =>
+      assert(f.lastModified() == mtimes(f.getAbsolutePath),
+        s"bucketed file rewritten on re-attach: $f")
+    }
+  }
 }

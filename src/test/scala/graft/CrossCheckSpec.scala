@@ -352,31 +352,27 @@ class CrossCheckSpec extends SparkTestBase {
     val urgent = Tables.orders(spark, sf0001)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
-    val n = math.max(urgent.count(), 1L)
-    val bf = urgent.stat.bloomFilter("o_orderkey", n, 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    // same builder the operator uses — sizing/serialization cannot drift
+    val bytes = graft.functions.GraftFunctions.buildBloom(urgent, "o_orderkey")
     val li = Tables.lineitem(spark, sf0001)
     val kept = li.filter(graft.functions.NativeExpressions
       .bloom_might_contain(col("l_orderkey"), bytes))
+    val exactSemi = li
+      .join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
     // no false negatives: the prefilter output is a superset of the exact
     // semi-join (bloom membership can only overcount)
-    val lost = li
-      .join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+    val lostN = exactSemi
       .join(kept.select(col("l_orderkey").as("k")),
         col("l_orderkey") === col("k"), "left_anti")
-    assert(lost.count() == 0, "bloom dropped a true match")
+      .count()
+    assert(lostN == 0, "bloom dropped a true match")
     // false-positive traffic is bounded: kept rows ≤ true matches + fpp
     // slack on the non-matching population (1% nominal; 5% guard)
-    val trueMatches = li
-      .join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
-      .count()
+    val keptN = kept.count()
+    val trueMatches = exactSemi.count()
     val total = li.count()
-    assert(kept.count() <= trueMatches + ((total - trueMatches) * 0.05).toLong,
-      s"bloom admits too much traffic: kept=${kept.count()} true=$trueMatches")
+    assert(keptN <= trueMatches + ((total - trueMatches) * 0.05).toLong,
+      s"bloom admits too much traffic: kept=$keptN true=$trueMatches")
   }
 
   test("incremental ANN assignment lands vectors in the full build's lists") {

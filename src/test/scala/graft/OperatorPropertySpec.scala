@@ -122,6 +122,14 @@ class OperatorPropertySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       PageRank.run(dangling, "src", "dst", iterations = 2)
     }
+    // a vertex with out-edges but NO in-edges (valid input: every vertex
+    // pushes) must keep its teleport share, not silently vanish
+    val sourceOnly = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val so = PageRank.run(sourceOnly, "src", "dst", iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(so.size == 3, s"source-only vertex dropped: $so")
+    assert(math.abs(so(3L) - 0.05) < 1e-12) // (1-0.85)/3 each round
+    assert(math.abs(so.values.sum - 1.0) < 1e-9)
   }
 
   test("funnel stage counts are monotonically non-increasing") {

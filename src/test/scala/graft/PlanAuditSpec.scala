@@ -41,6 +41,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(ivfpq.contains("graft_ann_idx_"))
   }
 
+  test("ANN index survives a fresh catalog: attach, don't retrain") {
+    // driver process model: Verify and Bench are separate JVMs with empty
+    // in-memory catalogs — the artifact must be attached, never rebuilt
+    val q = SparkEntry.queries("q_ivf_topk")
+    val first = q(spark, sf0001).collect().toSeq
+    val idxDirs = new java.io.File("/tmp/graft_ann").listFiles()
+      .filter(_.isDirectory).map(d => new java.io.File(d, "index"))
+      .filter(_.exists())
+    assert(idxDirs.nonEmpty)
+    def snapshot() = idxDirs.flatMap { d =>
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified())
+    }.toMap
+    val before = snapshot()
+    spark.catalog.listTables().collect()
+      .filter(t => t.name.startsWith("graft_ann_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val second = q(spark, sf0001).collect().toSeq
+    assert(second == first, "attached index returned different top-k")
+    assert(snapshot() == before, "index files rewritten on re-attach")
+  }
+
   test("z-ordered layout prunes a non-leading-dimension range scan") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -95,17 +95,24 @@ class RobustnessSpec extends SparkTestBase {
   test("sketch probes pass nulls through as null (codegen and interpreted)") {
     import graft.functions.NativeExpressions
     val keys = Seq(Some(1L), None, Some(42L)).toDF("k")
-    val bf = keys.filter($"k".isNotNull).stat.bloomFilter("k", 10, 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
-    }
-    // codegen'd path (DataFrame filter) and interpreted eval (collect of the
-    // raw column) must agree: null in → null out, present keys → true
+    val bytes = graft.functions.GraftFunctions
+      .buildBloom(keys.filter($"k".isNotNull), "k")
+    // codegen'd path (DataFrame projection): null in → null out, keys → true
     val probed = keys
       .select($"k", NativeExpressions.bloom_might_contain($"k", bytes).as("hit"))
       .collect().map(r => (r.get(0), r.get(1)))
     assert(probed.contains((1L, true)) && probed.contains((42L, true)))
     assert(probed.exists { case (k, h) => k == null && h == null })
+    // interpreted path — the route Spark silently falls back to when
+    // codegen compilation fails — exercised by direct eval
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.LongType
+    assert(NativeExpressions.BloomMightContain(Literal(42L), bytes)
+      .eval(InternalRow.empty) == true)
+    assert(NativeExpressions
+      .BloomMightContain(Literal.create(null, LongType), bytes)
+      .eval(InternalRow.empty) == null)
     val strs = Seq(Some("view"), None).toDF("s")
     val sk = strs.filter($"s".isNotNull)
       .agg(org.apache.spark.sql.functions.expr(
