@@ -57,14 +57,29 @@ object SparkEntry {
       "l_extendedprice")
 
   /** Directory tag for write-once artifacts (bucketed/partitioned/json
-    * tables) and temp-view names: a 64-bit md5 prefix of the path. A
-    * 32-bit `hashCode` tag can collide across directories, and the
+    * tables) and temp-view names: a 64-bit md5 prefix of the path PLUS the
+    * (name, length, mtime) of every parquet file directly in it. A 32-bit
+    * `hashCode` tag can collide across directories, and the
     * exists/tableExists guards would then silently serve one directory's
-    * artifacts as the other's.
+    * artifacts as the other's; hashing the source fingerprint additionally
+    * invalidates every staged artifact if the testdata is ever
+    * REGENERATED in place — a path-only tag would keep serving stale
+    * staged copies while the oracle reads the fresh files (one directory
+    * listing per tag computation; memoized below).
     */
+  private val dirTagMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirTag(d: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    dirTagMemo.computeIfAbsent(d, { dir =>
+      val fp = new StringBuilder(dir)
+      val files = new java.io.File(dir).listFiles()
+      if (files != null)
+        files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .foreach(f => fp.append('|').append(f.getName)
+            .append(':').append(f.length).append(':').append(f.lastModified))
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(fp.toString.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+    })
 
   /** Bounded LRU of qTake's cached indexed tables, keyed per (session,
     * directory). The cache itself is deliberate — index ONCE, gather many —
@@ -2689,8 +2704,11 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_sampled,
         |       CAST(SUM(event_id) AS BIGINT) AS sum_ids
         |FROM (SELECT event_type, event_id,
-        |             CAST(('0x' || substr(md5(event_type || ':' ||
-        |                                      CAST(event_id AS VARCHAR)), 1, 12))
+        |             CAST(('0x' || substr(md5(
+        |                 CAST(length(event_type) AS VARCHAR) || ':' ||
+        |                 event_type || '|' ||
+        |                 CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR) || ':' ||
+        |                 CAST(event_id AS VARCHAR)), 1, 12))
         |                  AS BIGINT) % 1000000 AS h
         |      FROM events)
         |WHERE h < 200000

@@ -283,11 +283,7 @@ object Dedup {
     val sh = tagged.select(col("id"), col("side"),
       wordShingles(col("text"), n).as("shingles"))
     val sizes = sh.select(col("side"), col("id"), size(col("shingles")).as("n_sh"))
-    val posting = tagged
-      .select(col("id"), col("side"),
-        explode(wordShingles(col("text"), n)).as("gram"))
-      .select(col("id"), col("side"), xxhash64(col("gram")).as("gram_h"))
-    val pruned = posting
+    val pruned = posting(tagged, "id", "text", n, carry = Seq("side"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram_h"))))
       .observe(
         "graft_cap_gram_across",
@@ -315,14 +311,20 @@ object Dedup {
       .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** The (id, gram_h) posting list both [[ngramJaccardPairs]] and
-    * [[ngramDfStats]] are built from — shared so the audit can never drift
-    * from what the pair query's ceiling actually drops. The 8-byte gram
-    * hash, not the string, is what crosses the shuffle.
+  /** The (id, gram_h) posting list [[ngramJaccardPairs]], [[ngramDfStats]]
+    * and [[ngramJaccardAcross]] are all built from — ONE definition so the
+    * audit and the incremental variant can never drift from what the pair
+    * query's ceiling actually drops. `carry` columns (e.g. the across
+    * variant's `side` tag) ride through unchanged. The 8-byte gram hash,
+    * not the string, is what crosses the shuffle.
     */
-  private def posting(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("gram"))
-      .select(col("id"), xxhash64(col("gram")).as("gram_h"))
+  private def posting(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("id") +: carry.map(col) :+
+        explode(wordShingles(col(textCol), n)).as("gram"): _*)
+      .select(col("id") +: carry.map(col) :+
+        xxhash64(col("gram")).as("gram_h"): _*)
 
   /** Audit query for the [[ngramJaccardPairs]] df ceiling: one row with the
     * gram/posting/pair mass a given `maxDf` drops. Run it alongside the pair
@@ -422,11 +424,32 @@ object Dedup {
     * [[graft.ext.Similarity.sampledRecallAudit]] and the CrossCheckSpec
     * floors), which replaces the cliff. Sizing needs the corpus count —
     * pass `corpusSize` when known (a standing pipeline knows it from the
-    * snapshot it indexes); otherwise ONE count() pass is spent, which
-    * column-prunes to a metadata-cheap scan for stored tables. The
+    * snapshot it indexes); otherwise ONE count() pass is spent and
+    * memoized per canonicalized input plan, so rebuilding the DataFrame
+    * (bench passes, plan audits) does not re-count. The
     * `graft_cap_bucket` observed metric still warns if a skewed corpus
     * outruns the headroom.
     */
+  /** Corpus-size memo for LSH auto-scaling, keyed by the canonicalized
+    * logical plan: repeated DataFrame CONSTRUCTION over the same input
+    * (bench warm-up + measured passes, plan audits, explain) pays the
+    * sizing count once, not once per build. Size-capped like the take
+    * index cache — a long-lived session over many corpora must not grow
+    * the map unboundedly.
+    */
+  private val corpusSizeMemo = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
+
+  private def memoizedCount(df: DataFrame): Long = {
+    val key = df.queryExecution.logical.canonicalized
+    Option(corpusSizeMemo.get(key)).map(_.toLong).getOrElse {
+      val n = df.count()
+      if (corpusSizeMemo.size >= 64) corpusSizeMemo.clear()
+      corpusSizeMemo.put(key, n)
+      n
+    }
+  }
+
   def embeddingPairs(
       df: DataFrame,
       idCol: String,
@@ -440,7 +463,7 @@ object Dedup {
     val effPlanes =
       if (!autoScalePlanes) planes
       else {
-        val n = corpusSize.getOrElse(df.count())
+        val n = corpusSize.getOrElse(memoizedCount(df))
         val defaultBits = math.max(1, planes / chunks)
         val needBits = math.ceil(
           math.log(math.max(1.0, 10.0 * n / maxBucket)) / math.log(2.0)).toInt

@@ -40,12 +40,17 @@ object Sampling {
       lit((fraction * buckets).toLong))
   }
 
-  /** [[stratifiedHashSample]] on the engine-portable md5 hash (stratum and
-    * key concatenated with a ':' separator so ("ab","c") and ("a","bc")
-    * hash differently): any SQL engine reproduces the per-stratum sample
-    * bit-for-bit — the property that lets a DuckDB oracle check the
-    * sampled set itself, and lets a training mix survive an engine
-    * migration.
+  /** [[stratifiedHashSample]] on the engine-portable md5 hash. The hash
+    * input is LENGTH-PREFIX framed — `len(s) ':' s '|' len(k) ':' k` — so
+    * no (stratum, key) pair can collide with another by sliding content
+    * across a separator (a bare "s:k" concat makes ("a:b","c") and
+    * ("a","b:c") identical). Null stratum or key null-propagates through
+    * `concat` and is EXCLUDED from the sample in every engine alike (the
+    * old `concat_ws` silently dropped the null field on the Spark side
+    * only, diverging from a `||`-based oracle). Any SQL engine reproduces
+    * the per-stratum sample bit-for-bit — the property that lets a DuckDB
+    * oracle check the sampled SET itself, and lets a training mix survive
+    * an engine migration.
     */
   def stratifiedPortableSample(
       df: DataFrame,
@@ -53,10 +58,13 @@ object Sampling {
       stratumCol: String,
       fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
+    val s = col(stratumCol).cast("string")
+    val k = col(keyCol).cast("string")
+    val framed = concat(
+      length(s).cast("string"), lit(":"), s, lit("|"),
+      length(k).cast("string"), lit(":"), k)
     val h = pmod(
-      conv(substring(md5(concat_ws(":",
-        col(stratumCol).cast("string"), col(keyCol).cast("string"))), 1, 12), 16, 10)
-        .cast("long"),
+      conv(substring(md5(framed), 1, 12), 16, 10).cast("long"),
       lit(SplitBuckets))
     df.filter(h < (fraction * SplitBuckets).toLong)
   }

@@ -420,6 +420,15 @@ object NativeExpressions {
         total += c
         d += 1
       }
+      // fail fast, not mid-allocation: the neighborhood is combinatorial in
+      // the string length (this expression's contract is identifier-like
+      // keys, not documents — a 10k-char text at k=2 would be ~50M variants
+      // / 400 MB PER ROW, and past Int.MaxValue the allocation size
+      // silently wraps). 1<<22 (~4M variants, 32 MB) is far above any sane
+      // blocking key and far below executor-killing.
+      require(total <= (1L << 22),
+        s"deletion_hashes: ${total} variants for a ${len}-char string at " +
+          s"k=$kk — blocking keys must be short (identifier-scale) strings")
       val out = new Array[Long](total.toInt)
       var n = 0
       val del = new Array[Int](math.max(kk, 1))

@@ -89,15 +89,19 @@ object Relational {
     * hash relation") once per-task builds outgrow execution memory. The
     * failure is per-TASK, so the lever is the partition count:
     *  - if the estimated build fits at the session's default shuffle
-    *    partitioning, the join is hinted SHUFFLE_HASH with NO explicit
-    *    repartition — AQE keeps its coalescing and local-reader
-    *    optimizations (this is the only regime where SHJ has measured
-    *    wins);
-    *  - if it needs more partitions (≤ `maxParts`), both sides are
-    *    explicitly repartitioned so `build bytes / partitions ×
-    *    hashExpansion` fits the per-task share of half the execution
-    *    memory — slower than SMJ at every size measured, but never
-    *    hard-fails;
+    *    partitioning AND a fully-AQE-coalesced partition would still fit
+    *    the per-task budget (advisory partition size × expansion ≤
+    *    budget — AQE coalesces by shuffle-data size with no knowledge of
+    *    hash-build memory, so an unguarded bare hint would let coalescing
+    *    merge partitions until builds hard-fail), the join is hinted
+    *    SHUFFLE_HASH with NO explicit repartition — AQE keeps its
+    *    coalescing and local-reader optimizations (the only regime where
+    *    SHJ has measured wins);
+    *  - otherwise, up to `maxParts`, both sides are explicitly
+    *    repartitioned (explicit counts are exempt from AQE coalescing) so
+    *    `build bytes / partitions × hashExpansion` fits the per-task share
+    *    of half the execution memory — slower than SMJ at every size
+    *    measured, but never hard-fails;
     *  - beyond `maxParts` (mis-/un-estimated or enormous build): sort-merge,
     *    which spills at any size.
     *
@@ -127,11 +131,20 @@ object Relational {
     // would turn e.g. 0.8 into 0 and silently disable the guard
     val expanded = BigDecimal(est) * hashExpansion
     val needed = (expanded.toBigInt + perTask - 1) / perTask
-    if (needed <= BigInt(defaultParts))
+    // AQE coalesces partitions toward the advisory size knowing nothing of
+    // hash-build memory; the bare hint is safe only if a coalesced-to-
+    // advisory partition's build still fits the per-task budget
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      left.sparkSession.conf
+        .get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val coalesceSafe = BigDecimal(advisory) * hashExpansion <= BigDecimal(perTask)
+    if (needed <= BigInt(defaultParts) && coalesceSafe)
       // fits at the session default: plain hint, AQE keeps all its levers
       left.join(right.hint("SHUFFLE_HASH"), left(leftKey) === right(rightKey), joinType)
     else if (needed <= BigInt(maxParts)) {
-      val parts = needed.toInt
+      // explicit count (exempt from AQE coalescing); floor at the session
+      // default so a small `needed` never throttles parallelism
+      val parts = (needed max BigInt(defaultParts)).toInt
       val l = left.repartition(parts, left(leftKey))
       val r = right.repartition(parts, right(rightKey))
       l.join(r.hint("SHUFFLE_HASH"), l(leftKey) === r(rightKey), joinType)

@@ -27,13 +27,18 @@ object Layout {
   /** `df` plus a `__z` column: the Morton interleave of each clustering
     * column rank-scaled into `bits` bits by its own [min, max] (computed
     * here — one metadata-sized aggregate). Constant columns scale to 0.
+    * `bits` is clamped so the interleave fits a long for any supported
+    * column count (2–4): the default 16 bits would otherwise overflow at
+    * 4 columns (16·4 = 64 > 63) and fail at plan construction; clustering
+    * resolution degrades gracefully instead (15 bits/dim at 4 columns).
     */
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+    val effBits = math.min(bits, 63 / math.max(1, cols.size))
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"min_$c"),
       max(col(c).cast("double")).as(s"max_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    val maxV = (1L << bits) - 1
+    val maxV = (1L << effBits) - 1
     val scaled = cols.map { c =>
       val lo = stats.getAs[Double](s"min_$c")
       val hi = stats.getAs[Double](s"max_$c")
@@ -41,7 +46,7 @@ object Layout {
       else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxV.toDouble))
         .cast("long")
     }
-    df.withColumn("__z", NativeExpressions.interleave_bits(scaled, bits))
+    df.withColumn("__z", NativeExpressions.interleave_bits(scaled, effBits))
   }
 
   /** Write `df` parquet at `path`, clustered on `cols` via the z-value:

@@ -135,9 +135,11 @@ class PropertyCheckSpec extends SparkTestBase {
       if (dist <= 2)
         assert(ha.toSet.intersect(hb.toSet).nonEmpty,
           s"no shared variant for ('$base','$m') at dist=$dist")
-      // identical strings always share the zero-deletion variant
-      assert(ha.toSet.intersect(ha.toSet).nonEmpty && ha == ha.sorted,
-        "variant array must be sorted (dedup contract)")
+      // the zero-deletion variant always exists, and the output honors the
+      // sorted + deduplicated contract (the old self-intersection here was
+      // vacuous — any non-empty set intersects itself)
+      assert(ha.nonEmpty && ha == ha.sorted && ha.distinct == ha,
+        "variant array must be non-empty, sorted, deduplicated")
     }
   }
 
