@@ -1220,6 +1220,37 @@ object SparkEntry {
     IvfIndex.searchIndexedPq(assigned, IvfIndex.probeListIds(cents, qv, 4), qv, 20, cb)
   }
 
+  /** Importance-weighted sampling (training-mix primitive): keep each
+    * document with probability `min(1, n_chars/1000)` — longer documents
+    * preferred — decided by the engine-portable per-key hash, so the
+    * sampled SET itself is DuckDB-checked, not just its size. One scan,
+    * no shuffle before the final summary aggregate.
+    */
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedPortableSample(
+      Tables.documents(s, d)
+        .withColumn("w", least(lit(1.0), col("n_chars") / lit(1000.0))),
+      "doc_id", "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), round(sum(col("w")), 4).as("sum_w"))
+      .orderBy("lang")
+
+  /** Sample-to-target-mix (the data-mixing step of a training pipeline):
+    * resample the corpus so sources sit in a prescribed ratio — here
+    * "curated" sources src10–19 weighted 3× over src0–9 — keeping the
+    * scarcest source whole ([[graft.ext.Sampling.sampleToMix]]). Source
+    * counts ride as an in-plan broadcastable table; membership is the
+    * portable hash, so the exact sampled multiset is oracle-checked.
+    */
+  private def qSampleMix(s: SparkSession, d: String): DataFrame = {
+    val target = (0 until 20)
+      .map(i => s"src$i" -> (if (i < 10) 1.0 else 3.0)).toMap
+    Sampling.sampleToMix(Tables.documents(s, d), "doc_id", "source", target)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("source")
+  }
+
   /** Incremental ANN ingest: a hash-designated new batch (vec_id ≡ 9 mod
     * 10) assigned to the PERSISTED coarse quantizer — no retraining, pure
     * scan against the collected centroid metadata — summarized as per-list
@@ -1861,6 +1892,8 @@ object SparkEntry {
     "q_sample" -> (qSample _),
     "q_split_counts" -> (qSplitCounts _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_sample_mix" -> (qSampleMix _),
     "q_sql_text" -> (qSqlText _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -2713,6 +2746,34 @@ object SparkEntry {
         |      FROM events)
         |WHERE h < 200000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH x AS (
+        |  SELECT lang,
+        |         LEAST(CAST(1.0 AS DOUBLE),
+        |               CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE)) AS w,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 1000000 AS h
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |       ROUND(SUM(w), 4) AS sum_w
+        |FROM x WHERE CAST(h AS DOUBLE) < w * 1000000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(3.0 AS DOUBLE) END AS t,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 1000000 AS h
+        |  FROM documents),
+        |n AS (SELECT source, COUNT(*) AS n_src FROM d GROUP BY source),
+        |r AS (SELECT d.source, d.h, d.t, n.n_src,
+        |             MIN(CAST(n.n_src AS DOUBLE) / d.t) OVER () AS tt
+        |      FROM d JOIN n USING (source))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        |FROM r
+        |WHERE CAST(h AS DOUBLE) < t * tt / CAST(n_src AS DOUBLE) * 1000000
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_split_counts" ->
       """SELECT CASE WHEN h < 100000 THEN 'val'
         |            WHEN h < 200000 THEN 'test'

@@ -63,10 +63,7 @@ object Sampling {
     val framed = concat(
       length(s).cast("string"), lit(":"), s, lit("|"),
       length(k).cast("string"), lit(":"), k)
-    val h = pmod(
-      conv(substring(md5(framed), 1, 12), 16, 10).cast("long"),
-      lit(SplitBuckets))
-    df.filter(h < (fraction * SplitBuckets).toLong)
+    df.filter(portableBucket(md5(framed)) < (fraction * SplitBuckets).toLong)
   }
 
   /** Disjoint train/validation/test assignment by key hash; returns the
@@ -90,14 +87,80 @@ object Sampling {
       df: DataFrame,
       keyCol: String,
       valFraction: Double,
-      testFraction: Double): DataFrame = {
-    val h = pmod(
-      conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10).cast("long"),
-      lit(SplitBuckets))
-    splitFromBucket(df, h, valFraction, testFraction)
+      testFraction: Double): DataFrame =
+    splitFromBucket(df, portableBucket(md5(col(keyCol).cast("string"))),
+      valFraction, testFraction)
+
+  /** Per-row acceptance by WEIGHT: keep a row with probability
+    * `clamp(weight, 0, 1)`, decided by the portable per-key hash — the
+    * importance-sampling primitive of a training mix (upweight curated /
+    * high-quality sources, downweight boilerplate) that stays
+    * deterministic, repartition-stable, and bit-reproducible in any SQL
+    * engine. A null weight null-propagates through the comparison and the
+    * row is dropped (consistent across engines).
+    */
+  def weightedPortableSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(
+      portableBucket(md5(col(keyCol).cast("string"))).cast("double") <
+        w * SplitBuckets)
+  }
+
+  /** Sample a corpus DOWN to a target source mix — the data-mixing step of
+    * a training pipeline ("2 parts curated : 1 part web", uniform across
+    * languages, …). Feasibility: the achievable total is
+    * `T = min_i(n_i / target_i)` (the scarcest source binds); each source
+    * then keeps `target_i · T / n_i` of its rows via the portable hash, so
+    * expected sampled counts sit in exactly the target ratio and the
+    * scarcest source is kept whole. Source counts ride as a
+    * group-cardinality-sized table joined back in-plan (AQE broadcasts
+    * it); targets are a literal map — no driver-side collect of data rows.
+    * Sources absent from `target` are dropped (target weight 0).
+    */
+  def sampleToMix(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ > 0),
+      "target mix must be non-empty with positive weights")
+    val tgt = typedlit(target)
+    val withT = df
+      .withColumn("__tw", element_at(tgt, col(sourceCol).cast("string")))
+      .filter(col("__tw").isNotNull)
+    // feasible total: min over sources of n_i / t_i, computed with one
+    // window over the (tiny) per-source count table. NB: column names here
+    // must differ by more than letter case — Spark resolves names
+    // case-insensitively by default, so a `__t`/`__T` pair silently
+    // collapses into one column.
+    val rates = withT.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__tw", element_at(tgt, col("__src").cast("string")))
+      .withColumn("__feas",
+        min(col("__n") / col("__tw")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__accept", col("__tw") * col("__feas") / col("__n"))
+      .select(col("__src"), col("__accept"))
+    withT.drop("__tw")
+      .join(rates, col(sourceCol) === col("__src"))
+      .filter(
+        portableBucket(md5(col(keyCol).cast("string"))).cast("double") <
+          col("__accept") * SplitBuckets)
+      .drop("__src", "__accept")
   }
 
   private val SplitBuckets = 1000000L
+
+  /** The shared portable bucket: first 12 hex chars of an md5 digest as an
+    * integer mod 1e6 — one definition for every portable sampler so the
+    * hash-to-bucket mapping can never drift between operators (or their
+    * oracles).
+    */
+  private def portableBucket(digest: Column): Column =
+    pmod(conv(substring(digest, 1, 12), 16, 10).cast("long"), lit(SplitBuckets))
 
   private def splitFromBucket(
       df: DataFrame,

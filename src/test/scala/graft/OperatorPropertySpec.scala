@@ -96,6 +96,29 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(far.count() == 0)
   }
 
+  test("sample-to-mix hits the target ratio and keeps the scarcest source whole") {
+    import graft.ext.Sampling
+    // skewed corpus: A 300 rows, B 100 rows; target 1:1 → the feasible
+    // total binds on B, so B is kept whole and A downsamples to ~100
+    val df = spark.range(300).select(col("id"), lit("A").as("src"))
+      .union(spark.range(1000, 1100).select(col("id"), lit("B").as("src")))
+    val counts = Sampling.sampleToMix(df, "id", "src",
+        Map("A" -> 1.0, "B" -> 1.0))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("B") == 100, s"scarcest source not kept whole: $counts")
+    assert(math.abs(counts("A") - 100.0) < 35.0,
+      s"A not near the 1:1 target: $counts") // md5-hash binomial variance
+    // weight-0 / absent sources are dropped entirely
+    val only = Sampling.sampleToMix(df, "id", "src", Map("A" -> 1.0))
+    assert(only.filter(col("src") === "B").count() == 0)
+    // weighted sampling: w=0 drops everything, w=1 keeps everything
+    val w01 = df.withColumn("w",
+      when(col("src") === "A", lit(0.0)).otherwise(lit(1.0)))
+    val kept = Sampling.weightedPortableSample(w01, "id", "w")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("A") && kept("B") == 100)
+  }
+
   test("pagerank: mass conservation, symmetry, centrality, dangling rejection") {
     import graft.ext.PageRank
     // ring of 10 (symmetric): perfect symmetry → every rank exactly 1/10
