@@ -1689,6 +1689,31 @@ object SparkEntry {
         substring(col("chunk_text"), 1, 40).as("chunk_head"))
       .orderBy("id", "chunk_idx")
 
+  /** Boilerplate detection: per-document fraction of word-8-gram spans
+    * that also occur in ANOTHER document — the repeated-header/footer
+    * signal a curation pipeline thresholds to strip templated content.
+    * Same counting-only inverted-index shape as the Jaccard family: spans
+    * are distinct within a doc ([[GraftFunctions.wordShingles]]), so the
+    * span's group count IS its document frequency; only the 8-byte span
+    * hash crosses the shuffle, never the text. The oracle reproduces the
+    * shingling with raw strings — hash collisions would show up as a
+    * value mismatch, so the gate also audits the hashing assumption.
+    */
+  private def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g_h"))
+    val docFreq = spans.groupBy("g_h").agg(count(lit(1)).as("df"))
+    spans.join(docFreq, "g_h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_spans").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic per-source sequence packing into 512-token bins. */
   private def qPackSequences(s: SparkSession, d: String): DataFrame =
     TextAnalysis.packSequences(Tables.documents(s, d), "source", "doc_id", "text",
@@ -1915,6 +1940,7 @@ object SparkEntry {
     "q_having_in" -> (qHavingIn _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_chunk_docs" -> (qChunkDocs _),
+    "q_boilerplate" -> (qBoilerplate _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_redact" -> (qRedact _),
     "q_unpivot" -> (qUnpivot _),
@@ -2621,6 +2647,26 @@ object SparkEntry {
         |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
         |       substr(array_to_string(chunk, ' '), 1, 40) AS chunk_head
         |FROM c ORDER BY id, chunk_idx""".stripMargin,
+    "q_boilerplate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |                ELSE list_distinct([array_to_string(t[i:i+7], ' ')
+        |                                    for i in generate_series(1, len(t) - 7)])
+        |                END) AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+        |SELECT sh.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared,
+        |       ROUND(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac
+        |FROM sh JOIN df USING (g)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT source AS grp, doc_id AS id,
