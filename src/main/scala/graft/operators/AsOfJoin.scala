@@ -28,28 +28,43 @@ object AsOfJoin {
       rightTs: String,
       valueCols: Seq[String]): DataFrame = {
     val leftOther = left.columns.filterNot(keys.contains).toSeq
-    // Common layout: keys ++ __ts ++ __src ++ left payload ++ right values
+    // fail fast on ambiguity the output could not represent anyway
+    val collisions = valueCols.toSet.intersect(leftOther.toSet ++ keys)
+    require(collisions.isEmpty,
+      s"asOfJoinLatest: value column(s) ${collisions.mkString(", ")} collide " +
+        "with left-side columns; rename one side before joining")
+    val internal = Set("__ts", "__src", "__vals")
+    require(!(left.columns ++ right.columns).exists(internal.contains),
+      "asOfJoinLatest: inputs must not carry reserved columns __ts/__src/__vals")
+    // The right row's value columns travel as ONE nullable struct: the
+    // running `last(ignoreNulls)` then picks the latest right ROW
+    // atomically — a right-side value that is GENUINELY null stays null
+    // (per-column ignoreNulls would back-fill it from an older row, and
+    // with several value columns could even stitch together a row state
+    // that never existed).
+    val valStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     val lSide = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__src")) ++
-        leftOther.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftOther.map(col) :+
+        lit(null).cast(valStructType).as("__vals"): _*)
     val rSide = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__src")) ++
-        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__vals"): _*)
     // Right rows sort BEFORE left rows at equal timestamps, so an exact-ts
     // match is visible to the left row (ASOF's inclusive `<=`).
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = valueCols.foldLeft(lSide.unionAll(rSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled
+    lSide.unionAll(rSide)
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-      .drop("__ts", "__src")
+      .select(
+        keys.map(col) ++ leftOther.map(col) ++
+          valueCols.map(c => col("__vals").getField(c).as(c)): _*)
   }
 }

@@ -24,6 +24,10 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       bucketWidth: Double): DataFrame = {
+    // same fail-fast as SkewJoin's __salt: never overwrite user data with
+    // the internal bucket column
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "pointInIntervalJoin: inputs must not carry a reserved __bucket column")
     val lB = left.withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
     val rB = right.withColumn(
       "__bucket",

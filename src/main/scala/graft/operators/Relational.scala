@@ -119,6 +119,16 @@ object Relational {
       executionMemBytes: Long = (Runtime.getRuntime.maxMemory * 0.3).toLong,
       hashExpansion: Double = 4.0,
       maxParts: Int = 16384): DataFrame = {
+    // the guard sizes and hints the RIGHT side as the hash-relation build;
+    // join types where Spark cannot build right (right/full outer) would
+    // silently drop the hint yet still pay the explicit repartitions —
+    // all guard, no SHJ. Reject them up front.
+    val buildRightTypes =
+      Set("inner", "cross", "left", "leftouter", "left_outer",
+        "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(buildRightTypes(joinType.toLowerCase.replace(" ", "")),
+      s"boundedHashJoin: join type '$joinType' cannot build its hash " +
+        "relation on the right side; use a plain sort-merge join")
     val sc = left.sparkSession.sparkContext
     val cores = math.max(1, sc.defaultParallelism)
     val defaultParts =

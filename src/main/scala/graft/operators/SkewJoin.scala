@@ -21,6 +21,10 @@ object SkewJoin {
       leftKey: String,
       rightKey: String,
       saltFactor: Int = 16): DataFrame = {
+    // the internal salt column would silently overwrite (then drop) a
+    // same-named user column — fail fast instead of destroying data
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedInnerJoin: inputs must not carry a reserved __salt column")
     val salted = left.withColumn(
       "__salt", (rand(seed = 42) * saltFactor).cast("int"))
     val replicated = right.withColumn(

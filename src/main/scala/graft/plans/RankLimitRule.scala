@@ -59,7 +59,10 @@ object RankLimitRule extends Rule[LogicalPlan] {
   private def heapOrder(os: Seq[SortOrder]): Option[(Expression, Boolean)] = {
     val dirs = os.map(_.direction).distinct
     val defaultNulls = os.forall(s => s.nullOrdering == s.direction.defaultNullOrdering)
-    if (os.isEmpty || dirs.length != 1 || !defaultNulls) None
+    // order expressions must be deterministic like the partition keys —
+    // the rewrite re-evaluates them in the heap and in the residual window
+    val allDeterministic = os.forall(_.child.deterministic)
+    if (os.isEmpty || dirs.length != 1 || !defaultNulls || !allDeterministic) None
     else {
       val ord =
         if (os.length == 1) os.head.child

@@ -80,13 +80,33 @@ case class TopKPerKeyExec(
     val mOut = longMetric("numOutputRows")
     val mGroups = longMetric("numGroups")
     val mEvict = longMetric("numEvictions")
-    child.execute().mapPartitions({ iter =>
+    child.execute().mapPartitionsWithIndex({ (pidx, iter) =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordEval = ordExpr // bound below via projection-free eval
       val boundOrd = org.apache.spark.sql.catalyst.expressions.BindReferences
         .bindReference(ordEval, childOutput)
-      val valueOrdering = PhysicalDataType.ordering(ordExpr.dataType)
+      // nondeterministic order expressions (rand() etc.) must be seeded
+      // per partition before eval — WindowExec does the same
+      boundOrd.foreach {
+        case n: org.apache.spark.sql.catalyst.expressions.Nondeterministic =>
+          n.initialize(pidx)
+        case _ =>
+      }
+      // PhysicalDataType.ordering is a primitive ordering for atomic types
+      // and would NPE unboxing a null order value; wrap it so null compares
+      // SMALLEST — exactly the default SQL null ordering the RankLimitRule
+      // guard admits (ASC/NULLS FIRST ranks nulls first = kept by the
+      // smallest-k heap; DESC/NULLS LAST ranks them last = never preferred
+      // by the largest-k heap).
+      val base = PhysicalDataType.ordering(ordExpr.dataType)
         .asInstanceOf[Ordering[Any]]
+      val valueOrdering: Ordering[Any] = new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else base.compare(a, b)
+      }
       // keep the k LARGEST under `ord` (or smallest if !largest): the heap
       // root is the current worst element, evicted on overflow
       val heapOrd: Ordering[(Any, UnsafeRow)] =
@@ -148,8 +168,12 @@ object TopKPerKey {
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     }
     val analyzed = df.queryExecution.analyzed
+    // session resolver, not string equality: column names resolve
+    // case-insensitively under the default spark.sql.caseSensitive=false,
+    // same as every built-in API
+    val resolver = spark.sessionState.conf.resolver
     val keyExprs: Seq[Expression] =
-      keyCols.map(n => analyzed.output.find(_.name == n).getOrElse(
+      keyCols.map(n => analyzed.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${analyzed.output}")))
     // Resolve the ordering Column against this exact child (a Column from
     // the public API wraps unresolved ColumnNodes, which the analyzer only

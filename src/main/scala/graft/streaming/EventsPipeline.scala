@@ -100,8 +100,20 @@ object EventsPipeline {
   }
 
   /** The same windowed aggregate as a streaming query reading parquet from
-    * `inputDir` with a watermark; results land in the in-memory table
-    * `queryName` (tests drive it with `processAllAvailable()`).
+    * `inputDir`; results land in the in-memory table `queryName` (tests
+    * drive it with `processAllAvailable()`).
+    *
+    * HONESTY NOTE on the output mode: this query runs in Complete mode
+    * because its contract is finite-input oracle parity — every window,
+    * including the last ones that no later event would ever seal, must be
+    * in the final table to equal the batch aggregate. In Complete mode the
+    * watermark does NOT evict aggregation state (all windows are retained
+    * to be re-emitted each trigger), so this shape is for bounded replays
+    * and tests. A production unbounded feed wants Append mode, where the
+    * same watermark seals and emits windows incrementally and state stays
+    * bounded by the watermark horizon — the discipline the OTHER queries
+    * here ([[streamingDedup]], [[streamingPurchaseErrorJoin]]) actually
+    * exercise.
     */
   def streamingWindowedAgg(
       spark: SparkSession,

@@ -57,4 +57,26 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.count() == 1)
     assert(out.select($"v").as[Option[Double]].head().isEmpty)
   }
+
+  test("a genuinely-null right value is NOT back-filled from an older row") {
+    // right rows for k=1: (t=1, v=10, w=1), (t=2, v=null, w=2); the left
+    // row at t=3 must see the LATEST right row atomically — v=null, w=2 —
+    // never v=10 stitched beside w=2 (a row state that never existed)
+    val left = Seq((1L, ts("2024-01-01 00:03:00"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:01:00"), Some(10.0), 1L),
+      (1L, ts("2024-01-01 00:02:00"), None, 2L)).toDF("k", "rt", "v", "w")
+    val out = AsOfJoin
+      .asOfJoinLatest(left, right, Seq("k"), "t", "rt", Seq("v", "w"))
+      .select($"v", $"w").as[(Option[Double], Long)].head()
+    assert(out == ((None, 2L)), s"stitched/back-filled row: $out")
+  }
+
+  test("value-column name collisions fail fast instead of erroring mid-plan") {
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 2.0)).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoinLatest(left, right, Seq("k"), "t", "rt", Seq("v"))
+    }
+  }
 }

@@ -54,4 +54,49 @@ class TopKPerKeySpec extends SparkTestBase {
       s"expected Final above Exchange above Partial:\n$plan")
     assert(!plan.contains("Sort"), s"unexpected sort:\n$plan")
   }
+
+  test("null order values follow default SQL null ordering, no NPE") {
+    val df = Seq(
+      (1L, Some(5.0)), (1L, None), (1L, Some(3.0)), (1L, Some(9.0)),
+      (2L, None), (2L, None), (2L, Some(1.0))).toDF("k", "v")
+    // largest-k with DESC/NULLS LAST semantics: nulls never preferred
+    val top = TopKPerKey.topKPerKey(df, Seq("k"), $"v", k = 2)
+      .as[(Long, Option[Double])].collect().groupBy(_._1)
+    assert(top(1L).map(_._2).toSet == Set(Some(9.0), Some(5.0)))
+    // group 2 has one non-null: the second slot falls to a null
+    assert(top(2L).map(_._2).toSet == Set(Some(1.0), None))
+    // smallest-k (ASC/NULLS FIRST): nulls rank first and are kept
+    val bottom = TopKPerKey.topKPerKey(df, Seq("k"), $"v", k = 2, largest = false)
+      .as[(Long, Option[Double])].collect().groupBy(_._1)
+    assert(bottom(1L).map(_._2).toSet == Set(None, Some(3.0)))
+    assert(bottom(2L).map(_._2).count(_.isEmpty) == 2)
+    // the window formulation agrees (same defaults)
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).drop("rn")
+      .as[(Long, Option[Double])].collect().groupBy(_._1)
+    assert(viaWindow(1L).map(_._2).toSet == top(1L).map(_._2).toSet)
+    assert(viaWindow(2L).map(_._2).toSet == top(2L).map(_._2).toSet)
+  }
+
+  test("nondeterministic order: exec initializes, rule declines the rewrite") {
+    // direct API: rand() order must execute (per-partition initialize),
+    // returning exactly k rows per key
+    val df = spark.range(100).select((col("id") % 5).as("k"), col("id"))
+    val out = TopKPerKey.topKPerKey(df, Seq("k"), rand(7), k = 3)
+    assert(out.count() == 15)
+    // the optimizer rule must NOT rewrite a rand() window (row_number over
+    // a nondeterministic order re-evaluates it; leave stock semantics)
+    val w = Window.partitionBy($"k").orderBy(rand(7))
+    val plan = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("TopKPerKeyNode"), plan)
+  }
+
+  test("key columns resolve case-insensitively like every built-in API") {
+    val df = Seq((1L, 2.0), (1L, 3.0), (2L, 4.0)).toDF("kk", "v")
+    val out = TopKPerKey.topKPerKey(df, Seq("KK"), $"v", k = 1)
+      .as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 3.0), (2L, 4.0)))
+  }
 }
