@@ -2315,7 +2315,7 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "q_dedup_normalized" ->
-      """SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      """SELECT trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '', 'g'),
         |                           ' +', ' ', 'g')) AS norm_text,
         |       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -2797,7 +2797,7 @@ object SparkEntry {
         |  SELECT lang,
         |         LEAST(CAST(1.0 AS DOUBLE),
         |               CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE)) AS w,
-        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |         CAST(('0x' || substr(md5('w|' || CAST(doc_id AS VARCHAR)), 1, 12))
         |              AS BIGINT) % 1000000 AS h
         |  FROM documents)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
@@ -2809,7 +2809,7 @@ object SparkEntry {
         |  SELECT doc_id, source,
         |         CASE WHEN CAST(substr(source, 4) AS INT) < 10
         |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(3.0 AS DOUBLE) END AS t,
-        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |         CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 12))
         |              AS BIGINT) % 1000000 AS h
         |  FROM documents),
         |n AS (SELECT source, COUNT(*) AS n_src FROM d GROUP BY source),

@@ -40,10 +40,18 @@ object Dedup {
   /** Exact dedup on a normalized form (lowercase, punctuation stripped,
     * whitespace collapsed) — catches trivially-mutated copies with an
     * exact, SQL-checkable rule.
+    *
+    * The strip class is UNICODE-aware (`[^\p{L}\p{N} ]`, letters and
+    * digits of any script): the old ASCII-only `[^a-z0-9 ]` class mapped
+    * every non-Latin document to the empty string — a multilingual corpus
+    * would collapse into one giant false duplicate group and a
+    * keep-the-survivor pipeline would delete essentially all non-Latin
+    * data. `\p{L}`/`\p{N}` mean the same thing in Java regex and RE2, so
+    * the rule stays engine-portable (DuckDB oracle included).
     */
   def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+      regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{N} ]", ""), " +", " "))
     df.groupBy(norm.as("norm_text"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
@@ -76,6 +84,15 @@ object Dedup {
     * when the ceiling silently swallows a large fraction of the corpus —
     * the failure mode of an under-sized key space at scale.
     */
+  /** Per-invocation disambiguator for `observe` metric names: two capped
+    * pair queries UNIONED into one plan (e.g. a combined simhash + edit
+    * pair list feeding duplicate clustering) would otherwise carry two
+    * CollectMetrics nodes with the same name and fail analysis with
+    * DUPLICATED_METRICS_NAME. The session listener matches on the
+    * `graft_cap_` prefix, so the suffix costs nothing.
+    */
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
     val sized = bucketed
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col(keyCol))))
@@ -84,7 +101,7 @@ object Dedup {
       // them would mute the warning exactly when the ceiling swallowed
       // all of the actual candidates
       .observe(
-        s"graft_cap_$keyCol",
+        s"graft_cap_${keyCol}_${capSeq.incrementAndGet()}",
         coalesce(sum(when(col("__bsz") >= 2, lit(1L))), lit(0L)).as("n_rows"),
         coalesce(sum(when(col("__bsz") > maxBucket, lit(1L))), lit(0L))
           .as("n_dropped_rows"))
@@ -233,7 +250,7 @@ object Dedup {
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram_h"))))
       // denominator = shared grams only, same rationale as [[capBuckets]]
       .observe(
-        "graft_cap_gram_h",
+        s"graft_cap_gram_h_${capSeq.incrementAndGet()}",
         coalesce(sum(when(col("__df") > 1, lit(1L))), lit(0L)).as("n_rows"),
         coalesce(sum(when(col("__df") > maxDf, lit(1L))), lit(0L))
           .as("n_dropped_rows"))
@@ -286,7 +303,7 @@ object Dedup {
     val pruned = posting(tagged, "id", "text", n, carry = Seq("side"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram_h"))))
       .observe(
-        "graft_cap_gram_across",
+        s"graft_cap_gram_across_${capSeq.incrementAndGet()}",
         coalesce(sum(when(col("__df") > 1, lit(1L))), lit(0L)).as("n_rows"),
         coalesce(sum(when(col("__df") > maxDf, lit(1L))), lit(0L))
           .as("n_dropped_rows"))
@@ -373,7 +390,16 @@ object Dedup {
     import graft.functions.NativeExpressions
     val grpKey =
       if (groupCols.isEmpty) lit(0L) else xxhash64(groupCols.map(col): _*)
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"), grpKey.as("g"))
+    // the verify carries the ACTUAL group columns, not their 64-bit hash:
+    // comparing hashes would let a hash collision leak a cross-group pair,
+    // which the contract forbids (the hash is only the bucket
+    // discriminator, where a collision merely adds candidates)
+    val grpStruct =
+      if (groupCols.isEmpty) struct(lit(0L).as("g0"))
+      else struct(groupCols.map(col): _*)
+    val base = df.select(
+      col(idCol).as("id"), col(strCol).as("s"),
+      grpKey.as("g"), grpStruct.as("grp"))
     // only the 8-byte (id, bucket) pair crosses the candidate shuffle
     val keyed = base
       .select(col("id"), col("g"),
@@ -397,8 +423,10 @@ object Dedup {
     // extra hash-agg exchange of the larger candidate set — verifying the
     // duplicates and deduplicating the (much smaller) surviving pair set is
     // strictly less shuffle for the same answer.
-    attach(cand, base.select(col("id"), struct(col("s"), col("g")).as("sg")), "sg")
-      .filter(col("sg_a.g") === col("sg_b.g"))
+    attach(cand, base.select(col("id"), struct(col("s"), col("grp")).as("sg")), "sg")
+      // null-safe struct equality: null group values group together, the
+      // same partition the bucket hash put them in
+      .filter(col("sg_a.grp") <=> col("sg_b.grp"))
       .select(col("id_a"), col("id_b"),
         NativeExpressions
           .bounded_levenshtein(col("sg_a.s"), col("sg_b.s"), maxDist)

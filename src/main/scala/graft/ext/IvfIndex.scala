@@ -43,7 +43,11 @@ object IvfIndex {
       .map { case (c, i) => (i + 1, c) }
       .toDF("list_id", "centroid")
     val centLit = typedlit(sampled.toSeq)
-    val normLit = typedlit(sampled.toSeq.map(c => math.sqrt(c.map(x => x * x).sum)))
+    // norm floor mirrors assignTo's: a zero vector among the sampled
+    // centroids would otherwise make every row's score 0/0 = NaN, and
+    // NaN-is-largest ordering would assign the ENTIRE corpus to that list
+    val normLit = typedlit(sampled.toSeq.map(c =>
+      math.max(1e-300, math.sqrt(c.map(x => x * x).sum))))
     // argmax over dot(v, c_i)/||c_i|| — ||v|| is a per-row constant and
     // cannot change the argmax, so it is not computed at all.
     val best = array_max(transform(

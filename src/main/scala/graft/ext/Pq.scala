@@ -76,15 +76,26 @@ object Pq {
       iters: Int = 10): Codebook = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sample = df.select(toDoubleArray(col(vecCol))).limit(sampleN)
-      .as[Seq[Double]].collect()
+    // deterministic sample: a bare limit() takes rows from whichever
+    // partitions answer first (varies with layout/AQE), which would make
+    // the codebook — and every downstream code — run-dependent. Hash-order
+    // by vector content like IvfIndex.build hash-orders by id; duplicate
+    // vectors tie, but identical content makes the choice immaterial.
+    val sample = df.select(toDoubleArray(col(vecCol)).as("__v"))
+      .orderBy(xxhash64(col("__v")), col("__v"))
+      .limit(sampleN)
+      .select("__v").as[Seq[Double]].collect()
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val centroids = Array.tabulate(m) { s =>
       val subs = sample.map(v => v.slice(s * dsub, (s + 1) * dsub).toArray)
-      var cents = subs.distinct.take(k)
+      // content distinct (Array equality is by reference — a bare
+      // subs.distinct is a no-op): duplicate seed centroids would freeze
+      // (ties go to the lower index, the twin never receives points) and
+      // silently shrink the effective codebook
+      var cents = subs.map(_.toSeq).distinct.map(_.toArray).take(k)
       // pad degenerate samples by repeating (k-means still converges)
       while (cents.length < k) cents = cents ++ cents.take(k - cents.length)
       var it = 0

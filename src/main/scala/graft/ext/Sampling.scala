@@ -104,9 +104,14 @@ object Sampling {
       keyCol: String,
       weightCol: String): DataFrame = {
     val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    // per-operator salt: an UNsalted md5(key) would make this sampler's
+    // low-bucket selection identical to every other key-hash sampler's, so
+    // composing two (weighted sample → split assignment) would correlate
+    // perfectly — e.g. all survivors of a low acceptance rate landing in
+    // the val/test buckets and none in train
     df.filter(
-      portableBucket(md5(col(keyCol).cast("string"))).cast("double") <
-        w * SplitBuckets)
+      portableBucket(md5(concat(lit("w|"), col(keyCol).cast("string"))))
+        .cast("double") < w * SplitBuckets)
   }
 
   /** Sample a corpus DOWN to a target source mix — the data-mixing step of
@@ -146,9 +151,11 @@ object Sampling {
       .select(col("__src"), col("__accept"))
     withT.drop("__tw")
       .join(rates, col(sourceCol) === col("__src"))
+      // "mix|" salt: see weightedPortableSample — distinct salts keep the
+      // portable samplers independent under composition
       .filter(
-        portableBucket(md5(col(keyCol).cast("string"))).cast("double") <
-          col("__accept") * SplitBuckets)
+        portableBucket(md5(concat(lit("mix|"), col(keyCol).cast("string"))))
+          .cast("double") < col("__accept") * SplitBuckets)
       .drop("__src", "__accept")
   }
 

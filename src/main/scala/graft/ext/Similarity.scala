@@ -128,7 +128,15 @@ object Similarity {
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos_raw"))
+        // zero-norm guard: 0/0 = NaN, and Spark orders NaN ABOVE every
+        // value, so an unguarded NaN >= threshold is TRUE — a zero vector
+        // would be reported similar to the whole corpus (and inflate the
+        // recall audit's exact denominator). Define cos = 0 like
+        // cosineSimilarity / embeddingPairs do.
+        when(col("a.norm") === 0 || col("b.norm") === 0, lit(0.0))
+          .otherwise(
+            dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+          .as("cos_raw"))
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
   }

@@ -31,12 +31,23 @@ object Tables {
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark's vectorized reader rejects; read nanos as long and truncate to
     * microseconds (exactly what engines with native µs timestamps do).
+    *
+    * Truncation is INTEGER division (`div`): epoch nanos (~1.7e18) exceed
+    * double's 2^53 exact range, so the old `/ 1000` float path rounded the
+    * nanos before dividing and produced a microsecond value off by one for
+    * ~13% of rows — silently diverging from any engine that truncates
+    * integers (measured on the sf0.001 events: 127/1000 rows).
+    *
+    * `nanosAsLong` is a session-level legacy flag with no per-read option;
+    * setting it here means later TIMESTAMP(NANOS) reads in the session
+    * also surface as longs — acceptable for this library's sessions, where
+    * every nanos read goes through this loader.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
