@@ -36,7 +36,11 @@ object Bench {
         return (-1.0, 0L, 0L)
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(100) // let the listener bus drain before snapshotting
+      // drain the listener bus BEFORE snapshotting: a fixed sleep cannot
+      // guarantee the last stage's TaskEnd events have posted, and a late
+      // event would misattribute this query's rows/bytes to the next one
+      org.apache.spark.graftshim.ListenerBusShim.drain(
+        spark.sparkContext, timeoutMillis = 10000)
       val d = listener.snapshot() - before
       if (report)
         System.err.println(f"[bench] $name%-20s ${sec}%8.3f s  ${d.render}")

@@ -87,8 +87,7 @@ object RefBench {
     val takeValues = spark.range(nTake)
       .select($"id".as("idx"), u32($"id").as("v")).cache()
     takeValues.count()
-    val takeIdx = spark.range(0, nTake, 8).select(u32($"id").as("h"), $"id".as("idx"))
-      .select($"idx").cache()
+    val takeIdx = spark.range(0, nTake, 8).select($"id".as("idx")).cache()
     takeIdx.count()
     // HEADLINE take = the sequential merge gather: the reference's
     // `cp::Take(values, indices)` receives `indices` as a ready in-memory

@@ -1773,11 +1773,25 @@ object SparkEntry {
   private def qPrunedScan(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
     val table = s"graft_ev_bydate_$tag"
+    val path = s"/tmp/graft_partitioned/$tag/events"
+    // cross-JVM write-once, same discipline as bucketedTable/annIndex: a
+    // fresh process whose path is fully written ATTACHES it instead of
+    // rewriting (which would also race any concurrent reader)
+    if (!s.catalog.tableExists(table) &&
+        new java.io.File(path, "_SUCCESS").exists()) {
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS $table
+           |(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+           | event_type STRING, value DOUBLE, props STRING, event_date DATE)
+           |USING parquet PARTITIONED BY (event_date)
+           |LOCATION '$path'""".stripMargin)
+      s.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    }
     if (!s.catalog.tableExists(table)) {
       Tables.events(s, d)
         .withColumn("event_date", to_date(col("ts")))
         .write.partitionBy("event_date")
-        .option("path", s"/tmp/graft_partitioned/$tag/events")
+        .option("path", path)
         .mode("overwrite").saveAsTable(table)
     }
     s.table(table)
@@ -2320,26 +2334,36 @@ object SparkEntry {
         |       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // zero-norm guard mirrors the Spark side: 0/0 is NaN, and DuckDB (like
+    // Spark) orders NaN above every value — an unguarded oracle would rank
+    // a zero vector first / pair it with the whole corpus while the engine
+    // correctly emits cos = 0
     "q_embed_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
-        |       ROUND(list_dot_product(e.v, q.qv) /
-        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
-        |             6) AS cos
+        |       CASE WHEN list_dot_product(e.v, e.v) = 0
+        |              OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0
+        |            ELSE ROUND(list_dot_product(e.v, q.qv) /
+        |                       (sqrt(list_dot_product(e.v, e.v)) *
+        |                        sqrt(list_dot_product(q.qv, q.qv))), 6)
+        |       END AS cos
         |FROM e, q ORDER BY cos DESC, id LIMIT 20""".stripMargin,
     "q_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       ROUND(list_dot_product(a.v, b.v) /
-        |             (sqrt(list_dot_product(a.v, a.v)) *
-        |              sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) *
-        |       sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        |           FROM embeddings),
+        |c AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         CASE WHEN list_dot_product(a.v, a.v) = 0
+        |                OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+        |              ELSE list_dot_product(a.v, b.v) /
+        |                   (sqrt(list_dot_product(a.v, a.v)) *
+        |                    sqrt(list_dot_product(b.v, b.v)))
+        |         END AS cos_raw
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos
+        |FROM c WHERE cos_raw >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id AS id,

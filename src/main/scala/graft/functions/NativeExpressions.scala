@@ -26,7 +26,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeExpressions {
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
   private val P31 = 2147483647L // 2^31 - 1, prime
+
+  /** Analysis-time type gate shared by the SQL-registered expressions: a
+    * wrong-typed argument through `graft_*(...)` must fail analysis with a
+    * clear message, not throw ClassCastException per row on executors.
+    */
+  private def typeGate(ok: Boolean, fn: String, want: String, got: DataType)
+      : TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires $want, got ${got.catalogString}")
+
+  private def isStringArray(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  private def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   /** MinHash signature of an array<string> shingle set, via the two-hash
     * permutation family h_i = (h1 + i·h2) mod p (h1,h2 = xxhash64 with
@@ -35,6 +56,9 @@ object NativeExpressions {
     */
   case class MinHashSig(child: Expression, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(isStringArray(child.dataType), "graft_minhash_sig",
+        "ARRAY<STRING>", child.dataType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -43,19 +67,23 @@ object NativeExpressions {
       var j = 0
       while (j < n) {
         val s = arr.getUTF8String(j)
-        val h1 = java.lang.Long.remainderUnsigned(XXH64.hashUTF8String(s, 0L), P31)
-        val h2 = java.lang.Long.remainderUnsigned(XXH64.hashUTF8String(s, 1L), P31 - 1) + 1L
-        var i = 0
-        var h = h1
-        while (i < numHashes) {
-          if (h < mins(i)) mins(i) = h
-          h += h2
-          if (h >= P31) h -= P31
-          i += 1
+        if (s != null) { // skip null elements, don't NPE
+          val h1 = java.lang.Long.remainderUnsigned(XXH64.hashUTF8String(s, 0L), P31)
+          val h2 = java.lang.Long.remainderUnsigned(XXH64.hashUTF8String(s, 1L), P31 - 1) + 1L
+          var i = 0
+          var h = h1
+          while (i < numHashes) {
+            if (h < mins(i)) mins(i) = h
+            h += h2
+            if (h >= P31) h -= P31
+            i += 1
+          }
         }
         j += 1
       }
-      if (n == 0) java.util.Arrays.fill(mins, 0L)
+      // empty OR all-null input → all-zeros signature (any real element
+      // writes every slot: hashes are mod P31 < Long.MaxValue)
+      if (mins(0) == Long.MaxValue) java.util.Arrays.fill(mins, 0L)
       new GenericArrayData(mins)
     }
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
@@ -66,6 +94,9 @@ object NativeExpressions {
     */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(isStringArray(child.dataType), "graft_simhash64",
+        "ARRAY<STRING>", child.dataType)
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -73,11 +104,14 @@ object NativeExpressions {
       val counts = new Array[Int](64)
       var j = 0
       while (j < n) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(j), 0L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
+        val s = arr.getUTF8String(j)
+        if (s != null) { // skip null elements, don't NPE
+          val h = XXH64.hashUTF8String(s, 0L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
         }
         j += 1
       }
@@ -101,6 +135,10 @@ object NativeExpressions {
     */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(isDoubleArray(left.dataType) && isDoubleArray(right.dataType),
+        "graft_vec_dot", "two ARRAY<DOUBLE> arguments",
+        if (isDoubleArray(left.dataType)) right.dataType else left.dataType)
     override def dataType: DataType = DoubleType
     // may yield null on length mismatch even for non-null inputs: the
     // codegen null flag must be a mutable local, not the literal `false`
@@ -150,6 +188,9 @@ object NativeExpressions {
   case class HyperplaneBits(child: Expression, planes: Int)
       extends UnaryExpression with CodegenFallback {
     require(planes > 0 && planes <= 64)
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(isDoubleArray(child.dataType), "graft_hyperplane_bits",
+        "ARRAY<DOUBLE>", child.dataType)
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
@@ -177,6 +218,9 @@ object NativeExpressions {
     */
   case class CharShingles(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(child.dataType == StringType, "graft_char_shingles",
+        "STRING", child.dataType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
@@ -206,6 +250,9 @@ object NativeExpressions {
     */
   case class WordShingles(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(child.dataType == StringType, "graft_word_shingles",
+        "STRING", child.dataType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[UTF8String].toString.toLowerCase
@@ -261,6 +308,9 @@ object NativeExpressions {
   /** Whitespace tokens of the input string (empty → empty array). */
   case class Tokenize(child: Expression)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(child.dataType == StringType, "graft_tokenize",
+        "STRING", child.dataType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[UTF8String].toString
@@ -346,6 +396,10 @@ object NativeExpressions {
   case class BoundedLevenshtein(left: Expression, right: Expression, k: Int)
       extends BinaryExpression with CodegenFallback {
     require(k >= 0)
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(left.dataType == StringType && right.dataType == StringType,
+        "graft_bounded_levenshtein", "two STRING arguments",
+        if (left.dataType == StringType) right.dataType else left.dataType)
     override def dataType: DataType = IntegerType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[UTF8String].toString
@@ -405,19 +459,26 @@ object NativeExpressions {
   case class DeletionHashes(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
     require(k >= 0)
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(child.dataType == StringType, "graft_deletion_hashes",
+        "STRING", child.dataType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
       val len = s.length
       val kk = math.min(k, len)
-      // Σ_{d=0..kk} C(len, d) variants
+      // Σ_{d=0..kk} C(len, d) variants, accumulated with an overflow-proof
+      // ceiling: each factor is clamped as soon as it exceeds the cap, so
+      // the count can never wrap Long and sneak past the guard below
+      // (C(5M, 3)-style inputs overflow 64 bits long before the require)
+      val MaxVariants = 1L << 22
       var total = 0L
       var d = 0
-      while (d <= kk) {
+      while (d <= kk && total <= MaxVariants) {
         var c = 1L
         var i = 0
-        while (i < d) { c = c * (len - i) / (i + 1); i += 1 }
-        total += c
+        while (i < d && c <= MaxVariants) { c = c * (len - i) / (i + 1); i += 1 }
+        total = math.min(total + c, MaxVariants + 1)
         d += 1
       }
       // fail fast, not mid-allocation: the neighborhood is combinatorial in
@@ -426,9 +487,9 @@ object NativeExpressions {
       // / 400 MB PER ROW, and past Int.MaxValue the allocation size
       // silently wraps). 1<<22 (~4M variants, 32 MB) is far above any sane
       // blocking key and far below executor-killing.
-      require(total <= (1L << 22),
-        s"deletion_hashes: ${total} variants for a ${len}-char string at " +
-          s"k=$kk — blocking keys must be short (identifier-scale) strings")
+      require(total <= MaxVariants,
+        s"deletion_hashes: over ${MaxVariants} variants for a ${len}-char " +
+          s"string at k=$kk — blocking keys must be short (identifier-scale) strings")
       val out = new Array[Long](total.toInt)
       var n = 0
       val del = new Array[Int](math.max(kk, 1))
