@@ -1800,6 +1800,33 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Small-file compaction — the lakehouse maintenance op a 100 TB table
+    * needs continuously: streaming/incremental writers leave thousands of
+    * KB-scale files whose per-file open/footer cost dominates scans; the
+    * compactor rewrites them into few large range-clustered files (sorted
+    * within each, so min/max stats stay tight on the cluster key). Staged
+    * once per directory (dirTag discipline): a 64-file fragmented copy,
+    * then the 4-file compaction. The oracle is CONTENT equality with the
+    * source — compaction must change layout, never answers; the file-count
+    * reduction itself is pinned by `PlanAuditSpec`.
+    */
+  private def qCompaction(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val small = s"/tmp/graft_compact/$tag/small"
+    val compacted = s"/tmp/graft_compact/$tag/compacted"
+    if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+      if (!new java.io.File(small, "_SUCCESS").exists())
+        Tables.events(s, d).select("event_id", "event_type", "value")
+          .repartition(64) // the fragmented state a drip-writer leaves
+          .write.mode("overwrite").parquet(small)
+      s.read.parquet(small)
+        .repartitionByRange(4, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(compacted)
+    }
+    s.read.parquet(compacted).orderBy("event_id")
+  }
+
   /** Multi-dimensional clustered scan: events are written ONCE z-ordered
     * on (user_id, value) ([[graft.sources.Layout]]), then a range
     * predicate on `value` — NOT the leading dimension of any
@@ -1968,6 +1995,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pruned_scan" -> (qPrunedScan _),
     "q_zorder_scan" -> (qZorderScan _),
+    "q_compaction" -> (qCompaction _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_rolling_window" -> (qRollingWindow _),
@@ -2505,6 +2533,11 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE value >= 100.0 AND value < 120.0
         |ORDER BY event_id""".stripMargin,
+    // q_compaction: layout maintenance must never change answers — the
+    // oracle is the source content itself
+    "q_compaction" ->
+      """SELECT event_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // q_json_roundtrip: the roundtrip is the identity on these columns, so
     // the oracle is simply the original table
     "q_json_roundtrip" ->

@@ -65,6 +65,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(snapshot() == before, "index files rewritten on re-attach")
   }
 
+  test("compaction reduces file count and preserves every row") {
+    val out = SparkEntry.queries("q_compaction")(spark, sf0001)
+    assert(out.count() ==
+      graft.sources.Tables.events(spark, sf0001).count())
+    def parquetFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles()).map(
+        _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val dirs = new java.io.File("/tmp/graft_compact").listFiles()
+      .filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val nSmall = parquetFiles(s"$d/small")
+      val nCompacted = parquetFiles(s"$d/compacted")
+      assert(nSmall >= 32, s"staged fragmentation missing in $d: $nSmall")
+      assert(nCompacted <= 8,
+        s"compaction left $nCompacted files in $d (want ≤ 8)")
+    }
+  }
+
   test("z-ordered layout prunes a non-leading-dimension range scan") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
