@@ -46,9 +46,13 @@ class BucketingSpec extends SparkTestBase {
     val rows = first.count()
     assert(rows > 0)
     val dataDir = new java.io.File("/tmp/graft_bucketed")
-    val dirs = dataDir.listFiles().filter(_.isDirectory)
+    // listFiles() returns null for missing paths — stale artifact dirs
+    // from older layouts may lack the lineitem/ child
+    def ls(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val dirs = ls(dataDir).filter(_.isDirectory)
     assert(dirs.nonEmpty)
-    val files = dirs.flatMap(d => new java.io.File(d, "lineitem").listFiles())
+    val files = dirs.flatMap(d => ls(new java.io.File(d, "lineitem")))
       .filter(_.getName.endsWith(".parquet"))
     val mtimes = files.map(f => f.getAbsolutePath -> f.lastModified()).toMap
     // wipe ONLY the catalog entries (external tables — files survive)

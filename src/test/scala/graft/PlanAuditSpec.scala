@@ -46,13 +46,16 @@ class PlanAuditSpec extends SparkTestBase {
     // in-memory catalogs — the artifact must be attached, never rebuilt
     val q = SparkEntry.queries("q_ivf_topk")
     val first = q(spark, sf0001).collect().toSeq
-    val idxDirs = new java.io.File("/tmp/graft_ann").listFiles()
+    val idxDirs = Option(new java.io.File("/tmp/graft_ann").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.isDirectory).map(d => new java.io.File(d, "index"))
       .filter(_.exists())
     assert(idxDirs.nonEmpty)
     def snapshot() = idxDirs.flatMap { d =>
       def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+        else Seq(f)
       walk(d).filter(_.getName.endsWith(".parquet"))
         .map(f => f.getAbsolutePath -> f.lastModified())
     }.toMap

@@ -15,11 +15,17 @@ import graft.operators.{PositionalTake, Relational}
 class PropertyCheckSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (1 to 10).iterator
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    // iterate enough seeds to actually yield n cases: Gen.apply returns at
+    // most ONE value per seed, so a fixed 10-seed pool silently capped
+    // every "40-sample" property at 10 cases
+    val out = (1 to n * 4).iterator
       .flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
       .take(n)
       .toSeq
+    assert(out.size == n, s"generator yielded ${out.size}/$n samples")
+    out
+  }
 
   private val longsGen: Gen[List[Long]] =
     Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 32) - 1))

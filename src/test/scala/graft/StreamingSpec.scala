@@ -10,14 +10,25 @@ import graft.streaming.EventsPipeline
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("streaming windowed agg converges to the batch result") {
-    // The streaming source reads the same parquet directory; Tables.events
-    // sets the nanosAsLong conf, but readStream needs an explicit schema,
-    // so stage the events as microsecond-timestamp parquet first.
-    val staged = java.nio.file.Files.createTempDirectory("graft_events").toString
-    Tables.events(spark, sf0001).write.mode("overwrite").parquet(staged)
+  // Staged ONCE for the whole suite: readStream needs an explicit schema
+  // and µs timestamps (Tables.events normalizes the nanos parquet), and
+  // the streams only READ these directories (checkpoints and sinks live
+  // elsewhere) — re-staging the identical table per test was pure I/O.
+  private lazy val stagedEvents: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    dir
+  }
+  // the dedup tests read a doubled feed (every event twice)
+  private lazy val stagedDoubledEvents: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_x2").toString
+    val ev = Tables.events(spark, sf0001)
+    ev.unionAll(ev).write.mode("overwrite").parquet(dir)
+    dir
+  }
 
-    val q = EventsPipeline.streamingWindowedAgg(spark, staged, "stream_out")
+  test("streaming windowed agg converges to the batch result") {
+    val q = EventsPipeline.streamingWindowedAgg(spark, stagedEvents, "stream_out")
     try {
       q.processAllAvailable()
       val streamed = spark.table("stream_out")
@@ -32,9 +43,8 @@ class StreamingSpec extends SparkTestBase {
 
   test("append-mode windowed agg with watermark emits only finalized windows") {
     import org.apache.spark.sql.functions._
-    val staged = java.nio.file.Files.createTempDirectory("graft_events_wm").toString
+    val staged = stagedEvents
     val events = Tables.events(spark, sf0001)
-    events.write.mode("overwrite").parquet(staged)
     val stream = spark.readStream
       .schema(EventsPipeline.eventSchema)
       .parquet(staged)
@@ -67,9 +77,7 @@ class StreamingSpec extends SparkTestBase {
 
   test("stateful flatMapGroupsWithState: per-user totals match batch groupBy") {
     import org.apache.spark.sql.functions._
-    val staged = java.nio.file.Files.createTempDirectory("graft_events_state").toString
-    Tables.events(spark, sf0001).write.mode("overwrite").parquet(staged)
-    val q = EventsPipeline.streamingUserStats(spark, staged, "user_stats_out")
+    val q = EventsPipeline.streamingUserStats(spark, stagedEvents, "user_stats_out")
     try {
       q.processAllAvailable()
       // update-mode memory sink: last row per user is the final state
@@ -80,19 +88,25 @@ class StreamingSpec extends SparkTestBase {
         .as[(Long, Long, Double)].collect().toSet
       val batch = Tables.events(spark, sf0001)
         .groupBy($"user_id")
-        .agg(count(lit(1)).as("n"),
-          (round(sum($"value") * 10000) / 10000).as("s"))
+        .agg(count(lit(1)).as("n"), sum($"value").as("s"))
         .as[(Long, Long, Double)].collect().toSet
       assert(streamed.map(t => (t._1, t._2)) == batch.map(t => (t._1, t._2)))
+      // and the SUMS match too (the old projection dropped them — a broken
+      // accumulator would have passed). Tolerance covers the streaming
+      // side's 4-decimal rint plus double fold-order slack.
+      val batchSums = batch.map(t => t._1 -> t._3).toMap
+      streamed.foreach { case (u, _, s) =>
+        assert(math.abs(s - batchSums(u)) < 2e-4,
+          s"user $u: streamed sum $s vs batch ${batchSums(u)}")
+      }
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
 
   test("stream-static broadcast join enriches every event without losing rows") {
     import org.apache.spark.sql.functions._
-    val staged = java.nio.file.Files.createTempDirectory("graft_events_enrich").toString
+    val staged = stagedEvents
     val events = Tables.events(spark, sf0001)
-    events.write.mode("overwrite").parquet(staged)
     val dim = events.select($"user_id").distinct()
       .withColumn("segment", pmod($"user_id", lit(3)).cast("int"))
     val q = EventsPipeline.streamingEnrich(spark, staged, dim, "enriched_out")
@@ -109,9 +123,8 @@ class StreamingSpec extends SparkTestBase {
 
   test("stream-stream interval join matches the batch join") {
     import org.apache.spark.sql.functions._
-    val staged = java.nio.file.Files.createTempDirectory("graft_events_ssj").toString
+    val staged = stagedEvents
     val events = Tables.events(spark, sf0001)
-    events.write.mode("overwrite").parquet(staged)
     val q = EventsPipeline.streamingPurchaseErrorJoin(spark, staged, "ssj_out")
     try {
       q.processAllAvailable()
@@ -133,10 +146,8 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming exact dedup: dropDuplicates within watermark removes repeats") {
     import org.apache.spark.sql.functions._
-    val staged = java.nio.file.Files.createTempDirectory("graft_events_dd").toString
-    // duplicate the whole feed so every event_id appears twice
+    val staged = stagedDoubledEvents
     val ev = Tables.events(spark, sf0001)
-    ev.unionAll(ev).write.mode("overwrite").parquet(staged)
     val q = spark.readStream
       .schema(EventsPipeline.eventSchema)
       .parquet(staged)
@@ -154,10 +165,9 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("streamingDedup: bounded-state dedup emits each event_id once") {
-    val staged = java.nio.file.Files.createTempDirectory("graft_events_dd2").toString
     val ev = Tables.events(spark, sf0001)
-    ev.unionAll(ev).write.mode("overwrite").parquet(staged)
-    val q = EventsPipeline.streamingDedup(spark, staged, "dedup2_out", watermark = "1 hour")
+    val q = EventsPipeline.streamingDedup(
+      spark, stagedDoubledEvents, "dedup2_out", watermark = "1 hour")
     try {
       q.processAllAvailable()
       val out = spark.table("dedup2_out")

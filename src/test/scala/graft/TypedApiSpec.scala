@@ -36,13 +36,22 @@ class TypedApiSpec extends SparkTestBase {
   }
 
   test("typed Revenue aggregator equals untyped sum(price * (1 - discount))") {
+    // compare UNROUNDED values with a relative tolerance: the typed
+    // aggregator and the SQL sum fold in different orders (last-ulp
+    // drift), and rounding each side with a different algorithm
+    // (math.round vs Spark's decimal-string HALF_UP) turns that drift
+    // into a spurious exact-equality failure at .xx5 boundaries
     val typed = Typed.revenueByFlag(Typed.lineitem(spark, sf0001))
-      .collect().map { case (k, v) => k -> math.round(v * 100) / 100.0 }.toMap
+      .collect().toMap
     val untyped = Tables.lineitem(spark, sf0001)
       .groupBy($"l_returnflag")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("r"))
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("r"))
       .as[(String, Double)].collect().toMap
-    assert(typed == untyped)
+    assert(typed.keySet == untyped.keySet)
+    typed.foreach { case (k, v) =>
+      assert(math.abs(v - untyped(k)) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"flag $k: typed $v vs untyped ${untyped(k)}")
+    }
     assert(typed.size == 3)
   }
 }
