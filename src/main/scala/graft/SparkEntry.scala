@@ -455,25 +455,58 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
       .orderBy("l_returnflag")
 
-  /** Approximate-quantile sketch (Greenwald–Khanna via
-    * `percentile_approx`) beside the exact percentiles — completing the
+  /** Approximate-quantile sketch (Greenwald–Khanna via `percentile_approx`)
+    * audited in-plan against the exact distribution — completing the
     * mergeable-sketch family (HLL `q_sketches`, Misra-Gries
-    * `q_heavy_hitters`, quantiles here). Rows-only: the GK summary's picks
-    * are engine-specific; CrossCheckSpec pins the rank-error guarantee
-    * (|rank(approx) − q·n| ≤ n/accuracy) against the exact distribution
-    * instead. At 100 TB the sketch is the only viable path — exact
-    * percentiles need a full sort per group, GK merges bounded summaries.
+    * `q_heavy_hitters`, quantiles here). One scalar row per (group, q)
+    * carrying the exact percentile (oracle-checkable), the group count, and
+    * `gk_bound_ok`: whether the sketch's pick lands within the GK
+    * rank-error bound (|rank(pick) − q·n| ≤ max(1, ⌊n/1000⌋) + 1). The
+    * picks themselves are engine-specific (DuckDB's approx_quantile is a
+    * t-digest), so the oracle asserts the GUARANTEE as a literal TRUE plus
+    * the exact percentiles — canonicalize-before-compare, the reference's
+    * own test discipline (host/join/join_test.cc:27-38). At 100 TB the
+    * sketch is the only viable path — exact percentiles need a full sort
+    * per group, GK merges bounded summaries; the rank audit broadcasts the
+    * 9 pick rows back over the scan, so it adds no extra shuffle.
     */
-  private def qApproxQuantiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  private def qApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val qs = array(lit(0.5), lit(0.95), lit(0.99))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    // per-group sketch picks + exact percentiles + count, exploded to one
+    // scalar row per (group, q)
+    val picks = li
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(
-          col("l_extendedprice"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("approx_p"),
-        expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("exact_p"),
+        percentile_approx(col("l_extendedprice"), qs, lit(1000)).as("approx_arr"),
+        percentile(col("l_extendedprice"), qs).as("exact_arr"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("exact_arr"),
+        posexplode(col("approx_arr")))
+      .select(
+        col("l_returnflag"),
+        element_at(qs, col("pos") + 1).as("q"),
+        col("col").as("approx_p"),
+        element_at(col("exact_arr"), col("pos") + 1).as("exact_p"),
+        col("n"))
+    // rank each pick in the exact distribution (broadcast of 9 rows — no
+    // shuffle) and emit the bound verdict instead of the engine-specific pick
+    li.join(broadcast(picks), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("q"), col("approx_p"),
+        col("exact_p"), col("n"))
+      .agg(sum(when(col("l_extendedprice") <= col("approx_p"), 1L)
+        .otherwise(0L)).as("rank"))
+      .select(
+        col("l_returnflag"),
+        col("q"),
+        round(col("exact_p"), 4).as("exact_p"),
+        col("n"),
+        (abs(col("rank") - col("q") * col("n")) <=
+          greatest(lit(1L), floor(col("n") / 1000)).cast("double") + 1)
+          .as("gk_bound_ok"))
+      .orderBy("l_returnflag", "q")
+  }
 
   /** Bloom semi-join reduction — the 100 TB shuffle-cutting pattern made
     * explicit as an operator: build a bloom filter over the selective build
@@ -2108,6 +2141,26 @@ object SparkEntry {
         |       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
         |       ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the GK picks are engine-specific (DuckDB approx_quantile is a
+    // t-digest), so the oracle checks the exact percentiles and asserts the
+    // rank-error guarantee as a literal TRUE — Spark computes gk_bound_ok
+    // in-plan; a sketch violating its bound hash-mismatches this row
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_p,
+        |       COUNT(*) AS n, TRUE AS gk_bound_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.95 AS DOUBLE),
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4),
+        |       COUNT(*), TRUE
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.99 AS DOUBLE),
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4),
+        |       COUNT(*), TRUE
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag, q""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,

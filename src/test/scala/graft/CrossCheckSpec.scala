@@ -227,20 +227,36 @@ class CrossCheckSpec extends SparkTestBase {
 
   test("approx quantiles honor the GK rank-error bound vs the exact distribution (q_approx_quantiles)") {
     import org.apache.spark.sql.functions._
+    // the catalog row emits one scalar row per (group, q) with an in-plan
+    // bound verdict; every verdict must be true and n must match
     val rows = SparkEntry.queries("q_approx_quantiles")(spark, sf0001).collect()
-    assert(rows.nonEmpty)
+    assert(rows.length == 9, s"expected 3 groups x 3 qs, got ${rows.length}")
     // exact per-group sorted values, to rank the sketch's picks against
     val byGroup = Tables.lineitem(spark, sf0001)
       .select(col("l_returnflag"), col("l_extendedprice"))
       .as[(String, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    val qs = Seq(0.5, 0.95, 0.99)
     rows.foreach { r =>
       val flag = r.getAs[String]("l_returnflag")
-      val approx = r.getSeq[Double](r.fieldIndex("approx_p"))
       val n = r.getAs[Long]("n")
+      assert(n == byGroup(flag).length)
+      assert(r.getAs[Boolean]("gk_bound_ok"),
+        s"$flag q=${r.getAs[Double]("q")}: in-plan GK bound verdict is false")
+    }
+    // independent audit: recompute the sketch picks directly and rank them
+    // against the collected distribution — does not trust the query's own
+    // gk_bound_ok arithmetic
+    val qs = Seq(0.5, 0.95, 0.99)
+    val picks = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("approx_p"))
+      .collect()
+    picks.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val approx = r.getSeq[Double](r.fieldIndex("approx_p"))
       val sorted = byGroup(flag)
-      assert(n == sorted.length)
+      val n = sorted.length.toLong
       qs.zip(approx).foreach { case (q, a) =>
         // rank of the sketch's pick = #values <= a; GK guarantees it is
         // within n/accuracy of the target rank (accuracy = 1000 in the
