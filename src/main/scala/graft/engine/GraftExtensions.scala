@@ -19,8 +19,8 @@ import graft.functions.NativeExpressions._
   *
   * Registered: graft_minhash_sig(arr, n), graft_simhash64(arr),
   * graft_vec_dot(a, b), graft_hyperplane_bits(vec, planes),
-  * graft_char_shingles(text, k), graft_word_shingles(text, n),
-  * graft_tokenize(text).
+  * graft_chunk_keys(sig, totalBits, chunks), graft_char_shingles(text, k),
+  * graft_word_shingles(text, n), graft_tokenize(text).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(entry("graft_hyperplane_bits",
       "graft_hyperplane_bits(vec, planes) - packed hyperplane-LSH signature",
       args => HyperplaneBits(args(0), intArg(args(1), "graft_hyperplane_bits"))))
+    e.injectFunction(entry("graft_chunk_keys",
+      "graft_chunk_keys(sig, totalBits, chunks) - per-chunk LSH bucket keys of a packed signature",
+      args => ChunkKeys(args(0), intArg(args(1), "graft_chunk_keys"),
+        intArg(args(2), "graft_chunk_keys"))))
     e.injectFunction(entry("graft_char_shingles",
       "graft_char_shingles(text, k) - distinct char k-shingles of lower(trim(text))",
       args => CharShingles(args(0), intArg(args(1), "graft_char_shingles"))))

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Scalar building blocks for the text / dedup / similarity operators.
   *
@@ -29,6 +30,8 @@ object GraftFunctions {
       "graft_minhash_sig", a => MinHashSig(a(0), intArg(a(1))), "scala_udf")
     r.createOrReplaceTempFunction(
       "graft_hyperplane_bits", a => HyperplaneBits(a(0), intArg(a(1))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_chunk_keys", a => ChunkKeys(a(0), intArg(a(1)), intArg(a(2))), "scala_udf")
     r.createOrReplaceTempFunction(
       "graft_char_shingles", a => CharShingles(a(0), intArg(a(1))), "scala_udf")
     r.createOrReplaceTempFunction(
@@ -146,25 +149,27 @@ object GraftFunctions {
     * from different chunks never collide. Two signatures within hamming
     * distance < `chunks` agree on at least one chunk (pigeonhole).
     */
-  def chunkKeys(sig: Column, totalBits: Int, chunks: Int): Column = {
-    val k = totalBits / chunks
-    // k >= 64: (1L << 64) wraps to 1 (JVM shifts are mod 64) and the mask
-    // would zero every key; -1L is the correct all-bits mask
-    val mask = if (k >= 64) lit(-1L) else lit((1L << k) - 1)
-    array((0 until chunks).map { c =>
-      // chunk index folded in by HASHING, not by an additive tag: the old
-      // `c·2^32 + bits` spacing collides across chunks once a chunk is
-      // wider than 32 bits. Key VALUES change but the grouping partition
-      // does not (same chunk bits → same key), so candidate sets and all
-      // verified outputs are unchanged.
-      xxhash64(lit(c), shiftrightunsigned(sig, c * k).bitwiseAND(mask))
-    }: _*)
-  }
+  def chunkKeys(sig: Column, totalBits: Int, chunks: Int): Column =
+    // chunk index folded in by HASHING, not by an additive tag: the old
+    // `c·2^32 + bits` spacing collides across chunks once a chunk is
+    // wider than 32 bits. Native single-pass expression: the sig child
+    // appears once in the tree (the Column-formula version inlined it per
+    // chunk — a collapsed projection recomputed an upstream signature
+    // `chunks` times per row) and the key values are bit-compatible with
+    // the xxhash64 formula it replaces, so candidate sets, bucket caps,
+    // and all verified outputs are unchanged.
+    NativeExpressions.chunk_keys(sig, totalBits, chunks)
 
   // -------------------------------------------------------------- vectors
 
-  /** Elementwise cast to double (Float arrays → exact double math). */
-  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Elementwise cast to double (Float arrays → exact double math). A
+    * plain array cast, NOT `transform(v, _.cast("double"))`: higher-order
+    * functions are CodegenFallback, and a `transform` wrapping every
+    * vector ejected each similarity scan from whole-stage codegen. `Cast`
+    * generates the same per-element widening loop, bit-identical values.
+    */
+  def toDoubleArray(v: Column): Column =
+    v.cast(ArrayType(DoubleType, containsNull = true))
 
   /** Dot product (native loop; sums in element order, so results bit-match
     * any engine folding sequentially).

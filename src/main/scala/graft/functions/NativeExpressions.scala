@@ -184,9 +184,15 @@ object NativeExpressions {
   /** Random-hyperplane signature of an array<double> vector packed into a
     * long: bit p = [Σ_d v(d)·r(p,d) ≥ 0] with r(p,d) = ±1 derived from
     * xxhash64(d, seed=p). `planes` ≤ 64.
+    *
+    * Fully codegen'd (no CodegenFallback): the signature sits in the
+    * per-row scan filter of every LSH query, and a fallback here ejects
+    * the whole filter from whole-stage codegen (interpreted eval, boxed
+    * rows). The generated loop folds in the same element order as the
+    * interpreted path — bit-identical signatures.
     */
   case class HyperplaneBits(child: Expression, planes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(planes > 0 && planes <= 64)
     override def checkInputDataTypes(): TypeCheckResult =
       typeGate(isDoubleArray(child.dataType), "graft_hyperplane_bits",
@@ -210,7 +216,85 @@ object NativeExpressions {
       }
       java.lang.Long.valueOf(sig)
     }
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val xxh = classOf[XXH64].getName
+        val n = ctx.freshName("n")
+        val sig = ctx.freshName("sig")
+        val p = ctx.freshName("p")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        val sign = ctx.freshName("sign")
+        s"""
+           |final int $n = $v.numElements();
+           |long $sig = 0L;
+           |for (int $p = 0; $p < $planes; $p++) {
+           |  double $acc = 0.0;
+           |  for (int $d = 0; $d < $n; $d++) {
+           |    final double $sign =
+           |      (($xxh.hashLong((long) $d, (long) $p) & 1L) == 1L) ? 1.0 : -1.0;
+           |    $acc += $v.getDouble($d) * $sign;
+           |  }
+           |  if ($acc >= 0) $sig |= (1L << $p);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
     override protected def withNewChildInternal(c: Expression): HyperplaneBits = copy(child = c)
+  }
+
+  /** Per-chunk bucket keys of a packed LSH signature: key c =
+    * xxhash64(c, (sig >>> c·k) & mask) for the `chunks` contiguous k-bit
+    * chunks of `totalBits`. Bit-compatible with the Column formula it
+    * replaces (`xxhash64(lit(c), chunk)`: int-then-long chaining from seed
+    * 42), but the signature child appears ONCE in the expression tree —
+    * the Column version inlined the signature per chunk, so a collapsed
+    * projection recomputed the whole hyperplane loop `chunks` times per
+    * row. Codegen'd for the same reason as [[HyperplaneBits]].
+    */
+  case class ChunkKeys(child: Expression, totalBits: Int, chunks: Int)
+      extends UnaryExpression {
+    require(chunks > 0 && totalBits > 0 && totalBits % chunks == 0,
+      s"totalBits ($totalBits) must be a positive multiple of chunks ($chunks)")
+    private val k = totalBits / chunks
+    // k >= 64: (1L << 64) wraps to 1 (JVM shifts are mod 64) and the mask
+    // would zero every key; -1L is the correct all-bits mask
+    private val mask = if (k >= 64) -1L else (1L << k) - 1
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(child.dataType == LongType, "graft_chunk_keys",
+        "BIGINT", child.dataType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[Long]
+      val out = new Array[Long](chunks)
+      var c = 0
+      while (c < chunks) {
+        out(c) = XXH64.hashLong((sig >>> (c * k)) & mask, XXH64.hashInt(c, 42L))
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, sig => {
+        val xxh = classOf[XXH64].getName
+        val out = ctx.freshName("out")
+        val c = ctx.freshName("c")
+        s"""
+           |final long[] $out = new long[$chunks];
+           |for (int $c = 0; $c < $chunks; $c++) {
+           |  $out[$c] = $xxh.hashLong(
+           |    ($sig >>> ($c * $k)) & ${mask}L, $xxh.hashInt($c, 42L));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): ChunkKeys = copy(child = c)
   }
 
   /** Distinct character k-shingles of `lower(trim(text))`; shorter-than-k
@@ -649,6 +733,9 @@ object NativeExpressions {
 
   def hyperplane_bits(vec: Column, planes: Int): Column =
     col(HyperplaneBits(expr(vec), planes))
+
+  def chunk_keys(sig: Column, totalBits: Int, chunks: Int): Column =
+    col(ChunkKeys(expr(sig), totalBits, chunks))
 
   def char_shingles(text: Column, k: Int): Column = col(CharShingles(expr(text), k))
 

@@ -41,6 +41,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated stays out
   }
 
+  test("chunk keys are bit-compatible with the xxhash64 chaining they replaced") {
+    import graft.functions.NativeExpressions
+    // the native single-pass ChunkKeys must reproduce the exact key values
+    // of the Column formula `xxhash64(lit(c), shiftrightunsigned(sig, c*k)
+    // & mask)` so staged artifacts and bucket-cap groupings keyed on the
+    // old values stay valid
+    val sigs = Seq(0L, -1L, 1L, 123456789L, Long.MinValue, Long.MaxValue,
+      0x0123456789abcdefL).toDF("sig")
+    for ((totalBits, chunks) <- Seq((64, 4), (64, 8), (16, 4), (64, 1))) {
+      val k = totalBits / chunks
+      val mask = if (k >= 64) lit(-1L) else lit((1L << k) - 1)
+      val legacy = array((0 until chunks).map { c =>
+        xxhash64(lit(c), shiftrightunsigned(col("sig"), c * k).bitwiseAND(mask))
+      }: _*)
+      val rows = sigs.select(
+        NativeExpressions.chunk_keys(col("sig"), totalBits, chunks).as("nk"),
+        legacy.as("lk")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"totalBits=$totalBits chunks=$chunks: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("simhash near-dup: identical docs at distance 0, unrelated far") {
     val sigs = docs.filter(length($"text") > 0).select(
       $"doc_id", simhash64(tokens(lower($"text"))).as("sig"))
