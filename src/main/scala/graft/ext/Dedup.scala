@@ -413,10 +413,13 @@ object Dedup {
     // consumes the window's own exchange AND its bucket sort on both sides
     // (zero extra exchange or sort, one evaluation), and sort-merge is the
     // shape a 100 TB self-join takes anyway.
+    // id_a < id_b folded INTO the join condition: the merge join applies it
+    // while emitting, so the unordered duplicate half of each bucket's
+    // cross product is never materialized into a downstream projection
     val cand = bucketed.as("a")
-      .join(bucketed.as("b").hint("MERGE"), "bucket")
+      .join(bucketed.as("b").hint("MERGE"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
     // Dedup AFTER the verify, not before: near-dup pairs share several
     // variant buckets (measured dup factor ~1.8 at sf0.1), but the banded
     // levenshtein is ~100 ns/pair while a pre-verify `distinct` is a full
@@ -510,10 +513,13 @@ object Dedup {
       v.select(col("id"), explode(chunkKeys(col("sig"), effPlanes, chunks)).as("bucket")),
       "bucket", maxBucket)
     // MERGE hint: single-evaluation rationale, see [[editDistancePairs]]
+    // id_a < id_b folded INTO the join condition: the merge join applies it
+    // while emitting, so the unordered duplicate half of each bucket's
+    // cross product is never materialized into a downstream projection
     val cand = bucketed.as("a")
-      .join(bucketed.as("b").hint("MERGE"), "bucket")
+      .join(bucketed.as("b").hint("MERGE"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
       .distinct()
     attach(cand, v.select(col("id"), col("vn")), "vn")
       .withColumn(
