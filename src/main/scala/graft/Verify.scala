@@ -28,10 +28,18 @@ object Verify {
         // compare validate the old binary's output and report green for a
         // query the current build cannot execute
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles is null on I/O error, not just non-directories
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete(): Unit
         }
-        rm(new java.io.File(s"$outDir/$name"))
+        // cleanup failure must not kill the verify loop: better one
+        // possibly-stale dump (caught by the driver's hash compare) than
+        // zero dumps for every query after this one
+        try rm(new java.io.File(s"$outDir/$name"))
+        catch { case c: Throwable =>
+          System.err.println(s"[verify] $name: stale-dump cleanup failed: $c")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -82,7 +82,9 @@ object Dedup {
     * rides every capped query, which
     * [[graft.engine.GraftSession]]'s listener turns into a stderr warning
     * when the ceiling silently swallows a large fraction of the corpus —
-    * the failure mode of an under-sized key space at scale.
+    * the failure mode of an under-sized key space at scale. Setting the
+    * session conf `graft.capAudit.failFraction` promotes that warning to
+    * an eager hard failure (one audit job per capped query).
     */
   /** Per-invocation disambiguator for `observe` metric names: two capped
     * pair queries UNIONED into one plan (e.g. a combined simhash + edit
@@ -94,6 +96,29 @@ object Dedup {
   private val capSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
+    // Opt-in HARD failure for the under-sized-key-space mode: with
+    // `graft.capAudit.failFraction` set (e.g. 0.5), the drop fraction is
+    // checked EAGERLY — one extra aggregation job over the bucketed frame
+    // per capped query — and a breach throws at query-build time instead of
+    // only warning after the fact. (The observe-based stderr warning below
+    // is free and always on, but a QueryExecutionListener cannot fail a
+    // query that already succeeded; pipelines that must not silently lose
+    // candidate mass pay the audit job for the guarantee.)
+    bucketed.sparkSession.conf.getOption("graft.capAudit.failFraction")
+      .map(_.toDouble).foreach { frac =>
+      val r = bucketed.groupBy(col(keyCol)).agg(count(lit(1)).as("bsz"))
+        .agg(
+          coalesce(sum(when(col("bsz") >= 2, col("bsz"))), lit(0L)).as("n"),
+          coalesce(sum(when(col("bsz") > maxBucket, col("bsz"))), lit(0L)).as("dropped"))
+        .head()
+      val (n, dropped) = (r.getLong(0), r.getLong(1))
+      if (n > 0 && dropped > frac * n)
+        throw new IllegalStateException(
+          s"bucket ceiling on '$keyCol' would drop $dropped of $n candidate rows " +
+            f"(> ${frac * 100}%.0f%% — graft.capAudit.failFraction): the key space is " +
+            "under-sized for this corpus; raise planes/bands or maxBucket " +
+            "(see Dedup.bucketStats for the full audit)")
+    }
     val sized = bucketed
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col(keyCol))))
       // denominator = CANDIDATE rows (bucket size ≥ 2): in a real corpus
@@ -438,6 +463,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus-size memo for LSH auto-scaling, keyed by the canonicalized
+    * logical plan: repeated DataFrame CONSTRUCTION over the same input
+    * (bench warm-up + measured passes, plan audits, explain) pays the
+    * sizing count once, not once per build. Bounded LRU (like the take
+    * index cache) so a long-lived session over many corpora evicts the
+    * stalest entry instead of growing — or flushing — the whole map.
+    * CAVEAT: entries live for the JVM; if the data BEHIND a plan changes
+    * in-session (a table regenerated in place), the stale count mis-sizes
+    * the plane auto-scaling — pass an explicit `corpusSize`, or build the
+    * query from a fresh session, after in-place data changes.
+    */
+  private val MaxCorpusSizeEntries = 64
+  private val corpusSizeMemo = new java.util.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          java.lang.Long]): Boolean =
+      size > MaxCorpusSizeEntries
+  }
+
+  private def memoizedCount(df: DataFrame): Long = {
+    val key = df.queryExecution.logical.canonicalized
+    corpusSizeMemo.synchronized(Option(corpusSizeMemo.get(key))) match {
+      case Some(n) => n.toLong
+      case None =>
+        val n = df.count()
+        corpusSizeMemo.synchronized(corpusSizeMemo.put(key, n))
+        n
+    }
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold via packed hyperplane-LSH
     * bucketing + native-dot verification with precomputed norms.
     *
@@ -456,31 +514,10 @@ object Dedup {
     * floors), which replaces the cliff. Sizing needs the corpus count —
     * pass `corpusSize` when known (a standing pipeline knows it from the
     * snapshot it indexes); otherwise ONE count() pass is spent and
-    * memoized per canonicalized input plan, so rebuilding the DataFrame
-    * (bench passes, plan audits) does not re-count. The
+    * memoized per canonicalized input plan ([[corpusSizeMemo]]). The
     * `graft_cap_bucket` observed metric still warns if a skewed corpus
     * outruns the headroom.
     */
-  /** Corpus-size memo for LSH auto-scaling, keyed by the canonicalized
-    * logical plan: repeated DataFrame CONSTRUCTION over the same input
-    * (bench warm-up + measured passes, plan audits, explain) pays the
-    * sizing count once, not once per build. Size-capped like the take
-    * index cache — a long-lived session over many corpora must not grow
-    * the map unboundedly.
-    */
-  private val corpusSizeMemo = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
-
-  private def memoizedCount(df: DataFrame): Long = {
-    val key = df.queryExecution.logical.canonicalized
-    Option(corpusSizeMemo.get(key)).map(_.toLong).getOrElse {
-      val n = df.count()
-      if (corpusSizeMemo.size >= 64) corpusSizeMemo.clear()
-      corpusSizeMemo.put(key, n)
-      n
-    }
-  }
-
   def embeddingPairs(
       df: DataFrame,
       idCol: String,

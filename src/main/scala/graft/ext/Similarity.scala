@@ -124,7 +124,13 @@ object Similarity {
       col(idCol).as("id"),
       toDoubleArray(col(vecCol)).as("v"))
       .withColumn("norm", l2Norm(col("v")))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+    // repartition the STREAM side: a small corpus reads as one partition,
+    // and the nested-loop join inherits its parallelism — without this the
+    // whole quadratic scan grinds through a single task. An EXPLICIT count
+    // (not repartition(col)): AQE would coalesce a tiny corpus's shuffle
+    // back to one partition by bytes, re-serializing the scan
+    v.repartition(df.sparkSession.sparkContext.defaultParallelism).as("a")
+      .join(v.as("b"), col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),

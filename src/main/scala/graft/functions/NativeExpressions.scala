@@ -56,6 +56,10 @@ object NativeExpressions {
     */
   case class MinHashSig(child: Expression, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
+    // matches HyperplaneBits' planes guard: misuse (e.g. SQL
+    // graft_minhash_sig(arr, 0)) fails at construction, not per-row in the
+    // all-null sentinel's mins(0) read
+    require(numHashes > 0, s"numHashes must be > 0, got $numHashes")
     override def checkInputDataTypes(): TypeCheckResult =
       typeGate(isStringArray(child.dataType), "graft_minhash_sig",
         "ARRAY<STRING>", child.dataType)

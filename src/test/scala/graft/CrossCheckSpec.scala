@@ -10,10 +10,10 @@ import graft.sources.Tables
 class CrossCheckSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("LSH embedding pairs are a subset of exact pairs, with equal cosines") {
+  test("LSH embedding pairs are a subset of exact pairs, with equal cosines (q_embed_pairs)") {
     val emb = Tables.embeddings(spark, sf0001)
-    val lsh = Dedup.embeddingPairs(emb, "vec_id", "embedding",
-        threshold = 0.3, planes = 16, chunks = 4)
+    // the catalog row itself, so a wiring change cannot detach this floor
+    val lsh = SparkEntry.queries("q_embed_pairs")(spark, sf0001)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", threshold = 0.3)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
@@ -84,13 +84,17 @@ class CrossCheckSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sf0001)
     val sh = docs.select(col("doc_id").as("id"), charShingles(col("text"), 5).as("s"))
     // exact twin: brute-force char-shingle jaccard on the near-dup band the
-    // 8x8 banding is tuned for (recall >= 1-(1-0.9^8)^8 ~ 0.989 at j=0.9)
-    val exact = pairSet(sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+    // 8x8 banding is tuned for (recall >= 1-(1-0.9^8)^8 ~ 0.989 at j=0.9).
+    // repartition(32): the 500-row corpus reads as ONE partition, and the
+    // nested-loop cross join inherits the stream side's parallelism — one
+    // task grinding 125k interpreted set-unions is the difference between
+    // ~25 s and ~12 min for this twin
+    val exact = pairSet(sh.repartition(32).as("a")
+      .join(sh.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         jaccard(col("a.s"), col("b.s")).as("j"))
       .filter(col("j") >= 0.9))
-    val mh = pairSet(Dedup.minhashPairs(docs, "doc_id", "text",
-      shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8))
+    val mh = pairSet(SparkEntry.queries("q_minhash_pairs")(spark, sf0001))
     assert(exact.nonEmpty, "corpus has no planted near-dup pairs at j >= 0.9")
     val recall = exact.count(mh.contains).toDouble / exact.size
     info(s"minhash recall at j>=0.9: $recall (${exact.size} exact pairs)")
@@ -105,11 +109,12 @@ class CrossCheckSpec extends SparkTestBase {
       simhash64(tokens(lower(col("text")))).as("sig"))
     // pigeonhole completeness below the bucket cap makes chunked simhash
     // EXACT, not approximate: assert set equality, not a recall floor
-    val exact = pairSet(sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+    // repartition: parallelize the cross join (see the minhash twin above)
+    val exact = pairSet(sig.repartition(32).as("a")
+      .join(sig.as("b"), col("a.id") < col("b.id"))
       .filter(hamming64(col("a.sig"), col("b.sig")) <= 3)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
-    val lsh = pairSet(Dedup.simhashPairs(docs, "doc_id", "text",
-      maxHamming = 3, chunks = 4))
+    val lsh = pairSet(SparkEntry.queries("q_simhash_pairs")(spark, sf0001))
     assert(exact.nonEmpty, "corpus has no pairs at hamming <= 3")
     assert(lsh == exact,
       s"simhash chunking lost/invented pairs: missing=${exact -- lsh} extra=${lsh -- exact}")
@@ -122,8 +127,7 @@ class CrossCheckSpec extends SparkTestBase {
         graft.ext.TextAnalysis.hashingTfEmbedding(col("text"), dims = 256, ngram = 2).as("emb"))
     val exact = pairSet(
       Similarity.bruteForcePairs(tf, "doc_id", "emb", threshold = 0.8))
-    val lsh = pairSet(
-      Dedup.embeddingPairs(tf, "doc_id", "emb", threshold = 0.8, planes = 32, chunks = 4))
+    val lsh = pairSet(SparkEntry.queries("q_doc_embed_pairs")(spark, sf0001))
     assert(exact.nonEmpty, "corpus has no TF-cosine pairs at >= 0.8")
     val recall = exact.count(lsh.contains).toDouble / exact.size
     info(s"doc-TF LSH recall at cos>=0.8: $recall (${exact.size} exact pairs)")
@@ -409,15 +413,52 @@ class CrossCheckSpec extends SparkTestBase {
       "incremental assignment disagrees with the full build")
   }
 
-  test("LSH top-k ids all appear in the brute-force ranking with equal scores") {
+  test("incremental ANN catalog row lands the whole batch in valid lists (q_ivf_incremental)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_ivf_incremental")(spark, sf0001)
+      .as[(Int, Long)].collect()
+    assert(rows.nonEmpty)
+    // list ids are 1-based (IvfIndex.build numbers lists 1..nlist)
+    assert(rows.forall { case (list, n) => list >= 1 && list <= 16 && n > 0 })
+    // conservation: every batch vector lands in exactly one list
+    val batchN = Tables.embeddings(spark, sf0001)
+      .filter(pmod($"vec_id", lit(10)) === 9).count()
+    assert(rows.map(_._2).sum == batchN,
+      s"per-list landing counts ${rows.map(_._2).sum} != batch size $batchN")
+  }
+
+  test("PQ top-k catalog row: self-query first, scores agree with a fresh codebook (q_pq_topk)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = SparkEntry.queries("q_pq_topk")(spark, sf0001)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 20)
+    // quantization error of the query's own code is minimal → ranks first
+    assert(rows.head._1 == 0L, s"self-query not first: ${rows.toSeq.take(3)}")
+    assert(rows.map(_._2).sliding(2).forall(w => w.head <= w.last),
+      "adc distances not ascending")
+    // the persisted codebook scores match a freshly trained one exactly
+    // (training is deterministic — pinned above), so the catalog row's ADC
+    // distances cross-check against an independent full PQ scan
+    val cb = graft.ext.Pq.train(emb, "embedding", m = 16, k = 16)
+    val q = emb.filter($"vec_id" === 0)
+      .select(graft.functions.GraftFunctions.toDoubleArray($"embedding"))
+      .as[(Seq[Double])].head()
+    val full = graft.ext.Pq.topK(emb, "vec_id", "embedding", q, 500, cb)
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, dist) =>
+      assert(full(id) == dist, s"ADC score drift for $id: $dist vs ${full(id)}")
+    }
+  }
+
+  test("LSH top-k ids all appear in the brute-force ranking with equal scores (q_embed_lsh_topk)") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb
       .filter($"vec_id" === 0)
       .select(graft.functions.GraftFunctions.toDoubleArray($"embedding"))
-      .as[Seq[Double]].head()
+      .as[(Seq[Double])].head()
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 500)
       .as[(Long, Double)].collect().toMap
-    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, 20)
+    val lsh = SparkEntry.queries("q_embed_lsh_topk")(spark, sf0001)
       .as[(Long, Double)].collect()
     assert(lsh.nonEmpty && lsh.head._1 == 0L) // the query vector itself survives
     lsh.foreach { case (id, cos) =>
