@@ -425,41 +425,68 @@ object Dedup {
     val base = df.select(
       col(idCol).as("id"), col(strCol).as("s"),
       grpKey.as("g"), grpStruct.as("grp"))
-    // only the 8-byte (id, bucket) pair crosses the candidate shuffle
+    // The string and group columns ride THROUGH the candidate shuffle (the
+    // simhash family's precedent: a small fixed payload beside the id):
+    // the verify then runs inline on the self-join's own output, with no
+    // re-keyed joins to re-attach payloads. For candidate-heavy corpora
+    // (every near-dup family shares many variant buckets) the per-posting
+    // payload (~string length + group bytes) is far cheaper than pushing
+    // the much larger candidate-pair set through two extra joins — and it
+    // keeps the whole verify inside the join's codegen stage.
     val keyed = base
-      .select(col("id"), col("g"),
+      .select(col("id"), col("s"), col("grp"), col("g"),
         explode(NativeExpressions.deletion_hashes(col("s"), maxDist)).as("del_h"))
-      .select(col("id"), xxhash64(col("g"), col("del_h")).as("bucket"))
+      .select(col("id"), col("s"), col("grp"),
+        xxhash64(col("g"), col("del_h")).as("bucket"))
     val bucketed = capBuckets(keyed, "bucket", maxBucket)
     // MERGE hint on the self-join: at small inputs AQE would BROADCAST one
     // side, which re-evaluates the whole explode+window subtree for the
     // build (ReuseExchange cannot fire across a BroadcastExchange) —
     // measured slower than the merge join even at sf0.1. The hinted join
-    // consumes the window's own exchange AND its bucket sort on both sides
-    // (zero extra exchange or sort, one evaluation), and sort-merge is the
-    // shape a 100 TB self-join takes anyway.
+    // consumes the posting shuffle on both sides (AQE's stage cache
+    // serves the second side as a ReusedExchange below the window; the
+    // window/cap subtree above it is re-evaluated per side — forcing it
+    // to run once via an extra same-key repartition was measured SLOWER
+    // at sf0.1, the second shuffle costing more than the window saves),
+    // and sort-merge is the shape a 100 TB self-join takes anyway.
     // id_a < id_b folded INTO the join condition: the merge join applies it
     // while emitting, so the unordered duplicate half of each bucket's
     // cross product is never materialized into a downstream projection
-    val cand = bucketed.as("a")
-      .join(bucketed.as("b").hint("MERGE"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // The cross-group guard (null-safe equality on the ACTUAL group
+    // columns, so a 64-bit bucket collision can never leak a cross-group
+    // pair) hides INSIDE the levenshtein's argument: a mismatched group
+    // nulls the input, nulls the distance, and the `<= maxDist` conjunct
+    // drops the pair. Two per-pair performance traps shape this
+    // expression, both measured at sf0.1:
+    //  - a top-level `a.grp <=> b.grp` conjunct would be lifted by
+    //    ExtractEquiJoinKeys into the join keys, whose clustering no
+    //    longer matches the window's bucket-only exchange — forcing a
+    //    SECOND full shuffle and sort of the posting table on both sides;
+    //  - comparing the grp STRUCTS directly keeps the key shape but
+    //    generates an interpreted ordering call per candidate pair
+    //    (codegen cannot inline complex-type equality) — ~4x slower than
+    //    the whole fast plan. Comparing the struct's FIELDS pairwise
+    //    stays in generated code.
+    val fieldNames = if (groupCols.isEmpty) Seq("g0") else groupCols
+    val sameGrp = fieldNames
+      .map(f => col("a.grp").getField(f) <=> col("b.grp").getField(f))
+      .reduce(_ && _)
+    def dist = NativeExpressions
+      .bounded_levenshtein(when(sameGrp, col("a.s")), col("b.s"), maxDist)
     // Dedup AFTER the verify, not before: near-dup pairs share several
     // variant buckets (measured dup factor ~1.8 at sf0.1), but the banded
     // levenshtein is ~100 ns/pair while a pre-verify `distinct` is a full
     // extra hash-agg exchange of the larger candidate set — verifying the
     // duplicates and deduplicating the (much smaller) surviving pair set is
-    // strictly less shuffle for the same answer.
-    attach(cand, base.select(col("id"), struct(col("s"), col("grp")).as("sg")), "sg")
-      // null-safe struct equality: null group values group together, the
-      // same partition the bucket hash put them in
-      .filter(col("sg_a.grp") <=> col("sg_b.grp"))
-      .select(col("id_a"), col("id_b"),
-        NativeExpressions
-          .bounded_levenshtein(col("sg_a.s"), col("sg_b.s"), maxDist)
-          .cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+    // strictly less shuffle for the same answer. The verify rides in the
+    // join condition AFTER `id_a < id_b`, so the levenshtein runs on each
+    // unordered pair once, not on both orientations.
+    bucketed.as("a")
+      .join(bucketed.as("b").hint("MERGE"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
+          dist <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dist.cast("long").as("dist"))
       .distinct()
   }
 

@@ -480,22 +480,46 @@ object NativeExpressions {
     * overwhelming majority of candidate pairs). Distance is over UTF-16
     * code units (== characters for ASCII data, matching other engines'
     * levenshtein there).
+    *
+    * Codegen'd via a direct call into [[compute]] (not CodegenFallback):
+    * this expression sits on the verify path of every candidate pair the
+    * blocking emits — orders of magnitude more rows than the output — and
+    * a CodegenFallback predicate inside a join condition demotes the whole
+    * join operator out of whole-stage codegen. The generated call passes
+    * the two UTF8Strings straight to the same kernel the interpreted path
+    * runs, so results stay bit-identical.
     */
   case class BoundedLevenshtein(left: Expression, right: Expression, k: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     require(k >= 0)
     override def checkInputDataTypes(): TypeCheckResult =
       typeGate(left.dataType == StringType && right.dataType == StringType,
         "graft_bounded_levenshtein", "two STRING arguments",
         if (left.dataType == StringType) right.dataType else left.dataType)
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[UTF8String].toString
-      val b = r.asInstanceOf[UTF8String].toString
+    override def nullSafeEval(l: Any, r: Any): Any =
+      Integer.valueOf(compute(
+        l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String]))
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("blev", this, classOf[BoundedLevenshtein].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+    def compute(l: UTF8String, r: UTF8String): Int = {
+      // ASCII fast path: compare raw UTF-8 bytes in place (byte length ==
+      // char length, byte equality == char equality) — skips two String
+      // allocations per call, which matters at millions of candidate
+      // pairs per task. Any non-ASCII byte falls back to the identical
+      // DP over UTF-16 code units.
+      if (isAscii(l) && isAscii(r)) return computeAscii(l, r)
+      val a = l.toString
+      val b = r.toString
       val n = a.length
       val m = b.length
       val inf = k + 1
-      if (math.abs(n - m) > k) return Integer.valueOf(inf)
+      if (math.abs(n - m) > k) return inf
       var prev = new Array[Int](m + 1)
       var curr = new Array[Int](m + 1)
       java.util.Arrays.fill(prev, inf)
@@ -517,11 +541,54 @@ object NativeExpressions {
           if (v < rowMin) rowMin = v
           jj += 1
         }
-        if (rowMin >= inf) return Integer.valueOf(inf)
+        if (rowMin >= inf) return inf
         val t = prev; prev = curr; curr = t
         i += 1
       }
-      Integer.valueOf(math.min(prev(m), inf))
+      math.min(prev(m), inf)
+    }
+    private def isAscii(s: UTF8String): Boolean = {
+      val n = s.numBytes()
+      var i = 0
+      while (i < n) {
+        if (s.getByte(i) < 0) return false
+        i += 1
+      }
+      true
+    }
+    // same banded DP as the String path, over raw UTF-8 bytes (valid only
+    // when both inputs are pure ASCII)
+    private def computeAscii(l: UTF8String, r: UTF8String): Int = {
+      val n = l.numBytes()
+      val m = r.numBytes()
+      val inf = k + 1
+      if (math.abs(n - m) > k) return inf
+      var prev = new Array[Int](m + 1)
+      var curr = new Array[Int](m + 1)
+      java.util.Arrays.fill(prev, inf)
+      var j = 0
+      while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+      var i = 1
+      while (i <= n) {
+        java.util.Arrays.fill(curr, inf)
+        var rowMin = inf
+        if (i <= k) { curr(0) = i; rowMin = i }
+        val lo = math.max(1, i - k)
+        val hi = math.min(m, i + k)
+        var jj = lo
+        while (jj <= hi) {
+          val sub = if (l.getByte(i - 1) == r.getByte(jj - 1)) prev(jj - 1)
+            else prev(jj - 1) + 1
+          val v = math.min(inf, math.min(sub, math.min(prev(jj) + 1, curr(jj - 1) + 1)))
+          curr(jj) = v
+          if (v < rowMin) rowMin = v
+          jj += 1
+        }
+        if (rowMin >= inf) return inf
+        val t = prev; prev = curr; curr = t
+        i += 1
+      }
+      math.min(prev(m), inf)
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): BoundedLevenshtein = copy(left = l, right = r)
