@@ -686,6 +686,50 @@ object SparkEntry {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .orderBy("doc_id", "token")
 
+  /** Okapi BM25 (k1=1.2, b=0.75) relevance of every document to a fixed
+    * three-term query, top-10 by score.
+    *
+    * Scale shape — the reason this is NOT the textbook explode→tf→df→join
+    * pipeline: with a known (small) query-term set, per-term tf is
+    * computed INSIDE each row from the token array (three `filter` passes
+    * over an already-materialized array — row-local CPU, no Generate, no
+    * per-token shuffle), and the corpus statistics (N, avgdl, per-term
+    * df) reduce to ONE scalar row that a broadcast cross-join feeds back.
+    * The whole query is a single scan + one 1-row aggregate + a
+    * TakeOrderedAndProject; nothing token-shaped ever crosses an
+    * exchange. Every constant is written as the same decimal literal in
+    * the Spark plan and the DuckDB oracle, and the arithmetic tree shapes
+    * match, so the rounded scores agree bit-for-bit.
+    */
+  private def qBm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "merge")
+    val withToks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // toks is a plain attribute here, so CollapseProject keeps the
+    // tokenize single-evaluation (non-cheap expressions referenced more
+    // than once are not inlined)
+    val perDoc = withToks.select(
+      col("doc_id") +: size(col("toks")).as("dl") +:
+        terms.map(t =>
+          size(filter(col("toks"), x => x === lit(t))).as(s"tf_$t")): _*)
+    val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t")
+      val df = col(s"df_$t")
+      log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** TF-IDF: the highest-scoring term per document (score = tf · ln(N/df),
     * rounded before ranking so the Spark and oracle rankings agree at ties;
     * term-ascending tie-break makes the winner unique). Shape: tokenize →
@@ -2015,6 +2059,7 @@ object SparkEntry {
     "q_deciles" -> (qDeciles _),
     "q_streaks" -> (qStreaks _),
     "q_pagerank" -> (qPagerank _),
+    "q_bm25" -> (qBm25 _),
     "q_tfidf" -> (qTfidf _),
     "q_bigrams" -> (qBigrams _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -2428,6 +2473,41 @@ object SparkEntry {
         |  FROM runs GROUP BY user_id, grp)
         |SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak
         |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_bm25: identical arithmetic tree and decimal literals as the Spark
+    // side (ln/division/multiplication order), so the 6-decimal rounding
+    // agrees bit-for-bit
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT doc_id, len(toks) AS dl,
+        |         len(list_filter(toks, x -> x = 'hash'))  AS tf_hash,
+        |         len(list_filter(toks, x -> x = 'join'))  AS tf_join,
+        |         len(list_filter(toks, x -> x = 'merge')) AS tf_merge
+        |  FROM tok),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+        |         SUM(CASE WHEN tf_hash  > 0 THEN 1 ELSE 0 END) AS df_hash,
+        |         SUM(CASE WHEN tf_join  > 0 THEN 1 ELSE 0 END) AS df_join,
+        |         SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM per_doc)
+        |SELECT doc_id, bm25 FROM (
+        |  SELECT doc_id, ROUND(
+        |      ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+        |        * (tf_hash * 2.2)
+        |        / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+        |        * (tf_join * 2.2)
+        |        / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
+        |        * (tf_merge * 2.2)
+        |        / (tf_merge + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM per_doc, stats)
+        |WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,
