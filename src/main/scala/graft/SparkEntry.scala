@@ -102,13 +102,14 @@ object SparkEntry {
             Some(java.nio.file.Files.readString(crumb).trim)
           else None
         if (!old.contains(tag)) {
+          // NOTE: another long-lived JVM that memoized the OLD tag may
+          // still be reading these trees; it will fail loudly on its next
+          // access instead of silently serving artifacts staged from
+          // superseded data — the intended side of that trade (in-place
+          // regeneration already requires fresh sessions, see above)
           old.filter(_.nonEmpty).foreach { stale =>
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory)
-                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-              f.delete(): Unit
-            }
-            artifactRoots.foreach(r => rm(new java.io.File(s"/tmp/$r/$stale")))
+            artifactRoots.foreach(r =>
+              graft.engine.Fs.deleteRecursively(new java.io.File(s"/tmp/$r/$stale")))
           }
           java.nio.file.Files.writeString(crumb, tag): Unit
         }
@@ -527,19 +528,32 @@ object SparkEntry {
         col("n"))
     // rank each pick in the exact distribution (broadcast of 9 rows — no
     // shuffle) and emit the bound verdict instead of the engine-specific pick
+    // The GK guarantee says SOME rank of the picked value lies within
+    // eps*n of q*n. A duplicated pick value occupies a whole rank
+    // interval [count(<pick)+1, count(<=pick)], so the verdict must test
+    // that the INTERVAL intersects the band — testing only the max-rank
+    // (count <= pick) would flag a correct sketch as out-of-bound
+    // whenever the pick value's duplicate run is longer than the band.
     li.join(broadcast(picks), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), col("q"), col("approx_p"),
         col("exact_p"), col("n"))
-      .agg(sum(when(col("l_extendedprice") <= col("approx_p"), 1L)
-        .otherwise(0L)).as("rank"))
+      .agg(
+        sum(when(col("l_extendedprice") < col("approx_p"), 1L)
+          .otherwise(0L)).as("rank_lo"),
+        sum(when(col("l_extendedprice") <= col("approx_p"), 1L)
+          .otherwise(0L)).as("rank_hi"))
       .select(
         col("l_returnflag"),
         col("q"),
         round(col("exact_p"), 4).as("exact_p"),
         col("n"),
-        (abs(col("rank") - col("q") * col("n")) <=
-          greatest(lit(1L), floor(col("n") / 1000)).cast("double") + 1)
-          .as("gk_bound_ok"))
+        {
+          val band =
+            greatest(lit(1L), floor(col("n") / 1000)).cast("double") + 1
+          val target = col("q") * col("n")
+          ((col("rank_lo") + 1 <= target + band) &&
+            (col("rank_hi") >= target - band)).as("gk_bound_ok")
+        })
       .orderBy("l_returnflag", "q")
   }
 
@@ -2473,9 +2487,14 @@ object SparkEntry {
         |  FROM runs GROUP BY user_id, grp)
         |SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak
         |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // q_bm25: identical arithmetic tree and decimal literals as the Spark
-    // side (ln/division/multiplication order), so the 6-decimal rounding
-    // agrees bit-for-bit
+    // q_bm25: identical arithmetic tree and literals as the Spark side
+    // (ln/division/multiplication order), so the 6-decimal rounding agrees
+    // bit-for-bit. The one non-obvious cast: tf * 2.2 would be EXACT
+    // DECIMAL arithmetic in DuckDB (int x DECIMAL(2,1)), ~2 ulps from
+    // Spark's double product — CAST(2.2 AS DOUBLE) forces the same IEEE
+    // multiply. The other constants (0.25, 0.75, 0.5, 1.0) are
+    // binary-exact, and 1.2 multiplies an already-double operand, so they
+    // promote identically.
     "q_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -2497,13 +2516,13 @@ object SparkEntry {
         |SELECT doc_id, bm25 FROM (
         |  SELECT doc_id, ROUND(
         |      ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
-        |        * (tf_hash * 2.2)
+        |        * (tf_hash * CAST(2.2 AS DOUBLE))
         |        / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
         |    + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
-        |        * (tf_join * 2.2)
+        |        * (tf_join * CAST(2.2 AS DOUBLE))
         |        / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
         |    + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
-        |        * (tf_merge * 2.2)
+        |        * (tf_merge * CAST(2.2 AS DOUBLE))
         |        / (tf_merge + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
         |  FROM per_doc, stats)
         |WHERE bm25 > 0

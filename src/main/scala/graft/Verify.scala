@@ -27,16 +27,10 @@ object Verify {
         // across runs, and a stale previous dump would make the driver's
         // compare validate the old binary's output and report green for a
         // query the current build cannot execute
-        def rm(f: java.io.File): Unit = {
-          // listFiles is null on I/O error, not just non-directories
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
         // cleanup failure must not kill the verify loop: better one
         // possibly-stale dump (caught by the driver's hash compare) than
         // zero dumps for every query after this one
-        try rm(new java.io.File(s"$outDir/$name"))
+        try graft.engine.Fs.deleteRecursively(new java.io.File(s"$outDir/$name"))
         catch { case c: Throwable =>
           System.err.println(s"[verify] $name: stale-dump cleanup failed: $c")
         }

@@ -47,7 +47,11 @@ object PageRank {
       .distinct()
       .repartition(col("src"))
     val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e0.join(deg, "src")
+    // materialize BEFORE the dangling validation: the check is an action,
+    // and running it against the raw lineage would pay the whole
+    // distinct+degree build twice — once for the check, once when the
+    // caller consumes (stages/iterates) the returned frame
+    val ed = e0.join(deg, "src").localCheckpoint()
     // dangling check: every dst must also appear as a src. Anti-join of
     // the distinct dst set against the (already vertex-sized) degree
     // table — cheaper than an EXCEPT over the raw edge list twice.
@@ -70,7 +74,7 @@ object PageRank {
       dstCol: String,
       iterations: Int = 5,
       damping: Double = 0.85): DataFrame =
-    runPrepared(prepare(edges, srcCol, dstCol).localCheckpoint(), iterations, damping)
+    runPrepared(prepare(edges, srcCol, dstCol), iterations, damping)
 
   /** Power iterations over an already-validated `(src, dst, deg)` edge
     * list from [[prepare]] — typically a STAGED bucketed table, whose

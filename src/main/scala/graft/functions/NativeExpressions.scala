@@ -261,8 +261,16 @@ object NativeExpressions {
     */
   case class ChunkKeys(child: Expression, totalBits: Int, chunks: Int)
       extends UnaryExpression {
-    require(chunks > 0 && totalBits > 0 && totalBits % chunks == 0,
-      s"totalBits ($totalBits) must be a positive multiple of chunks ($chunks)")
+    require(chunks > 0 && totalBits >= chunks,
+      s"need totalBits ($totalBits) >= chunks ($chunks) > 0 so every chunk " +
+        "spans at least one bit")
+    // floor division: when totalBits is not a multiple of chunks the top
+    // totalBits % chunks bits are simply never hashed — harmless for the
+    // LSH contract (ignoring bits can only ADD candidates, and the
+    // pigeonhole completeness argument needs only `chunks` disjoint spans;
+    // every candidate is verified exactly downstream), and bit-compatible
+    // with the pre-native column formula for the divisible cases every
+    // catalog query uses
     private val k = totalBits / chunks
     // k >= 64: (1L << 64) wraps to 1 (JVM shifts are mod 64) and the mask
     // would zero every key; -1L is the correct all-bits mask
