@@ -891,6 +891,56 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Stream-stream INTERVAL join as a driver-gated catalog row: errors
+    * joined to the same user's purchases within the preceding hour, both
+    * sides watermarked so the state store retains only a bounded horizon
+    * (the attribution-window shape). A finite stream driven to completion
+    * emits exactly the batch interval join, so the row carries a full
+    * DuckDB oracle; timestamps are emitted as epoch MICROSECONDS (exact
+    * integers on both engines — epoch seconds would round vs truncate
+    * differently on fractional-second timestamps).
+    */
+  private def qStreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val staged = s"/tmp/graft_stream/$tag/events"
+    if (!new java.io.File(staged, "_SUCCESS").exists())
+      Tables.events(s, d).write.mode("overwrite").parquet(staged)
+    val name = s"graft_stream_ssj_$tag"
+    val q = EventsPipeline.streamingPurchaseErrorJoin(s, staged, name)
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("e_ts")).as("e_us"),
+        unix_micros(col("p_ts")).as("p_us"),
+        col("p_value"))
+      .orderBy("event_id", "p_us", "p_value")
+  }
+
+  /** Stream-static enrichment join as a driver-gated catalog row: every
+    * micro-batch joins the customer dimension map-side (broadcast — the
+    * stream is never shuffled), the standard reference-data join at any
+    * scale. Finite stream to completion == the batch left join.
+    */
+  private def qStreamEnrich(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val staged = s"/tmp/graft_stream/$tag/events"
+    if (!new java.io.File(staged, "_SUCCESS").exists())
+      Tables.events(s, d).write.mode("overwrite").parquet(staged)
+    val name = s"graft_stream_enrich_$tag"
+    val dim = Tables.customer(s, d).select(
+      col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").as("nation"))
+    val q = EventsPipeline.streamingEnrich(s, staged, dim, name)
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"), col("nation"))
+      .orderBy("event_id")
+  }
+
   /** Schema-on-read evolution: two parquet generations of the events feed
     * — an early one without the `value` column, a later one with it —
     * merged by `mergeSchema` into one logical table (missing columns read
@@ -2064,6 +2114,8 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_stream_stats" -> (qStreamStats _),
+    "q_stream_interval_join" -> (qStreamIntervalJoin _),
+    "q_stream_enrich" -> (qStreamEnrich _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_sessionize" -> (qSessionize _),
     "q_events_json" -> (qEventsJson _),
@@ -2358,6 +2410,26 @@ object SparkEntry {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_stream_interval_join: finite watermarked stream-stream interval
+    // join to completion == the batch interval join; epoch MICROSECONDS
+    // (exact integers both engines, no round-vs-truncate at fractional
+    // seconds)
+    "q_stream_interval_join" ->
+      """SELECT e.event_id, e.user_id,
+        |       epoch_us(e.ts) AS e_us, epoch_us(p.ts) AS p_us,
+        |       p.value AS p_value
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        | AND e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+        |ORDER BY e.event_id, p_us, p_value""".stripMargin,
+    // q_stream_enrich: stream-static broadcast left join to completion ==
+    // the batch left join
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |       c.c_mktsegment AS segment, c.c_nationkey AS nation
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     // q_schema_evolution: the two staged parquet generations split events
     // by event_id parity (gen1 lacks `value`); the oracle reconstructs the
     // same split arithmetically
