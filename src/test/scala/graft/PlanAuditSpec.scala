@@ -156,14 +156,47 @@ class PlanAuditSpec extends SparkTestBase {
       "bloom probe is not below the semi join")
   }
 
+  test("q_edit_pairs: one posting shuffle, bucket-only join keys, codegen'd verify") {
+    val df = SparkEntry.queries("q_edit_pairs")(spark, sf0001)
+    // drive THIS QueryExecution to completion: AQE exchange reuse exists
+    // only in the finalized plan (a side write would leave it
+    // isFinalPlan=false with two full exchanges printed)
+    df.queryExecution.toRdd.count(): Unit
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the deletion-variant posting shuffle materializes ONCE; the second
+    // self-join side must read it back as a ReusedExchange (whose line
+    // prints the referenced exchange inline — exclude it from the count)
+    val postingShuffles = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(bucket#") &&
+        !l.contains("ReusedExchange"))
+    assert(postingShuffles == 1,
+      s"posting shuffle not reused ($postingShuffles exchanges):\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    val smjLine = finalPlan.linesIterator
+      .find(_.contains("SortMergeJoin")).getOrElse(fail("no SMJ in plan"))
+    // the cross-group guard must stay OUT of the join keys: a lifted grp
+    // equality re-keys the join as (coalesce(grp), isnull(grp), bucket),
+    // whose clustering the posting exchange no longer satisfies — a
+    // second full shuffle and sort of the posting table on both sides
+    assert(!smjLine.contains("coalesce(grp"),
+      s"group guard lifted into join keys: $smjLine")
+    // and the inline levenshtein verify keeps the join inside
+    // whole-stage codegen (a CodegenFallback condition demotes it)
+    assert(smjLine.contains(") SortMergeJoin") && smjLine.contains("*("),
+      s"join fell out of whole-stage codegen: $smjLine")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside the allowlist") {
     // BroadcastNestedLoopJoin / CartesianProduct are O(n·m) — at 100 TB a
     // plan containing one (outside a deliberate, size-bounded use) is a
     // scale bug regardless of what the small-SF result says.
     val allow = Set(
       "q_cosine_pairs", // the quarantined quadratic recall oracle (by design)
-      "q_take" // PositionalTake's prefix-sum: triangular join over the
-               // numPartitions-row count aggregate — metadata-sized
+      "q_take", // PositionalTake's prefix-sum: triangular join over the
+                // numPartitions-row count aggregate — metadata-sized
+      "q_bm25" // corpus stats feed back as a broadcast cross-join of ONE
+               // row (N, avgdl, per-term df) — size-bounded by design
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
