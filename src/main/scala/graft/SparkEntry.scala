@@ -857,9 +857,15 @@ object SparkEntry {
     if (!new java.io.File(staged, "_SUCCESS").exists())
       Tables.events(s, d).write.mode("overwrite").parquet(staged)
     val name = s"graft_stream_agg_$tag"
-    val q = EventsPipeline.streamingWindowedAgg(s, staged, name)
-    try q.processAllAvailable()
-    finally q.stop()
+    // state partitions sized to state volume, not batch shuffle width —
+    // see qStreamIntervalJoin
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventsPipeline.streamingWindowedAgg(s, staged, name)
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name).orderBy("window_start", "event_type")
   }
 
@@ -880,9 +886,15 @@ object SparkEntry {
     if (!new java.io.File(staged, "_SUCCESS").exists())
       Tables.events(s, d).write.mode("overwrite").parquet(staged)
     val name = s"graft_stream_stats_$tag"
-    val q = EventsPipeline.streamingUserStats(s, staged, name)
-    try q.processAllAvailable()
-    finally q.stop()
+    // state partitions sized to state volume, not batch shuffle width —
+    // see qStreamIntervalJoin
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventsPipeline.streamingUserStats(s, staged, name)
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
       .groupBy("user_id")
       .agg(
@@ -906,9 +918,20 @@ object SparkEntry {
     if (!new java.io.File(staged, "_SUCCESS").exists())
       Tables.events(s, d).write.mode("overwrite").parquet(staged)
     val name = s"graft_stream_ssj_$tag"
-    val q = EventsPipeline.streamingPurchaseErrorJoin(s, staged, name)
-    try q.processAllAvailable()
-    finally q.stop()
+    // Size the STATE partitioning explicitly: a stream-stream join keeps
+    // four state stores per shuffle partition, and the partition count is
+    // pinned into the query's checkpoint at start — it should track state
+    // SIZE, not the session's batch shuffle width (32 stores of a few
+    // thousand rows each is pure per-batch commit overhead, measured 4x
+    // the query's cost). Restored after the run; the driver executes
+    // catalog queries sequentially.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventsPipeline.streamingPurchaseErrorJoin(s, staged, name)
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("e_ts")).as("e_us"),
