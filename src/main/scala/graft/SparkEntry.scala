@@ -478,17 +478,35 @@ object SparkEntry {
       .orderBy("c_custkey", "s_suppkey")
   }
 
-  /** Sketch aggregates: HLL distinct counts next to exact (rows-only — no
-    * cross-engine sketch parity exists by construction; HLL merge is
-    * order-insensitive, so the result is still deterministic).
+  /** Sketch aggregates: HLL distinct counts audited in-plan against the
+    * exact counts. The estimates themselves are engine-specific (DuckDB has
+    * no HLL++ at rsd 0.05), so the row emits the exact counts plus a bound
+    * verdict per sketch — rsd = 0.05, 3σ = 15% bounds the relative error
+    * with overwhelming probability (the floor `CrossCheckSpec` has pinned
+    * since round 3) — and the oracle computes the exact side and asserts
+    * the guarantee as literal TRUE. A sketch drifting past its declared
+    * error hash-mismatches this row. Same differential-oracle discipline as
+    * the reference's aggregate tests (host/aggr/aggr_test.cc:25-48). The
+    * exact side is the audit, not the production path — at 100 TB only the
+    * mergeable sketch runs; here exact and approx share one partial-agg
+    * pass per group.
     */
   private def qSketches(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_orders"),
+        col("exact_parts"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * 0.15).as("hll_orders_ok"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.15).as("hll_parts_ok"))
       .orderBy("l_returnflag")
 
   /** Approximate-quantile sketch (Greenwald–Khanna via `percentile_approx`)
@@ -592,33 +610,56 @@ object SparkEntry {
     * into a single corpus-wide estimate WITHOUT rescanning the events —
     * the store-daily / roll-up-monthly shape that makes sketches the only
     * viable distinct-count path at 100 TB (exact distinct needs a full
-    * user_id shuffle per window). Rows-only: sketch internals are
-    * engine-specific; `CrossCheckSpec` pins the estimate against the exact
-    * count within the configured standard error instead.
+    * user_id shuffle per window). The merged estimate is engine-specific
+    * (DataSketches HLL internals), so the row emits the exact distinct
+    * count plus an in-plan bound verdict: lgConfigK=12 → relative standard
+    * error ≈ 1.04/√4096 ≈ 1.6%, and the 5σ = 8% band `CrossCheckSpec` has
+    * pinned since round 3 becomes `hll_bound_ok`. The DuckDB oracle
+    * computes the exact side and asserts the guarantee as literal TRUE — a
+    * merge that loses precision hash-mismatches this row. The exact
+    * distinct is the audit, not the production path; at 100 TB only the
+    * daily-sketch roll-up runs.
     */
   private def qHllMerge(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val daily = e
       .groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-    daily
+    val merged = daily
       .agg(
         count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
-      .select(col("n_days"), col("merged_users"))
+    val exact = e.agg(countDistinct(col("user_id")).as("exact_users"))
+    // both sides are one scalar row; a literal-key equi-join keeps the
+    // combine a BroadcastHashJoin (the cartesian gate in PlanAuditSpec
+    // stays allowlist-free)
+    merged.withColumn("one", lit(1))
+      .join(broadcast(exact.withColumn("one", lit(1))), "one")
+      .select(
+        col("n_days"),
+        col("exact_users"),
+        (abs(col("merged_users") - col("exact_users"))
+          <= col("exact_users") * 0.08).as("hll_bound_ok"))
   }
 
   /** Count-min-sketch frequency estimates beside the exact counts: one
     * pass builds the sketch (mergeable, fixed KB-scale memory); the probe
     * is a native expression over the serialized sketch
-    * ([[graft.functions.NativeExpressions.CmsEstimate]]). Rows-only:
-    * sketch layout is engine-specific; the CMS guarantee (estimate ≥
-    * exact, ≤ exact + ε·N at the configured confidence) is pinned by
-    * `CrossCheckSpec`. At 100 TB the sketch answers point-frequency
-    * queries from KBs of state where the exact group-by needs a full
-    * shuffle of the key column.
+    * ([[graft.functions.NativeExpressions.CmsEstimate]]). The estimate is
+    * engine-specific (Spark's CMS layout), so the row emits the exact
+    * count plus an in-plan verdict of the CMS guarantee — estimate ≥
+    * exact always, and ≤ exact + ⌈ε·N⌉ at the configured confidence (the
+    * bound `CrossCheckSpec` has pinned since round 3; deterministic here
+    * because the seed is fixed). The DuckDB oracle computes the exact side
+    * and asserts the guarantee as literal TRUE — a sketch that under- or
+    * over-counts past ε·N hash-mismatches this row. At 100 TB the sketch
+    * answers point-frequency queries from KBs of state where the exact
+    * group-by needs a full shuffle of the key column; the exact side here
+    * is the audit, and N rides the same group-by via a window sum over the
+    * handful of group rows (no second scan).
     */
   private def qCmsFreq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, d)
     // eps=0.001 → width 2719, depth 5 at 99% confidence; seed fixed for
     // deterministic output. The sketch binary is host metadata (KBs).
@@ -629,6 +670,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("exact_n"))
       .withColumn("est_n",
         NativeExpressions.cms_estimate(col("event_type"), skBytes))
+      // total stream length N, summed over the (few) group rows — the
+      // window is over a single-digit row set, not the events table
+      .withColumn("n_total",
+        sum(col("exact_n")).over(Window.partitionBy(lit(1))))
+      .select(
+        col("event_type"),
+        col("exact_n"),
+        (col("est_n") >= col("exact_n") &&
+          col("est_n") <= col("exact_n")
+            + ceil(col("n_total") * 0.001).cast("long"))
+          .as("cms_bound_ok"))
       .orderBy("event_type")
   }
 
@@ -2341,6 +2393,29 @@ object SparkEntry {
         |       COUNT(*), TRUE
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag, q""".stripMargin,
+    // the HLL estimates are engine-specific, so the oracle checks the exact
+    // distinct counts and asserts the rsd-derived error bound as literal
+    // TRUE — Spark computes the hll_*_ok verdicts in-plan
+    "q_sketches" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       TRUE AS hll_orders_ok, TRUE AS hll_parts_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // merged-HLL estimate is engine-specific; the oracle checks n_days and
+    // the exact distinct users, asserting the 5-sigma band as literal TRUE
+    "q_hll_merge" ->
+      """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_bound_ok
+        |FROM events""".stripMargin,
+    // CMS layout is engine-specific; the oracle checks the exact counts and
+    // asserts the (never-undercount, overcount <= ceil(eps*N)) guarantee as
+    // literal TRUE — deterministic because the sketch seed is fixed
+    "q_cms_freq" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n,
+        |       TRUE AS cms_bound_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
