@@ -447,25 +447,29 @@ class CrossCheckSpec extends SparkTestBase {
       s"per-list landing counts ${rows.map(_._2).sum} != batch size $batchN")
   }
 
-  test("PQ top-k catalog row: self-query first, scores agree with a fresh codebook (q_pq_topk)") {
+  test("PQ top-k catalog row: verdict rows green, scores agree with a fresh codebook (q_pq_topk)") {
     val emb = Tables.embeddings(spark, sf0001)
+    // the catalog row is the exactness-audit form: exact top-20 + verdict
     val rows = SparkEntry.queries("q_pq_topk")(spark, sf0001)
-      .as[(Long, Double)].collect()
+      .as[(Long, Long, Double, Boolean)].collect()
     assert(rows.length == 20)
-    // quantization error of the query's own code is minimal → ranks first
-    assert(rows.head._1 == 0L, s"self-query not first: ${rows.toSeq.take(3)}")
-    assert(rows.map(_._2).sliding(2).forall(w => w.head <= w.last),
-      "adc distances not ascending")
-    // the persisted codebook scores match a freshly trained one exactly
-    // (training is deterministic — pinned above), so the catalog row's ADC
-    // distances cross-check against an independent full PQ scan
+    assert(rows.forall(_._4), "PQ recall verdict false")
+    assert(rows.head._2 == 0L, "self-query not rank 1 on the exact side")
+    // the underlying ADC scan: self-query first (its quantization error is
+    // minimal) and the persisted codebook's scores match a freshly trained
+    // one exactly (training is deterministic — pinned above)
     val cb = graft.ext.Pq.train(emb, "embedding", m = 16, k = 16)
     val q = emb.filter($"vec_id" === 0)
       .select(graft.functions.GraftFunctions.toDoubleArray($"embedding"))
       .as[(Seq[Double])].head()
+    val pq = graft.ext.Pq.topK(emb, "vec_id", "embedding", q, 20, cb)
+      .as[(Long, Double)].collect()
+    assert(pq.head._1 == 0L, s"self-query not first: ${pq.toSeq.take(3)}")
+    assert(pq.map(_._2).sliding(2).forall(w => w.head <= w.last),
+      "adc distances not ascending")
     val full = graft.ext.Pq.topK(emb, "vec_id", "embedding", q, 500, cb)
       .as[(Long, Double)].collect().toMap
-    rows.foreach { case (id, dist) =>
+    pq.foreach { case (id, dist) =>
       assert(full(id) == dist, s"ADC score drift for $id: $dist vs ${full(id)}")
     }
   }
@@ -478,11 +482,17 @@ class CrossCheckSpec extends SparkTestBase {
       .as[(Seq[Double])].head()
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 500)
       .as[(Long, Double)].collect().toMap
-    val lsh = SparkEntry.queries("q_embed_lsh_topk")(spark, sf0001)
+    // the raw LSH scan (the catalog row wraps it in the exactness audit):
+    // everything it returns must be exactly right — subset discipline
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, 20)
       .as[(Long, Double)].collect()
     assert(lsh.nonEmpty && lsh.head._1 == 0L) // the query vector itself survives
     lsh.foreach { case (id, cos) =>
       assert(exact(id) == cos, s"score mismatch for $id")
     }
+    // and the catalog verdict rows are green
+    val rows = SparkEntry.queries("q_embed_lsh_topk")(spark, sf0001)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.length == 20 && rows.forall(_._4), "LSH recall verdict false")
   }
 }

@@ -31,10 +31,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"second execution does not read the persisted index:\n${analyzed.take(800)}")
     val physical = df.queryExecution.executedPlan.toString
     // the isin probe filter must prune at the PARTITION level (list_id is
-    // the partition column), not as a post-scan row filter
+    // the partition column), not as a post-scan row filter. The plan now
+    // also contains the exact-side embeddings scan (empty PartitionFilters),
+    // so check EVERY PartitionFilters section, not just the last
     assert(physical.contains("PartitionFilters: ["), physical.take(800))
-    val pf = physical.split("PartitionFilters: \\[").last.takeWhile(_ != ']')
-    assert(pf.contains("list_id"), s"probe not partition-pruned: [$pf]")
+    val pfs = physical.split("PartitionFilters: \\[").drop(1)
+      .map(_.takeWhile(_ != ']')).toSeq
+    assert(pfs.exists(_.contains("list_id")),
+      s"probe not partition-pruned: [${pfs.mkString(" | ")}]")
     // and the composed IVF+PQ path reads the same artifact
     val ivfpq = SparkEntry.queries("q_ivfpq_topk")(spark, sf0001)
       .queryExecution.analyzed.toString
@@ -195,8 +199,16 @@ class PlanAuditSpec extends SparkTestBase {
       "q_cosine_pairs", // the quarantined quadratic recall oracle (by design)
       "q_take", // PositionalTake's prefix-sum: triangular join over the
                 // numPartitions-row count aggregate — metadata-sized
-      "q_bm25" // corpus stats feed back as a broadcast cross-join of ONE
-               // row (N, avgdl, per-term df) — size-bounded by design
+      "q_bm25", // corpus stats feed back as a broadcast cross-join of ONE
+                // row (N, avgdl, per-term df) — size-bounded by design
+      // verdict-row oracles attach a ONE-row scalar verdict/stat to a
+      // k-row (or 1-row) result: Catalyst folds the literal join key away
+      // and plans the 1-row broadcast as BNLJ — size-bounded by design
+      "q_hll_merge", // 1-row exact-distinct joined to the 1-row merge
+      "q_embed_lsh_topk", // 1-row recall verdict onto the exact top-20
+      "q_ivf_topk",
+      "q_ivfpq_topk",
+      "q_pq_topk"
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
