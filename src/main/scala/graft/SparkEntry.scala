@@ -892,22 +892,35 @@ object SparkEntry {
     EventsPipeline.windowedAgg(Tables.events(s, d))
       .orderBy("window_start", "event_type")
 
+  /** Write-once staged copy of the events table for the streaming rows
+    * (dirTag discipline): `readStream` needs an explicit schema and the µs
+    * normalization only [[Tables.events]] applies. Staged as ONE file
+    * deliberately — the file source with maxFilesPerTrigger unset then
+    * ingests the whole feed in a single micro-batch, which is the
+    * assumption that makes finite-stream == batch-oracle equality
+    * watermark-proof: with one batch, no row can arrive more than the
+    * watermark delay after a batch that already advanced the watermark,
+    * so the inner joins/aggs can never drop late rows the batch oracle
+    * keeps.
+    */
+  private def stagedEvents(s: SparkSession, d: String): String = {
+    val staged = s"/tmp/graft_stream/${dirTag(d)}/events"
+    if (!new java.io.File(staged, "_SUCCESS").exists())
+      Tables.events(s, d).coalesce(1).write.mode("overwrite").parquet(staged)
+    staged
+  }
+
   /** The STREAMING tier as a catalog row: the same tumbling-window
     * aggregate executed as a real Structured Streaming query (micro-batch
     * source → watermark → stateful agg → complete-mode memory sink), run
-    * to completion on the finite events input. With all input processed,
-    * the final complete-mode table equals the batch aggregate, so the SAME
-    * DuckDB oracle that checks [[qEventsWindow]] now also checks a true
-    * micro-batch execution end to end. The staged event copy is a
-    * write-once artifact (dirTag discipline): `readStream` needs an
-    * explicit schema, and the raw testdata is TIMESTAMP(NANOS) parquet
-    * that only the batch reader ([[Tables.events]]) normalizes to µs.
+    * to completion on the finite [[stagedEvents]] input. With all input
+    * processed, the final complete-mode table equals the batch aggregate,
+    * so the SAME DuckDB oracle that checks [[qEventsWindow]] now also
+    * checks a true micro-batch execution end to end.
     */
   private def qStreamAgg(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
-    val staged = s"/tmp/graft_stream/$tag/events"
-    if (!new java.io.File(staged, "_SUCCESS").exists())
-      Tables.events(s, d).write.mode("overwrite").parquet(staged)
+    val staged = stagedEvents(s, d)
     val name = s"graft_stream_agg_$tag"
     // state partitions sized to state volume, not batch shuffle width —
     // see qStreamIntervalJoin
@@ -934,9 +947,7 @@ object SparkEntry {
     */
   private def qStreamStats(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
-    val staged = s"/tmp/graft_stream/$tag/events"
-    if (!new java.io.File(staged, "_SUCCESS").exists())
-      Tables.events(s, d).write.mode("overwrite").parquet(staged)
+    val staged = stagedEvents(s, d)
     val name = s"graft_stream_stats_$tag"
     // state partitions sized to state volume, not batch shuffle width —
     // see qStreamIntervalJoin
@@ -966,24 +977,35 @@ object SparkEntry {
     */
   private def qStreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
-    val staged = s"/tmp/graft_stream/$tag/events"
-    if (!new java.io.File(staged, "_SUCCESS").exists())
-      Tables.events(s, d).write.mode("overwrite").parquet(staged)
+    val staged = stagedEvents(s, d)
     val name = s"graft_stream_ssj_$tag"
     // Size the STATE partitioning explicitly: a stream-stream join keeps
     // four state stores per shuffle partition, and the partition count is
     // pinned into the query's checkpoint at start — it should track state
     // SIZE, not the session's batch shuffle width (32 stores of a few
     // thousand rows each is pure per-batch commit overhead, measured 4x
-    // the query's cost). Restored after the run; the driver executes
-    // catalog queries sequentially.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // the query's cost; ~40k buffered rows at sf0.1 sit comfortably in 4
+    // stores-per-operator). Measured breakdown at sf0.1 (round 7): batch 0
+    // — the whole join — 1.0 s; the trailing NO-DATA batch another 0.9 s
+    // spent only evicting state that q.stop() discards anyway. An inner
+    // stream-stream join emits eagerly, so with the single-file staged
+    // source its output is complete after batch 0 and the no-data batch is
+    // disabled for this finite drive-to-completion (production unbounded
+    // streams keep it on — there it is what bounds state between sparse
+    // data arrivals). Both confs restored after the run; the driver
+    // executes catalog queries sequentially.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = EventsPipeline.streamingPurchaseErrorJoin(s, staged, name)
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     s.table(name)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("e_ts")).as("e_us"),
@@ -999,9 +1021,7 @@ object SparkEntry {
     */
   private def qStreamEnrich(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
-    val staged = s"/tmp/graft_stream/$tag/events"
-    if (!new java.io.File(staged, "_SUCCESS").exists())
-      Tables.events(s, d).write.mode("overwrite").parquet(staged)
+    val staged = stagedEvents(s, d)
     val name = s"graft_stream_enrich_$tag"
     val dim = Tables.customer(s, d).select(
       col("c_custkey").as("user_id"),
