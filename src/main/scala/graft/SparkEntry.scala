@@ -761,7 +761,10 @@ object SparkEntry {
     * over an already-materialized array — row-local CPU, no Generate, no
     * per-token shuffle), and the corpus statistics (N, avgdl, per-term
     * df) reduce to ONE scalar row that a broadcast cross-join feeds back.
-    * The whole query is a single scan + one 1-row aggregate + a
+    * The whole query is TWO passes over documents — one feeding the 1-row
+    * stats aggregate, one scoring against the broadcast of that row (the
+    * tokenize runs in each; at scale the second pass is the price of not
+    * materializing a tokenized copy of the corpus) — plus a
     * TakeOrderedAndProject; nothing token-shaped ever crosses an
     * exchange. Every constant is written as the same decimal literal in
     * the Spark plan and the DuckDB oracle, and the arithmetic tree shapes

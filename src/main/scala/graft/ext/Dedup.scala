@@ -105,7 +105,20 @@ object Dedup {
     // query that already succeeded; pipelines that must not silently lose
     // candidate mass pay the audit job for the guarantee.)
     bucketed.sparkSession.conf.getOption("graft.capAudit.failFraction")
-      .map(_.toDouble).foreach { frac =>
+      .map { raw =>
+        // fail at the conf, not three jobs later with a bare
+        // NumberFormatException (or, worse, a negative fraction silently
+        // disabling the guard)
+        val frac =
+          try raw.toDouble
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"graft.capAudit.failFraction must be a number in (0, 1], got '$raw'")
+          }
+        require(frac > 0 && frac <= 1,
+          s"graft.capAudit.failFraction must be in (0, 1], got '$raw'")
+        frac
+      }.foreach { frac =>
       val r = bucketed.groupBy(col(keyCol)).agg(count(lit(1)).as("bsz"))
         .agg(
           coalesce(sum(when(col("bsz") >= 2, col("bsz"))), lit(0L)).as("n"),

@@ -57,6 +57,36 @@ class DedupCeilingSpec extends SparkTestBase {
     assert(sh.count() == 0)
   }
 
+  test("capAudit.failFraction: breach throws eagerly; bad conf values fail at the conf") {
+    def withConf[T](v: String)(body: => T): T = {
+      spark.conf.set("graft.capAudit.failFraction", v)
+      try body finally spark.conf.unset("graft.capAudit.failFraction")
+    }
+    // the degenerate corpus drops 100% of candidate mass — any fraction
+    // breached must throw at query BUILD, not warn after the fact
+    withConf("0.5") {
+      val e = intercept[IllegalStateException] {
+        Dedup.minhashPairs(degenerate, "doc_id", "text",
+          shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8,
+          maxBucket = 50)
+      }
+      assert(e.getMessage.contains("failFraction"))
+    }
+    // malformed / out-of-range values name the conf key and the bad value
+    // instead of surfacing a bare NumberFormatException mid-build
+    for (bad <- Seq("half", "-0.1", "0", "1.5")) {
+      withConf(bad) {
+        val e = intercept[IllegalArgumentException] {
+          Dedup.minhashPairs(degenerate, "doc_id", "text",
+            shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8,
+            maxBucket = 50)
+        }
+        assert(e.getMessage.contains("graft.capAudit.failFraction") &&
+          e.getMessage.contains(bad), e.getMessage)
+      }
+    }
+  }
+
   test("embedding-LSH planes auto-scale on an over-capacity corpus (graceful recall)") {
     // 240 vectors in 80 near-dup triples (base + two tiny perturbations,
     // cos >= ~0.999), deterministic seed. With maxBucket = 5 and the

@@ -177,18 +177,49 @@ class PlanAuditSpec extends SparkTestBase {
     assert(postingShuffles == 1,
       s"posting shuffle not reused ($postingShuffles exchanges):\n$finalPlan")
     assert(finalPlan.contains("ReusedExchange"), finalPlan)
-    val smjLine = finalPlan.linesIterator
-      .find(_.contains("SortMergeJoin")).getOrElse(fail("no SMJ in plan"))
-    // the cross-group guard must stay OUT of the join keys: a lifted grp
-    // equality re-keys the join as (coalesce(grp), isnull(grp), bucket),
-    // whose clustering the posting exchange no longer satisfies — a
-    // second full shuffle and sort of the posting table on both sides
-    assert(!smjLine.contains("coalesce(grp"),
-      s"group guard lifted into join keys: $smjLine")
-    // and the inline levenshtein verify keeps the join inside
-    // whole-stage codegen (a CodegenFallback condition demotes it)
-    assert(smjLine.contains(") SortMergeJoin") && smjLine.contains("*("),
-      s"join fell out of whole-stage codegen: $smjLine")
+    // inspect the finalized TREE for the join-shape assertions (the
+    // rendered string's formatting is Spark-version-dependent). QueryStage
+    // and ReusedExchange nodes are leaf wrappers whose subtree
+    // TreeNode.collect does not descend into — flatten through them
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val finalTree = df.queryExecution.executedPlan
+    val allNodes = flatten(finalTree)
+    val smjs = allNodes.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"no SMJ in plan:\n$finalTree")
+    smjs.foreach { smj =>
+      // the cross-group guard must stay OUT of the join keys: a lifted grp
+      // equality re-keys the join as (coalesce(grp), isnull(grp), bucket),
+      // whose clustering the posting exchange no longer satisfies — a
+      // second full shuffle and sort of the posting table on both sides
+      val liftedGuard = (smj.leftKeys ++ smj.rightKeys).exists(k =>
+        k.collectFirst {
+          case c: org.apache.spark.sql.catalyst.expressions.Coalesce => c
+        }.isDefined)
+      assert(!liftedGuard,
+        s"group guard lifted into join keys: ${smj.leftKeys} / ${smj.rightKeys}")
+    }
+    // and the inline levenshtein verify keeps the join inside whole-stage
+    // codegen (a CodegenFallback condition demotes it): some
+    // WholeStageCodegenExec subtree must contain the SMJ
+    val codegenned = allNodes.collect {
+      case w: WholeStageCodegenExec
+        if w.collectFirst { case j: SortMergeJoinExec => j }.isDefined => w
+    }
+    assert(codegenned.nonEmpty,
+      s"join fell out of whole-stage codegen:\n$finalTree")
   }
 
   test("no catalog query plans a cartesian/nested-loop join outside the allowlist") {
