@@ -96,9 +96,18 @@ object Bench {
     val byteRate = jmap(k =>
       if (secs(k) > 0) num(counts(k)._2 / secs(k), 0) else "0")
     val total = num(results.map(_._2).filter(_ >= 0).sum, 3)
+    // the driver's round artifact retains only the LINE TAIL, so the tail
+    // must be self-contained: after the per-query seconds map, repeat the
+    // totals and the slowest rows as a compact summary — a truncated
+    // prefix then loses only the auxiliary rate maps, never the headline
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
+    val nFailed = results.count(_._2 < 0)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","rows":$rows,""" +
-        s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,"queries":$qs,"sf":"$sfDir"}""")
+        s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,"queries":$qs,""" +
+        s""""slowest":$slowest,"n_queries":${names.size},"n_failed":$nFailed,""" +
+        s""""total_sec":$total,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
