@@ -1629,21 +1629,33 @@ object SparkEntry {
 
   /** Incremental ANN ingest: a hash-designated new batch (vec_id ≡ 9 mod
     * 10) assigned to the PERSISTED coarse quantizer — no retraining, pure
-    * scan against the collected centroid metadata — summarized as per-list
-    * landing counts (the "which lists need their stats refreshed" signal).
-    * Rows-only: k-means lists are not portable SQL; `CrossCheckSpec` pins
-    * that incremental assignment lands every vector in exactly the list a
-    * full rebuild chooses. At 100 TB this is the ingest path that keeps
-    * the index write-once-plus-appends instead of periodically retrained.
+    * scan against the collected centroid metadata. The per-list landing
+    * counts are k-means artifacts no portable engine reproduces, so the
+    * row emits the verdict form: the batch size (conservation — the DuckDB
+    * oracle counts the same mod-designated batch) plus `assign_ok`, the
+    * in-plan check that every vector landed exactly once in a valid list
+    * (ids are 1-based, 1..nlist). `CrossCheckSpec` keeps the stronger
+    * floor — incremental assignment equals the list a full rebuild
+    * chooses, and the per-list breakdown stays tested there via
+    * [[IvfIndex.assign]] directly. At 100 TB this is the ingest path that
+    * keeps the index write-once-plus-appends instead of periodically
+    * retrained.
     */
   private def qIvfIncremental(s: SparkSession, d: String): DataFrame = {
     val (_, cents, _) = annIndex(s, d)
+    val nlist = cents.size
     val batch = Tables.embeddings(s, d)
       .filter(pmod(col("vec_id"), lit(10)) === 9)
     IvfIndex.assign(batch, "vec_id", "embedding", cents.map(_._2))
-      .groupBy("list_id")
-      .agg(count(lit(1)).as("n_new"))
-      .orderBy("list_id")
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        countDistinct(col("id")).as("n_distinct"),
+        min(col("list_id")).as("min_list"),
+        max(col("list_id")).as("max_list"))
+      .select(
+        col("n_assigned"),
+        (col("min_list") >= 1 && col("max_list") <= nlist &&
+          col("n_assigned") === col("n_distinct")).as("assign_ok"))
   }
 
   /** Deterministic sampling: mod-sample (oracled) + per-split counts from
@@ -2898,6 +2910,11 @@ object SparkEntry {
     "q_ivf_topk" -> annVerdictOracleSql,
     "q_pq_topk" -> annVerdictOracleSql,
     "q_ivfpq_topk" -> annVerdictOracleSql,
+    // incremental ingest: conservation of the mod-designated batch is the
+    // portable side; valid-list landing is the in-plan verdict
+    "q_ivf_incremental" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_assigned, TRUE AS assign_ok
+        |FROM embeddings WHERE vec_id % 10 = 9""".stripMargin,
     "q_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

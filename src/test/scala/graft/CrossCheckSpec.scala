@@ -435,16 +435,27 @@ class CrossCheckSpec extends SparkTestBase {
 
   test("incremental ANN catalog row lands the whole batch in valid lists (q_ivf_incremental)") {
     import org.apache.spark.sql.functions._
-    val rows = SparkEntry.queries("q_ivf_incremental")(spark, sf0001)
-      .as[(Int, Long)].collect()
-    assert(rows.nonEmpty)
-    // list ids are 1-based (IvfIndex.build numbers lists 1..nlist)
-    assert(rows.forall { case (list, n) => list >= 1 && list <= 16 && n > 0 })
-    // conservation: every batch vector lands in exactly one list
+    // the catalog row is the verdict form: (n_assigned, assign_ok)
+    val (nAssigned, assignOk) = SparkEntry.queries("q_ivf_incremental")(spark, sf0001)
+      .as[(Long, Boolean)].head()
+    assert(assignOk, "valid-list / exactly-once verdict false")
     val batchN = Tables.embeddings(spark, sf0001)
       .filter(pmod($"vec_id", lit(10)) === 9).count()
-    assert(rows.map(_._2).sum == batchN,
-      s"per-list landing counts ${rows.map(_._2).sum} != batch size $batchN")
+    assert(nAssigned == batchN, s"conservation: $nAssigned != batch size $batchN")
+    // the per-list breakdown (the "which lists need stats refreshed"
+    // signal) stays pinned on the operator itself: 1-based valid ids,
+    // positive counts, conservation
+    val emb = Tables.embeddings(spark, sf0001)
+    val (_, centsDf) = graft.ext.IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+    val cents = centsDf.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val perList = graft.ext.IvfIndex
+      .assign(emb.filter(pmod($"vec_id", lit(10)) === 9), "vec_id", "embedding",
+        cents.map(_._2))
+      .groupBy("list_id").agg(count(lit(1)).as("n_new"))
+      .as[(Int, Long)].collect()
+    assert(perList.nonEmpty)
+    assert(perList.forall { case (list, n) => list >= 1 && list <= 16 && n > 0 })
+    assert(perList.map(_._2).sum == batchN)
   }
 
   test("PQ top-k catalog row: verdict rows green, scores agree with a fresh codebook (q_pq_topk)") {
