@@ -1017,6 +1017,45 @@ object SparkEntry {
       .orderBy("event_id", "p_us", "p_value")
   }
 
+  /** Streaming exact dedup as a driver-gated catalog row: the staged feed
+    * is the events table DUPLICATED (every event twice — the at-least-once
+    * delivery reality this operator exists for; the raw table's event_ids
+    * are unique at every SF, which would make dedup a no-op),
+    * `dropDuplicatesWithinWatermark` halves it back to exactly the batch
+    * DISTINCT. Duplicate rows are byte-identical, so the kept row is
+    * deterministic and the row carries a full-column DuckDB oracle — the
+    * strongest check of the family (row CONTENT, not just key counts).
+    * State is one row per key within the watermark horizon; partitions
+    * sized to state volume and the finite-drive no-data batch skipped,
+    * both per [[qStreamIntervalJoin]]'s measured rationale.
+    */
+  private def qStreamDedup(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val dupStaged = s"/tmp/graft_stream/$tag/events_dup"
+    if (!new java.io.File(dupStaged, "_SUCCESS").exists()) {
+      val e = Tables.events(s, d)
+      e.unionAll(e).coalesce(1).write.mode("overwrite").parquet(dupStaged)
+    }
+    val name = s"graft_stream_dedup_$tag"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = EventsPipeline.streamingDedup(s, dupStaged, name)
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    s.table(name)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+  }
+
   /** Stream-static enrichment join as a driver-gated catalog row: every
     * micro-batch joins the customer dimension map-side (broadcast — the
     * stream is never shuffled), the standard reference-data join at any
@@ -2317,6 +2356,7 @@ object SparkEntry {
     "q_stream_stats" -> (qStreamStats _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_sessionize" -> (qSessionize _),
     "q_events_json" -> (qEventsJson _),
@@ -2670,6 +2710,13 @@ object SparkEntry {
         | AND e.event_type = 'error' AND p.event_type = 'purchase'
         | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY e.event_id, p_us, p_value""".stripMargin,
+    // q_stream_dedup: the staged feed duplicates every event; watermarked
+    // streaming dedup to completion == DISTINCT over the original table
+    // (duplicates are byte-identical, so full row content is checkable)
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |       ROUND(value, 4) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     // q_stream_enrich: stream-static broadcast left join to completion ==
     // the batch left join
     "q_stream_enrich" ->

@@ -177,6 +177,13 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q_stream_dedup catalog row: doubled feed dedups to exactly the batch distinct") {
+    val rows = SparkEntry.queries("q_stream_dedup")(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    assert(rows.count() == ev.count(), "dedup did not halve the doubled feed")
+    assert(rows.select($"event_id").distinct().count() == ev.count())
+  }
+
   test("sessionization: session count bounded by event count, monotone seq") {
     val s = EventsPipeline.sessionize(Tables.events(spark, sf0001))
     val bad = s.filter($"session_seq" < 1).count()
