@@ -1697,9 +1697,9 @@ object SparkEntry {
           col("n_assigned") === col("n_distinct")).as("assign_ok"))
   }
 
-  /** Deterministic sampling: mod-sample (oracled) + per-split counts from
-    * the hash-based train/val/test assignment (rows-only component kept in
-    * one query to exercise both paths).
+  /** Deterministic mod-sample: engine-portable membership (`key % m = 0`),
+    * so the DuckDB oracle reproduces the exact sampled SET. The hash-based
+    * split assignment is its own oracled row ([[qSplitCounts]]).
     */
   private def qSample(s: SparkSession, d: String): DataFrame =
     Sampling.modSample(Tables.orders(s, d), "o_orderkey", m = 10)
@@ -2458,9 +2458,12 @@ object SparkEntry {
       |       id, cos, TRUE AS ann_ok
       |FROM top ORDER BY rnk""".stripMargin
 
-  /** DuckDB oracles. Omitted for ops whose semantics are not expressible in
-    * portable SQL (LSH/xxhash64-dependent candidate generation, the decode
-    * stub) — the driver records a rows-only check for those.
+  /** DuckDB oracles. Omitted only for the four LSH/simhash PAIR families
+    * (seeded-hash candidate generation whose exact counterpart is the
+    * quarantined quadratic oracle) — the driver records a rows-only check
+    * for those; every other row, including the sketch and ANN families,
+    * carries an oracle (verdict rows where the estimate itself is
+    * engine-specific).
     */
   def oracleSql: Map[String, String] = Map(
     "q_filter" ->
