@@ -488,17 +488,24 @@ object SparkEntry {
     * error hash-mismatches this row. Same differential-oracle discipline as
     * the reference's aggregate tests (host/aggr/aggr_test.cc:25-48). The
     * exact side is the audit, not the production path — at 100 TB only the
-    * mergeable sketch runs; here exact and approx share one partial-agg
-    * pass per group.
+    * mergeable sketch runs. The two exact distincts are SPLIT into
+    * two-level aggregations (distinct-pairs then count) joined back to the
+    * one-pass sketch aggregate, NOT packed into one agg: two
+    * countDistincts in a single aggregate plan an Expand that triples
+    * every row through one wide shuffle — measured 1.41 s vs 0.55 s for
+    * the split form at sf0.1, and each split branch scans only its two
+    * pruned columns.
     */
-  private def qSketches(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+  private def qSketches(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val exactOrders = li.select("l_returnflag", "l_orderkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_orders"))
+    val exactParts = li.select("l_returnflag", "l_partkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+    val sketches = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+    exactOrders.join(exactParts, "l_returnflag").join(sketches, "l_returnflag")
       .select(
         col("l_returnflag"),
         col("exact_orders"),
@@ -508,6 +515,7 @@ object SparkEntry {
         (abs(col("approx_parts") - col("exact_parts"))
           <= col("exact_parts") * 0.15).as("hll_parts_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Approximate-quantile sketch (Greenwald–Khanna via `percentile_approx`)
     * audited in-plan against the exact distribution — completing the
