@@ -28,26 +28,42 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects; read nanos as long and truncate to
-    * microseconds (exactly what engines with native µs timestamps do).
+  /** Schema-adaptive events loader: the driver has shipped `events.parquet`
+    * with both TIMESTAMP(NANOS) and timestamp[us] encodings across rounds, so
+    * the loader branches on the *loaded* `ts` type instead of assuming one —
+    * the same discipline as the reference's transfer layer, which reads the
+    * byte width from the type layout rather than hard-coding it
+    * (`host/dpuext/arrow_utils.cc:41-45` `get_byte_width`,
+    * `host/partition/partition.h:33-40`).
     *
-    * Truncation is INTEGER division (`div`): epoch nanos (~1.7e18) exceed
-    * double's 2^53 exact range, so the old `/ 1000` float path rounded the
-    * nanos before dividing and produced a microsecond value off by one for
-    * ~13% of rows — silently diverging from any engine that truncates
-    * integers (measured on the sf0.001 events: 127/1000 rows).
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so with
+    *    `nanosAsLong` the column surfaces as `LongType` epoch nanos; truncate
+    *    to microseconds with INTEGER division (`div`) — epoch nanos (~1.7e18)
+    *    exceed double's 2^53 exact range, so a float `/ 1000` rounds and lands
+    *    one µs off for ~13% of rows (measured: 127/1000 at sf0.001).
+    *  - timestamp[us] without tz: loads as `TimestampNTZType`; cast to
+    *    session-local `TimestampType` — the library pins the session to UTC
+    *    (`engine/GraftSession.scala`), so the cast is wall-clock identity and
+    *    `to_date`/window/epoch semantics match both the old nanos path and the
+    *    DuckDB oracle (which reads the file as naive TIMESTAMP).
+    *  - timestamp[us] with tz (`TimestampType`): already the target type.
     *
     * `nanosAsLong` is a session-level legacy flag with no per-read option;
-    * setting it here means later TIMESTAMP(NANOS) reads in the session
-    * also surface as longs — acceptable for this library's sessions, where
-    * every nanos read goes through this loader.
+    * it is inert for non-NANOS files, so setting it unconditionally is safe.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected nanos-as-long, timestamp_ntz, or timestamp")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

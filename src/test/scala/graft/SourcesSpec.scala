@@ -48,6 +48,64 @@ class SourcesSpec extends SparkTestBase {
     assert(back.count() == expected && expected > 0)
   }
 
+  test("events loader adapts to NANOS, MICROS-NTZ, and MICROS-LTZ timestamp encodings") {
+    import org.apache.spark.sql.types._
+    // Epoch-µs values, one with a non-zero sub-ms tail, spanning an hour.
+    val micros = Seq(1700000000000000L, 1700000000000001L, 1700003600123456L)
+    def dir(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_ev_$tag").toString
+
+    val rows = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+    val ltzDf = rows.toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").as("ts"))
+
+    // timestamp[us] without tz → reads back as TIMESTAMP_NTZ (driver's current encoding).
+    val ntzDir = dir("ntz")
+    ltzDf.withColumn("ts", $"ts".cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+
+    // timestamp[us] adjusted-to-UTC → reads back as TIMESTAMP (pass-through branch).
+    val ltzDir = dir("ltz")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ltzDf.write.mode("overwrite").parquet(s"$ltzDir/events.parquet")
+
+    // TIMESTAMP(NANOS) (the old driver encoding) — Spark cannot write it, so
+    // build the file with parquet-java directly. The +999ns tail checks that
+    // the loader truncates (integer div) rather than rounds.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types => PTypes}
+    val nanosDir = dir("nanos")
+    val schema = PTypes.buildMessage()
+      .required(PrimitiveType.PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveType.PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$nanosDir/events.parquet"))
+      .withConf(conf).build()
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    rows.foreach { case (id, us) =>
+      val g = factory.newGroup()
+      g.append("event_id", id)
+      g.append("ts", us * 1000L + 999L)
+      writer.write(g)
+    }
+    writer.close()
+
+    def loaded(d: String): Seq[Long] = {
+      val df = Tables.events(spark, d)
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$d: ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
+      df.select(unix_micros($"ts")).as[Long].collect().sorted.toSeq
+    }
+    val expected = micros.sorted
+    assert(loaded(ntzDir) == expected)
+    assert(loaded(ltzDir) == expected)
+    assert(loaded(nanosDir) == expected)
+  }
+
   test("multimodal resize + frame sampling stages") {
     val df = Seq((0L, "some media payload bytes here")).toDF("doc_id", "text")
     val feats = graft.ext.Multimodal.featurize(df, "doc_id", "text", "video/fake")
