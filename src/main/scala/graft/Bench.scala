@@ -103,11 +103,23 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","rows":$rows,""" +
         s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,"queries":$qs,""" +
         s""""slowest":$slowest,"n_queries":${names.size},"n_failed":$nFailed,""" +
-        s""""total_sec":$total,"sf":"$sfDir"}""")
+        s""""total_sec":$total,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the line to a file: the driver's stdout capture has twice
+    // truncated the line mid-JSON (BENCH_r6/r8 `parsed: null`), so a
+    // durable on-disk copy is the archaeology-free record. Best-effort —
+    // the stdout contract stays authoritative.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

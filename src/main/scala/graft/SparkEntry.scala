@@ -1242,24 +1242,84 @@ object SparkEntry {
     Dedup.normalized(Tables.documents(s, d), "doc_id", "text")
       .orderBy("keep_id")
 
-  /** Banding tuned for the ~0.93+ Jaccard of the corpus's planted
-    * near-duplicates: 8 bands × 8 rows → recall ≥ 0.999 at s = 0.93 while
-    * admitting only ~s^8-per-band of the 0.5-similarity background.
+  /** Verdict-row wrapper for approximate PAIR families — the pair-set
+    * counterpart of [[annRecallVerdict]]: the output rows are the EXACT
+    * pair set at the threshold (engine-portable, so the DuckDB oracle
+    * recomputes them from the raw tables) plus one in-plan verdict column
+    * asserting the approximate family's guarantee — every approximate pair
+    * is in the exact set (the families verify the exact measure on every
+    * candidate, so precision is 1.0 by construction) AND recall clears
+    * `floor`. The oracle emits the verdict as literal TRUE: an LSH recall
+    * collapse hash-mismatches the row. The verdict is a full-outer join of
+    * two compact (id_a, id_b) sets followed by one scalar aggregate and a
+    * 1-row broadcast re-attach — no shuffle beyond the two pair pipelines
+    * themselves. (Reference analog: differential-oracle discipline,
+    * `host/join/join_test.cc:27-38`.)
     */
-  private def qMinhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8)
+  private def pairRecallVerdict(
+      exact: DataFrame,
+      approx: DataFrame,
+      floor: Double,
+      verdictName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The EXACT side is the expensive audit (banded/quadratic); it must be
+    // evaluated ONCE. The verdict stats therefore ride on the exact rows
+    // themselves — a left join marks hits, a whole-result window counts
+    // them (the final pair set is table-stakes small, so the
+    // single-partition window is over the RESULT, never the corpus) — and
+    // only the cheap approximate side is referenced twice (its total count
+    // closes the precision check: n_extra = n_approx − n_hit).
+    val ap = approx.select(col("id_a"), col("id_b"))
+    val nAp = ap.agg(count(lit(1)).as("n_ap")).withColumn("one", lit(1))
+    val w = Window.partitionBy(lit(1))
+    exact
+      .join(ap.withColumn("in_ap", lit(1L)), Seq("id_a", "id_b"), "left")
+      .withColumn("one", lit(1))
+      .join(broadcast(nAp), "one")
+      .withColumn("__n_exact", count(lit(1)).over(w))
+      .withColumn("__n_hit", coalesce(sum(col("in_ap")).over(w), lit(0L)))
+      .withColumn(verdictName,
+        col("n_ap") === col("__n_hit") &&
+          col("__n_hit").cast("double") >= lit(floor) * col("__n_exact").cast("double"))
+      .drop("one", "in_ap", "n_ap", "__n_exact", "__n_hit")
       .orderBy("id_a", "id_b")
+  }
 
-  /** chunks = 4 makes candidate recall COMPLETE for hamming < 4
-    * (pigeonhole), so maxHamming = 3 is exact — conditional on no chunk
-    * bucket exceeding maxBucket (true for this corpus at every test SF;
-    * see [[graft.ext.Dedup.simhashPairs]] for the cap caveat and
-    * `Dedup.bucketStats` for the audit).
+  /** MinHash+LSH near-dup pairs wrapped in the pair-set exactness audit
+    * ([[pairRecallVerdict]]): output = the EXACT char-5-shingle Jaccard
+    * pairs at 0.8 ([[graft.ext.Dedup.charJaccardPairs]] — size-ratio-banded,
+    * DuckDB-expressible) + `mh_ok`, asserting the banded minhash retrieved
+    * the full planted-near-dup pair set (banding 8×8 → recall ≥ 0.999 at
+    * the corpus's ~0.93 Jaccard dups; measured recall 1.0 at every test SF,
+    * floor 0.9 leaves margin for an unlucky seedless corpus).
+    */
+  private def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    pairRecallVerdict(
+      Dedup.charJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.8),
+      Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8),
+      floor = 0.9,
+      verdictName = "mh_ok")
+  }
+
+  /** SimHash near-dup pairs on the ENGINE-PORTABLE 60-bit md5-prefix
+    * signature ([[graft.ext.Dedup.portableSimhashSigs]]): chunks = 4 makes
+    * candidate recall COMPLETE for hamming < 4 (pigeonhole), so
+    * maxHamming = 3 yields the EXACT pair set — which the DuckDB oracle
+    * reproduces by brute-force quadratic hamming over independently
+    * recomputed signatures, making this a FULLY-oracled row (stronger than
+    * a recall-floor verdict: every pair, both ids and the hamming value,
+    * is hash-compared). Conditional on no chunk bucket exceeding maxBucket
+    * (true at every test SF; `Dedup.bucketStats` audits). The library's
+    * production path stays [[graft.ext.Dedup.simhashPairs]] (native seeded
+    * xxhash, codegen'd); the portable signature exists so the bucketing
+    * pipeline is differentially testable end to end.
     */
   private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3, chunks = 4)
+    Dedup.simhashPairsFromSigs(
+        Dedup.portableSimhashSigs(Tables.documents(s, d), "doc_id", "text"),
+        totalBits = 60, maxHamming = 3, chunks = 4)
       .orderBy("id_a", "id_b")
 
   private def qNgramJaccardPairs(s: SparkSession, d: String): DataFrame =
@@ -1303,6 +1363,51 @@ object SparkEntry {
       .filter(col("split_a") =!= col("split_b"))
       .select("id_a", "id_b", "jaccard", "split_a", "split_b")
       .orderBy("id_a", "id_b")
+  }
+
+  /** END-TO-END training-corpus pipeline — the five stages a pretraining
+    * data build runs, composed as ONE declarative plan so Catalyst sees
+    * (and the oracle checks) the whole dataflow: normalize→dedup (survivor
+    * = min id per normalized text), quality gate (integer-form predicates —
+    * `2·alpha_len >= len` and a token floor — so the comparisons are exact
+    * in every engine), contamination-safe split (portable md5 splits; any
+    * near-dup pair [[graft.ext.Dedup.ngramJaccardPairs]] that straddles
+    * splits drops its non-train member, ties drop the larger id),
+    * mix-sample to target source weights ([[graft.ext.Sampling.sampleToMix]]),
+    * and sequence packing ([[graft.ext.TextAnalysis.packSequences]]).
+    * Every stage is individually oracled elsewhere
+    * (q_dedup_normalized/q_split_counts/q_ngram_jaccard/q_contamination/
+    * q_sample_mix/q_pack_sequences); this row pins their COMPOSITION.
+    * Output: one row per packed document (source, id, n_tokens, bin).
+    */
+  private def qCorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val survivors = docs.join(
+      Dedup.normalized(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val qual = survivors.filter(
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 2 >= length(col("text")) &&
+        size(tokens(col("text"))) >= 10)
+    val split = Sampling.assignSplitsPortable(qual, "doc_id",
+      valFraction = 0.1, testFraction = 0.1)
+    val sp = split.select(col("doc_id"), col("split"))
+    val drops = Dedup.ngramJaccardPairs(qual, "doc_id", "text", n = 3, threshold = 0.03)
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(
+        when(col("split_a") === "train", col("id_b"))
+          .when(col("split_b") === "train", col("id_a"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val clean = split.join(drops, Seq("doc_id"), "left_anti")
+    val target = (0 until 20)
+      .map(i => s"src$i" -> (if (i < 10) 1.0 else 3.0)).toMap
+    val mixed = Sampling.sampleToMix(clean, "doc_id", "source", target)
+    TextAnalysis.packSequences(mixed, "source", "doc_id", "text", capacity = 512)
+      .select(col("grp").as("source"), col("id"), col("n_tokens"), col("bin"))
+      .orderBy("source", "id")
   }
 
   // --------------------------------------------- north-star: similarity
@@ -1386,15 +1491,25 @@ object SparkEntry {
         Tables.embeddings(s, d), "vec_id", "embedding", queryVector(s, d), 20),
       floor = 5)
 
-  /** planes=16/chunks=4 → 4-bit buckets: ~6% of random pairs per chunk
-    * become candidates (vs 25% with 2-bit buckets, which grows quadratic
-    * bucket joins at scale). Recall at cos≥0.3 ≈ 0.4 — approximate by
-    * design; the exact baseline is q_embed_topk.
+  /** Embedding-LSH pairs wrapped in the pair-set exactness audit
+    * ([[pairRecallVerdict]]): output = the exact cosine pairs at 0.3 (the
+    * q_cosine_pairs side, already DuckDB-proven) + `lsh_ok`. planes=16/
+    * chunks=4 → 4-bit buckets: ~6% of random pairs per chunk become
+    * candidates (vs 25% with 2-bit buckets, which grows quadratic bucket
+    * joins at scale). Recall at cos≥0.3 is ~0.4 by design over these
+    * deliberately structureless embeddings (measured 0.40–0.44 across the
+    * test SFs) — floor 0.25 asserts the bucketing stays functional without
+    * pinning the trade.
     */
-  private def qEmbedPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.3, planes = 16, chunks = 4)
-      .orderBy("id_a", "id_b")
+  private def qEmbedPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    pairRecallVerdict(
+      Similarity.bruteForcePairs(emb, "vec_id", "embedding", threshold = 0.3),
+      Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, planes = 16, chunks = 4),
+      floor = 0.25,
+      verdictName = "lsh_ok")
+  }
 
   /** Exact quadratic pair scan — the recall oracle for [[qEmbedPairs]];
     * oracled in SQL, unlike the LSH variants.
@@ -1404,17 +1519,31 @@ object SparkEntry {
         threshold = 0.3)
       .orderBy("id_a", "id_b")
 
-  /** End-to-end text→embedding→near-dup pipeline: hashing-TF document
-    * vectors (no external model) fed through the embedding pair finder —
-    * the cosine counterpart of [[qMinhashPairs]] on the same corpus.
+  /** End-to-end text→embedding→near-dup pipeline wrapped in the pair-set
+    * exactness audit ([[pairRecallVerdict]]): ENGINE-PORTABLE md5 hashing-TF
+    * bigram vectors ([[graft.ext.Similarity.portableTfPosting]], the
+    * portable twin of [[graft.ext.TextAnalysis.hashingTfEmbedding]],
+    * densified once), then (a) the exact cosine pair set at 0.8 — integer-
+    * valued weights make every dot and norm an exact cross-engine sum, so
+    * the DuckDB oracle reproduces the rows bit-for-bit from its SPARSE
+    * posting formulation (the [[graft.ext.Similarity.sparseCosinePairs]]
+    * shape; `OperatorPropertySpec` pins sparse ≡ dense) — and (b) the same
+    * vectors through the production LSH pair finder, asserted by the
+    * `lsh_ok` recall verdict (measured recall ≥ 0.97 at every test SF on
+    * the planted dups; floor 0.8).
     */
-  private def qDocEmbedPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingPairs(
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            TextAnalysis.hashingTfEmbedding(col("text"), dims = 256, ngram = 2).as("emb")),
-        "doc_id", "emb", threshold = 0.8, planes = 32, chunks = 4)
-      .orderBy("id_a", "id_b")
+  private def qDocEmbedPairs(s: SparkSession, d: String): DataFrame = {
+    val vecs = Similarity.postingToVec(
+      Similarity.portableTfPosting(
+        Tables.documents(s, d), "doc_id", "text", dims = 256, ngram = 2),
+      dims = 256)
+    pairRecallVerdict(
+      Similarity.bruteForcePairs(vecs, "id", "vec", threshold = 0.8),
+      Dedup.embeddingPairs(vecs, "id", "vec",
+        threshold = 0.8, planes = 32, chunks = 4),
+      floor = 0.8,
+      verdictName = "lsh_ok")
+  }
 
   // ------------------------------------------------- north-star: text
 
@@ -2383,6 +2512,7 @@ object SparkEntry {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccardPairs _),
     "q_contamination" -> (qContamination _),
+    "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_embed_topk" -> (qEmbedTopK _),
     "q_embed_lsh_topk" -> (qEmbedLshTopK _),
@@ -2988,6 +3118,107 @@ object SparkEntry {
         |SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos
         |FROM c WHERE cos_raw >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // pair-family verdict rows (the pair-set counterpart of the ANN
+    // verdict rows): the oracle recomputes the EXACT pair set from the raw
+    // tables and asserts each family's recall guarantee as literal TRUE —
+    // the q_cosine_pairs quadratic with the lsh_ok verdict appended
+    "q_embed_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         CASE WHEN list_dot_product(a.v, a.v) = 0
+        |                OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+        |              ELSE list_dot_product(a.v, b.v) /
+        |                   (sqrt(list_dot_product(a.v, a.v)) *
+        |                    sqrt(list_dot_product(b.v, b.v)))
+        |         END AS cos_raw
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos, TRUE AS lsh_ok
+        |FROM c WHERE cos_raw >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q_minhash_pairs: exact char-5-shingle Jaccard pairs at 0.8. The
+    // size-ratio prefilter (J >= 0.8 implies max-size <= 1.25*min-size) is
+    // a mathematically lossless candidate bound, so the IEJoin-band here
+    // and the log-bucket band on the Spark side produce the SAME final
+    // pair set; list semantics mirror charShingles (distinct k-grams of
+    // lower(trim(text)), short text -> the text itself as one shingle)
+    "q_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(s) < 5 THEN [s]
+        |              ELSE list_distinct([substr(s, i, 5)
+        |                                  for i in generate_series(1, len(s) - 4)])
+        |         END AS g
+        |  FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)),
+        |sz AS (SELECT id, g, len(g) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         len(list_intersect(a.g, b.g)) AS ni, a.n + b.n AS ns
+        |  FROM sz a JOIN sz b
+        |    ON a.id < b.id
+        |   AND a.n <= b.n * 1.25 AND b.n <= a.n * 1.25)
+        |SELECT id_a, id_b,
+        |       ROUND(CAST(ni AS DOUBLE) / (ns - ni), 6) AS jaccard,
+        |       TRUE AS mh_ok
+        |FROM cand WHERE CAST(ni AS DOUBLE) / (ns - ni) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q_simhash_pairs: FULL differential oracle — the portable 60-bit
+    // md5-prefix signature is recomputed independently and the exact
+    // hamming<=3 pair set compared row-for-row (the engine's chunk-bucketed
+    // candidates are pigeonhole-complete for hamming < 4, so the sets must
+    // be identical)
+    "q_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                            x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |th AS (SELECT id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+        |bits AS (
+        |  SELECT id, g.b AS b,
+        |         SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, generate_series(0, 59) g(b)
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT id,
+        |         SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b)
+        |                  ELSE CAST(0 AS BIGINT) END) AS sig
+        |  FROM bits GROUP BY 1)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q_doc_embed_pairs: exact sparse-cosine pairs over the portable md5
+    // hashing-TF bigram posting — integer-valued weights make dot and
+    // norm exact cross-engine sums; gram builder mirrors wordShingles
+    // (distinct space-joined bigrams of the whitespace tokens of
+    // lower(text), shorter-than-2 token lists -> one gram of all tokens)
+    "q_doc_embed_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(lower(text), '\s+'),
+        |                              x -> len(x) > 0) AS t
+        |           FROM documents),
+        |sh AS (SELECT doc_id AS id,
+        |              CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |                   ELSE list_distinct([concat_ws(' ', t[i], t[i+1])
+        |                                       for i in generate_series(1, len(t) - 1)])
+        |              END AS g
+        |       FROM t),
+        |p AS (SELECT id, CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT) % 256 AS dim
+        |      FROM (SELECT id, unnest(g) AS gram FROM sh)),
+        |w AS (SELECT id, dim, CAST(COUNT(*) AS DOUBLE) AS w FROM p GROUP BY 1, 2),
+        |n AS (SELECT id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+        |d AS (SELECT a.id AS id_a, b.id AS id_b, SUM(a.w * b.w) AS dot
+        |      FROM w a JOIN w b ON a.dim = b.dim AND a.id < b.id GROUP BY 1, 2)
+        |SELECT d.id_a, d.id_b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos,
+        |       TRUE AS lsh_ok
+        |FROM d
+        |JOIN n na ON d.id_a = na.id
+        |JOIN n nb ON d.id_b = nb.id
+        |WHERE d.dot / (na.nrm * nb.nrm) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id AS id,
         |       CAST(length(text) AS BIGINT) AS n_chars,
@@ -3586,6 +3817,94 @@ object SparkEntry {
         |      CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.03
         |  AND pa.split <> pb.split
         |ORDER BY id_a, id_b""".stripMargin,
+    // q_corpus_pipeline: the five oracled stage recipes composed verbatim —
+    // normalized-dedup survivors -> integer-form quality gate -> portable
+    // split + cross-split near-dup drop -> mix-sample -> pack
+    "q_corpus_pipeline" ->
+      """WITH surv AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |           MIN(doc_id) OVER (PARTITION BY
+        |             trim(regexp_replace(regexp_replace(lower(text),
+        |                  '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g'))) AS keep
+        |    FROM documents)
+        |  WHERE doc_id = keep),
+        |qual AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> len(x) > 0) AS tl
+        |  FROM surv
+        |  WHERE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 2
+        |          >= length(text)
+        |    AND len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                        x -> len(x) > 0)) >= 10),
+        |spl AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN h < 100000 THEN 'val'
+        |              WHEN h < 200000 THEN 'test'
+        |              ELSE 'train' END AS split
+        |  FROM (SELECT doc_id, source, text,
+        |               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |                    AS BIGINT) % 1000000 AS h
+        |        FROM qual)),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(tl) < 3 THEN [array_to_string(tl, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', tl[i], tl[i+1], tl[i+2])
+        |                                  for i in generate_series(1, len(tl) - 2)])
+        |         END AS g
+        |  FROM qual),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS ni
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON id_a = sa.id
+        |  JOIN sizes sb ON id_b = sb.id
+        |  WHERE CAST(ni AS DOUBLE) /
+        |        CAST(sa.n_sh + sb.n_sh - ni AS DOUBLE) >= 0.03),
+        |drops AS (
+        |  SELECT DISTINCT CASE WHEN pa.split = 'train' THEN p.id_b
+        |                       WHEN pb.split = 'train' THEN p.id_a
+        |                       ELSE greatest(p.id_a, p.id_b) END AS drop_id
+        |  FROM pairs p
+        |  JOIN spl pa ON p.id_a = pa.doc_id
+        |  JOIN spl pb ON p.id_b = pb.doc_id
+        |  WHERE pa.split <> pb.split),
+        |clean AS (
+        |  SELECT * FROM spl
+        |  WHERE doc_id NOT IN (SELECT drop_id FROM drops)),
+        |mixr AS (
+        |  SELECT c.doc_id, c.source, c.text,
+        |         CASE WHEN CAST(substr(c.source, 4) AS INT) < 10
+        |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(3.0 AS DOUBLE) END AS tw,
+        |         CAST(('0x' || substr(md5('mix|' || CAST(c.doc_id AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 1000000 AS mh,
+        |         COUNT(*) OVER (PARTITION BY c.source) AS n_src
+        |  FROM clean c),
+        |mixed AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, MIN(CAST(n_src AS DOUBLE) / tw) OVER () AS feas FROM mixr)
+        |  WHERE CAST(mh AS DOUBLE) < tw * feas / CAST(n_src AS DOUBLE) * 1000000),
+        |toks AS (
+        |  SELECT source, doc_id AS id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM mixed),
+        |packed AS (
+        |  SELECT source, id, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks)
+        |SELECT source, id, n_tokens,
+        |       CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS bin
+        |FROM packed ORDER BY source, id""".stripMargin,
     "q_multimodal" ->
       """WITH f AS (
         |  SELECT doc_id AS id,

@@ -229,10 +229,26 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       chunks: Int = 4,
+      maxBucket: Int = 10000): DataFrame =
+    simhashPairsFromSigs(
+      df.select(
+        col(idCol).as("id"),
+        simhash64(tokens(lower(col(textCol)))).as("sig")),
+      totalBits = 64, maxHamming = maxHamming, chunks = chunks,
+      maxBucket = maxBucket)
+
+  /** The bucketed pair core shared by [[simhashPairs]] (native 64-bit
+    * signatures) and the portable-signature catalog row: chunk-bucketed
+    * candidates over an `(id, sig)` input, hamming verification. Keeping
+    * ONE core means the pigeonhole-completeness argument and the bucket-cap
+    * audit hold identically for every signature family.
+    */
+  def simhashPairsFromSigs(
+      sigs: DataFrame,
+      totalBits: Int,
+      maxHamming: Int,
+      chunks: Int,
       maxBucket: Int = 10000): DataFrame = {
-    val sig = df.select(
-      col(idCol).as("id"),
-      simhash64(tokens(lower(col(textCol)))).as("sig"))
     // The signature is ONE long, so it rides through the explode and the
     // self-join (8 bytes per shuffle row) instead of being re-derived and
     // join-attached afterwards — two fewer joins and no second pass over
@@ -240,8 +256,8 @@ object Dedup {
     // payloads are 64-long arrays / full vectors, where carrying would
     // multiply shuffle volume by the fan-out.)
     val bucketed = capBuckets(
-      sig.select(col("id"), col("sig"),
-        explode(chunkKeys(col("sig"), 64, chunks)).as("bucket")),
+      sigs.select(col("id"), col("sig"),
+        explode(chunkKeys(col("sig"), totalBits, chunks)).as("bucket")),
       "bucket", maxBucket)
     // MERGE hint: single-evaluation rationale, see [[editDistancePairs]]
     bucketed.as("a")
@@ -252,6 +268,100 @@ object Dedup {
         hamming64(col("a.sig"), col("b.sig")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Engine-portable simhash signatures: per-token 60-bit md5-prefix
+    * fingerprints (the same `conv(substr(md5(·),1,15),16,10)` recipe as the
+    * portable samplers — any SQL engine reproduces it bit-for-bit, unlike
+    * the seeded xxhash the native [[graft.functions.NativeExpressions.SimHash64]]
+    * uses), folded into a packed 60-bit signature: bit b is set iff
+    * `Σ_tokens (±1 by bit b of the token hash) >= 0`.
+    *
+    * Shape: explode tokens → 60 (id, bit, ±1) rows per token →
+    * two map-side-combinable sums. The first group-by collapses to ≤60 rows
+    * per document per partition before the shuffle, so shuffle volume is
+    * O(docs·60), not O(tokens·60). Documents with zero tokens carry no
+    * signature (dropped — same contract as the tokenizer-based native path,
+    * where an empty token array hashes to the empty signature).
+    */
+  def portableSimhashSigs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60, "portable md5-prefix signatures carry at most 60 bits")
+    df.select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("t"))
+      .select(col("id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${bits - 1}), " +
+          "b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)")))
+      .groupBy(col("id"), col("pos").as("b"))
+      .agg(sum(col("col")).as("s"))
+      .groupBy("id")
+      .agg(sum(expr(
+        "CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"))
+        .as("sig"))
+  }
+
+  /** EXACT character-k-shingle Jaccard pairs at a high threshold — the
+    * audit side for [[minhashPairs]]' recall verdict. Exactness at
+    * sub-quadratic cost comes from a size-ratio band: J(A,B) ≥ t implies
+    * |A∩B| ≥ t·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), hence
+    * max ≤ min/t — so candidates outside a log-bucketed size window of
+    * width ln(1/t) cannot reach the threshold and are never compared. The
+    * probe side explodes into ±2 adjacent buckets (mathematically ±1
+    * suffices; the extra bucket absorbs floating-point wobble at bucket
+    * boundaries so the candidate set is a PROVABLE superset of the true
+    * pair set — the final exact-jaccard filter makes the output identical
+    * regardless of each engine's banding). This is the audit discipline of
+    * [[graft.ext.Similarity.bruteForcePairs]]: quadratic-within-band work,
+    * quarantined to the verdict row, never the production dedup path.
+    */
+  def charJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val width = math.log(1.0 / threshold)
+    // Shingles are hashed to LONGS and SORTED once per document before the
+    // banded self-join: the millions-of-candidates × ~300-element
+    // intersects then run the codegen'd two-pointer merge
+    // ([[graft.functions.NativeExpressions.SortedIntersectCount]], ~0.5 µs)
+    // instead of `array_intersect`'s boxed per-pair hash set (~15 µs), and
+    // the join shuffles 2.4 KB long-arrays, not string payloads. Same
+    // collision discipline as [[ngramJaccardPairs]]' gram_h counting: an
+    // xxhash64 collision is ~1e-9 per corpus — the exactness bar every
+    // counting family in this file already accepts. |A∪B| = |A|+|B|−|A∩B|
+    // from the ORIGINAL distinct-shingle sizes, so no union array is ever
+    // materialized.
+    val sh = df.select(col(idCol).as("id"), charShingles(col(textCol), k).as("g"))
+      .select(col("id"),
+        array_sort(transform(col("g"), x => xxhash64(x))).as("h"),
+        size(col("g")).as("n"))
+      .withColumn("bkt",
+        if (width == 0.0) lit(0L)
+        else floor(log(col("n").cast("double")) / lit(width)).cast("long"))
+    val probe = sh.withColumn("key", explode(sequence(col("bkt") - 2, col("bkt") + 2)))
+    // Repartition the STREAM side by an EXPLICIT count (the
+    // [[graft.ext.Similarity.bruteForcePairs]] discipline): a small corpus
+    // reads as one parquet partition, and a broadcast join inherits the
+    // stream side's parallelism — without this every banded intersect runs
+    // in a single task (measured: >600 s single-threaded vs seconds wide).
+    sh.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("key", col("bkt")).as("a")
+      .join(probe.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .withColumn("ni",
+        graft.functions.NativeExpressions
+          .sorted_intersect_count(col("a.h"), col("b.h")).cast("double"))
+      .withColumn("jac", col("ni") / (col("a.n") + col("b.n") - col("ni")))
+      .filter(col("jac") >= threshold)
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("jac"), 6).as("jaccard"))
   }
 
   /** Word n-gram Jaccard pairs via shared-shingle inverted index — exact,

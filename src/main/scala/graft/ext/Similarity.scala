@@ -146,4 +146,69 @@ object Similarity {
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
   }
+
+  /** Engine-portable sparse TF document vectors as an `(id, dim, w)`
+    * posting list: distinct word n-grams hashed into `dims` buckets with
+    * the portable md5-prefix recipe (`conv(substr(md5(·),1,12),16,10) mod
+    * dims` — reproducible bit-for-bit in any SQL engine, unlike the
+    * xxhash-based [[graft.ext.TextAnalysis.hashingTfEmbedding]]). Weights
+    * are gram counts (integer-valued doubles), so every downstream dot
+    * product and norm is an EXACT integer sum — cross-engine float drift
+    * is structurally impossible until the final division.
+    */
+  def portableTfPosting(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int,
+      ngram: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), ngram)).as("gram"))
+      .select(col("id"),
+        pmod(conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long"),
+          lit(dims.toLong)).as("dim"))
+      .groupBy("id", "dim")
+      .agg(count(lit(1)).cast("double").as("w"))
+
+  /** Exact cosine pairs over a sparse `(id, dim, w)` posting list by
+    * COUNTING — dot(a,b) = Σ_shared-dims w_a·w_b from the dim-joined
+    * posting, norms from a per-id sum — the sparse-vector counterpart of
+    * [[graft.ext.Dedup.ngramJaccardPairs]]' inverted-index construction:
+    * no array crosses a shuffle. Documents with no posting rows (no grams)
+    * are absent by construction, so no zero-norm guard is needed.
+    *
+    * Audit-side caveat: with a SMALL fixed `dims`, every dimension is
+    * shared by many documents and the dim-join degenerates toward the
+    * quadratic pair space — this is the exact-audit shape (quarantined to
+    * verdict rows), not a production near-dup path (that is
+    * [[graft.ext.Dedup.embeddingPairs]]' LSH bucketing).
+    */
+  def sparseCosinePairs(posting: DataFrame, threshold: Double): DataFrame = {
+    val norms = posting.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = posting.as("a")
+      .join(posting.as("b").hint("MERGE"),
+        col("a.dim") === col("b.dim") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos_raw", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** Densify an `(id, dim, w)` posting list into `(id, vec)` with a
+    * `dims`-element double array — the adapter that feeds the sparse
+    * portable vectors into the dense-vector LSH machinery
+    * ([[graft.ext.Dedup.embeddingPairs]]). The map lookup runs over an
+    * already-aggregated attribute, so the transform is one pass per row.
+    */
+  def postingToVec(posting: DataFrame, dims: Int): DataFrame =
+    posting
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("dim").cast("int").as("k"), col("w").as("v"))))
+        .as("m"))
+      .select(col("id"), expr(
+        s"transform(sequence(0, ${dims - 1}), d -> coalesce(element_at(m, d), CAST(0.0 AS DOUBLE)))")
+        .as("vec"))
 }

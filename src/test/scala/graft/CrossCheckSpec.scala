@@ -12,8 +12,8 @@ class CrossCheckSpec extends SparkTestBase {
 
   test("LSH embedding pairs are a subset of exact pairs, with equal cosines (q_embed_pairs)") {
     val emb = Tables.embeddings(spark, sf0001)
-    // the catalog row itself, so a wiring change cannot detach this floor
-    val lsh = SparkEntry.queries("q_embed_pairs")(spark, sf0001)
+    val lsh = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, planes = 16, chunks = 4)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", threshold = 0.3)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
@@ -26,6 +26,11 @@ class CrossCheckSpec extends SparkTestBase {
     }
     // and the recall trade is visible: exact finds at least as many pairs
     assert(exact.size >= lsh.size)
+    // the catalog row is the verdict form: exact rows + a green lsh_ok
+    val rows = SparkEntry.queries("q_embed_pairs")(spark, sf0001)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.length == exact.size && rows.forall(_._4),
+      "q_embed_pairs verdict rows must be the exact pair set with lsh_ok true")
   }
 
   test("Misra-Gries heavy hitters: guarantee holds at any partitioning") {
@@ -94,45 +99,84 @@ class CrossCheckSpec extends SparkTestBase {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         jaccard(col("a.s"), col("b.s")).as("j"))
       .filter(col("j") >= 0.9))
-    val mh = pairSet(SparkEntry.queries("q_minhash_pairs")(spark, sf0001))
+    val mh = pairSet(Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8))
     assert(exact.nonEmpty, "corpus has no planted near-dup pairs at j >= 0.9")
     val recall = exact.count(mh.contains).toDouble / exact.size
     info(s"minhash recall at j>=0.9: $recall (${exact.size} exact pairs)")
     assert(recall >= 0.9, s"minhash recall $recall below floor on ${exact.size} pairs")
+    // the banded exact audit side equals this brute-force set at its own
+    // threshold, and the catalog verdict rows are green
+    val banded = pairSet(Dedup.charJaccardPairs(docs, "doc_id", "text", 5, 0.9))
+    assert(banded == exact,
+      s"banded jaccard != brute force: missing=${exact -- banded} extra=${banded -- exact}")
+    val rows = SparkEntry.queries("q_minhash_pairs")(spark, sf0001)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._4), "q_minhash_pairs mh_ok verdict false")
   }
 
   test("simhash pairs: exact-equality vs brute-force hamming (q_simhash_pairs)") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions._
     val docs = Tables.documents(spark, sf0001)
+    // native 64-bit signature path: pigeonhole completeness below the
+    // bucket cap makes chunked simhash EXACT, not approximate — set
+    // equality vs the brute-force hamming scan.
+    // repartition: parallelize the cross join (see the minhash twin above)
     val sig = docs.select(col("doc_id").as("id"),
       simhash64(tokens(lower(col("text")))).as("sig"))
-    // pigeonhole completeness below the bucket cap makes chunked simhash
-    // EXACT, not approximate: assert set equality, not a recall floor
-    // repartition: parallelize the cross join (see the minhash twin above)
     val exact = pairSet(sig.repartition(32).as("a")
       .join(sig.as("b"), col("a.id") < col("b.id"))
       .filter(hamming64(col("a.sig"), col("b.sig")) <= 3)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
-    val lsh = pairSet(SparkEntry.queries("q_simhash_pairs")(spark, sf0001))
+    val lsh = pairSet(Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, chunks = 4))
     assert(exact.nonEmpty, "corpus has no pairs at hamming <= 3")
     assert(lsh == exact,
       s"simhash chunking lost/invented pairs: missing=${exact -- lsh} extra=${lsh -- exact}")
+    // portable 60-bit signature path (the catalog row): same completeness
+    // argument, same brute-force twin
+    val psig = Dedup.portableSimhashSigs(docs, "doc_id", "text")
+    val pexact = pairSet(psig.repartition(32).as("a")
+      .join(psig.as("b"), col("a.id") < col("b.id"))
+      .filter(hamming64(col("a.sig"), col("b.sig")) <= 3)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
+    val prow = pairSet(SparkEntry.queries("q_simhash_pairs")(spark, sf0001))
+    assert(pexact.nonEmpty && prow == pexact,
+      s"portable simhash drifted: missing=${pexact -- prow} extra=${prow -- pexact}")
   }
 
   test("doc-TF embedding pairs: recall floor vs exact cosine (q_doc_embed_pairs)") {
     import org.apache.spark.sql.functions._
-    val tf = Tables.documents(spark, sf0001)
-      .select(col("doc_id"),
-        graft.ext.TextAnalysis.hashingTfEmbedding(col("text"), dims = 256, ngram = 2).as("emb"))
+    val vecs = Similarity.postingToVec(
+      Similarity.portableTfPosting(
+        Tables.documents(spark, sf0001), "doc_id", "text", dims = 256, ngram = 2),
+      dims = 256)
     val exact = pairSet(
-      Similarity.bruteForcePairs(tf, "doc_id", "emb", threshold = 0.8))
-    val lsh = pairSet(SparkEntry.queries("q_doc_embed_pairs")(spark, sf0001))
+      Similarity.bruteForcePairs(vecs, "id", "vec", threshold = 0.8))
+    val lsh = pairSet(Dedup.embeddingPairs(vecs, "id", "vec",
+      threshold = 0.8, planes = 32, chunks = 4))
     assert(exact.nonEmpty, "corpus has no TF-cosine pairs at >= 0.8")
     val recall = exact.count(lsh.contains).toDouble / exact.size
     info(s"doc-TF LSH recall at cos>=0.8: $recall (${exact.size} exact pairs)")
-    assert(recall >= 0.7, s"doc-TF LSH recall $recall below floor on ${exact.size} pairs")
+    assert(recall >= 0.8, s"doc-TF LSH recall $recall below floor on ${exact.size} pairs")
     assert((lsh -- exact).isEmpty, "LSH invented pairs the exact scan does not have")
+    // the catalog row is the verdict form: exact rows + a green lsh_ok
+    val rows = SparkEntry.queries("q_doc_embed_pairs")(spark, sf0001)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.length == exact.size && rows.forall(_._4),
+      "q_doc_embed_pairs verdict rows must be the exact pair set with lsh_ok true")
+    // the sparse posting-list formulation (the oracle's shape, and the
+    // high-dims scale path) produces the IDENTICAL pair set and cosines
+    // as the dense scan — integer-exact arithmetic on both routes
+    val sparse = Similarity.sparseCosinePairs(
+        Similarity.portableTfPosting(
+          Tables.documents(spark, sf0001), "doc_id", "text", dims = 256, ngram = 2),
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val dense = Similarity.bruteForcePairs(vecs, "id", "vec", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(sparse == dense, "sparse posting cosine != dense scan cosine")
   }
 
   test("IVF top-k: overlap floor vs brute force (q_ivf_topk)") {

@@ -222,6 +222,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"join fell out of whole-stage codegen:\n$finalTree")
   }
 
+  test("q_corpus_pipeline: posting shuffle materializes once; stage results are reused, not recomputed") {
+    val df = SparkEntry.queries("q_corpus_pipeline")(spark, sf0001)
+    df.queryExecution.toRdd.count(): Unit
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the 3-gram posting table (the pipeline's one expensive shuffle) must
+    // shuffle ONCE: the self-join's second side and every downstream
+    // consumer reads it back as a ReusedExchange
+    val postingShuffles = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(gram_h#") &&
+        !l.contains("ReusedExchange"))
+    assert(postingShuffles == 1,
+      s"gram posting shuffled $postingShuffles times:\n$finalPlan")
+    // the five stages all hang off the SAME dedup-survivor id set; its
+    // broadcast must be built once and reused by every consumer (a
+    // recompute would re-run the normalize+min-window per stage)
+    assert(finalPlan.linesIterator.count(_.contains("ReusedExchange")) >= 3,
+      s"stage results recomputed instead of reused:\n$finalPlan")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside the allowlist") {
     // BroadcastNestedLoopJoin / CartesianProduct are O(n·m) — at 100 TB a
     // plan containing one (outside a deliberate, size-bounded use) is a
@@ -239,7 +259,14 @@ class PlanAuditSpec extends SparkTestBase {
       "q_embed_lsh_topk", // 1-row recall verdict onto the exact top-20
       "q_ivf_topk",
       "q_ivfpq_topk",
-      "q_pq_topk"
+      "q_pq_topk",
+      // pair-family verdict rows: the exact audit side is a quarantined
+      // quadratic/banded scan (bruteForcePairs' nested loop) and/or the
+      // 1-row approx-count broadcast of pairRecallVerdict — size-bounded
+      // by design, never the production dedup path
+      "q_embed_pairs",
+      "q_minhash_pairs",
+      "q_doc_embed_pairs"
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)

@@ -91,6 +91,21 @@ class PropertyCheckSpec extends SparkTestBase {
     }
   }
 
+  test("property: sorted_intersect_count equals the set-intersection size") {
+    val arrGen = Gen.zip(
+      Gen.listOf(Gen.chooseNum(-50L, 50L)),
+      Gen.listOf(Gen.chooseNum(-50L, 50L)))
+    // small value range forces collisions AND duplicates — duplicates must
+    // count once (set semantics), matching array_intersect
+    samples(arrGen, 40).foreach { case (a, b) =>
+      val df = Seq((a.sorted, b.sorted)).toDF("a", "b")
+      val n = df.select(
+          graft.functions.NativeExpressions.sorted_intersect_count($"a", $"b"))
+        .as[Int].head()
+      assert(n == (a.toSet & b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
   test("property: bounded levenshtein agrees with Spark's levenshtein up to the band") {
     val strGen = Gen.zip(
       Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString),
