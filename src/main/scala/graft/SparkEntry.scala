@@ -1262,26 +1262,29 @@ object SparkEntry {
       floor: Double,
       verdictName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The EXACT side is the expensive audit (banded/quadratic); it must be
-    // evaluated ONCE. The verdict stats therefore ride on the exact rows
-    // themselves — a left join marks hits, a whole-result window counts
-    // them (the final pair set is table-stakes small, so the
-    // single-partition window is over the RESULT, never the corpus) — and
-    // only the cheap approximate side is referenced twice (its total count
-    // closes the precision check: n_extra = n_approx − n_hit).
-    val ap = approx.select(col("id_a"), col("id_b"))
-    val nAp = ap.agg(count(lit(1)).as("n_ap")).withColumn("one", lit(1))
+    // Both pair pipelines are non-trivial, so each is evaluated exactly
+    // ONCE: a full-outer join of the two (id_a, id_b) sets carries hits,
+    // misses, AND extras through a whole-result window count, then the
+    // extra rows are filtered away AFTER being counted — the output is the
+    // exact pair set, the verdict saw everything. The single-partition
+    // window runs over the RESULT pair set (table-stakes small), never the
+    // corpus.
     val w = Window.partitionBy(lit(1))
     exact
-      .join(ap.withColumn("in_ap", lit(1L)), Seq("id_a", "id_b"), "left")
-      .withColumn("one", lit(1))
-      .join(broadcast(nAp), "one")
-      .withColumn("__n_exact", count(lit(1)).over(w))
-      .withColumn("__n_hit", coalesce(sum(col("in_ap")).over(w), lit(0L)))
+      .withColumn("in_ex", lit(1L))
+      .join(approx.select(col("id_a"), col("id_b")).withColumn("in_ap", lit(1L)),
+        Seq("id_a", "id_b"), "full_outer")
+      .withColumn("__n_exact", coalesce(sum(col("in_ex")).over(w), lit(0L)))
+      .withColumn("__n_hit",
+        coalesce(sum(when(col("in_ex").isNotNull && col("in_ap").isNotNull, lit(1L)))
+          .over(w), lit(0L)))
+      .withColumn("__n_extra",
+        coalesce(sum(when(col("in_ex").isNull, lit(1L))).over(w), lit(0L)))
+      .filter(col("in_ex").isNotNull)
       .withColumn(verdictName,
-        col("n_ap") === col("__n_hit") &&
+        col("__n_extra") === 0L &&
           col("__n_hit").cast("double") >= lit(floor) * col("__n_exact").cast("double"))
-      .drop("one", "in_ap", "n_ap", "__n_exact", "__n_hit")
+      .drop("in_ex", "in_ap", "__n_exact", "__n_hit", "__n_extra")
       .orderBy("id_a", "id_b")
   }
 
@@ -1533,10 +1536,8 @@ object SparkEntry {
     * the planted dups; floor 0.8).
     */
   private def qDocEmbedPairs(s: SparkSession, d: String): DataFrame = {
-    val vecs = Similarity.postingToVec(
-      Similarity.portableTfPosting(
-        Tables.documents(s, d), "doc_id", "text", dims = 256, ngram = 2),
-      dims = 256)
+    val vecs = Similarity.portableTfVecs(
+      Tables.documents(s, d), "doc_id", "text", dims = 256, ngram = 2)
     pairRecallVerdict(
       Similarity.bruteForcePairs(vecs, "id", "vec", threshold = 0.8),
       Dedup.embeddingPairs(vecs, "id", "vec",

@@ -277,12 +277,14 @@ object Dedup {
     * uses), folded into a packed 60-bit signature: bit b is set iff
     * `Σ_tokens (±1 by bit b of the token hash) >= 0`.
     *
-    * Shape: explode tokens → 60 (id, bit, ±1) rows per token →
-    * two map-side-combinable sums. The first group-by collapses to ≤60 rows
-    * per document per partition before the shuffle, so shuffle volume is
-    * O(docs·60), not O(tokens·60). Documents with zero tokens carry no
-    * signature (dropped — same contract as the tokenizer-based native path,
-    * where an empty token array hashes to the empty signature).
+    * Shape: one sum aggregate PER BIT over the exploded token rows — 60
+    * map-side-combinable sums in a single group-by, so the shuffle carries
+    * 60 longs per document per partition and NO per-(token,bit) row is
+    * ever materialized (the posexplode formulation shuffled tokens×60
+    * rows — 45M at sf0.1 — through two aggregations). Documents with zero
+    * tokens carry no signature (dropped — same contract as the
+    * tokenizer-based native path, where an empty token array hashes to
+    * the empty signature).
     */
   def portableSimhashSigs(
       df: DataFrame,
@@ -290,18 +292,20 @@ object Dedup {
       textCol: String,
       bits: Int = 60): DataFrame = {
     require(bits >= 1 && bits <= 60, "portable md5-prefix signatures carry at most 60 bits")
-    df.select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("t"))
+    val th = df
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("t"))
       .select(col("id"),
         conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, ${bits - 1}), " +
-          "b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)")))
-      .groupBy(col("id"), col("pos").as("b"))
-      .agg(sum(col("col")).as("s"))
-      .groupBy("id")
-      .agg(sum(expr(
-        "CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"))
-        .as("sig"))
+    val bitSums = (0 until bits).map(b =>
+      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$b"))
+    val packed = (0 until bits).map(b =>
+      expr(s"CASE WHEN s$b >= 0 THEN shiftleft(CAST(1 AS BIGINT), $b) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .reduce(_ + _)
+    th.groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("sig"))
   }
 
   /** EXACT character-k-shingle Jaccard pairs at a high threshold — the
@@ -344,14 +348,19 @@ object Dedup {
       .withColumn("bkt",
         if (width == 0.0) lit(0L)
         else floor(log(col("n").cast("double")) / lit(width)).cast("long"))
+    // Join shape, measured at sf0.1 (5000 docs, ~6M banded candidates):
+    //  - the HOME side (one row per doc) is explicitly broadcast — the
+    //    5-key exploded probe side exceeds the auto-broadcast threshold,
+    //    and the SMJ Spark picks instead buffers ~MB-sized duplicate-key
+    //    groups per merge step (measured 6 s vs 1.3 s);
+    //  - the probe STREAM side is repartitioned by an EXPLICIT count (the
+    //    [[graft.ext.Similarity.bruteForcePairs]] discipline): a small
+    //    corpus reads as one parquet partition, and the broadcast join
+    //    inherits the stream side's parallelism — without it every banded
+    //    intersect runs in a single task (measured >600 s single-threaded).
     val probe = sh.withColumn("key", explode(sequence(col("bkt") - 2, col("bkt") + 2)))
-    // Repartition the STREAM side by an EXPLICIT count (the
-    // [[graft.ext.Similarity.bruteForcePairs]] discipline): a small corpus
-    // reads as one parquet partition, and a broadcast join inherits the
-    // stream side's parallelism — without this every banded intersect runs
-    // in a single task (measured: >600 s single-threaded vs seconds wide).
-    sh.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("key", col("bkt")).as("a")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    broadcast(sh.withColumn("key", col("bkt"))).as("a")
       .join(probe.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .withColumn("ni",

@@ -197,6 +197,23 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** Dense engine-portable TF vectors in ONE native pass per document
+    * ([[graft.functions.NativeExpressions.PortableHashingTf]]): same
+    * md5-prefix bucketing and count weights as [[portableTfPosting]]
+    * (`CrossCheckSpec` pins the two routes equal), but as a narrow per-row
+    * expression — self-joins that reference the vector subtree repeatedly
+    * re-run a digest loop, not an explode→group-by→densify pipeline.
+    */
+  def portableTfVecs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int,
+      ngram: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.NativeExpressions
+        .portable_tf(wordShingles(col(textCol), ngram), dims).as("vec"))
+
   /** Densify an `(id, dim, w)` posting list into `(id, vec)` with a
     * `dims`-element double array — the adapter that feeds the sparse
     * portable vectors into the dense-vector LSH machinery

@@ -473,6 +473,46 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): HashingTf = copy(child = c)
   }
 
+  /** ENGINE-PORTABLE hashing-TF vector: bucket = first 12 hex chars of the
+    * md5 of each unit, i.e. the digest's first 6 bytes as an unsigned
+    * 48-bit big-endian integer, mod `dims` — bit-identical to the SQL
+    * recipe `pmod(conv(substring(md5(u),1,12),16,10), dims)` that DuckDB
+    * (or any engine with md5) reproduces, unlike [[HashingTf]]'s xxhash.
+    * Weights are raw counts (NOT L2-normalized): integer-valued doubles
+    * keep every downstream dot product and norm an exact cross-engine sum.
+    * One digest per unit in a single pass — the SQL-composed formulation
+    * (explode → md5 → group-by → map → transform) re-derived this whole
+    * subtree at every self-join reference, ~6 evaluations per pair query.
+    */
+  case class PortableHashingTf(child: Expression, dims: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(dims > 0)
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(isStringArray(child.dataType), "graft_portable_tf",
+        "ARRAY<STRING>", child.dataType)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val v = new Array[Double](dims)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 6 digest bytes = first 12 hex chars, big-endian unsigned
+        val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        v((h % dims).toInt) += 1.0
+        i += 1
+      }
+      new GenericArrayData(v)
+    }
+    override protected def withNewChildInternal(c: Expression): PortableHashingTf =
+      copy(child = c)
+  }
+
   /** Whitespace tokens of the input string (empty → empty array). */
   case class Tokenize(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -896,6 +936,9 @@ object NativeExpressions {
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 
   def tokenize(text: Column): Column = col(Tokenize(expr(text)))
+
+  def portable_tf(tokenArr: Column, dims: Int): Column =
+    col(PortableHashingTf(expr(tokenArr), dims))
 
   def hashing_tf(tokenArr: Column, dims: Int): Column =
     col(HashingTf(expr(tokenArr), dims))

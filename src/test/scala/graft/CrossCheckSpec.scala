@@ -148,10 +148,21 @@ class CrossCheckSpec extends SparkTestBase {
 
   test("doc-TF embedding pairs: recall floor vs exact cosine (q_doc_embed_pairs)") {
     import org.apache.spark.sql.functions._
-    val vecs = Similarity.postingToVec(
-      Similarity.portableTfPosting(
-        Tables.documents(spark, sf0001), "doc_id", "text", dims = 256, ngram = 2),
-      dims = 256)
+    val vecs = Similarity.portableTfVecs(
+      Tables.documents(spark, sf0001), "doc_id", "text", dims = 256, ngram = 2)
+    // the native single-pass digest route and the SQL-composed posting
+    // route build the IDENTICAL vectors (md5-prefix bucketing pinned)
+    val composed = Similarity.postingToVec(
+        Similarity.portableTfPosting(
+          Tables.documents(spark, sf0001), "doc_id", "text", dims = 256, ngram = 2),
+        dims = 256)
+      .as[(Long, Seq[Double])].collect().toMap
+    Similarity.portableTfVecs(
+        Tables.documents(spark, sf0001), "doc_id", "text", dims = 256, ngram = 2)
+      .as[(Long, Seq[Double])].collect().foreach { case (id, v) =>
+        // postingToVec drops gram-less docs; the native route emits zeros
+        assert(composed.getOrElse(id, Seq.fill(256)(0.0)) == v, s"vec drift for doc $id")
+      }
     val exact = pairSet(
       Similarity.bruteForcePairs(vecs, "id", "vec", threshold = 0.8))
     val lsh = pairSet(Dedup.embeddingPairs(vecs, "id", "vec",

@@ -260,12 +260,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q_ivf_topk",
       "q_ivfpq_topk",
       "q_pq_topk",
-      // pair-family verdict rows: the exact audit side is a quarantined
-      // quadratic/banded scan (bruteForcePairs' nested loop) and/or the
-      // 1-row approx-count broadcast of pairRecallVerdict — size-bounded
-      // by design, never the production dedup path
+      // pair-family verdict rows whose exact audit side is the quarantined
+      // quadratic bruteForcePairs nested loop — size-bounded by design,
+      // never the production dedup path (q_minhash_pairs' banded audit is
+      // equi-keyed and stays OUT of this list)
       "q_embed_pairs",
-      "q_minhash_pairs",
       "q_doc_embed_pairs"
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
