@@ -363,9 +363,13 @@ object Dedup {
     broadcast(sh.withColumn("key", col("bkt"))).as("a")
       .join(probe.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      // the threshold arms the merge's early-exit gate: provably
+      // below-threshold pairs return the −1 sentinel partway through the
+      // scan; any count that survives is exact (see SortedIntersectCount)
       .withColumn("ni",
         graft.functions.NativeExpressions
-          .sorted_intersect_count(col("a.h"), col("b.h")).cast("double"))
+          .sorted_intersect_count(col("a.h"), col("b.h"), threshold).cast("double"))
+      .filter(col("ni") >= 0)
       .withColumn("jac", col("ni") / (col("a.n") + col("b.n") - col("ni")))
       .filter(col("jac") >= threshold)
       .select(

@@ -190,13 +190,23 @@ object NativeExpressions {
     * ([[graft.ext.Dedup.charJaccardPairs]]), where millions of candidate
     * pairs each intersect ~300-element shingle-hash arrays. Spark's
     * `array_intersect` builds a boxed hash set PER PAIR (measured ~15 µs);
-    * this merge is ~600 primitive compares (~0.5 µs), fully codegen'd so
-    * the banded join stays one whole-stage loop. Duplicate elements (not
-    * produced by the distinct-shingle callers) count once, matching set
-    * semantics. Inputs MUST be sorted ascending — callers sort once per
-    * document, amortized over every pair the document appears in.
+    * this merge is ~600 primitive compares, fully codegen'd so the banded
+    * join stays one whole-stage loop. Duplicate elements (not produced by
+    * the distinct-shingle callers) count once, matching set semantics.
+    * Inputs MUST be sorted ascending — callers sort once per document,
+    * amortized over every pair the document appears in.
+    *
+    * `minJaccard` ≥ 0 arms an EARLY-EXIT gate: J(A,B) ≥ t requires
+    * |A∩B| ≥ ⌈t·(|A|+|B|)/(1+t)⌉, and during the merge the count can
+    * reach at most `c + min(remaining_a, remaining_b)` — once that upper
+    * bound drops below the requirement the pair provably misses the
+    * threshold and the expression returns −1 (a sentinel the caller
+    * filters; most candidate pairs are non-matches that bail ~halfway).
+    * Counts actually RETURNED (≥ 0) are always exact, so emitted pairs'
+    * jaccard values are unaffected by the gate.
     */
-  case class SortedIntersectCount(left: Expression, right: Expression)
+  case class SortedIntersectCount(
+      left: Expression, right: Expression, minJaccard: Double = -1.0)
       extends BinaryExpression {
     private def isLongArray(t: DataType): Boolean = t match {
       case ArrayType(LongType, _) => true
@@ -214,14 +224,26 @@ object NativeExpressions {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
         val i = ctx.freshName("i"); val j = ctx.freshName("j")
-        val c = ctx.freshName("c")
+        val c = ctx.freshName("c"); val need = ctx.freshName("need")
         val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
-        val cur = ctx.freshName("cur")
+        val cur = ctx.freshName("cur"); val rem = ctx.freshName("rem")
+        val gate =
+          if (minJaccard < 0) ""
+          else
+            s"""
+               |final int $rem = ($na - $i) < ($nb - $j) ? ($na - $i) : ($nb - $j);
+               |if ($c + $rem < $need) { $c = -1; break; }
+             """.stripMargin
+        val needInit =
+          if (minJaccard < 0) s"final int $need = 0;"
+          else s"final int $need = (int) Math.ceil($minJaccard * ($na + $nb) / (1.0 + $minJaccard));"
         s"""
            |final int $na = $a.numElements();
            |final int $nb = $b.numElements();
+           |$needInit
            |int $i = 0, $j = 0, $c = 0;
            |while ($i < $na && $j < $nb) {
+           |  $gate
            |  final long $va = $a.getLong($i);
            |  final long $vb = $b.getLong($j);
            |  if ($va < $vb) { $i++; }
@@ -240,15 +262,21 @@ object NativeExpressions {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
       val na = a.numElements(); val nb = b.numElements()
+      val need =
+        if (minJaccard < 0) 0
+        else math.ceil(minJaccard * (na + nb) / (1.0 + minJaccard)).toInt
       var i = 0; var j = 0; var c = 0
-      while (i < na && j < nb) {
-        val va = a.getLong(i); val vb = b.getLong(j)
-        if (va < vb) i += 1
-        else if (va > vb) j += 1
+      while (i < na && j < nb && c >= 0) {
+        if (minJaccard >= 0 && c + math.min(na - i, nb - j) < need) c = -1
         else {
-          c += 1
-          while (i < na && a.getLong(i) == va) i += 1
-          while (j < nb && b.getLong(j) == va) j += 1
+          val va = a.getLong(i); val vb = b.getLong(j)
+          if (va < vb) i += 1
+          else if (va > vb) j += 1
+          else {
+            c += 1
+            while (i < na && a.getLong(i) == va) i += 1
+            while (j < nb && b.getLong(j) == va) j += 1
+          }
         }
       }
       java.lang.Integer.valueOf(c)
@@ -922,8 +950,8 @@ object NativeExpressions {
 
   def vec_dot(a: Column, b: Column): Column = col(VecDot(expr(a), expr(b)))
 
-  def sorted_intersect_count(a: Column, b: Column): Column =
-    col(SortedIntersectCount(expr(a), expr(b)))
+  def sorted_intersect_count(a: Column, b: Column, minJaccard: Double = -1.0): Column =
+    col(SortedIntersectCount(expr(a), expr(b), minJaccard))
 
   def hyperplane_bits(vec: Column, planes: Int): Column =
     col(HyperplaneBits(expr(vec), planes))

@@ -99,10 +99,25 @@ class PropertyCheckSpec extends SparkTestBase {
     // count once (set semantics), matching array_intersect
     samples(arrGen, 40).foreach { case (a, b) =>
       val df = Seq((a.sorted, b.sorted)).toDF("a", "b")
+      val exact = (a.toSet & b.toSet).size
       val n = df.select(
           graft.functions.NativeExpressions.sorted_intersect_count($"a", $"b"))
         .as[Int].head()
-      assert(n == (a.toSet & b.toSet).size, s"a=$a b=$b")
+      assert(n == exact, s"a=$a b=$b")
+      // gated variant: exact when the pair clears the threshold; exact or
+      // the -1 sentinel when it provably cannot (never a wrong count)
+      val t = 0.5
+      val union = (a.toSet | b.toSet).size
+      val j = if (union == 0) 1.0 else exact.toDouble / union
+      val gated = df.select(
+          graft.functions.NativeExpressions.sorted_intersect_count($"a", $"b", t))
+        .as[Int].head()
+      // the gate's sizes are the RAW array lengths (duplicates included),
+      // so compare against the bound it actually enforces
+      val need = math.ceil(t * (a.length + b.length) / (1.0 + t)).toInt
+      if (exact >= need) assert(gated == exact, s"gate lost an exact count: a=$a b=$b")
+      else assert(gated == exact || gated == -1, s"gate returned a wrong count: a=$a b=$b")
+      if (j >= t && exact >= need) assert(gated == exact)
     }
   }
 
