@@ -1064,6 +1064,72 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Streaming SESSION windows as a driver-gated catalog row: per-user
+    * gap-merged sessions via `session_window` in Append mode — emitted
+    * exactly once when the watermark passes a session's end, state evicted
+    * (the production dynamic-window shape; see
+    * [[EventsPipeline.streamingSessionize]]). The staged feed is the
+    * events file followed by two sentinel flush rows with far-future
+    * timestamps and strictly later file mtimes; with `maxFilesPerTrigger=1`
+    * each sentinel is its own micro-batch, so the watermark advances past
+    * every real session's end and the emission happens in the second
+    * sentinel's DATA batch — the finite drive never depends on the
+    * no-data-batch race. The emitted set then equals the batch gap
+    * sessionization, giving the row a full DuckDB oracle (the same
+    * lag/cumsum recipe as `q_sessionize`, here at per-session grain with
+    * aggregates).
+    */
+  private def qStreamSessionize(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val dir = s"/tmp/graft_stream/$tag/events_sess"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val e = Tables.events(s, d)
+      e.coalesce(1).write.mode("overwrite").parquet(dir)
+      val maxUs = e.agg(unix_micros(max(col("ts")))).head().getLong(0)
+      val now = System.currentTimeMillis()
+      // Two sentinels, one micro-batch each: sentinel 1 advances the
+      // watermark past every real session; sentinel 2's batch then EMITS
+      // them (Append emission uses the watermark computed at the previous
+      // batch's end). Day-scale offsets dwarf the 30-minute gap.
+      for (i <- 1 to 2) {
+        val sentinelUs = maxUs + i * 86400L * 1000000L
+        val tmp = s"$dir-sentinel$i"
+        s.sql(
+          s"""SELECT CAST(${-i} AS BIGINT) AS event_id,
+             |       timestamp_micros(${sentinelUs}L) AS ts,
+             |       CAST(-1 AS BIGINT) AS user_id,
+             |       'flush' AS event_type, CAST(0.0 AS DOUBLE) AS value,
+             |       CAST(NULL AS STRING) AS props""".stripMargin)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val target = new java.io.File(dir, s"zz-sentinel$i.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        graft.engine.Fs.deleteRecursively(new java.io.File(tmp))
+        // the file source processes oldest-mtime first; make the order
+        // main → sentinel1 → sentinel2 explicit instead of trusting
+        // write-timing granularity
+        target.setLastModified(now + i * 60000L)
+      }
+    }
+    val name = s"graft_stream_sess_$tag"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = EventsPipeline.streamingSessionize(s, dir, name)
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** Stream-static enrichment join as a driver-gated catalog row: every
     * micro-batch joins the customer dimension map-side (broadcast — the
     * stream is never shuffled), the standard reference-data join at any
@@ -2495,6 +2561,7 @@ object SparkEntry {
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_sessionize" -> (qStreamSessionize _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_sessionize" -> (qSessionize _),
     "q_events_json" -> (qEventsJson _),
@@ -2597,12 +2664,12 @@ object SparkEntry {
       |       id, cos, TRUE AS ann_ok
       |FROM top ORDER BY rnk""".stripMargin
 
-  /** DuckDB oracles. Omitted only for the four LSH/simhash PAIR families
-    * (seeded-hash candidate generation whose exact counterpart is the
-    * quarantined quadratic oracle) — the driver records a rows-only check
-    * for those; every other row, including the sketch and ANN families,
-    * carries an oracle (verdict rows where the estimate itself is
-    * engine-specific).
+  /** DuckDB oracles — one per catalog query, no omissions. Rows whose
+    * primary estimate is engine-specific (the sketch, ANN, and LSH/simhash
+    * pair families) use the verdict-row form: the emitted result is the
+    * exact/deterministic side plus an in-plan bound-or-recall verdict
+    * asserted TRUE, so the oracle checks both the exact values and that
+    * the approximate operator met its floor.
     */
   def oracleSql: Map[String, String] = Map(
     "q_filter" ->
@@ -2852,6 +2919,29 @@ object SparkEntry {
         | AND e.event_type = 'error' AND p.event_type = 'purchase'
         | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY e.event_id, p_us, p_value""".stripMargin,
+    // q_stream_sessionize: Append-mode session_window driven to full
+    // emission == batch gap sessionization at per-session grain (sentinel
+    // flush rows are user_id < 0 and filtered; boundary note — Spark
+    // starts a new session at ts >= prev+gap, the oracle at ts > prev+gap:
+    // they differ only at exact-µs equality, measure-zero on this data)
+    "q_stream_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                        + INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM x)
+        |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM y GROUP BY user_id, seq
+        |ORDER BY user_id, session_start_us""".stripMargin,
     // q_stream_dedup: the staged feed duplicates every event; watermarked
     // streaming dedup to completion == DISTINCT over the original table
     // (duplicates are byte-identical, so full row content is checkable)

@@ -197,6 +197,50 @@ object EventsPipeline {
       .queryName(queryName)
       .start()
 
+  /** Streaming SESSION-window aggregation: per-user gap-based sessions via
+    * `session_window` — the dynamic-length window the fixed tumbling
+    * window of [[streamingWindowedAgg]] cannot express (a session's end is
+    * data-dependent: it extends while events keep arriving within the
+    * gap). Runs in Append mode with a watermark, the production shape: a
+    * session is emitted exactly once, when the watermark passes its end,
+    * and its state is evicted — state is bounded by (active users ×
+    * watermark horizon), never by stream length.
+    *
+    * Finite-drive determinism: Append emission happens in the batch AFTER
+    * the watermark advances past a session's end, so the caller stages the
+    * feed as ordered files (main events, then sentinel flush rows with
+    * far-future timestamps) and sets `maxFilesPerTrigger=1` — the
+    * sentinels advance the watermark in their own micro-batches, sealing
+    * and emitting every real session during DATA batches (no reliance on
+    * the no-data-batch race). Sentinel rows never emit (their own session
+    * end stays beyond the final watermark); callers filter `user_id >= 0`
+    * defensively anyway.
+    */
+  def streamingSessionize(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
   /** Stream-static enrichment join: every micro-batch joins the static
     * dimension map-side (the dim is broadcast, the stream itself is never
     * shuffled) — the standard shape for joining an unbounded event feed

@@ -184,6 +184,21 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.select($"event_id").distinct().count() == ev.count())
   }
 
+  test("q_stream_sessionize catalog row: emitted sessions equal batch gap sessionization") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_stream_sessionize")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = EventsPipeline.sessionize(Tables.events(spark, sf0001))
+      .groupBy($"user_id", $"session_seq")
+      .agg(unix_micros(min($"ts")).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+      .select($"user_id", $"session_start_us", $"n_events", $"sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want, "append-mode session_window drive != batch gap sessions")
+  }
+
   test("sessionization: session count bounded by event count, monotone seq") {
     val s = EventsPipeline.sessionize(Tables.events(spark, sf0001))
     val bad = s.filter($"session_seq" < 1).count()
