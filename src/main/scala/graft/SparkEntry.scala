@@ -2501,6 +2501,39 @@ object SparkEntry {
         "id_a", "id_b")
       .orderBy("cluster_id")
 
+  /** Canonical-survivor selection — the step a dedup pipeline runs AFTER
+    * clustering: within each near-dup cluster keep the BEST member (max
+    * [[graft.ext.TextAnalysis.qualityScore]], min doc_id tie-break), drop
+    * the rest. Min-id survivorship ([[graft.ext.Dedup.normalized]],
+    * [[graft.ext.Components]]' cluster label) is arbitrary; real corpus
+    * builds keep the highest-quality copy. Shape: the label table is
+    * joined to documents FIRST, so only cluster members are ever scored,
+    * and the pick is a `max_by` AGGREGATE over a totally-ordered
+    * (quality, -doc_id) struct — one doc_id-keyed shuffle plus a
+    * cluster_id-keyed agg with map-side partials, no per-cluster window
+    * sort. The oracle replays the recursive-CTE clustering of
+    * `q_dup_clusters` plus the arithmetic quality formula of
+    * `q_text_stats`, then takes the same arg-max via row_number.
+    */
+  private def qDedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val labels = Components.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5),
+      "id_a", "id_b")
+    docs
+      .join(labels.select(col("id").as("doc_id"), col("comp").as("cluster_id")),
+        "doc_id")
+      .select(col("cluster_id"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+          .as("canonical_id"),
+        max(col("quality")).as("canonical_quality"))
+      .orderBy("cluster_id")
+  }
+
   /** JSON-lines source/sink roundtrip: events written once as JSON (the
     * interchange format ingest pipelines actually receive), read back with
     * an explicit schema — schema-on-read, no inference pass over the data —
@@ -2519,6 +2552,32 @@ object SparkEntry {
       Tables.events(s, d).select("event_id", "event_type", "value")
         .write.mode("overwrite").json(dir)
     s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(dir)
+      .orderBy("event_id")
+  }
+
+  /** CSV source/sink roundtrip — the other interchange format ingest
+    * pipelines receive (exports, logs, spreadsheets). The staged write
+    * includes the `props` JSON column on purpose: its embedded quotes,
+    * commas, and braces force the writer through real CSV quoting and the
+    * reader through real unquoting — the part of the format that actually
+    * breaks naive pipelines. Read back with an explicit schema + header
+    * (schema-on-read, no inference pass over the data). Doubles survive
+    * via shortest-representation roundtrip; the timestamp travels as an
+    * epoch-µs BIGINT column because CSV has no timestamp type — parsing
+    * falls back to format strings, the same fidelity trap the JSON row's
+    * docstring records for ms-precision JSON timestamps.
+    */
+  private def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_csvrt/${dirTag(d)}/events"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+    s.read
+      .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("header", "true").csv(dir)
       .orderBy("event_id")
   }
 
@@ -2634,7 +2693,9 @@ object SparkEntry {
     "q_zorder_scan" -> (qZorderScan _),
     "q_compaction" -> (qCompaction _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_dedup_canonical" -> (qDedupCanonical _),
     "q_rolling_window" -> (qRollingWindow _),
     "q_edit_pairs" -> (qEditPairs _),
     "q_ivfpq_topk" -> (qIvfPqTopK _),
@@ -3459,6 +3520,12 @@ object SparkEntry {
     // the oracle is simply the original table
     "q_json_roundtrip" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    // q_csv_roundtrip: quoting-safe identity on these columns (props is
+    // JSON — quotes/commas/braces must survive CSV write+read verbatim)
+    "q_csv_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |       value, props
+        |FROM events ORDER BY event_id""".stripMargin,
     // q_rolling_window: floor(epoch(·)) matches Spark's unix_timestamp
     // truncation of the µs-truncated nanos timestamp
     "q_rolling_window" ->
@@ -3519,6 +3586,67 @@ object SparkEntry {
         |lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
         |SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM lbl GROUP BY comp ORDER BY cluster_id""".stripMargin,
+    // q_dedup_canonical: q_dup_clusters' recursive-CTE clustering plus the
+    // arithmetic quality formula (TextAnalysis.qualityScore — the same
+    // ratio recipes q_text_stats pins), arg-max via row_number
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b
+        |  FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.id
+        |  JOIN sizes sb ON i.id_b = sb.id
+        |  WHERE CAST(i.n_inter AS DOUBLE) /
+        |        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |         ROUND(LEAST(1.0, GREATEST(0.0,
+        |           (CASE WHEN length(text) /
+        |                   GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                                            x -> len(x) > 0)), 1)
+        |                 BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+        |           * (0.5 + 2 * len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+        |                / GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                                           x -> len(x) > 0)), 1))
+        |           - 2 * length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |               / GREATEST(length(text), 1))), 4) AS quality
+        |  FROM documents),
+        |m AS (
+        |  SELECT l.comp AS cluster_id, l.id AS doc_id, q.quality,
+        |         ROW_NUMBER() OVER (PARTITION BY l.comp
+        |                            ORDER BY q.quality DESC, l.id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l.comp) AS n_members
+        |  FROM lbl l JOIN q ON q.doc_id = l.id)
+        |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+        |       doc_id AS canonical_id, quality AS canonical_quality
+        |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q_bucketed_join" ->
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
