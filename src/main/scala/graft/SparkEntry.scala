@@ -839,6 +839,45 @@ object SparkEntry {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
   }
 
+  /** Bigram language-model document scoring — the statistical-LM quality
+    * filter (KenLM-style perplexity gate) of a pretraining pipeline,
+    * model-free: train a bigram LM on the corpus itself (p(w2|w1) =
+    * c(w1,w2) / c(w1·), context counts, so probabilities sum to 1 and
+    * every doc bigram is in-vocabulary by construction), then score each
+    * document by its average bigram log-likelihood — low scores = word
+    * salad, high = formulaic repetition. Shape: bigram instances are
+    * pre-aggregated PER DOCUMENT before anything wide (map-side combine on
+    * (doc_id,w1,w2)), the LM tables are corpus-level aggregates of that
+    * same relation (AQE reuses the (w1,w2) exchange), and the score join
+    * is keyed on the bigram alone — no per-token shuffle, no driver-side
+    * vocabulary. ln(c2/c1) is written identically in both engines (single
+    * double division, then ln) so the 6-decimal rounding compares exactly.
+    */
+  private def qLmScore(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bgArr = when(size(t) >= 2,
+        zip_with(
+          slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bgArr).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("k"))
+    val c2 = perDoc.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val lm = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), log(col("c2") / col("c1")).as("logp"))
+    perDoc.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        round(sum(col("k") * col("logp")) / sum(col("k")), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Top-20 corpus bigrams: adjacent-token pairs via a zip of the token
     * array against its own tail (no generator self-join — the pair list is
     * built inside the row), then a count partial-agg and a
@@ -2632,6 +2671,7 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_bm25" -> (qBm25 _),
     "q_tfidf" -> (qTfidf _),
+    "q_lm_score" -> (qLmScore _),
     "q_bigrams" -> (qBigrams _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_normalized" -> (qDedupNormalized _),
@@ -3204,6 +3244,29 @@ object SparkEntry {
         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q_lm_score: corpus-trained bigram LM (context counts), per-doc
+    // average log-likelihood; ln(c2/c1) written identically in both
+    // engines so the 6-decimal rounding compares exactly
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |                             x -> len(x) > 0) AS l
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(2, len(l)),
+        |                                       i -> [l[i-1], l[i]])) AS bg
+        |  FROM tok WHERE len(l) >= 2),
+        |perdoc AS (
+        |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM inst GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c2 FROM perdoc GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |lm AS (SELECT c2.w1, c2.w2, ln(c2.c2 / c1.c1) AS logp
+        |       FROM c2 JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |       ROUND(SUM(k * logp) / SUM(k), 6) AS avg_logp
+        |FROM perdoc JOIN lm USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bigrams" ->
       """WITH tok AS (
         |  SELECT list_filter(string_split_regex(trim(text), '\s+'),
