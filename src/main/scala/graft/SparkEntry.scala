@@ -864,6 +864,12 @@ object SparkEntry {
     val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), explode(bgArr).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // semantically a no-op (zip_with over non-null token arrays), but it
+      // pins BOTH null filters explicitly: the c1 branch's join otherwise
+      // infers only isnotnull(w1), the c2/score branches infer both, the
+      // canonicalized subtrees differ, and ReuseExchange re-tokenizes the
+      // whole corpus for the c1 branch (observed in the -exec plan)
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
       .groupBy("doc_id", "w1", "w2")
       .agg(count(lit(1)).as("k"))
     val c2 = perDoc.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
