@@ -242,6 +242,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"stage results recomputed instead of reused:\n$finalPlan")
   }
 
+  test("q_lm_score: corpus tokenized once; LM branches reuse the perDoc exchange") {
+    val df = SparkEntry.queries("q_lm_score")(spark, sf0001)
+    df.queryExecution.toRdd.count(): Unit
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the tokenize+explode scan is the row's only expensive narrow stage;
+    // the c1/c2 LM branches must read the per-doc bigram aggregate back as
+    // ReusedExchange, not re-derive it from a second scan (the regression
+    // this pin guards: a mismatched inferred null filter broke subtree
+    // canonical equality and re-tokenized the whole corpus)
+    val generates = finalPlan.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 1, s"corpus tokenized $generates times:\n$finalPlan")
+    assert(finalPlan.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"LM branches recomputed instead of reused:\n$finalPlan")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside the allowlist") {
     // BroadcastNestedLoopJoin / CartesianProduct are O(n·m) — at 100 TB a
     // plan containing one (outside a deliberate, size-bounded use) is a
