@@ -2546,6 +2546,45 @@ object SparkEntry {
         "id_a", "id_b")
       .orderBy("cluster_id")
 
+  /** Triangle count + global clustering coefficient over the near-dup
+    * pair graph — the transitivity diagnostic of a dedup pipeline: near-dup
+    * SHOULD be roughly transitive (A≈B≈C ⇒ A≈C), so a low
+    * triangles-to-wedges ratio flags a threshold that is chaining unlike
+    * documents into clusters. Algorithm: the pair list is already
+    * id-oriented (id_a < id_b — each undirected edge exactly once), so
+    * triangles enumerate as wedge (a;b<c) ⋈ closing edge (b,c) — every
+    * triangle counted exactly once, the standard oriented-join shape whose
+    * 100 TB form orients by DEGREE instead of id (bounding per-vertex
+    * fan-out by √E); wedges come from a degree aggregate, integer-exact
+    * via DIV. The expensive pair pipeline is checkpointed ONCE and reused
+    * by all three edge roles and the degree count (same discipline as
+    * [[graft.ext.Components.connectedComponents]]).
+    */
+  private def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val e = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val tri = e.as("ab")
+      .join(e.as("ac"),
+        col("ab.id_a") === col("ac.id_a") && col("ab.id_b") < col("ac.id_b"))
+      .select(col("ab.id_b").as("b"), col("ac.id_b").as("c"))
+      .join(e.as("bc"), col("b") === col("bc.id_a") && col("c") === col("bc.id_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = e.select(col("id_a").as("id"))
+      .unionAll(e.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri)
+      .crossJoin(wedges)
+      .select(
+        col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles") * lit(3) / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("transitivity"))
+  }
+
   /** Canonical-survivor selection — the step a dedup pipeline runs AFTER
     * clustering: within each near-dup cluster keep the BEST member (max
     * [[graft.ext.TextAnalysis.qualityScore]], min doc_id tie-break), drop
@@ -2742,6 +2781,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dedup_canonical" -> (qDedupCanonical _),
+    "q_graph_triangles" -> (qGraphTriangles _),
     "q_rolling_window" -> (qRollingWindow _),
     "q_edit_pairs" -> (qEditPairs _),
     "q_ivfpq_topk" -> (qIvfPqTopK _),
@@ -3655,6 +3695,54 @@ object SparkEntry {
         |lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
         |SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM lbl GROUP BY comp ORDER BY cluster_id""".stripMargin,
+    // q_graph_triangles: the same exact pair set as q_dup_clusters, then
+    // oriented wedge join + closing edge; wedges integer-exact via DIV,
+    // transitivity double with identical operand order in both engines
+    "q_graph_triangles" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b
+        |  FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.id
+        |  JOIN sizes sb ON i.id_b = sb.id
+        |  WHERE CAST(i.n_inter AS DOUBLE) /
+        |        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM pairs ab
+        |  JOIN pairs ac ON ab.id_a = ac.id_a AND ab.id_b < ac.id_b
+        |  JOIN pairs bc ON bc.id_a = ab.id_b AND bc.id_b = ac.id_b),
+        |deg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT id_a AS id FROM pairs
+        |        UNION ALL SELECT id_b FROM pairs)
+        |  GROUP BY id),
+        |w AS (SELECT CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT)
+        |             AS n_wedges FROM deg),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+        |SELECT ne.n_edges, tri.n_triangles, w.n_wedges,
+        |       CASE WHEN w.n_wedges > 0
+        |            THEN ROUND(tri.n_triangles * 3 / w.n_wedges, 6)
+        |            ELSE 0.0 END AS transitivity
+        |FROM ne, tri, w""".stripMargin,
     // q_dedup_canonical: q_dup_clusters' recursive-CTE clustering plus the
     // arithmetic quality formula (TextAnalysis.qualityScore — the same
     // ratio recipes q_text_stats pins), arg-max via row_number

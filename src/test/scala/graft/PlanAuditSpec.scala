@@ -281,7 +281,9 @@ class PlanAuditSpec extends SparkTestBase {
       // never the production dedup path (q_minhash_pairs' banded audit is
       // equi-keyed and stays OUT of this list)
       "q_embed_pairs",
-      "q_doc_embed_pairs"
+      "q_doc_embed_pairs",
+      "q_graph_triangles" // three 1-row global stats (edges/triangles/
+                          // wedges) cross-joined into the single result row
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
