@@ -1158,9 +1158,13 @@ object SparkEntry {
       }
     }
     val name = s"graft_stream_sess_$tag"
+    // state partitions sized to state volume (qStreamIntervalJoin's
+    // rationale); measured 4 ≈ 8 at sf0.1 (~3.2 s) — the row's cost is the
+    // genuine 3-micro-batch session-state execution (ingest + two
+    // sentinel-driven emission batches), not partition-commit overhead
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = EventsPipeline.streamingSessionize(s, dir, name)
