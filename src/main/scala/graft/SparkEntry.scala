@@ -1127,7 +1127,11 @@ object SparkEntry {
   private def qStreamSessionize(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
     val dir = s"/tmp/graft_stream/$tag/events_sess"
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    // guard on the LAST artifact staged, not _SUCCESS: the parquet write
+    // drops _SUCCESS before the sentinels are moved in, and a crash in
+    // that window would otherwise leave a half-staged feed that emits
+    // nothing (no sentinel → watermark never passes any session's end)
+    if (!new java.io.File(dir, "zz-sentinel2.parquet").exists()) {
       val e = Tables.events(s, d)
       e.coalesce(1).write.mode("overwrite").parquet(dir)
       val maxUs = e.agg(unix_micros(max(col("ts")))).head().getLong(0)
