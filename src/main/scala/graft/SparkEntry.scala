@@ -884,6 +884,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Unigram Shannon entropy per document — the token-diversity quality
+    * signal (low entropy = repetitive boilerplate/keyword stuffing, the
+    * complement of [[qRepetition]]'s repeated-span ratio and
+    * [[qLmScore]]'s corpus-LM likelihood). Computed in the
+    * numerically-portable decomposition H = ln(n) − Σ c·ln(c) / n over
+    * per-doc term counts (each ln applied to an exact integer, one
+    * division at the end — both engines evaluate the identical IEEE
+    * expression), rounded to 6. Shape: one (doc_id, term) map-side-combined
+    * count, then a doc-keyed aggregate — no corpus-wide state at all, so
+    * the operator is embarrassingly parallel at any corpus size.
+    */
+  private def qEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * log(col("c"))).as("clogc"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens")) - col("clogc") / col("n_tokens"), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+
   /** Top-20 corpus bigrams: adjacent-token pairs via a zip of the token
     * array against its own tail (no generator self-join — the pair list is
     * built inside the row), then a count partial-agg and a
@@ -904,6 +930,69 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
+  }
+
+  /** Top-20 collocations by pointwise mutual information — the
+    * association-mining upgrade of raw bigram counts ([[qBigrams]] ranks
+    * by frequency, which surfaces stopword pairs; PMI ranks by how much
+    * MORE often a pair occurs than its parts predict, the standard
+    * phrase-extraction signal). All marginals derive from ONE bigram-count
+    * relation (start counts, end counts, total) so the corpus tokenizes
+    * once; ln applied to an exact integer ratio, frequency floor ≥ 5
+    * (PMI's low-count pathology), deterministic tie-break. The joins are
+    * keyed on single words against word-level aggregates — vocabulary-
+    * sized, broadcastable at any corpus scale.
+    */
+  private def qCollocations(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bgArr = when(size(t) >= 2,
+        zip_with(
+          slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = Tables.documents(s, d)
+      .select(explode(bgArr).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val cs = bg.groupBy("w1").agg(sum(col("c")).as("cs"))
+    val ce = bg.groupBy("w2").agg(sum(col("c")).as("ce"))
+    val n = bg.agg(sum(col("c")).as("n_bg"))
+    bg.filter(col("c") >= 5)
+      .join(cs, "w1")
+      .join(ce, "w2")
+      .crossJoin(n)
+      .select(
+        col("w1"), col("w2"), col("c"),
+        round(log(col("n_bg") * col("c") / (col("cs") * col("ce"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** DAU/WAU stickiness per ISO week — the engagement ratio a product
+    * pipeline reports next to [[qFunnel]] and [[qRetention]]: how many of
+    * the week's actives show up on an average day. Daily and weekly
+    * distinct-user sets are both exact count-distincts keyed on compact
+    * (period, user) pairs — map-side dedup before any exchange; the
+    * week-level join is week-keyed.
+    */
+  private def qDauStickiness(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      to_date(col("ts")).as("day"),
+      weekofyear(col("ts")).as("week"),
+      col("user_id"))
+    val dau = e.groupBy("week", "day").agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy("week").agg(
+        count(lit(1)).as("n_days"),
+        round(avg(col("dau")), 4).as("avg_dau"))
+    val wau = e.groupBy("week").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "week")
+      .select(
+        col("week"), col("n_days"), col("avg_dau"), col("wau"),
+        round(col("avg_dau") / col("wau"), 6).as("stickiness"))
+      .orderBy("week")
   }
 
   /** Pivot: status × returnflag quantity matrix. */
@@ -2663,6 +2752,76 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the document-length
+    * distributions of two source cohorts — the distribution-drift monitor
+    * a production corpus pipeline runs between snapshots (did the new
+    * crawl's length profile shift?). Scalable decomposition: per-VALUE
+    * counts aggregate first (map-side combine onto the compact distinct
+    * domain — for a continuous metric you'd pre-bucket), then the ECDF
+    * difference is a cumulative window over that compact domain, and the
+    * cohort totals come from full-frame window sums — no 1-row cross-join,
+    * no driver-side state. The final max-abs-difference is one scalar
+    * aggregate.
+    */
+  private def qKsDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = when(expr("CAST(substring(source, 4) AS INT)") < 10, lit("a"))
+      .otherwise(lit("b"))
+    val cnt = Tables.documents(s, d)
+      .select(grp.as("grp"), col("n_chars"))
+      .groupBy("n_chars")
+      .agg(
+        sum(when(col("grp") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === "b", 1L).otherwise(0L)).as("cb"))
+    val cum = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cnt
+      .select(
+        (sum(col("ca")).over(cum) / sum(col("ca")).over(full)).as("fa"),
+        (sum(col("cb")).over(cum) / sum(col("cb")).over(full)).as("fb"),
+        sum(col("ca")).over(full).as("n_a"),
+        sum(col("cb")).over(full).as("n_b"))
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        round(max(abs(col("fa") - col("fb"))), 6).as("ks_stat"))
+  }
+
+  /** Population Stability Index between two event cohorts' value
+    * distributions (purchases vs views, equi-width buckets) — the bucketed
+    * drift score monitoring pipelines alert on (rule of thumb: >0.25 =
+    * population shifted). Σ (pa−pb)·ln(pa/pb) over buckets observed in
+    * BOTH cohorts (the zero-bucket epsilon fudge is non-portable across
+    * engines, so absence-drift is reported by the bucket counts instead).
+    * Same scalable shape as [[qKsDrift]]: bucket counts aggregate
+    * map-side, proportions come from full-frame window sums over the
+    * compact bucket domain, one scalar aggregate at the end.
+    */
+  private def qPsiDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), floor(col("value") / 20).cast("long").as("bucket"))
+    val cnt = e.groupBy("bucket")
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cp"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cv"))
+    val full = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cnt
+      .select(
+        col("bucket"), col("cp"), col("cv"),
+        (col("cp") / sum(col("cp")).over(full)).as("pp"),
+        (col("cv") / sum(col("cv")).over(full)).as("pv"))
+      .filter(col("cp") > 0 && col("cv") > 0)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        round(sum((col("pp") - col("pv")) * log(col("pp") / col("pv"))), 6)
+          .as("psi"))
+  }
+
   /** CSV source/sink roundtrip — the other interchange format ingest
     * pipelines receive (exports, logs, spreadsheets). The staged write
     * includes the `props` JSON column on purpose: its embedded quotes,
@@ -2741,6 +2900,9 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_tfidf" -> (qTfidf _),
     "q_lm_score" -> (qLmScore _),
+    "q_entropy" -> (qEntropy _),
+    "q_collocations" -> (qCollocations _),
+    "q_dau_stickiness" -> (qDauStickiness _),
     "q_bigrams" -> (qBigrams _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_normalized" -> (qDedupNormalized _),
@@ -2803,6 +2965,8 @@ object SparkEntry {
     "q_compaction" -> (qCompaction _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_ks_drift" -> (qKsDrift _),
+    "q_psi_drift" -> (qPsiDrift _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_graph_triangles" -> (qGraphTriangles _),
@@ -3314,6 +3478,24 @@ object SparkEntry {
         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q_entropy: H = ln(n) - sum(c*ln c)/n over per-doc term counts — each
+    // ln applied to an exact integer, one division at the end, identical
+    // IEEE expression in both engines
+    "q_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                                  x -> len(x) > 0)) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         SUM(c * ln(c)) AS clogc
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |       ROUND(ln(n_tokens) - clogc / n_tokens, 6) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // q_lm_score: corpus-trained bigram LM (context counts), per-doc
     // average log-likelihood; ln(c2/c1) written identically in both
     // engines so the 6-decimal rounding compares exactly
@@ -3337,6 +3519,42 @@ object SparkEntry {
         |       ROUND(SUM(k * logp) / SUM(k), 6) AS avg_logp
         |FROM perdoc JOIN lm USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q_collocations: PMI from one bigram-count relation (start/end
+    // marginals + total), exact-integer ratio under ln, floor c >= 5
+    "q_collocations" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> len(x) > 0) AS l
+        |  FROM documents),
+        |bgi AS (
+        |  SELECT unnest(list_transform(generate_series(2, len(l)),
+        |                               i -> [l[i-1], l[i]])) AS bg
+        |  FROM tok WHERE len(l) >= 2),
+        |bg AS (SELECT bg[1] AS w1, bg[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM bgi GROUP BY 1, 2),
+        |cs AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cs FROM bg GROUP BY 1),
+        |ce AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS ce FROM bg GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_bg FROM bg)
+        |SELECT w1, w2, c, ROUND(ln(n_bg * c / (cs.cs * ce.ce)), 6) AS pmi
+        |FROM bg JOIN cs USING (w1) JOIN ce USING (w2), n
+        |WHERE c >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // q_dau_stickiness: exact distinct actives per day and week, ISO week
+    // numbers agree across engines on this data range
+    "q_dau_stickiness" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, weekofyear(ts) AS week,
+        |                  user_id
+        |           FROM events),
+        |dau AS (SELECT week, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM e GROUP BY 1, 2),
+        |d2 AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |              ROUND(AVG(dau), 4) AS avg_dau
+        |       FROM dau GROUP BY 1),
+        |wau AS (SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM e GROUP BY 1)
+        |SELECT d2.week, n_days, avg_dau, wau.wau,
+        |       ROUND(avg_dau / wau.wau, 6) AS stickiness
+        |FROM d2 JOIN wau USING (week) ORDER BY week""".stripMargin,
     "q_bigrams" ->
       """WITH tok AS (
         |  SELECT list_filter(string_split_regex(trim(text), '\s+'),
@@ -3653,6 +3871,47 @@ object SparkEntry {
     // the oracle is simply the original table
     "q_json_roundtrip" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    // q_ks_drift: ECDF difference over the compact distinct-length
+    // domain; proportions from totals, max abs difference — identical
+    // arithmetic shape in both engines
+    "q_ks_drift" ->
+      """WITH cnt AS (
+        |  SELECT n_chars,
+        |         CAST(SUM(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |                       THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM documents GROUP BY n_chars),
+        |ecdf AS (
+        |  SELECT
+        |    SUM(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) /
+        |      (SELECT CAST(SUM(ca) AS DOUBLE) FROM cnt) AS fa,
+        |    SUM(cb) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) /
+        |      (SELECT CAST(SUM(cb) AS DOUBLE) FROM cnt) AS fb
+        |  FROM cnt)
+        |SELECT (SELECT CAST(SUM(ca) AS BIGINT) FROM cnt) AS n_a,
+        |       (SELECT CAST(SUM(cb) AS BIGINT) FROM cnt) AS n_b,
+        |       ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat
+        |FROM ecdf""".stripMargin,
+    // q_psi_drift: proportions over ALL buckets, then the both-positive
+    // restriction, then one scalar sum — mirrored exactly
+    "q_psi_drift" ->
+      """WITH cnt AS (
+        |  SELECT CAST(FLOOR(value / 20) AS BIGINT) AS bucket,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cp,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cv
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT bucket, cp, cv,
+        |         cp / (SELECT CAST(SUM(cp) AS DOUBLE) FROM cnt) AS pp,
+        |         cv / (SELECT CAST(SUM(cv) AS DOUBLE) FROM cnt) AS pv
+        |  FROM cnt)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |       ROUND(SUM((pp - pv) * ln(pp / pv)), 6) AS psi
+        |FROM p WHERE cp > 0 AND cv > 0""".stripMargin,
     // q_csv_roundtrip: quoting-safe identity on these columns (props is
     // JSON — quotes/commas/braces must survive CSV write+read verbatim)
     "q_csv_roundtrip" ->

@@ -282,8 +282,10 @@ class PlanAuditSpec extends SparkTestBase {
       // equi-keyed and stays OUT of this list)
       "q_embed_pairs",
       "q_doc_embed_pairs",
-      "q_graph_triangles" // three 1-row global stats (edges/triangles/
-                          // wedges) cross-joined into the single result row
+      "q_graph_triangles", // three 1-row global stats (edges/triangles/
+                           // wedges) cross-joined into the single result row
+      "q_collocations" // the 1-row bigram total attached to the PMI scan,
+                       // same shape as q_bm25's corpus stats
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
