@@ -2752,6 +2752,32 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Gini coefficient of per-document size — the corpus-balance audit (is
+    * the token budget spread across documents or concentrated in a few
+    * giants?) that sits next to the drift monitors in a pipeline's data
+    * health report. Uses the rank formula G = 2·Σ i·xᵢ / (n·Σ xᵢ) −
+    * (n+1)/n over ascending sizes, with the global rank i coming from
+    * [[graft.operators.PositionalTake.withGlobalIndex]] — the
+    * range-partition + per-partition-offset machinery, NOT a
+    * single-partition row_number window, so the sort stays distributed at
+    * any corpus size. Every sum is an exact integer; the two divisions
+    * happen once at the end, identically in both engines.
+    */
+  private def qGini(s: SparkSession, d: String): DataFrame =
+    PositionalTake.withGlobalIndex(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("n_chars", "doc_id"), "idx")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum((col("idx") + 1) * col("n_chars")).as("weighted"))
+      .select(
+        col("n_docs"), col("total_chars"),
+        round(
+          lit(2) * col("weighted") / (col("n_docs") * col("total_chars")) -
+            (col("n_docs") + 1) / col("n_docs"),
+          6).as("gini"))
+
   /** Two-sample Kolmogorov–Smirnov statistic between the document-length
     * distributions of two source cohorts — the distribution-drift monitor
     * a production corpus pipeline runs between snapshots (did the new
@@ -2966,6 +2992,7 @@ object SparkEntry {
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_ks_drift" -> (qKsDrift _),
+    "q_gini" -> (qGini _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dedup_canonical" -> (qDedupCanonical _),
@@ -3871,6 +3898,22 @@ object SparkEntry {
     // the oracle is simply the original table
     "q_json_roundtrip" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    // q_gini: rank formula over ascending sizes; integer sums, two
+    // divisions at the end with identical operand structure
+    "q_gini" ->
+      """WITH s AS (
+        |  SELECT n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS i
+        |  FROM documents),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(SUM(i * n_chars) AS BIGINT) AS weighted
+        |  FROM s)
+        |SELECT n_docs, total_chars,
+        |       ROUND(2 * weighted / (n_docs * total_chars)
+        |             - (n_docs + 1) / n_docs, 6) AS gini
+        |FROM a""".stripMargin,
     // q_ks_drift: ECDF difference over the compact distinct-length
     // domain; proportions from totals, max abs difference — identical
     // arithmetic shape in both engines

@@ -266,6 +266,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_cosine_pairs", // the quarantined quadratic recall oracle (by design)
       "q_take", // PositionalTake's prefix-sum: triangular join over the
                 // numPartitions-row count aggregate — metadata-sized
+      "q_gini", // same prefix-sum shape (withGlobalIndex) as q_take
       "q_bm25", // corpus stats feed back as a broadcast cross-join of ONE
                 // row (N, avgdl, per-term df) — size-bounded by design
       // verdict-row oracles attach a ONE-row scalar verdict/stat to a
