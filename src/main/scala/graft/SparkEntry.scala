@@ -1377,6 +1377,57 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** SLIDING (hopping) event-time windows — 1-hour windows every 30
+    * minutes, the overlapping-window shape [[qEventsWindow]]'s tumbling
+    * row cannot express (each event lands in exactly two windows; Spark's
+    * `window(ts, size, slide)` plans it as a generator, no self-join). The
+    * oracle replays the same membership with integer epoch-µs arithmetic:
+    * slot = µs DIV slide, the two window starts are slot·30min and its
+    * predecessor — exact at any timestamp precision.
+    */
+  private def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Robust (IQR-fence) outlier counts per event type — the Tukey-fence
+    * data-cleaning gate run before metrics ingestion: exact q1/q3 via the
+    * `percentile` aggregate (linear interpolation, the same definition as
+    * DuckDB's `quantile_cont`), fences at 1.5·IQR, one broadcast-sized
+    * stats row per group joined back onto the scan. Fences and counts are
+    * both emitted so the oracle pins the bounds arithmetic, not just the
+    * classification.
+    */
+  private def qIqrOutliers(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25D, 0.75D))").as("q"))
+      .select(
+        col("event_type"),
+        col("q").getItem(0).as("q1"),
+        col("q").getItem(1).as("q3"))
+      .select(
+        col("event_type"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(max(col("lo")), 6).as("lo"),
+        round(max(col("hi")), 6).as("hi"))
+      .orderBy("event_type")
+  }
+
   /** JSON scalar extraction from the event props column. */
   private def qEventsJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -2908,6 +2959,8 @@ object SparkEntry {
     "q_explode_tokens" -> (qExplodeTokens _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_events_window" -> (qEventsWindow _),
+    "q_sliding_window" -> (qSlidingWindow _),
+    "q_iqr_outliers" -> (qIqrOutliers _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_stream_stats" -> (qStreamStats _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
@@ -3281,6 +3334,37 @@ object SparkEntry {
         | AND e.event_type = 'error' AND p.event_type = 'purchase'
         | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY e.event_id, p_us, p_value""".stripMargin,
+    // q_sliding_window: every event lands in exactly two 1h/30min hopping
+    // windows; integer epoch-µs slot arithmetic replays the membership
+    "q_sliding_window" ->
+      """WITH x AS (
+        |  SELECT epoch_us(ts) // 1800000000 AS slot, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT slot * 1800 AS window_start, event_type, value FROM x
+        |  UNION ALL
+        |  SELECT (slot - 1) * 1800, event_type, value FROM x)
+        |SELECT window_start, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_iqr_outliers: quantile_cont == Spark percentile (same linear
+    // interpolation); classification on UNROUNDED fences in both engines
+    "q_iqr_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |f AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        |             q3 + (q3 - q1) * 1.5 AS hi
+        |      FROM s)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       ROUND(MAX(f.lo), 6) AS lo, ROUND(MAX(f.hi), 6) AS hi
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_stream_sessionize: Append-mode session_window driven to full
     // emission == batch gap sessionization at per-session grain (sentinel
     // flush rows are user_id < 0 and filtered; boundary note — Spark
