@@ -1428,6 +1428,170 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** First-order Markov transition matrix over each user's ordered event
+    * stream — the "what happens next" model behind session-path analysis
+    * and synthetic-trace generation. One user_id-keyed window computes the
+    * predecessor type (ties broken by event_id, so both engines see the
+    * same ordering); counts and row-normalized probabilities then reduce
+    * onto the (src,dst) grid — wide state is |event_type|² cells
+    * regardless of stream length, and the only full-data shuffle is keyed
+    * on user_id. The per-src totals are a broadcast-sized side table.
+    */
+  private def qMarkov(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("src").agg(sum(col("n")).as("n_src"))
+    tr.join(broadcast(tot), "src")
+      .select(
+        col("src"), col("dst"), col("n"),
+        round(col("n") / col("n_src"), 6).as("p"))
+      .orderBy("src", "dst")
+  }
+
+  /** Pearson chi-squared drift monitor over a categorical column — the
+    * discrete complement to [[qKsDrift]] (numeric, KS) and [[qPsiDrift]]
+    * (binned, PSI): contingency cells of event_type × time-half with
+    * expected counts from the marginals. The reference period is the first
+    * half of the stream by midpoint timestamp (integer-µs arithmetic, so
+    * the split is reproducible in any engine). Emits every cell with its
+    * expected count and chi-squared contribution — the statistic is the
+    * contribution sum, and pinning the cells oracles the marginal algebra,
+    * not just one scalar. Shapes: one scan → compact cell grid; marginals
+    * and the 1-row midpoint/total attach via broadcast.
+    */
+  private def qChi2Drift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .select(
+        col("event_type"),
+        when(col("us") < col("mid"), lit("a")).otherwise(lit("b")).as("period"))
+      .groupBy("event_type", "period")
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy("event_type").agg(sum(col("n")).as("rt"))
+    val colT = cells.groupBy("period").agg(sum(col("n")).as("ct"))
+    val g = cells.agg(sum(col("n")).as("gt"))
+    cells
+      .join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "period")
+      .crossJoin(broadcast(g))
+      .select(
+        col("event_type"), col("period"), col("n"),
+        round(col("rt") * col("ct") / col("gt"), 6).as("expected"),
+        round(
+          pow(col("n") - col("rt") * col("ct") / col("gt"), 2) /
+            (col("rt") * col("ct") / col("gt")), 6).as("contrib"))
+      .orderBy("event_type", "period")
+  }
+
+  /** Market-basket co-occurrence: support counts of part pairs bought in
+    * the same order — the association-mining primitive (and the same
+    * within-group pair-expansion shape as recommendation co-visitation).
+    * The self-join is keyed on the basket id, so the single shuffle moves
+    * (order, part) once and the quadratic blow-up is bounded by the basket
+    * size (≤7 lines in this schema; a 100 TB run caps basket size or
+    * pre-filters to frequent items first — the standard a-priori
+    * reduction). `p1 < p2` keeps each unordered pair once.
+    */
+  private def qBasketPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.select(col("ok"), col("pk").as("p1"))
+      .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(50)
+  }
+
+  /** SCD type-2 dimension build from the event stream: each user's
+    * event_type state history as validity intervals — the point-in-time
+    * dimension every warehouse derives from a mutation log. Consecutive
+    * duplicates collapse (a row opens only when the state CHANGES), the
+    * open row carries the 9999-12-31 sentinel end. Two windows over the
+    * same user_id partitioning → one shuffle; ordering ties broken by
+    * event_id so both engines agree on the change sequence.
+    */
+  private def qScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("nxt", lead(unix_micros(col("ts")), 1).over(w))
+      .select(
+        col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        coalesce(col("nxt"), lit(253402300799000000L)).as("valid_to_us"))
+      .orderBy("user_id", "valid_from_us", "event_type")
+  }
+
+  /** Winsorized per-group statistics — the clip-then-aggregate
+    * normalization run before feeding a metric to training (clamp to
+    * [p01, p99], then mean/stddev): exact percentiles via the same
+    * linear-interpolation `percentile` aggregate as [[qIqrOutliers]], one
+    * broadcast stats row per group, clamping inline in the second scan so
+    * nothing wide ever shuffles.
+    */
+  private def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.01D, 0.99D))").as("q"))
+      .select(
+        col("event_type"),
+        col("q").getItem(0).as("lo"),
+        col("q").getItem(1).as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(stats), "event_type")
+      .select(
+        col("event_type"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("w"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("w")), 6).as("wmean"),
+        round(stddev_samp(col("w")), 6).as("wstd"))
+      .orderBy("event_type")
+  }
+
+  /** Vocabulary coverage: out-of-vocabulary token rate per language
+    * against the corpus top-1000 vocabulary — the tokenizer-fit metric a
+    * training pipeline tracks when deciding vocab size. The vocabulary is
+    * deliberately broadcast-sized (top-K by count, ties broken by term, so
+    * the cutoff is deterministic); per-doc OOV ratios then need only a
+    * broadcast semi-probe on the token stream — no shuffle keyed on the
+    * (unbounded) term domain ever carries document payload.
+    */
+  private def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(1000)
+      .select(col("term"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id", "lang")
+      .agg((sum(when(col("in_v").isNull, 1L).otherwise(0L)) / count(lit(1)))
+        .as("oov"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("oov")), 6).as("avg_oov"))
+      .orderBy("lang")
+  }
+
   /** JSON scalar extraction from the event props column. */
   private def qEventsJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -2961,6 +3125,12 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_iqr_outliers" -> (qIqrOutliers _),
+    "q_markov" -> (qMarkov _),
+    "q_chi2_drift" -> (qChi2Drift _),
+    "q_basket_pairs" -> (qBasketPairs _),
+    "q_scd2" -> (qScd2 _),
+    "q_winsorize" -> (qWinsorize _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_stream_stats" -> (qStreamStats _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
@@ -3348,6 +3518,96 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_markov: lag over (user_id, ts, event_id) — identical tie-break in
+    // both engines; integer / integer is float division in both
+    "q_markov" ->
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS src,
+        |         event_type AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, COUNT(*) AS n FROM t
+        |      WHERE src IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT src, SUM(n) AS n_src FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+        |       ROUND(c.n / s.n_src, 6) AS p
+        |FROM c JOIN s USING (src) ORDER BY 1, 2""".stripMargin,
+    // q_chi2_drift: midpoint split on integer epoch-µs ((mn+mx) // 2 ==
+    // Spark's `div` on positive longs); expected counts from marginals
+    "q_chi2_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+        |c AS (SELECT event_type,
+        |             CASE WHEN us < (SELECT mid FROM m) THEN 'a'
+        |                  ELSE 'b' END AS period,
+        |             COUNT(*) AS n
+        |      FROM e GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(n) AS rt FROM c GROUP BY 1),
+        |ct AS (SELECT period, SUM(n) AS ct FROM c GROUP BY 1),
+        |g AS (SELECT SUM(n) AS gt FROM c)
+        |SELECT c.event_type, c.period, CAST(c.n AS BIGINT) AS n,
+        |       ROUND(rt.rt * ct.ct / g.gt, 6) AS expected,
+        |       ROUND(POW(c.n - rt.rt * ct.ct / g.gt, 2)
+        |             / (rt.rt * ct.ct / g.gt), 6) AS contrib
+        |FROM c JOIN rt USING (event_type) JOIN ct USING (period) CROSS JOIN g
+        |ORDER BY 1, 2""".stripMargin,
+    // q_basket_pairs: unordered pair kept once via p1 < p2; support-desc
+    // top-50 with (p1, p2) tie-break is a deterministic cutoff
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS support
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, p1, p2 LIMIT 50""".stripMargin,
+    // q_scd2: change rows via lag over (ts, event_id); open interval ends
+    // at the 9999-12-31 23:59:59 sentinel (253402300799000000 µs)
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, ts, event_id, event_type FROM o
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+        |       COALESCE(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                         ORDER BY ts, event_id),
+        |                253402300799000000) AS valid_to_us
+        |FROM ch ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+    // q_winsorize: quantile_cont == Spark percentile (proven by
+    // q_iqr_outliers); clamp on UNROUNDED bounds in both engines
+    "q_winsorize" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.01) AS lo,
+        |         quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY event_type),
+        |w AS (SELECT e.event_type,
+        |             GREATEST(s.lo, LEAST(s.hi, e.value)) AS w
+        |      FROM events e JOIN s USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(AVG(w), 6) AS wmean,
+        |       ROUND(STDDEV_SAMP(w), 6) AS wstd
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_vocab_coverage: same whitespace tokenization as q_tfidf; top-1000
+    // vocab cutoff deterministic via (count DESC, term) ordering
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                            x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |v AS (SELECT term FROM tok GROUP BY term
+        |      ORDER BY COUNT(*) DESC, term LIMIT 1000),
+        |d AS (SELECT t.doc_id, t.lang,
+        |             SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |               * 1.0 / COUNT(*) AS oov
+        |      FROM tok t LEFT JOIN v ON t.term = v.term
+        |      GROUP BY t.doc_id, t.lang)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       ROUND(AVG(oov), 6) AS avg_oov
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_iqr_outliers: quantile_cont == Spark percentile (same linear
     // interpolation); classification on UNROUNDED fences in both engines
     "q_iqr_outliers" ->
