@@ -1592,6 +1592,184 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Deterministic A/B experiment assignment + readout: users hash into
+    * two arms via the engine-portable md5 bucket (the same first-12-hex
+    * construction as [[graft.ext.Sampling]]'s portable splits, so any SQL
+    * engine reproduces the assignment bit-for-bit — the property an
+    * experimentation system needs for audits), then per-arm × event-type
+    * counts and mean values. Assignment is a stateless per-row expression:
+    * no shuffle beyond the final compact readout group-by.
+    */
+  private def qAbAssign(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    Tables.events(s, d)
+      .withColumn("arm", when(bucket < 500000L, lit("a")).otherwise(lit("b")))
+      .groupBy("arm", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg(col("value")), 6).as("mean_value"))
+      .orderBy("arm", "event_type")
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic marketing feature triple, each dimension cut into ANSI-ntile
+    * quintiles. Per-customer base facts are one map-side-combinable
+    * group-by; each quintile cut rides the DISTRIBUTED global rank
+    * ([[PositionalTake.withGlobalIndex]] — range-partition sort +
+    * per-partition offsets, never a single-partition ntile window), with
+    * the ANSI bucket split (first n%k buckets one row larger) replayed in
+    * closed form from (rank, n). Descending dimensions sort ascending on
+    * the negated metric; ties break on customer id, so the cut is
+    * deterministic and any engine's native ntile reproduces it. Output is
+    * the ≤5³-cell segment grid, independent of customer count.
+    */
+  private def qRfm(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(
+        // o_orderdate loads as TIMESTAMP_NTZ; the session is pinned UTC so
+        // the cast to TIMESTAMP is wall-clock identity (same as Tables.events)
+        unix_micros(max(col("o_orderdate")).cast("timestamp")).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice")).as("mon"))
+      .withColumn("neg_last", -col("last_us"))
+      .withColumn("neg_freq", -col("freq"))
+      .withColumn("neg_mon", -col("mon"))
+    val n = base.agg(count(lit(1)).as("n_tot"))
+    // ANSI ntile from a dense 0-based rank: first n%5 buckets hold
+    // (n div 5)+1 rows, the rest n div 5 (assumes n >= 5).
+    def quintile(metric: String, out: String): DataFrame =
+      PositionalTake.withGlobalIndex(
+          base.select(col("cust"), col(metric)), Seq(metric, "cust"), "idx")
+        .crossJoin(broadcast(n))
+        .select(
+          col("cust"),
+          expr("CASE WHEN idx < (n_tot % 5) * (n_tot div 5 + 1) " +
+            "THEN idx div (n_tot div 5 + 1) + 1 " +
+            "ELSE (n_tot % 5) + (idx - (n_tot % 5) * (n_tot div 5 + 1)) " +
+            "div (n_tot div 5) + 1 END").as(out))
+    quintile("neg_last", "r_q")
+      .join(quintile("neg_freq", "f_q"), "cust")
+      .join(quintile("neg_mon", "m_q"), "cust")
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** Cohort LTV curve: customers cohorted by first-order month, revenue
+    * accumulated by month offset since the cohort month — the
+    * lifetime-value table under every retention dashboard. Month math is
+    * integer (year·12+month), identical in any engine. Two shuffles, both
+    * keyed small (customer, then cohort×offset grid); the running total is
+    * a window over the compact grid, not the order stream.
+    */
+  private def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("cust"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+      col("o_totalprice").as("rev"))
+    val cohort = o.groupBy("cust").agg(min(col("m")).as("cm"))
+    val grid = o.join(cohort, "cust")
+      .groupBy(col("cm"), (col("m") - col("cm")).as("offset"))
+      .agg(sum(col("rev")).as("rev"), countDistinct(col("cust")).as("n_custs"))
+    grid
+      .withColumn("cum_rev", sum(col("rev")).over(
+        Window.partitionBy("cm").orderBy("offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("cm").as("cohort_month"), col("offset"), col("n_custs"),
+        round(col("rev"), 4).as("rev"),
+        round(col("cum_rev"), 4).as("cum_rev"))
+      .orderBy("cohort_month", "offset")
+  }
+
+  /** Exponentially time-decayed engagement score per user (30-day
+    * half-life, anchored at the stream's max timestamp) — the
+    * recency-weighted feature a feature store materializes instead of a
+    * raw sum. The anchor is a broadcast 1-row attach; the decay is a
+    * stateless per-row expression, so the whole feature is one scan + one
+    * user-keyed reduce. Top-25 by score with id tie-break keeps the row
+    * deterministic.
+    */
+  private def qDecayScore(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val anchor = ev.agg(max(col("us")).as("max_us"))
+    ev.crossJoin(broadcast(anchor))
+      .select(
+        col("user_id"),
+        (col("value") *
+          exp(lit(-math.log(2.0) / 30.0) *
+            ((col("max_us") - col("us")) / lit(86400000000.0)))).as("dv"))
+      .groupBy("user_id")
+      .agg(round(sum(col("dv")), 4).as("score"), count(lit(1)).as("n"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(25)
+  }
+
+  /** MAD (median-absolute-deviation) robust outliers per event type — the
+    * heavier-tailed companion to [[qIqrOutliers]]: median via the exact
+    * `percentile` aggregate, MAD as the median of absolute deviations
+    * (second percentile pass over the broadcast-joined scan), outliers at
+    * modified z-score |0.6745·(x−med)/mad| > 3.5. Group stats stay
+    * broadcast-sized at any scale; the data shuffles only into the two
+    * per-group percentile reduces.
+    */
+  private def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val med = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val withDev = Tables.events(s, d)
+      .join(broadcast(med), "event_type")
+    val mad = withDev
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    withDev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(
+          abs(lit(0.6745) * (col("value") - col("med")) / col("mad")) > 3.5,
+          1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Time-to-conversion: signup → first subsequent purchase latency
+    * distribution — the funnel-velocity metric next to [[qFunnel]]'s
+    * stage counts. Both stage timestamps are per-user min-reduces (map-side
+    * combinable), the join is user-keyed, and the output is one row of
+    * exact quartiles (hours) plus conversion counts; the two scalar
+    * aggregates meet in a 1-row broadcast attach.
+    */
+  private def qTimeToEvent(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("s_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("us") >= col("s_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"), max(col("s_us")).as("s_us"))
+      .select(((col("p_us") - col("s_us")) / lit(3600000000.0)).as("hours"))
+    val nSignups = su.agg(count(lit(1)).as("n_signups"))
+    conv.agg(
+        count(lit(1)).as("n_converted"),
+        expr("percentile(hours, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .crossJoin(broadcast(nSignups))
+      .select(
+        col("n_signups"), col("n_converted"),
+        round(col("q").getItem(0), 6).as("p25_h"),
+        round(col("q").getItem(1), 6).as("p50_h"),
+        round(col("q").getItem(2), 6).as("p75_h"))
+  }
+
   /** JSON scalar extraction from the event props column. */
   private def qEventsJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -3131,6 +3309,12 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_winsorize" -> (qWinsorize _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_ab_assign" -> (qAbAssign _),
+    "q_rfm" -> (qRfm _),
+    "q_cohort_ltv" -> (qCohortLtv _),
+    "q_decay_score" -> (qDecayScore _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_time_to_event" -> (qTimeToEvent _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_stream_stats" -> (qStreamStats _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
@@ -3608,6 +3792,101 @@ object SparkEntry {
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       ROUND(AVG(oov), 6) AS avg_oov
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_ab_assign: same portable md5 bucket as q_split_counts (first 12
+    // hex chars as integer mod 1e6); arm cut at bucket < 500000
+    "q_ab_assign" ->
+      """SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |                                      1, 12)) AS BIGINT)
+        |                  % 1000000 < 500000
+        |            THEN 'a' ELSE 'b' END AS arm,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       ROUND(AVG(value), 6) AS mean_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_rfm: DuckDB's native ntile over (metric DESC, cust) replays the
+    // engine's closed-form ANSI split from the distributed global rank
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS cust,
+        |         epoch_us(MAX(o_orderdate)) AS last_us,
+        |         COUNT(*) AS freq,
+        |         SUM(o_totalprice) AS mon
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT cust,
+        |         ntile(5) OVER (ORDER BY last_us DESC, cust) AS r_q,
+        |         ntile(5) OVER (ORDER BY freq DESC, cust) AS f_q,
+        |         ntile(5) OVER (ORDER BY mon DESC, cust) AS m_q
+        |  FROM base)
+        |SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_custs
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q_cohort_ltv: integer month index (year*12+month) — no interval
+    // arithmetic to diverge; running total over the compact cohort grid
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust,
+        |         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         o_totalprice AS rev
+        |  FROM orders),
+        |c AS (SELECT cust, MIN(m) AS cm FROM o GROUP BY 1),
+        |g AS (SELECT c.cm, o.m - c.cm AS "offset",
+        |             SUM(o.rev) AS rev, COUNT(DISTINCT o.cust) AS n_custs
+        |      FROM o JOIN c USING (cust) GROUP BY 1, 2)
+        |SELECT cm AS cohort_month, "offset",
+        |       CAST(n_custs AS BIGINT) AS n_custs,
+        |       ROUND(rev, 4) AS rev,
+        |       ROUND(SUM(rev) OVER (PARTITION BY cm ORDER BY "offset"
+        |                            ROWS UNBOUNDED PRECEDING), 4) AS cum_rev
+        |FROM g ORDER BY 1, 2""".stripMargin,
+    // q_decay_score: exp/ln differ by at most 1 ulp per term between
+    // libm and the JVM; round(4) over O(100)-term sums absorbs it
+    "q_decay_score" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |a AS (SELECT MAX(us) AS max_us FROM e)
+        |SELECT user_id,
+        |       ROUND(SUM(value * exp(-ln(2) / 30.0
+        |                             * ((a.max_us - us) / 86400000000.0))),
+        |             4) AS score,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e CROSS JOIN a
+        |GROUP BY user_id
+        |ORDER BY score DESC, user_id LIMIT 25""".stripMargin,
+    // q_mad_outliers: two exact-median passes (quantile_cont == Spark
+    // percentile); classification on UNROUNDED med/mad in both engines
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |         quantile_cont(abs(e.value - med.med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(MAX(med.med), 6) AS med,
+        |       ROUND(MAX(mad.mad), 6) AS mad,
+        |       CAST(SUM(CASE WHEN abs(0.6745 * (e.value - med.med) / mad.mad)
+        |                          > 3.5
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_time_to_event: first purchase at-or-after first signup; exact
+    // quartiles of the latency in hours
+    "q_time_to_event" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |su AS (SELECT user_id, MIN(us) AS s_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |cv AS (SELECT e.user_id,
+        |              (MIN(e.us) - MAX(su.s_us)) / 3600000000.0 AS hours
+        |       FROM e JOIN su USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us >= su.s_us
+        |       GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM su) AS n_signups,
+        |       CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |       ROUND(quantile_cont(hours, 0.25), 6) AS p25_h,
+        |       ROUND(quantile_cont(hours, 0.5), 6) AS p50_h,
+        |       ROUND(quantile_cont(hours, 0.75), 6) AS p75_h
+        |FROM cv""".stripMargin,
     // q_iqr_outliers: quantile_cont == Spark percentile (same linear
     // interpolation); classification on UNROUNDED fences in both engines
     "q_iqr_outliers" ->
