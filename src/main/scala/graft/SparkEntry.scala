@@ -1770,6 +1770,107 @@ object SparkEntry {
         round(col("q").getItem(2), 6).as("p75_h"))
   }
 
+  /** Week-over-week growth per event type — the period-over-period metric
+    * sheet every KPI pipeline emits: weekly counts/sums on the compact
+    * (type × week) grid, growth as a lag over that grid. The full stream
+    * reduces map-side into the grid before any window; the window itself
+    * runs over rows-per-key = weeks, never raw events.
+    */
+  private def qWowGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    val w = Window.partitionBy("event_type").orderBy("wk")
+    wk.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(
+        col("event_type"), unix_timestamp(col("wk")).as("week_start"),
+        col("n"), col("sum_value"),
+        round((col("n") - col("prev_n")) / col("prev_n"), 6).as("wow_growth"))
+      .orderBy("event_type", "week_start")
+  }
+
+  /** Zipf fit of the corpus token distribution: least-squares slope of
+    * log-frequency against log-rank — the vocabulary-health scalar (a
+    * natural corpus sits near −1; boilerplate flattens it) reported next
+    * to [[qVocabCoverage]]. Rank is the DISTRIBUTED global index over
+    * (count desc, term), and the fit is the built-in `regr_slope` /
+    * `regr_intercept` aggregates — one pass over the term table, no
+    * driver-side math.
+    */
+  private def qZipfSlope(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .withColumn("neg_c", -col("c"))
+    PositionalTake.withGlobalIndex(freq, Seq("neg_c", "term"), "idx")
+      .select(log(col("idx") + 1).as("lx"), log(col("c")).as("ly"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(regr_slope(col("ly"), col("lx")), 4).as("slope"),
+        round(regr_intercept(col("ly"), col("lx")), 4).as("intercept"))
+  }
+
+  /** Data-profiling audit: per-column row/null/distinct counts over
+    * lineitem — the schema-wide quality report a pipeline runs on every
+    * new drop. One generator turns each row into (column, value-as-string)
+    * pairs — casting is injective per column, so distinct cardinality is
+    * preserved — and one group-by on the column name fans the distinct
+    * counts out across the cluster (each column's count is an independent
+    * reduce; no multi-distinct Expand against the whole row).
+    */
+  private def qDataProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val pairs = li.select(explode(array(li.columns.toSeq.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.v"))
+    pairs.groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"))
+      .orderBy("col_name")
+  }
+
+  /** Per-dimension statistics of the embedding column (min/max/mean/std
+    * for each vector coordinate) — the feature-normalization profile an
+    * ANN or training pipeline computes before scaling. `posexplode` keys
+    * the shuffle on the dimension index, so state per reducer is one
+    * running moment set per dimension regardless of corpus size.
+    */
+  private def qEmbedStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("x")), 6).as("mn"),
+        round(max(col("x")), 6).as("mx"),
+        round(avg(col("x")), 6).as("mean"),
+        round(stddev_samp(col("x")), 6).as("std"))
+      .orderBy("dim")
+
+  /** Cross-source duplicate-overlap matrix: how many 64-char-prefix
+    * fingerprints each pair of sources shares — the contamination heat map
+    * a corpus audit draws before choosing dedup scope (exact texts never
+    * collide across sources in this corpus; the prefix fingerprint is the
+    * boilerplate-header detector). The self-join is keyed on the
+    * fingerprint, and the per-fingerprint blow-up is bounded by the SOURCE
+    * count (the distinct collapses each source to one row per
+    * fingerprint), so the shape survives any corpus size.
+    */
+  private def qOverlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.documents(s, d)
+      .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
+      .distinct()
+    h.as("a").join(h.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** JSON scalar extraction from the event props column. */
   private def qEventsJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -3315,6 +3416,11 @@ object SparkEntry {
     "q_decay_score" -> (qDecayScore _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_time_to_event" -> (qTimeToEvent _),
+    "q_wow_growth" -> (qWowGrowth _),
+    "q_zipf_slope" -> (qZipfSlope _),
+    "q_data_profile" -> (qDataProfile _),
+    "q_embed_stats" -> (qEmbedStats _),
+    "q_overlap_matrix" -> (qOverlapMatrix _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_stream_stats" -> (qStreamStats _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
@@ -3887,6 +3993,65 @@ object SparkEntry {
         |       ROUND(quantile_cont(hours, 0.5), 6) AS p50_h,
         |       ROUND(quantile_cont(hours, 0.75), 6) AS p75_h
         |FROM cv""".stripMargin,
+    // q_wow_growth: Monday-start date_trunc('week') in both engines;
+    // first week's growth is NULL in both
+    "q_wow_growth" ->
+      """WITH wk AS (
+        |  SELECT event_type, date_trunc('week', ts) AS wk,
+        |         COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, epoch_us(wk) // 1000000 AS week_start,
+        |       CAST(n AS BIGINT) AS n, sum_value,
+        |       ROUND((n - lag(n) OVER (PARTITION BY event_type ORDER BY wk))
+        |             / lag(n) OVER (PARTITION BY event_type ORDER BY wk),
+        |             6) AS wow_growth
+        |FROM wk ORDER BY 1, 2""".stripMargin,
+    // q_zipf_slope: rank = row_number over (count DESC, term) == the
+    // engine's distributed global index + 1; ln == Spark log
+    "q_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                            x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |f AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+        |      FROM f)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |       ROUND(regr_slope(ln(c), ln(rnk)), 4) AS slope,
+        |       ROUND(regr_intercept(ln(c), ln(rnk)), 4) AS intercept
+        |FROM r""".stripMargin,
+    // q_data_profile: COUNT(DISTINCT raw) == the engine's distinct on the
+    // per-column string cast (injective per column); one branch per column
+    "q_data_profile" -> Seq(
+        "l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        "l_shipdate", "l_suppkey", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // q_embed_stats: generate_subscripts/unnest stay positionally aligned
+    // in DuckDB; float → double cast is exact in both engines
+    "q_embed_stats" ->
+      """WITH x AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(MIN(x), 6) AS mn, ROUND(MAX(x), 6) AS mx,
+        |       ROUND(AVG(x), 6) AS mean, ROUND(STDDEV_SAMP(x), 6) AS std
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_overlap_matrix: md5 over the identical UTF-8 prefix bytes; source
+    // pair kept once via a.source < b.source
+    "q_overlap_matrix" ->
+      """WITH h AS (SELECT DISTINCT source, md5(substr(text, 1, 64)) AS fp
+        |           FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q_iqr_outliers: quantile_cont == Spark percentile (same linear
     // interpolation); classification on UNROUNDED fences in both engines
     "q_iqr_outliers" ->
