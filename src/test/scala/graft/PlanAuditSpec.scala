@@ -285,8 +285,18 @@ class PlanAuditSpec extends SparkTestBase {
       "q_doc_embed_pairs",
       "q_graph_triangles", // three 1-row global stats (edges/triangles/
                            // wedges) cross-joined into the single result row
-      "q_collocations" // the 1-row bigram total attached to the PMI scan,
-                       // same shape as q_bm25's corpus stats
+      "q_collocations", // the 1-row bigram total attached to the PMI scan,
+                        // same shape as q_bm25's corpus stats
+      // 1-row broadcast stat attaches (midpoint/anchor/total), the
+      // q_bm25/q_collocations shape — size-bounded by design
+      "q_chi2_drift", // 1-row midpoint + 1-row grand total
+      "q_decay_score", // 1-row max-timestamp anchor
+      "q_time_to_event", // 1-row signup count onto the 1-row quartiles
+      // withGlobalIndex prefix-sum (triangular join over the
+      // numPartitions-row aggregate, metadata-sized) — the q_take/q_gini
+      // shape — plus, for q_rfm, the 1-row customer-count attach
+      "q_rfm",
+      "q_zipf_slope"
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
@@ -301,6 +311,42 @@ class PlanAuditSpec extends SparkTestBase {
       }
     assert(offenders.isEmpty,
       s"quadratic join shapes outside the allowlist:\n${offenders.mkString("\n")}")
+  }
+
+  test("q_rfm: quintiles ride the distributed rank — no single-partition window") {
+    val df = SparkEntry.queries("q_rfm")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the closed-form ntile exists precisely to avoid WindowExec over an
+    // unpartitioned global ordering (all rows to one task at scale)
+    assert(!plan.contains("Window"), s"window crept back into q_rfm:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"no distributed range sort in q_rfm:\n$plan")
+  }
+
+  test("q_markov and q_scd2: one user_id exchange feeds the window(s)") {
+    for (name <- Seq("q_markov", "q_scd2")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.queryExecution.toRdd.count(): Unit
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // q_scd2 runs two windows over the same user_id partitioning; both
+      // must sit on ONE exchange of the event stream (lag + the post-filter
+      // lead re-sort shuffle-free)
+      val userShuffles = finalPlan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(user_id#") &&
+          !l.contains("ReusedExchange"))
+      assert(userShuffles == 1,
+        s"$name: expected 1 user_id exchange, got $userShuffles:\n$finalPlan")
+    }
+  }
+
+  test("q_vocab_coverage: vocabulary probes as a broadcast, not a term shuffle") {
+    val df = SparkEntry.queries("q_vocab_coverage")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the token stream must never hash-shuffle on the unbounded term
+    // domain for the OOV probe — the top-K vocab is broadcast-sized
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab probe is not a broadcast join:\n$plan")
   }
 
   test("boundedHashJoin sizes partitions to the build budget, else sort-merge") {
