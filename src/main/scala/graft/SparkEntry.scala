@@ -1871,6 +1871,89 @@ object SparkEntry {
       .orderBy("src_a", "src_b")
   }
 
+  /** 2-D skyline (Pareto frontier): parts not dominated on (minimize
+    * price, maximize size) — the multi-objective shortlist operator
+    * (cheapest-per-capability). Decomposition: collapse to the per-price
+    * grid (one max-size per distinct price — the only full-data shuffle),
+    * run the strictly-cheaper prefix-max over that COMPACT grid (the
+    * [[qKsDrift]] ECDF precedent: the window is over grid rows, never raw
+    * data), then one broadcast probe back. A part survives iff its size
+    * beats every strictly-cheaper price's max and equals its own price's
+    * max — exactly the ¬∃-dominator definition the oracle replays
+    * quadratically.
+    */
+  private def qSkyline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, d).select(
+      col("p_partkey"), col("p_retailprice").as("price"), col("p_size").as("size"))
+    val grid = p.groupBy("price").agg(max(col("size")).as("pmax"))
+    val w = Window.orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gridPrev = grid.withColumn("prev_max", max(col("pmax")).over(w))
+    p.join(broadcast(gridPrev), "price")
+      .filter(
+        (col("prev_max").isNull || col("size") > col("prev_max")) &&
+          col("size") === col("pmax"))
+      .select(col("p_partkey"), col("price"), col("size"))
+      .orderBy("price", "size", "p_partkey")
+  }
+
+  /** CDC-style snapshot diff: two deterministic derivations of the event
+    * log stand in for corpus v1/v2, and the diff classifies every key as
+    * added / removed / changed / unchanged with net value drift — the
+    * what-changed audit run between dataset versions. One co-keyed
+    * full-outer join (sort-merge on the id at scale), classification
+    * inline; the v2 mutation is `value + 1` — an IEEE-exact double op, so
+    * both engines agree bit-for-bit on the changed set.
+    */
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    val v1 = ev.filter(pmod(col("event_id"), lit(10)) =!= 0)
+      .select(col("event_id"), col("value").as("v1"))
+    val v2 = ev.filter(pmod(col("event_id"), lit(13)) =!= 0)
+      .select(
+        col("event_id"),
+        when(pmod(col("event_id"), lit(7)) === 0, col("value") + 1.0)
+          .otherwise(col("value")).as("v2"))
+    v1.join(v2, Seq("event_id"), "full_outer")
+      .select(
+        when(col("v1").isNull, lit("added"))
+          .when(col("v2").isNull, lit("removed"))
+          .when(col("v1") =!= col("v2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("v2"), lit(0.0)) - coalesce(col("v1"), lit(0.0)))
+      .toDF("status", "delta")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), round(sum(col("delta")), 4).as("net_delta"))
+      .orderBy("status")
+  }
+
+  /** Dataset card: the one-row corpus summary (docs, languages, sources,
+    * chars, whitespace tokens, exact-unique ratio) published alongside a
+    * training-data release. Three narrow passes instead of one
+    * multi-distinct aggregate — a 3-way distinct over (lang, source,
+    * md5(text)) would Expand the scan 4× and drag full text through the
+    * shuffle (the [[qSketches]] lesson); here each distinct reduces its
+    * own compact column and the 1-row results meet in broadcast attaches.
+    */
+  private def qDatasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      round(avg(col("n_chars")), 4).as("mean_chars"),
+      sum(size(tokens(col("text"))).cast("long")).as("total_tokens"))
+    val dims = docs.agg(
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val uniq = docs.agg(countDistinct(md5(col("text"))).as("n_unique"))
+    base.crossJoin(broadcast(dims)).crossJoin(broadcast(uniq))
+      .select(
+        col("n_docs"), col("n_langs"), col("n_sources"),
+        col("total_chars"), col("mean_chars"), col("total_tokens"),
+        round(col("n_unique") / col("n_docs"), 6).as("unique_ratio"))
+  }
+
   /** JSON scalar extraction from the event props column. */
   private def qEventsJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -3421,6 +3504,9 @@ object SparkEntry {
     "q_data_profile" -> (qDataProfile _),
     "q_embed_stats" -> (qEmbedStats _),
     "q_overlap_matrix" -> (qOverlapMatrix _),
+    "q_skyline" -> (qSkyline _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_dataset_card" -> (qDatasetCard _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_stream_stats" -> (qStreamStats _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
@@ -4052,6 +4138,49 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_skyline: ¬∃-dominator definition replayed quadratically — the
+    // engine's grid prefix-max must produce the identical frontier
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size AS size
+        |           FROM part)
+        |SELECT p_partkey, price, size FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price <= a.price AND b.size >= a.size
+        |    AND (b.price < a.price OR b.size > a.size))
+        |ORDER BY price, size, p_partkey""".stripMargin,
+    // q_snapshot_diff: v2's mutation is value + 1 — IEEE-exact in both
+    // engines, so the changed-set classification is bitwise identical
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT event_id, value AS v1 FROM events
+        |            WHERE event_id % 10 <> 0),
+        |v2 AS (SELECT event_id,
+        |              CASE WHEN event_id % 7 = 0 THEN value + 1
+        |                   ELSE value END AS v2
+        |       FROM events WHERE event_id % 13 <> 0),
+        |j AS (SELECT CASE WHEN v1.v1 IS NULL THEN 'added'
+        |                  WHEN v2.v2 IS NULL THEN 'removed'
+        |                  WHEN v1.v1 <> v2.v2 THEN 'changed'
+        |                  ELSE 'unchanged' END AS status,
+        |             COALESCE(v2.v2, 0) - COALESCE(v1.v1, 0) AS delta
+        |      FROM v1 FULL OUTER JOIN v2 USING (event_id))
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(delta), 4) AS net_delta
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_dataset_card: single-select aggregate card; unique ratio over the
+    // md5 text digest; same whitespace tokenization as q_tfidf
+    "q_dataset_card" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       ROUND(AVG(n_chars), 4) AS mean_chars,
+        |       CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                                x -> len(x) > 0))) AS BIGINT)
+        |         AS total_tokens,
+        |       ROUND(COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6)
+        |         AS unique_ratio
+        |FROM documents""".stripMargin,
     // q_iqr_outliers: quantile_cont == Spark percentile (same linear
     // interpolation); classification on UNROUNDED fences in both engines
     "q_iqr_outliers" ->

@@ -196,6 +196,48 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(joined.count() == 0)
   }
 
+  test("closed-form ANSI ntile from a global rank equals Spark's native ntile") {
+    // q_rfm replaces the single-partition ntile window with a closed-form
+    // split from the distributed global index; this pins the two formulas
+    // together on sizes that exercise every remainder class (n mod 5),
+    // including n < 5 where ntile degenerates to rank+1
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(3, 5, 7, 10, 23, 100, 101, 104)) {
+      val df = spark.range(n.toLong).select(
+        (col("id") * 37 % 91).as("v"), col("id").as("k"))
+      val native = df.withColumn("q",
+        ntile(5).over(Window.orderBy(col("v"), col("k"))))
+      val ranked = graft.operators.PositionalTake
+        .withGlobalIndex(df, Seq("v", "k"), "idx")
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n_tot"))))
+        .select(col("v"), col("k"),
+          // the literal q_rfm formula (n < 5 degenerates to idx+1 via the
+          // first branch: every idx sits below (n%5)*(0+1))
+          expr("CASE WHEN idx < (n_tot % 5) * (n_tot div 5 + 1) " +
+            "THEN idx div (n_tot div 5 + 1) + 1 " +
+            "ELSE (n_tot % 5) + (idx - (n_tot % 5) * (n_tot div 5 + 1)) " +
+            "div (n_tot div 5) + 1 END").as("q"))
+      val diff = native.select(col("k"), col("q").cast("long").as("q"))
+        .except(ranked.select(col("k"), col("q")))
+      assert(diff.count() == 0, s"ntile mismatch at n=$n")
+    }
+  }
+
+  test("skyline: no survivor is dominated; every non-survivor has a dominator") {
+    val out = SparkEntry.queries("q_skyline")(spark, sf0001)
+      .select("p_partkey").as[Long].collect().toSet
+    val parts = Tables.part(spark, sf0001)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .as[(Long, Double, Int)].collect()
+    def dominates(a: (Long, Double, Int), b: (Long, Double, Int)): Boolean =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    parts.foreach { p =>
+      val dominated = parts.exists(q => dominates(q, p))
+      assert(out.contains(p._1) == !dominated,
+        s"part ${p._1}: dominated=$dominated but survivor=${out.contains(p._1)}")
+    }
+  }
+
   test("bigram top-20 is count-descending and counts match a direct recount") {
     val out = SparkEntry.queries("q_bigrams")(spark, sf0001)
       .as[(String, Long)].collect()

@@ -296,7 +296,9 @@ class PlanAuditSpec extends SparkTestBase {
       // numPartitions-row aggregate, metadata-sized) — the q_take/q_gini
       // shape — plus, for q_rfm, the 1-row customer-count attach
       "q_rfm",
-      "q_zipf_slope"
+      "q_zipf_slope",
+      "q_dataset_card" // three 1-row aggregate passes meet in broadcast
+                       // attaches (avoids a 4x multi-distinct Expand)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
