@@ -23,36 +23,44 @@ import org.apache.spark.sql.functions._
   */
 object PositionalTake {
 
-  private val PidCol = "__graft_pid"
-  private val LocalIdxCol = "__graft_local_idx"
-  // monotonically_increasing_id packs the row counter in the low 33 bits.
-  private val LocalMask = (1L << 33) - 1
-
   /** Adds `idxCol` = dense 0-based global row index in the total order of
     * `orderCols` (which must be a unique key for determinism).
+    *
+    * Implemented as `RDD.zipWithIndex` over ONE instantiation of the
+    * range-partitioned sort. The previous two-pass DataFrame formulation
+    * (per-partition counts aggregated in a second subtree, prefix-summed,
+    * joined back on partition id) was subtly WRONG under the optimizer:
+    * column pruning gave the counts subtree a narrower scan schema than
+    * the main subtree, the two range exchanges then failed to canonicalize
+    * equal (no ReuseExchange), and each exchange sampled its OWN range
+    * boundaries (`RangePartitioner` seeds by RDD id) — so the offsets were
+    * computed against one partitioning and applied to another, yielding
+    * duplicate/gapped indexes (observed: an 11-bucket decile histogram).
+    * `zipWithIndex` computes its size pass and its emit pass over the SAME
+    * shuffle output (Spark reuses the shuffle files across the two jobs),
+    * so the index is dense and consistent by construction, at any scale.
+    *
+    * Callers should project to the columns they need BEFORE indexing: the
+    * RDD boundary is opaque to Catalyst, so pruning does not reach through
+    * it.
     */
   def withGlobalIndex(df: DataFrame, orderCols: Seq[String], idxCol: String = "idx"): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val local = df
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.JoinedRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df
       .repartitionByRange(n, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .withColumn(PidCol, spark_partition_id())
-      .withColumn(LocalIdxCol, monotonically_increasing_id().bitwiseAND(lit(LocalMask)))
-    // Exclusive prefix sum of partition sizes: numPartitions rows, computed
-    // once, broadcast back as a join on pid (range partitions are ordered,
-    // so pid order == key order and the index is globally dense). The prefix
-    // sum is a triangular self-join over the numPartitions-row aggregate —
-    // same O(P²) metadata work as a window, without WindowExec's
-    // single-partition warning noise in logs.
-    val counts = local.groupBy(PidCol).agg(count(lit(1)).as("__cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col(s"b.$PidCol") < col(s"a.$PidCol"), "left_outer")
-      .groupBy(col(s"a.$PidCol").as(PidCol))
-      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
-    local
-      .join(broadcast(offsets), PidCol)
-      .withColumn(idxCol, col(LocalIdxCol) + col("__offset"))
-      .drop(PidCol, LocalIdxCol, "__offset")
+    val outSchema = StructType(
+      sorted.schema.fields :+ StructField(idxCol, LongType, nullable = false))
+    val rdd = sorted.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      val joined = new JoinedRow
+      // the scan's UnsafeRow buffer is reused; copy on emit
+      it.map { case (row, i) => joined(row, InternalRow(i)).copy() }
+    }
+    org.apache.spark.sql.graftshim.RddShim.internalCreateDataFrame(spark, rdd, outSchema)
   }
 
   /** The gather itself: for each row of `indices` (column `idxCol`), emit the
@@ -133,7 +141,11 @@ object PositionalTake {
       valueCols: Seq[String],
       indices: DataFrame,
       idxCol: String = "idx"): DataFrame = {
-    val indexed = withGlobalIndex(values, orderCols, idxCol)
+    // prune BEFORE indexing — the RDD boundary inside withGlobalIndex is
+    // opaque to Catalyst, so the scan must be narrowed here
+    val indexed = withGlobalIndex(
+        values.select((orderCols ++ valueCols).distinct.map(col): _*),
+        orderCols, idxCol)
       .select((idxCol +: valueCols).map(col): _*)
     take(indexed, indices, idxCol)
   }

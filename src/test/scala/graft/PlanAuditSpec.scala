@@ -297,8 +297,14 @@ class PlanAuditSpec extends SparkTestBase {
       // shape — plus, for q_rfm, the 1-row customer-count attach
       "q_rfm",
       "q_zipf_slope",
-      "q_dataset_card" // three 1-row aggregate passes meet in broadcast
-                       // attaches (avoids a 4x multi-distinct Expand)
+      "q_dataset_card", // three 1-row aggregate passes meet in broadcast
+                        // attaches (avoids a 4x multi-distinct Expand)
+      "q_calibration", // 1-row total-count attach onto the decile cut
+      "q_seasonality", // 1-row grand-total attach for the share column
+      "q_token_budget", // 1-row budget attach onto the source domain
+      "q_bootstrap_ci" // the 32-row replicate axis broadcast against the
+                       // purchase scan — the bounded map-side expansion
+                       // that IS the distributed bootstrap
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
@@ -319,10 +325,40 @@ class PlanAuditSpec extends SparkTestBase {
     val df = SparkEntry.queries("q_rfm")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
     // the closed-form ntile exists precisely to avoid WindowExec over an
-    // unpartitioned global ordering (all rows to one task at scale)
+    // unpartitioned global ordering (all rows to one task at scale); the
+    // distributed range sort itself now lives INSIDE withGlobalIndex's
+    // zipWithIndex subquery, surfacing here as the ExistingRDD boundary
     assert(!plan.contains("Window"), s"window crept back into q_rfm:\n$plan")
-    assert(plan.contains("rangepartitioning"),
-      s"no distributed range sort in q_rfm:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"no zipWithIndex rank boundary in q_rfm:\n$plan")
+  }
+
+  test("withGlobalIndex is a dense 0..n-1 permutation even when its output is consumed twice") {
+    // regression: the old two-pass prefix-sum formulation let column
+    // pruning give the counts subtree a narrower scan than the main
+    // subtree; the two range exchanges then sampled DIFFERENT boundaries
+    // (RangePartitioner seeds by RDD id) and the composed index had
+    // duplicates and gaps (an 11-bucket decile histogram at sf0.01).
+    // zipWithIndex computes both of its passes over one shuffle output,
+    // so the index must be dense under any consumer plan.
+    import graft.operators.PositionalTake
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val scored = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("value"))
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    val idx = PositionalTake
+      .withGlobalIndex(scored, Seq("value", "event_id"), "idx")
+      .crossJoin(broadcast(total))
+    val buckets = idx
+      .groupBy((col("idx") * 10 / col("n_total")).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val n = scored.count()
+    assert(buckets.length == 10, s"expected 10 buckets, got ${buckets.toSeq}")
+    assert(buckets.map(_.getLong(1)).sum == n)
+    assert(buckets.map(_.getLong(1)).max - buckets.map(_.getLong(1)).min <= 1,
+      s"uneven decile sizes — index not dense: ${buckets.toSeq}")
   }
 
   test("q_markov and q_scd2: one user_id exchange feeds the window(s)") {
