@@ -1954,6 +1954,289 @@ object SparkEntry {
         round(col("n_unique") / col("n_docs"), 6).as("unique_ratio"))
   }
 
+  /** ROC AUC of the event value as a purchase-vs-rest score, by the
+    * Mann–Whitney rank identity — the offline model-quality readout a
+    * training pipeline runs on every scored snapshot. Decomposition keeps
+    * every sum an exact integer until the final division: per-VALUE
+    * positive/negative counts aggregate first (map-side combine onto the
+    * compact distinct-score domain), the below-count is a cumulative
+    * window over that domain, and 2·U = Σ p·(2·below + n) — ties get the
+    * standard half credit without ever touching a float. No row-level
+    * global rank, no 1-row cross-join.
+    */
+  private def qAuc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.events(s, d)
+      .select(
+        col("value"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+      .groupBy("value")
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("n"))
+    val below = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnt
+      .select(col("p"), col("n"),
+        coalesce(sum(col("n")).over(below), lit(0L)).as("n_below"))
+      .agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("n")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("n_below") + col("n"))).as("u2"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        round(col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+          .as("auc"))
+  }
+
+  /** Decile calibration curve: events bucketed into 10 equal-count score
+    * bands, per-band mean score vs observed purchase rate — the
+    * calibration table that accompanies any scored dataset release. The
+    * decile assignment comes from [[PositionalTake.withGlobalIndex]]
+    * (range-partition + per-partition offsets — the sort stays
+    * distributed), bucket = idx·10 div n with the total attached as a
+    * 1-row broadcast; the purchase rate is an exact integer ratio.
+    */
+  private def qCalibration(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.events(s, d).select(
+      col("event_id"), col("value"),
+      (col("event_type") === "purchase").cast("long").as("label"))
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    PositionalTake.withGlobalIndex(scored, Seq("value", "event_id"), "idx")
+      .crossJoin(broadcast(total))
+      .groupBy((col("idx") * 10 / col("n_total")).cast("long").as("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("mean_score"),
+        round(avg(col("label")), 6).as("pos_rate"))
+      .orderBy("decile")
+  }
+
+  /** Top-20 per-user event-type trigrams (the "path analysis" view:
+    * which 3-step journeys dominate?). The sequence windows are
+    * user-partitioned — lead() never crosses the key, so the only wide
+    * shuffle is the per-user repartition the events already need — and
+    * the trigram count collapses onto a ≤125-key domain with map-side
+    * combine. Deterministic intra-user order via (ts, event_id).
+    */
+  private def qPathTrigrams(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("step1"), asc("step2"), asc("step3"))
+      .limit(20)
+  }
+
+  /** First BPE merge step over the corpus: frequencies of adjacent
+    * lowercase character pairs — the inner loop of tokenizer training,
+    * run corpus-wide. The pair extraction is a per-row array transform
+    * (no row explosion carries the full text: the lambda materializes
+    * only the 2-char pairs), and the count collapses onto the ≤676-key
+    * [a-z]² domain with map-side combine — at 100 TB this is a linear
+    * scan plus a compact-domain aggregate, exactly how production BPE
+    * counts its merge candidates.
+    */
+  private def qBpeMerges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr(
+        """filter(
+          |  transform(sequence(1, length(text) - 1),
+          |            i -> lower(substr(text, i, 2))),
+          |  p -> p rlike '^[a-z]{2}$')""".stripMargin)).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(30)
+
+  /** Deterministic hash bootstrap of the mean purchase value: 32
+    * replicates, each row's replicate weight drawn as a Poisson(1)
+    * approximation from the engine-portable md5 bucket (same recipe as
+    * the portable samplers — any engine reproduces the exact resample).
+    * The 32× expansion happens map-side against a broadcast replicate
+    * axis and immediately collapses to one (rep, Σw, Σw·v) row — the
+    * standard way to bootstrap a statistic over data too large to
+    * resample by materialization.
+    */
+  private def qBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val reps = s.range(32).select(col("id").cast("int").as("rep"))
+    val u = pmod(
+      conv(substring(md5(concat(
+        lit("boot|"), col("event_id").cast("string"),
+        lit("|"), col("rep").cast("string"))), 1, 12), 16, 10).cast("long"),
+      lit(1000000L))
+    // cumulative Poisson(1) thresholds on the 1e6 bucket: e^-1, 2e^-1, ...
+    val w = when(u < 367879L, 0L).when(u < 735759L, 1L)
+      .when(u < 919699L, 2L).when(u < 981012L, 3L).otherwise(4L)
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+      .crossJoin(broadcast(reps))
+      .select(col("rep"), w.as("w"), col("value"))
+      .groupBy("rep")
+      .agg(
+        sum(col("w")).as("n_eff"),
+        round(sum(col("w") * col("value")) / sum(col("w")), 6)
+          .as("mean_value"))
+      .orderBy("rep")
+  }
+
+  /** Day-of-week × hour-of-day traffic profile — the seasonality heatmap
+    * behind capacity planning and anomaly baselines. One compact-domain
+    * aggregate (≤168 cells, map-side combine) with the grand total
+    * attached as a 1-row broadcast for the share column. `dayofweek - 1`
+    * matches the ISO-agnostic 0=Sunday convention the oracle uses.
+    */
+  private def qSeasonality(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"))
+    val total = e.agg(count(lit(1)).as("n_total"))
+    e.groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("dow"), col("hr"), col("n"),
+        round(lit(100.0) * col("n") / col("n_total"), 4).as("pct"))
+      .orderBy("dow", "hr")
+  }
+
+  /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
+    * clustering pass a corpus pipeline runs for topic balance or
+    * diversity-aware sampling. Classic distributed shape: centroids are
+    * k×dim (KB-scale) and BROADCAST to the assignment join; per-point
+    * work is linear and the two shuffles are compact (N×k partial
+    * distances reduced map-side; (cluster, dim) cells for the update).
+    * Portability discipline: deterministic init (the k lowest vec_ids),
+    * argmin ties broken by cluster id, and the iteration-1 centroids
+    * ROUNDED to 6 decimals so both engines enter iteration 2 with
+    * bit-identical state. Output is the k-row cluster summary.
+    */
+  private def qKmeans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("x"))
+    val cent0 = pts.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cluster"), col("pos"),
+        col("x").as("c"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+      pts.join(broadcast(cent), "pos")
+        .groupBy("vec_id", "cluster")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("dist"))
+    }
+    val cent1 = pts
+      .join(assign(cent0).select("vec_id", "cluster"), "vec_id")
+      .groupBy("cluster", "pos")
+      .agg(round(avg(col("x")), 6).as("c"))
+    assign(cent1)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), round(sum(col("dist")), 4).as("inertia"))
+      .orderBy("cluster")
+  }
+
+  /** Sample-ratio-mismatch check on the A/B assignment — the guardrail
+    * every experimentation platform runs before reading a single metric
+    * (a 50/50 split whose arms differ beyond chi-square noise means the
+    * assignment itself is broken). Same portable md5 bucket as
+    * [[qAbAssign]]; the statistic collapses algebraically to
+    * (n_a−n_b)²/(n_a+n_b), so every term is an exact integer until one
+    * final division.
+    */
+  private def qAbSrm(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    Tables.events(s, d)
+      .select(col("user_id"), (bucket < 500000L).as("is_a"))
+      .agg(
+        countDistinct(when(col("is_a"), col("user_id"))).as("n_a"),
+        countDistinct(when(!col("is_a"), col("user_id"))).as("n_b"))
+      .select(
+        col("n_a"), col("n_b"),
+        round(
+          (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) /
+            (col("n_a") + col("n_b")).cast("double"),
+          6).as("chi2"))
+  }
+
+  /** Token-budget allocation across sources — the data-mixing step that
+    * fills a training budget greedily by source quality (here: exact
+    * unique-text ratio, the dedup health signal) until the budget is
+    * exhausted, leaving a partial allocation at the cutoff source. The
+    * per-source stats are one map-side-combinable aggregate; the greedy
+    * fill is a cumulative window over the compact source domain (≤ a few
+    * thousand sources at any corpus size); tokens are integer
+    * (n_chars div 4) throughout.
+    */
+  private def qTokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(s, d)
+      .select(col("source"), (col("n_chars") / 4).cast("long").as("toks"),
+        md5(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(
+        sum(col("toks")).as("src_tokens"),
+        (countDistinct(col("fp")) / count(lit(1)).cast("double"))
+          .as("unique_ratio"))
+    val budget = src.agg((sum(col("src_tokens")) * 3 / 10).cast("long").as("budget"))
+    // greedy order: quality first, then prefer LARGER sources (fewer
+    // cutoff fragments), source id as the final deterministic tiebreak
+    val before = Window
+      .orderBy(desc("unique_ratio"), desc("src_tokens"), asc("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    src
+      .withColumn("cum_before", coalesce(sum(col("src_tokens")).over(before), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .select(
+        col("source"), col("src_tokens"),
+        round(col("unique_ratio"), 6).as("unique_ratio"),
+        greatest(lit(0L),
+          least(col("src_tokens"), col("budget") - col("cum_before")))
+          .as("allocated"))
+      .orderBy("source")
+  }
+
+  /** Event-time disorder audit: per-user out-of-order arrivals and worst
+    * lateness per event type — the measurement that picks a streaming
+    * watermark delay. The driver's event log is perfectly time-ordered,
+    * so arrival delay is modeled with DETERMINISTIC md5 jitter (±1 h per
+    * event, the portable-hash recipe) — the operator itself is the real
+    * artifact: a per-USER cumulative event-time high-watermark (the
+    * partition key keeps the window distributed), integer-microsecond
+    * lateness, and a compact per-type rollup.
+    */
+  private def qOutOfOrder(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val jitterUs = pmod(
+      conv(substring(md5(concat(lit("j|"), col("event_id").cast("string"))),
+        1, 12), 16, 10).cast("long"),
+      lit(7200000000L)) - lit(3600000000L)
+    val w = Window.partitionBy("user_id").orderBy("arrival_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        (unix_micros(col("ts")) + jitterUs).as("arrival_us"))
+      .withColumn("late_us", max(col("us")).over(w) - col("us"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_ooo"),
+        coalesce(max(when(col("late_us") > 0, col("late_us"))), lit(0L))
+          .as("max_late_us"))
+      .select(col("event_type"), col("n"), col("n_ooo"),
+        (col("max_late_us") / 1000000L).cast("long").as("max_late_s"))
+      .orderBy("event_type")
+  }
+
   /** JSON scalar extraction from the event props column. */
   private def qEventsJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -3599,7 +3882,17 @@ object SparkEntry {
     "q_rolling_window" -> (qRollingWindow _),
     "q_edit_pairs" -> (qEditPairs _),
     "q_ivfpq_topk" -> (qIvfPqTopK _),
-    "q_ivf_incremental" -> (qIvfIncremental _)
+    "q_ivf_incremental" -> (qIvfIncremental _),
+    "q_auc" -> (qAuc _),
+    "q_calibration" -> (qCalibration _),
+    "q_path_trigrams" -> (qPathTrigrams _),
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_seasonality" -> (qSeasonality _),
+    "q_kmeans" -> (qKmeans _),
+    "q_ab_srm" -> (qAbSrm _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_out_of_order" -> (qOutOfOrder _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -4550,6 +4843,192 @@ object SparkEntry {
     "q_ivf_incremental" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_assigned, TRUE AS assign_ok
         |FROM embeddings WHERE vec_id % 10 = 9""".stripMargin,
+    // q_auc: Mann-Whitney rank identity replayed over the same compact
+    // per-value domain; every sum is an exact integer, one final division
+    "q_auc" ->
+      """WITH cnt AS (
+        |  SELECT value,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS p,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+        |              AS BIGINT) AS n
+        |  FROM events GROUP BY value),
+        |w AS (
+        |  SELECT p, n,
+        |         COALESCE(CAST(SUM(n) OVER (ORDER BY value
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS n_below
+        |  FROM cnt),
+        |a AS (
+        |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+        |         CAST(SUM(n) AS BIGINT) AS n_neg,
+        |         CAST(SUM(p * (2 * n_below + n)) AS BIGINT) AS u2
+        |  FROM w)
+        |SELECT n_pos, n_neg, ROUND(u2 / (2.0 * n_pos * n_neg), 6) AS auc
+        |FROM a""".stripMargin,
+    // q_calibration: ROW_NUMBER over the identical (value, event_id)
+    // order; bucket = idx*10 div n (exact in both engines — the double
+    // quotient cannot round across an integer for n < 2^26)
+    "q_calibration" ->
+      """WITH s AS (
+        |  SELECT value,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+        |         ROW_NUMBER() OVER (ORDER BY value, event_id) - 1 AS idx,
+        |         COUNT(*) OVER () AS n_total
+        |  FROM events)
+        |SELECT CAST(idx * 10 // n_total AS BIGINT) AS decile,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(AVG(value), 4) AS mean_score,
+        |       ROUND(AVG(CAST(label AS DOUBLE)), 6) AS pos_rate
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_path_trigrams: LEAD over the identical (ts, event_id) intra-user
+    // order; deterministic top-20 tiebreak on the full trigram
+    "q_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type AS step1,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS step2,
+        |         LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS step3
+        |  FROM events)
+        |SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+    // q_bpe_merges: per-position substr replay of the same pair
+    // extraction; identical [a-z]{2} gate and deterministic top-30
+    "q_bpe_merges" ->
+      """WITH pairs AS (
+        |  SELECT lower(substr(text, CAST(i AS INT), 2)) AS pair
+        |  FROM documents,
+        |       UNNEST(generate_series(1, len(text) - 1)) AS t(i))
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pairs WHERE regexp_matches(pair, '^[a-z]{2}$')
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    // q_bootstrap_ci: the portable md5 bucket reproduces the exact
+    // resample weights; integer n_eff, one rounded division per replicate
+    "q_bootstrap_ci" ->
+      """WITH x AS (
+        |  SELECT t.rep, e.value,
+        |         CAST(('0x' || substr(md5('boot|' || CAST(e.event_id AS VARCHAR)
+        |                || '|' || CAST(t.rep AS VARCHAR)), 1, 12)) AS BIGINT)
+        |           % 1000000 AS u
+        |  FROM events e, (SELECT CAST(range AS INT) AS rep FROM range(32)) t
+        |  WHERE e.event_type = 'purchase'),
+        |wts AS (
+        |  SELECT rep, value,
+        |         CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |              WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |              ELSE 4 END AS w
+        |  FROM x)
+        |SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |       ROUND(SUM(w * value) / SUM(w), 6) AS mean_value
+        |FROM wts GROUP BY rep ORDER BY rep""".stripMargin,
+    // q_kmeans: the two Lloyd iterations replayed long-form; iteration-1
+    // centroids rounded to 6 decimals in BOTH engines so iteration 2
+    // starts from bit-identical state; argmin ties break on cluster id
+    "q_kmeans" ->
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cluster, pos, x AS c
+        |  FROM pts WHERE vec_id < 4),
+        |d1 AS (
+        |  SELECT p.vec_id, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+        |  FROM pts p JOIN cent0 c ON p.pos = c.pos GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY dist, cluster) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |cent1 AS (
+        |  SELECT a.cluster, p.pos, ROUND(AVG(p.x), 6) AS c
+        |  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT p.vec_id, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+        |  FROM pts p JOIN cent1 c ON p.pos = c.pos GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cluster, dist FROM (
+        |    SELECT vec_id, cluster, dist,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY dist, cluster) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       ROUND(SUM(dist), 4) AS inertia
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_ab_srm: same md5 arm bucket as q_ab_assign; the chi-square
+    // collapses to (n_a-n_b)^2/(n_a+n_b) — integers until one division
+    "q_ab_srm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |           AS BIGINT) % 1000000 < 500000 AS is_a
+        |  FROM events)
+        |SELECT CAST(COUNT(DISTINCT CASE WHEN is_a THEN user_id END)
+        |            AS BIGINT) AS n_a,
+        |       CAST(COUNT(DISTINCT CASE WHEN NOT is_a THEN user_id END)
+        |            AS BIGINT) AS n_b,
+        |       ROUND((n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE), 6)
+        |         AS chi2
+        |FROM u""".stripMargin,
+    // q_token_budget: same greedy order (quality desc, size desc, source)
+    // and integer token arithmetic; the budget subquery is the 1-row total
+    "q_token_budget" ->
+      """WITH src AS (
+        |  SELECT source, CAST(SUM(n_chars // 4) AS BIGINT) AS src_tokens,
+        |         COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE)
+        |           AS unique_ratio
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT CAST(SUM(src_tokens) * 3 // 10 AS BIGINT) AS budget
+        |      FROM src),
+        |cum AS (
+        |  SELECT source, src_tokens, unique_ratio,
+        |         COALESCE(CAST(SUM(src_tokens) OVER (
+        |           ORDER BY unique_ratio DESC, src_tokens DESC, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS cum_before
+        |  FROM src)
+        |SELECT source, src_tokens, ROUND(unique_ratio, 6) AS unique_ratio,
+        |       GREATEST(0, LEAST(src_tokens,
+        |                         (SELECT budget FROM b) - cum_before))
+        |         AS allocated
+        |FROM cum ORDER BY source""".stripMargin,
+    // q_out_of_order: identical md5 arrival jitter, per-user cumulative
+    // high-watermark, integer-microsecond lateness
+    "q_out_of_order" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         epoch_us(ts) +
+        |           (CAST(('0x' || substr(md5('j|' || CAST(event_id AS VARCHAR)),
+        |                  1, 12)) AS BIGINT) % 7200000000 - 3600000000)
+        |           AS arrival_us
+        |  FROM events),
+        |y AS (
+        |  SELECT event_type, us,
+        |         MAX(us) OVER (PARTITION BY user_id
+        |           ORDER BY arrival_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us
+        |           AS late_us
+        |  FROM x)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_ooo,
+        |       CAST(COALESCE(MAX(CASE WHEN late_us > 0 THEN late_us END), 0)
+        |            // 1000000 AS BIGINT) AS max_late_s
+        |FROM y GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
+    // computed as (100.0 * n) / total in both engines
+    "q_seasonality" ->
+      """WITH e AS (
+        |  SELECT CAST(EXTRACT(DOW FROM ts) AS INT) AS dow,
+        |         CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr
+        |  FROM events)
+        |SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(100.0 * COUNT(*) / (SELECT COUNT(*) FROM e), 4) AS pct
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
