@@ -2103,6 +2103,147 @@ object SparkEntry {
       .orderBy("dow", "hr")
   }
 
+  /** Time-constrained funnel: view → click within 12 h of the first view
+    * → purchase within 12 h of that click. [[qFunnel]] checks ordering
+    * only; real conversion windows bound each step, which changes both
+    * the semantics (stale clicks don't count) and the plan (the bound is
+    * a per-row filter on the joined stage, not new shuffle structure —
+    * every exchange is still keyed on user_id alone, and survivor sets
+    * shrink monotonically so later stage joins broadcast under AQE).
+    */
+  private def qFunnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def withinWindow(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 12 HOUR"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as(outTs))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = withinWindow("click", v, "t_view", "t_click")
+    val p = withinWindow("purchase", c, "t_click", "t_purchase")
+    v.select(lit(1).as("stage"), col("user_id"))
+      .union(c.select(lit(2).as("stage"), col("user_id")))
+      .union(p.select(lit(3).as("stage"), col("user_id")))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Degree distribution of the near-dup graph — the shape diagnostic
+    * read next to [[qGraphTriangles]]' transitivity: a long degree tail
+    * means hub documents (templates, boilerplate) stitching unlike docs
+    * into one cluster. Reads the write-once [[stagedDupPairs]] artifact;
+    * the histogram is two compact aggregates (per-node degree with
+    * map-side combine, then counts over the tiny degree domain).
+    */
+  private def qGraphDegreeDist(s: SparkSession, d: String): DataFrame = {
+    val e = stagedDupPairs(s, d)
+    e.select(col("id_a").as("id"))
+      .unionAll(e.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
+  /** Per-source decile boundaries of document length — the quantile table
+    * behind cross-source length normalization (and the input you'd feed a
+    * quantile-matching resampler). Exact order statistics, not sketches:
+    * the within-source rank is a source-PARTITIONED window (distributed
+    * by the group key), the 9 target ranks per source are computed on the
+    * compact per-source count table and JOINED back on (source, rank) —
+    * no 9× row expansion of the corpus, and every boundary is an integer.
+    */
+  private def qQuantileNormalize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("r", row_number().over(w) - 1)
+    val targets = ranked.groupBy("source").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        s.range(1, 10).select(col("id").cast("int").as("decile"))))
+      .select(col("source"), col("decile"),
+        ((col("n") - 1) * col("decile") / 10).cast("long").as("r"))
+    ranked.join(targets, Seq("source", "r"))
+      .select(col("source"), col("decile"), col("n_chars").as("boundary"))
+      .orderBy("source", "decile")
+  }
+
+  /** Single change-point detection on the daily event-count series: the
+    * split minimizing two-segment squared error — the "did the pipeline's
+    * volume regime shift, and when?" monitor. Decomposition: the daily
+    * series is a compact map-side-combinable aggregate; both segment SSEs
+    * come from cumulative Σc and Σc² windows over that tiny domain in
+    * closed form, so every input to the argmin is derived from exact
+    * integer sums and the winning split is engine-independent.
+    */
+  private def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pick = Window.orderBy("sse", "day")
+    daily
+      .select(col("day"),
+        sum(col("c")).over(cum).as("s1"),
+        sum(col("c") * col("c")).over(cum).as("s2"),
+        sum(col("c")).over(full).as("t1"),
+        sum(col("c") * col("c")).over(full).as("t2"),
+        count(lit(1)).over(cum).as("k"),
+        count(lit(1)).over(full).as("n"))
+      .filter(col("k") < col("n"))
+      .select(col("day"), col("k"), col("n"), col("s1"), col("t1"),
+        ((col("s2") - col("s1") * col("s1") / col("k").cast("double")) +
+          (col("t2") - col("s2") -
+            (col("t1") - col("s1")) * (col("t1") - col("s1")) /
+              (col("n") - col("k")).cast("double"))).as("sse"))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+        col("n").as("n_days"),
+        round(col("s1") / col("k").cast("double"), 4).as("mean_before"),
+        round((col("t1") - col("s1")) / (col("n") - col("k")).cast("double"), 4)
+          .as("mean_after"),
+        round(col("sse"), 4).as("sse"))
+  }
+
+  /** Inter-event gap profile: per-user time between consecutive events,
+    * bucketed into operational bands — the cadence distribution that
+    * sizes session timeouts and retention windows. The lag window is
+    * user-partitioned (distributed by key), gaps stay integer seconds,
+    * and the rollup is a ≤6-row aggregate whose means are exact integer
+    * ratios.
+    */
+  private def qEventGaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // µs epoch is order-isomorphic to ts, so ordering on it is identical
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_s", ((col("us") - lag(col("us"), 1).over(w)) / 1000000L)
+        .cast("long"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(
+        when(col("gap_s") < 60, "a_under_1m")
+          .when(col("gap_s") < 600, "b_1m_10m")
+          .when(col("gap_s") < 3600, "c_10m_1h")
+          .when(col("gap_s") < 21600, "d_1h_6h")
+          .when(col("gap_s") < 86400, "e_6h_1d")
+          .otherwise("f_over_1d").as("band"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("gap_s")), 4).as("mean_gap_s"))
+      .orderBy("band")
+  }
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -3892,7 +4033,12 @@ object SparkEntry {
     "q_kmeans" -> (qKmeans _),
     "q_ab_srm" -> (qAbSrm _),
     "q_token_budget" -> (qTokenBudget _),
-    "q_out_of_order" -> (qOutOfOrder _)
+    "q_out_of_order" -> (qOutOfOrder _),
+    "q_funnel_windowed" -> (qFunnelWindowed _),
+    "q_graph_degree_dist" -> (qGraphDegreeDist _),
+    "q_quantile_normalize" -> (qQuantileNormalize _),
+    "q_changepoint" -> (qChangepoint _),
+    "q_event_gaps" -> (qEventGaps _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -5019,6 +5165,130 @@ object SparkEntry {
         |       CAST(COALESCE(MAX(CASE WHEN late_us > 0 THEN late_us END), 0)
         |            // 1000000 AS BIGINT) AS max_late_s
         |FROM y GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_funnel_windowed: the same three stage reductions with the 12h
+    // bound as a plain timestamp comparison in each stage join
+    "q_funnel_windowed" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 12 HOUR
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 12 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+        |  SELECT 1 AS stage, user_id FROM v
+        |  UNION ALL SELECT 2, user_id FROM c
+        |  UNION ALL SELECT 3, user_id FROM p)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    // q_graph_degree_dist: the q_dup_clusters exact pair set replayed,
+    // then two integer counting aggregates
+    "q_graph_degree_dist" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b
+        |  FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.id
+        |  JOIN sizes sb ON i.id_b = sb.id
+        |  WHERE CAST(i.n_inter AS DOUBLE) /
+        |        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5),
+        |deg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT id_a AS id FROM pairs
+        |        UNION ALL SELECT id_b FROM pairs)
+        |  GROUP BY id)
+        |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+    // q_quantile_normalize: identical (n-1)*d div 10 target ranks joined
+    // back on (source, rank); integer boundaries throughout
+    "q_quantile_normalize" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY n_chars, doc_id) - 1 AS r,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |t AS (SELECT DISTINCT source, n FROM ranked),
+        |targets AS (
+        |  SELECT source, CAST(d.decile AS INT) AS decile,
+        |         CAST((n - 1) * d.decile // 10 AS BIGINT) AS r
+        |  FROM t, (SELECT range AS decile FROM range(1, 10)) d)
+        |SELECT ranked.source, decile, n_chars AS boundary
+        |FROM ranked
+        |JOIN targets ON ranked.source = targets.source AND ranked.r = targets.r
+        |ORDER BY ranked.source, decile""".stripMargin,
+    // q_changepoint: closed-form two-segment SSE from cumulative integer
+    // sums; identical operand order keeps the argmin engine-independent
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT day,
+        |         CAST(SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS s1,
+        |         CAST(SUM(c * c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS s2,
+        |         CAST(SUM(c) OVER () AS BIGINT) AS t1,
+        |         CAST(SUM(c * c) OVER () AS BIGINT) AS t2,
+        |         CAST(COUNT(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS k,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM daily),
+        |sse AS (
+        |  SELECT day, k, n, s1, t1,
+        |         (s2 - s1 * s1 / CAST(k AS DOUBLE)) +
+        |         (t2 - s2 - (t1 - s1) * (t1 - s1) / CAST(n - k AS DOUBLE))
+        |           AS sse
+        |  FROM cum WHERE k < n),
+        |best AS (SELECT * FROM sse ORDER BY sse, day LIMIT 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS split_day, n AS n_days,
+        |       ROUND(s1 / CAST(k AS DOUBLE), 4) AS mean_before,
+        |       ROUND((t1 - s1) / CAST(n - k AS DOUBLE), 4) AS mean_after,
+        |       ROUND(sse, 4) AS sse
+        |FROM best""".stripMargin,
+    // q_event_gaps: same per-user lag and integer-second bands; band
+    // means are exact integer ratios
+    "q_event_gaps" ->
+      """WITH g AS (
+        |  SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id)) // 1000000 AS gap_s
+        |  FROM events)
+        |SELECT CASE WHEN gap_s < 60 THEN 'a_under_1m'
+        |            WHEN gap_s < 600 THEN 'b_1m_10m'
+        |            WHEN gap_s < 3600 THEN 'c_10m_1h'
+        |            WHEN gap_s < 21600 THEN 'd_1h_6h'
+        |            WHEN gap_s < 86400 THEN 'e_6h_1d'
+        |            ELSE 'f_over_1d' END AS band,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(AVG(gap_s), 4) AS mean_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->

@@ -302,9 +302,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q_calibration", // 1-row total-count attach onto the decile cut
       "q_seasonality", // 1-row grand-total attach for the share column
       "q_token_budget", // 1-row budget attach onto the source domain
-      "q_bootstrap_ci" // the 32-row replicate axis broadcast against the
-                       // purchase scan — the bounded map-side expansion
-                       // that IS the distributed bootstrap
+      "q_bootstrap_ci", // the 32-row replicate axis broadcast against the
+                        // purchase scan — the bounded map-side expansion
+                        // that IS the distributed bootstrap
+      "q_quantile_normalize" // the 9-row decile axis broadcast against the
+                             // compact per-source count table (not the
+                             // corpus) — the q_bootstrap_ci shape
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
