@@ -2244,6 +2244,124 @@ object SparkEntry {
       .orderBy("band")
   }
 
+  /** N-gram containment pairs ([[Dedup.ngramContainmentPairs]]): the
+    * subset/quote detector Jaccard structurally misses — a short document
+    * fully contained in a long one has containment ≈ 1 but Jaccard ≈ 0.
+    * Threshold 0.4 on 3-gram sets; the contained (smaller) side is
+    * identified per pair, which is what a curation pipeline drops or
+    * merges.
+    */
+  private def qContainmentPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** Last-touch attribution: each purchase credited to the user's most
+    * recent PRECEDING click, banded by click→purchase latency (the
+    * conversion-lag report behind attribution-window choices; `z_no_click`
+    * = organic). The carry-forward is a user-partitioned window (`last`
+    * with ignoreNulls over rows preceding), so the scan stays distributed
+    * by user and no self-join materializes click×purchase candidates.
+    */
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(
+        when(col("click_us").isNull, "z_no_click")
+          .when(col("us") - col("click_us") < 3600000000L, "a_under_1h")
+          .when(col("us") - col("click_us") < 86400000000L, "b_1h_1d")
+          .otherwise("c_over_1d").as("band"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("total_value"))
+      .orderBy("band")
+  }
+
+  /** Mann–Kendall trend test on the daily event-count series — the
+    * monotone-trend monitor read next to [[qChangepoint]]'s regime-shift
+    * detector: S = Σ_{i<j} sign(cⱼ−cᵢ) with the tie-corrected normal
+    * approximation. The daily series is a compact map-side-combinable
+    * aggregate; the pair sum is a deliberate triangular join over that
+    * ~30-row domain (metadata-sized, the q_take prefix-sum shape), the tie
+    * correction a group-by over equal counts, and every input to z is an
+    * exact integer so the verdict is engine-independent.
+    */
+  private def qTrendTest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val sStat = daily.as("a")
+      .join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(coalesce(
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)), lit(0L))
+        .as("tie_term"))
+    val base = daily.agg(count(lit(1)).as("n_days"))
+    base.crossJoin(sStat).crossJoin(ties)
+      .select(
+        col("n_days"), col("s_stat"),
+        ((col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - col("tie_term")) / lit(18.0)).as("var_s"))
+      .select(
+        col("n_days"), col("s_stat"), round(col("var_s"), 4).as("var_s"),
+        round(
+          when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)), 4).as("z"))
+  }
+
+  /** Join-key skew diagnostic over lineitem.l_partkey — the pre-flight a
+    * pipeline runs before choosing plain vs salted vs broadcast joins
+    * ([[qSaltedJoin]] is the remedy this report motivates). Per-key counts
+    * aggregate map-side onto the key domain; the five summary stats (max,
+    * mean, exact p50/p99 of the frequency distribution, top-key share) are
+    * one scalar aggregate over that compact count table.
+    */
+  private def qKeySkew(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_freq"),
+        percentile(col("c"), array(lit(0.5), lit(0.99))).as("ps"))
+      .select(
+        col("n_keys"), col("n_rows"), col("max_freq"),
+        round(col("ps").getItem(0), 4).as("p50_freq"),
+        round(col("ps").getItem(1), 4).as("p99_freq"),
+        round(col("max_freq") * col("n_keys") / col("n_rows").cast("double"), 4)
+          .as("skew_ratio"))
+
+  /** ORC source/sink roundtrip — the third interchange format next to
+    * [[qJsonRoundtrip]] and [[qCsvRoundtrip]]: columnar like parquet
+    * (predicate pushdown, column pruning, stripe statistics), so it is the
+    * format an engine meets when ingesting from Hive-era warehouses. The
+    * timestamp travels as epoch-µs BIGINT for the same reason as the CSV
+    * row: the roundtrip under comparison is the engine's, and pinning the
+    * value to an integer keeps the oracle independent of each reader's
+    * timestamp-zone reconstruction rules.
+    */
+  private def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_orcrt/${dirTag(d)}/events"
+    // guard on _SUCCESS, not the directory: a crashed mid-write leaves a
+    // partial directory that a bare exists-check would serve forever
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(dir)
+    s.read.orc(dir).orderBy("event_id")
+  }
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -4038,7 +4156,12 @@ object SparkEntry {
     "q_graph_degree_dist" -> (qGraphDegreeDist _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_changepoint" -> (qChangepoint _),
-    "q_event_gaps" -> (qEventGaps _)
+    "q_event_gaps" -> (qEventGaps _),
+    "q_containment_pairs" -> (qContainmentPairs _),
+    "q_attribution" -> (qAttribution _),
+    "q_trend_test" -> (qTrendTest _),
+    "q_key_skew" -> (qKeySkew _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -5289,6 +5412,104 @@ object SparkEntry {
         |       ROUND(AVG(gap_s), 4) AS mean_gap_s
         |FROM g WHERE gap_s IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_containment_pairs: the q_ngram_jaccard counting construction with
+    // the min-size denominator; size ties resolve contained_id to id_a
+    "q_containment_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b,
+        |       ROUND(CAST(i.n_inter AS DOUBLE) /
+        |             CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS containment,
+        |       CASE WHEN sa.n_sh <= sb.n_sh THEN i.id_a ELSE i.id_b END
+        |         AS contained_id
+        |FROM inter i
+        |JOIN sizes sa ON i.id_a = sa.id
+        |JOIN sizes sb ON i.id_b = sb.id
+        |WHERE CAST(i.n_inter AS DOUBLE) /
+        |      CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q_attribution: identical carry-forward window (rows preceding,
+    // ignore nulls) and integer-µs latency bands
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |a AS (
+        |  SELECT *,
+        |         LAST_VALUE(CASE WHEN event_type = 'click' THEN us END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS click_us
+        |  FROM e)
+        |SELECT CASE WHEN click_us IS NULL THEN 'z_no_click'
+        |            WHEN us - click_us < 3600000000 THEN 'a_under_1h'
+        |            WHEN us - click_us < 86400000000 THEN 'b_1h_1d'
+        |            ELSE 'c_over_1d' END AS band,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       ROUND(SUM(value), 4) AS total_value
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_trend_test: S and the tie term are exact integer sums; identical
+    // (S∓1)/sqrt(var) continuity correction
+    "q_trend_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(SUM(SIGN(b.c - a.c)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (
+        |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        |           AS tie_term
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |v AS (
+        |  SELECT n_days, s_stat,
+        |         (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term) / 18.0
+        |           AS var_s
+        |  FROM n, s, t)
+        |SELECT n_days, s_stat, ROUND(var_s, 4) AS var_s,
+        |       ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+        |                  WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+        |                  ELSE 0.0 END, 4) AS z
+        |FROM v""".stripMargin,
+    // q_key_skew: per-key counts then one scalar aggregate; QUANTILE_CONT
+    // matches Spark's exact interpolated percentile
+    "q_key_skew" ->
+      """WITH cnt AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       CAST(MAX(c) AS BIGINT) AS max_freq,
+        |       ROUND(QUANTILE_CONT(c, 0.5), 4) AS p50_freq,
+        |       ROUND(QUANTILE_CONT(c, 0.99), 4) AS p99_freq,
+        |       ROUND(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 4)
+        |         AS skew_ratio
+        |FROM cnt""".stripMargin,
+    // q_orc_roundtrip: the roundtrip is the identity on these columns, so
+    // the oracle reads them straight off the parquet table
+    "q_orc_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->

@@ -434,6 +434,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥
+    * `threshold`, with the contained side identified. Containment is the
+    * dedup family's asymmetric member — a short quote, excerpt, or
+    * boilerplate block fully inside a long document scores C ≈ 1 while its
+    * Jaccard is near zero (the union is dominated by the long side), so a
+    * Jaccard-thresholded pass structurally cannot find subset
+    * relationships between documents of very different sizes. Same
+    * counting construction as [[ngramJaccardPairs]] — the shared
+    * [[posting]] inverted index with the df>1 prefilter and the df ceiling,
+    * |A∩B| from a gram-keyed count, sizes re-attached — only the final
+    * metric differs, so the scale contract (8-byte gram hashes across the
+    * shuffle, never shingle arrays) is inherited unchanged.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Int = 10000): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("shingles"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    val pruned = posting(df, idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram_h"))))
+      .observe(
+        s"graft_cap_gram_h_${capSeq.incrementAndGet()}",
+        coalesce(sum(when(col("__df") > 1, lit(1L))), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__df") > maxDf, lit(1L))), lit(0L))
+          .as("n_dropped_rows"))
+      .filter(col("__df") > 1 && col("__df") <= maxDf)
+      .drop("__df")
+    // MERGE hint: single-evaluation rationale, see [[editDistancePairs]]
+    val inter = pruned.as("a")
+      .join(pruned.as("b").hint("MERGE"), "gram_h")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn(
+        "containment",
+        col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"),
+        // ties (equal sizes) resolve to id_a — pinned so both engines agree
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"))
+  }
+
   /** CROSS-corpus exact n-gram Jaccard — the INCREMENTAL ingest shape: find
     * near-duplicates of a NEW batch against the EXISTING corpus, emitting
     * only (new, old) pairs — never corpus×corpus. This is what a standing

@@ -305,9 +305,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q_bootstrap_ci", // the 32-row replicate axis broadcast against the
                         // purchase scan — the bounded map-side expansion
                         // that IS the distributed bootstrap
-      "q_quantile_normalize" // the 9-row decile axis broadcast against the
-                             // compact per-source count table (not the
-                             // corpus) — the q_bootstrap_ci shape
+      "q_quantile_normalize", // the 9-row decile axis broadcast against the
+                              // compact per-source count table (not the
+                              // corpus) — the q_bootstrap_ci shape
+      "q_trend_test" // Mann-Kendall's triangular day<day join over the
+                     // ~30-row daily aggregate plus two 1-row stat
+                     // attaches — metadata-sized, the q_take shape
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
