@@ -2362,6 +2362,183 @@ object SparkEntry {
     s.read.orc(dir).orderBy("event_id")
   }
 
+  /** Multinomial naive Bayes language classifier trained AND scored
+    * in-engine (resubstitution), reported as the lang × predicted
+    * confusion matrix — the in-database classical-ML shape next to
+    * [[qKmeans]]. Add-1 smoothing over the corpus vocabulary; every
+    * per-token log-likelihood is quantized ONCE to an integer
+    * (`round(1e6·ln…)`), so document scores are exact BIGINT sums — fp
+    * summation order can never flip an argmax, and the prediction is
+    * engine-independent by construction (ties break to the
+    * lexicographically first class). Shape: per-doc token counts and
+    * class-conditional counts are posting-list aggregates; scoring is a
+    * token-keyed join (the [[Dedup]] inverted-index shape); the 5-row
+    * class axis and 1-row vocab size ride broadcast attaches.
+    */
+  private def qNaiveBayes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // EVERYTHING derives from this one (doc, lang, token)-count aggregate
+    // and the class-conditional rollup below it — its consumers see
+    // byte-identical subtrees, so the tokenize+explode shuffle
+    // materializes once and every other reader is a ReusedExchange
+    // (pinned in PlanAuditSpec; the q_lm_score single-tokenize
+    // discipline — the naive formulation re-tokenized the corpus 9×
+    // because differently-pruned branches canonicalize differently)
+    val dt = Tables.documents(s, d)
+      // semantically a no-op (both columns are non-null), but it pins the
+      // null filters the consumers otherwise infer UNEVENLY — the seen
+      // join infers isnotnull(doc_id), the class rollup isnotnull(lang),
+      // the doc rollup neither — three canonically different subtrees,
+      // three corpus tokenizations (the q_lm_score regression)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"), explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("n_td"))
+    // class-conditional token counts; vocab size and per-class totals are
+    // rollups of THIS table, not fresh corpus passes
+    val cw = dt.groupBy(col("lang").as("cls"), col("w"))
+      .agg(sum(col("n_td")).as("c"))
+    // the c>0 filter is always true; referencing the aggregate output
+    // stops RemoveRedundantAggregates from collapsing this branch into a
+    // fresh pruned corpus scan — it reads the cw exchange back instead
+    val vocab = cw.filter(col("c") > 0).agg(countDistinct(col("w")).as("v"))
+    val classAxis = cw.groupBy("cls").agg(sum(col("c")).as("ct"))
+      .crossJoin(broadcast(vocab))
+      .select(col("cls"), round(lit(1e6) * log(col("ct") + col("v")))
+        .cast("long").as("a_denom"))
+    val lik = cw.select(col("cls"), col("w"),
+      round(lit(1e6) * log(col("c") + 1)).cast("long").as("l_tok"))
+    val docTotals = dt.groupBy("doc_id")
+      .agg(max(col("lang")).as("lang"), sum(col("n_td")).as("n_d"))
+    // priors come straight off the documents scan (textbook P(c) over ALL
+    // docs) — no tokenization needed, so this branch is a cheap pruned
+    // column scan instead of a fourth corpus explode
+    val docsPerClass = Tables.documents(s, d)
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_c"))
+    val nDocs = docsPerClass.agg(sum(col("n_c")).as("n"))
+    val prior = docsPerClass.crossJoin(broadcast(nDocs))
+      .select(col("cls"),
+        (round(lit(1e6) * log(col("n_c"))) - round(lit(1e6) * log(col("n"))))
+          .cast("long").as("p_prior"))
+    // seen-token credit per (doc, class); unseen tokens contribute only
+    // the -n_d·a_denom term, which the class-axis attach below supplies
+    val seen = dt.join(lik, "w")
+      .groupBy("doc_id", "cls")
+      .agg(sum(col("n_td") * col("l_tok")).as("s_seen"))
+    val scored = docTotals
+      .crossJoin(broadcast(classAxis.join(prior, "cls")))
+      .join(seen, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("lang"), col("cls"),
+        (col("p_prior") - col("n_d") * col("a_denom") +
+          coalesce(col("s_seen"), lit(0L))).as("score"))
+    val pick = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Kaplan–Meier survival curve for signup→purchase conversion,
+    * right-censored at each user's last observed event — the estimator
+    * [[qTimeToEvent]]'s converters-only quartiles cannot give you (it
+    * silently drops the censored majority; KM keeps them at risk until
+    * they disappear). Day-granularity risk table: d/c counts aggregate
+    * map-side onto the compact day domain, at-risk counts and the product
+    * Π(1−d/n) are cumulative windows over that domain (the product via
+    * exp∘Σln — the [[qPsiDrift]]-family fp discipline, rounded once at the
+    * end).
+    */
+  private def qKaplanMeier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("s_us"))
+    val endU = ev.groupBy("user_id").agg(max(col("us")).as("e_us"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("us") >= col("s_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    val subj = su.join(endU, "user_id").join(pu, Seq("user_id"), "left")
+      .select(
+        floor((coalesce(col("p_us"), col("e_us")) - col("s_us")) /
+          86400000000L).as("t_days"),
+        col("p_us").isNotNull.as("converted"))
+    val byDay = subj.groupBy("t_days")
+      .agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("c_censored"))
+    val after = Window.orderBy("t_days")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val upTo = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_risk",
+        sum(col("d_events") + col("c_censored")).over(after))
+      // d = n (everyone remaining converts) makes the factor 0 and S ≡ 0
+      // from there on; it must be an EXPLICIT zero because ln(0) is NULL
+      // in Spark but -inf in DuckDB — the one place exp∘Σln diverges
+      .withColumn("survival",
+        when(max(when(col("d_events") === col("n_risk"), 1).otherwise(0))
+          .over(upTo) === 1, lit(0.0))
+          .otherwise(exp(sum(
+            when(col("d_events") < col("n_risk"),
+              log(lit(1.0) - col("d_events") / col("n_risk").cast("double"))))
+            .over(upTo))))
+      .filter(col("d_events") > 0)
+      .select(col("t_days"), col("n_risk"), col("d_events"),
+        round(col("survival"), 6).as("survival"))
+      .orderBy("t_days")
+  }
+
+  /** k-anonymity audit over the (event_type, day, value-decade)
+    * quasi-identifier — the privacy gate run before sharing an events
+    * extract: rows in groups smaller than k are re-identifiable. One
+    * group-by onto the QI domain, then a ≤3-row banded rollup with exact
+    * integer counts.
+    */
+  private def qKAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") / 10).cast("long").as("vb"))
+      .groupBy("event_type", "day", "vb").agg(count(lit(1)).as("k"))
+      .groupBy(
+        when(col("k") < 5, "a_k_lt_5")
+          .when(col("k") < 20, "b_k_5_20")
+          .otherwise("c_k_ge_20").as("band"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("k")).as("n_rows"))
+      .orderBy("band")
+
+  /** Temporal train/eval split at the 70% point of the observed time
+    * range, with the user-overlap report — time-based splitting is how
+    * event pipelines avoid the future-leaks-into-train failure of random
+    * splits, and the overlap count is the "same user on both sides"
+    * caveat a model card must carry. The cutoff is exact integer µs
+    * arithmetic on the 1-row min/max attach; per-user side flags reduce
+    * in one pass.
+    */
+  private def qTemporalSplit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select((col("mn") + ((col("mx") - col("mn")) * 7) / 10).as("cut_us"))
+    val flags = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("us") <= col("cut_us"), 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("us") > col("cut_us"), 1L).otherwise(0L)).as("n_te"))
+    flags.agg(
+      sum(col("n_tr")).as("n_train_rows"),
+      sum(col("n_te")).as("n_test_rows"),
+      sum(when(col("n_tr") > 0, 1L).otherwise(0L)).as("n_train_users"),
+      sum(when(col("n_te") > 0, 1L).otherwise(0L)).as("n_test_users"),
+      sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L))
+        .as("n_overlap_users"))
+  }
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -4161,7 +4338,11 @@ object SparkEntry {
     "q_attribution" -> (qAttribution _),
     "q_trend_test" -> (qTrendTest _),
     "q_key_skew" -> (qKeySkew _),
-    "q_orc_roundtrip" -> (qOrcRoundtrip _)
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_naive_bayes" -> (qNaiveBayes _),
+    "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_temporal_split" -> (qTemporalSplit _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -5510,6 +5691,132 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // q_naive_bayes: identical integer-quantized log-likelihoods
+    // (round(1e6·ln) once per value), so scores are exact BIGINT sums and
+    // the argmax cannot drift between engines
+    "q_naive_bayes" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |dtc AS (
+        |  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS n_td
+        |  FROM (SELECT doc_id, lang, unnest(t) AS w FROM tok)
+        |  GROUP BY 1, 2, 3),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM dtc),
+        |cw AS (SELECT lang AS cls, w, CAST(SUM(n_td) AS BIGINT) AS c
+        |       FROM dtc GROUP BY 1, 2),
+        |ca AS (SELECT cls,
+        |              CAST(ROUND(1e6 * LN(SUM(c) + (SELECT v FROM v)))
+        |                   AS BIGINT) AS a_denom
+        |       FROM cw GROUP BY cls),
+        |dpc AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_c
+        |        FROM documents GROUP BY 1),
+        |pri AS (SELECT cls,
+        |               CAST(ROUND(1e6 * LN(n_c)) AS BIGINT) -
+        |               CAST(ROUND(1e6 * LN((SELECT SUM(n_c) FROM dpc)))
+        |                    AS BIGINT) AS p_prior
+        |        FROM dpc),
+        |lik AS (SELECT cls, w, CAST(ROUND(1e6 * LN(c + 1)) AS BIGINT) AS l_tok
+        |        FROM cw),
+        |dtot AS (SELECT doc_id, MAX(lang) AS lang,
+        |                CAST(SUM(n_td) AS BIGINT) AS n_d
+        |         FROM dtc GROUP BY 1),
+        |seen AS (SELECT d.doc_id, l.cls,
+        |                CAST(SUM(d.n_td * l.l_tok) AS BIGINT) AS s_seen
+        |         FROM dtc d JOIN lik l USING (w) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT dtot.doc_id, dtot.lang, ca.cls,
+        |         pri.p_prior - dtot.n_d * ca.a_denom +
+        |           COALESCE(seen.s_seen, 0) AS score
+        |  FROM dtot CROSS JOIN ca
+        |  JOIN pri ON ca.cls = pri.cls
+        |  LEFT JOIN seen ON seen.doc_id = dtot.doc_id AND seen.cls = ca.cls),
+        |best AS (
+        |  SELECT lang, cls AS predicted,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, cls) AS rn
+        |  FROM scored)
+        |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_kaplan_meier: same day-granularity risk table; survival through
+    // exp∘Σln over d<n factors with the d=n zero made explicit (Spark's
+    // ln(0) is NULL, DuckDB's is -inf — the CASE removes the divergence)
+    "q_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |su AS (SELECT user_id, MIN(us) AS s_us FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |endu AS (SELECT user_id, MAX(us) AS e_us FROM ev GROUP BY 1),
+        |pu AS (SELECT e.user_id, MIN(e.us) AS p_us
+        |       FROM ev e JOIN su ON e.user_id = su.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us >= su.s_us
+        |       GROUP BY 1),
+        |subj AS (
+        |  SELECT CAST(FLOOR((COALESCE(p.p_us, en.e_us) - su.s_us) /
+        |              86400000000) AS BIGINT) AS t_days,
+        |         p.p_us IS NOT NULL AS converted
+        |  FROM su JOIN endu en USING (user_id) LEFT JOIN pu p USING (user_id)),
+        |byday AS (
+        |  SELECT t_days,
+        |         CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS d_events,
+        |         CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS c_censored
+        |  FROM subj GROUP BY 1),
+        |r AS (
+        |  SELECT t_days, d_events,
+        |         CAST(SUM(d_events + c_censored)
+        |              OVER (ORDER BY t_days ROWS BETWEEN CURRENT ROW AND
+        |                    UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM byday),
+        |km AS (
+        |  SELECT t_days, n_risk, d_events,
+        |         CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+        |                OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING) = 1
+        |              THEN 0.0
+        |              ELSE EXP(SUM(CASE WHEN d_events < n_risk THEN
+        |                     LN(1.0 - d_events / CAST(n_risk AS DOUBLE)) END)
+        |                   OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING))
+        |         END AS survival
+        |  FROM r)
+        |SELECT t_days, n_risk, d_events, ROUND(survival, 6) AS survival
+        |FROM km WHERE d_events > 0 ORDER BY t_days""".stripMargin,
+    // q_k_anonymity: exact integer counts over the QI domain and bands
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(FLOOR(value / 10) AS BIGINT) AS vb,
+        |         CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CASE WHEN k < 5 THEN 'a_k_lt_5'
+        |            WHEN k < 20 THEN 'b_k_5_20'
+        |            ELSE 'c_k_ge_20' END AS band,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(k) AS BIGINT) AS n_rows
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_temporal_split: integer-µs cutoff arithmetic, one per-user pass
+    "q_temporal_split" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT MIN(us) + ((MAX(us) - MIN(us)) * 7) // 10 AS cut_us
+        |      FROM ev),
+        |f AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN us <= (SELECT cut_us FROM b) THEN 1 ELSE 0 END)
+        |           AS n_tr,
+        |         SUM(CASE WHEN us > (SELECT cut_us FROM b) THEN 1 ELSE 0 END)
+        |           AS n_te
+        |  FROM ev GROUP BY 1)
+        |SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train_rows,
+        |       CAST(SUM(n_te) AS BIGINT) AS n_test_rows,
+        |       CAST(SUM(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_train_users,
+        |       CAST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_test_users,
+        |       CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_overlap_users
+        |FROM f""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->

@@ -258,6 +258,23 @@ class PlanAuditSpec extends SparkTestBase {
       s"LM branches recomputed instead of reused:\n$finalPlan")
   }
 
+  test("q_naive_bayes: corpus tokenized once; all rollups reuse the shared exchanges") {
+    val df = SparkEntry.queries("q_naive_bayes")(spark, sf0001)
+    df.queryExecution.toRdd.count(): Unit
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the (doc, lang, token)-count aggregate is the row's only expensive
+    // stage; the class rollup, vocab count, likelihoods, doc totals and
+    // scoring join must all read it (or its rollups) back as
+    // ReusedExchange — the regressions this pin guards: unevenly inferred
+    // null filters (3 tokenizations) and RemoveRedundantAggregates
+    // collapsing pruned branches into fresh corpus scans (5)
+    val generates = finalPlan.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 1, s"corpus tokenized $generates times:\n$finalPlan")
+    assert(finalPlan.linesIterator.count(_.contains("ReusedExchange")) >= 3,
+      s"NB rollups recomputed instead of reused:\n$finalPlan")
+  }
+
   test("no catalog query plans a cartesian/nested-loop join outside the allowlist") {
     // BroadcastNestedLoopJoin / CartesianProduct are O(n·m) — at 100 TB a
     // plan containing one (outside a deliberate, size-bounded use) is a
@@ -308,9 +325,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q_quantile_normalize", // the 9-row decile axis broadcast against the
                               // compact per-source count table (not the
                               // corpus) — the q_bootstrap_ci shape
-      "q_trend_test" // Mann-Kendall's triangular day<day join over the
-                     // ~30-row daily aggregate plus two 1-row stat
-                     // attaches — metadata-sized, the q_take shape
+      "q_trend_test", // Mann-Kendall's triangular day<day join over the
+                      // ~30-row daily aggregate plus two 1-row stat
+                      // attaches — metadata-sized, the q_take shape
+      "q_naive_bayes", // 1-row vocab-size / doc-count and 5-row class-axis
+                       // broadcast attaches — the q_bm25 corpus-stats shape
+      "q_temporal_split" // 1-row min/max cutoff attach onto the event scan
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
