@@ -252,4 +252,66 @@ class OperatorPropertySpec extends SparkTestBase {
       .count(p => s"${p.head} ${p(1)}" == top)
     assert(brute.toLong == n)
   }
+
+  test("containment dominates jaccard: every jaccard pair reappears with containment >= jaccard") {
+    // C = |A∩B|/min ≥ J = |A∩B|/|A∪B| pointwise, so the jaccard pair set
+    // at threshold t must be a subset of the containment pair set at t
+    val t = 0.4
+    val jac = graft.ext.Dedup
+      .ngramJaccardPairs(Tables.documents(spark, sf0001), "doc_id", "text",
+        n = 3, threshold = t)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val con = SparkEntry.queries("q_containment_pairs")(spark, sf0001)
+      .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(con.nonEmpty)
+    assert(con.values.forall(c => c > 0 && c <= 1.0))
+    jac.foreach { case (pair, j) =>
+      assert(con.contains(pair), s"jaccard pair $pair missing from containment set")
+      assert(con(pair) >= j - 1e-6, s"containment < jaccard for $pair")
+    }
+  }
+
+  test("kaplan-meier: survival in (0,1], non-increasing; at-risk non-increasing") {
+    val km = SparkEntry.queries("q_kaplan_meier")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(km.nonEmpty)
+    km.foreach { case (_, n, d, s) =>
+      assert(d > 0 && d <= n); assert(s >= 0 && s <= 1.0)
+    }
+    assert(km.sliding(2).forall {
+      case Array((_, n1, _, s1), (_, n2, _, s2)) => n2 <= n1 && s2 <= s1 + 1e-9
+      case _ => true
+    })
+  }
+
+  test("naive bayes confusion matrix partitions the tokenized corpus") {
+    val conf = SparkEntry.queries("q_naive_bayes")(spark, sf0001)
+      .as[(String, String, Long)].collect()
+    val langs = Tables.documents(spark, sf0001)
+      .select($"lang").distinct().as[String].collect().toSet
+    assert(conf.forall { case (l, p, n) => langs(l) && langs(p) && n > 0 })
+    // every doc with ≥1 token is classified exactly once
+    val classified = conf.map(_._3).sum
+    val nonEmpty = Tables.documents(spark, sf0001)
+      .filter(size(graft.functions.GraftFunctions.tokens(lower($"text"))) > 0)
+      .count()
+    assert(classified == nonEmpty)
+  }
+
+  test("attribution bands cover every purchase; temporal split conserves rows and users") {
+    val ev = Tables.events(spark, sf0001)
+    val att = SparkEntry.queries("q_attribution")(spark, sf0001)
+      .as[(String, Long, Double)].collect()
+    assert(att.map(_._2).sum ==
+      ev.filter($"event_type" === "purchase").count())
+    val Array((trRows, teRows, trU, teU, bothU)) =
+      SparkEntry.queries("q_temporal_split")(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long)].collect()
+    assert(trRows + teRows == ev.count())
+    val users = ev.select($"user_id").distinct().count()
+    assert(trU + teU - bothU == users)
+    assert(bothU <= math.min(trU, teU))
+  }
 }
