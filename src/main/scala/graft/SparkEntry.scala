@@ -2539,6 +2539,105 @@ object SparkEntry {
         .as("n_overlap_users"))
   }
 
+  /** One power-iteration of PCA over the embedding table: the dominant
+    * principal direction (64 loadings) plus the Rayleigh-quotient
+    * eigenvalue estimate — in-engine linear algebra without materializing
+    * the 64×64 covariance: y = Σᵣ xᵣ·(xᵣᵀv₀) needs only a per-row dot
+    * product (codegen'd `aggregate` fold) and a per-dimension sum over a
+    * posexplode — two map-side-combinable aggregates, no dim² shuffle.
+    * v₀ = 1/√64 = 0.125 exactly (a power of two), so the seed introduces
+    * no fp noise of its own; loadings are rounded once after
+    * normalization.
+    */
+  private def qPcaPower(s: SparkSession, d: String): DataFrame = {
+    val withZ = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        (aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")) * lit(0.125d)).as("z"))
+    val y = withZ
+      .select(posexplode(col("embedding")).as(Seq("i", "x")), col("z"))
+      .groupBy("i").agg(sum(col("x").cast("double") * col("z")).as("y"))
+    val nrm = y.agg(sqrt(sum(col("y") * col("y"))).as("nrm"))
+    y.crossJoin(broadcast(nrm))
+      .select(
+        col("i").cast("long").as("dim"),
+        round(col("y") / col("nrm"), 6).as("loading"),
+        round(col("nrm"), 4).as("lambda"))
+      .orderBy("dim")
+  }
+
+  /** Class-balanced downsample: at most 60 documents per language, chosen
+    * by the engine-portable md5 shuffle order (the [[Sampling]] recipe —
+    * any SQL engine reproduces the same subset bit-for-bit). This is the
+    * balance-the-label-distribution op run before training on skewed
+    * corpora; the rank is a lang-partitioned window, so the scan stays
+    * distributed by the group key and no global sort exists.
+    */
+  private def qBalancedSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("bal|"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 60)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Corpus coverage curve: the share of total characters held by the
+    * top-1/5/10/25/50% largest documents — the concentration report
+    * behind "half the corpus is a handful of giant files" curation calls
+    * (the curve form of [[qGini]]'s scalar). The global size rank rides
+    * [[PositionalTake.withGlobalIndex]] (range partition + zipWithIndex —
+    * distributed at any corpus size, no single-partition window); the
+    * five shares are conditional sums against the 1-row corpus-stats
+    * attach, all exact integers until the final divisions.
+    */
+  private def qCoverageCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val ranked = PositionalTake.withGlobalIndex(docs, Seq("n_chars", "doc_id"))
+    val stats = docs.agg(
+      count(lit(1)).as("n"), sum(col("n_chars")).as("total"))
+    def share(pct: Int) =
+      round(sum(when(col("idx") >= col("n") - floor(col("n") * pct / 100),
+        col("n_chars")).otherwise(0L)) / col("total").cast("double"), 6)
+        .as(s"share_top$pct")
+    ranked.crossJoin(broadcast(stats))
+      .groupBy("n", "total")
+      .agg(share(1), share(5), share(10), share(25), share(50))
+      .select(col("n").as("n_docs"), col("total").as("total_chars"),
+        col("share_top1"), col("share_top5"), col("share_top10"),
+        col("share_top25"), col("share_top50"))
+  }
+
+  /** Differential-privacy sensitivity report: the per-user contribution
+    * bounds (rows, value mass, busiest day) a DP release needs before
+    * choosing clipping thresholds — unbounded user contribution means
+    * unbounded sensitivity means no ε guarantee. Two compact keyed
+    * aggregates (per-user, per-user-day) reduced to one row of exact
+    * maxima plus the p99 row-count quantile.
+    */
+  private def qDpSensitivity(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val perUser = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("v_sum"))
+    val perUserDay = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_day"))
+      .groupBy("user_id").agg(max(col("n_day")).as("max_day"))
+    perUser.join(perUserDay, "user_id")
+      .agg(
+        count(lit(1)).as("n_users"),
+        max(col("n_rows")).as("max_rows_per_user"),
+        percentile(col("n_rows"), lit(0.99)).as("p99"),
+        round(max(col("v_sum")), 4).as("max_value_sum_per_user"),
+        max(col("max_day")).as("max_rows_per_user_day"))
+      .select(col("n_users"), col("max_rows_per_user"),
+        round(col("p99"), 4).as("p99_rows_per_user"),
+        col("max_value_sum_per_user"), col("max_rows_per_user_day"))
+  }
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -4342,7 +4441,11 @@ object SparkEntry {
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_k_anonymity" -> (qKAnonymity _),
-    "q_temporal_split" -> (qTemporalSplit _)
+    "q_temporal_split" -> (qTemporalSplit _),
+    "q_pca_power" -> (qPcaPower _),
+    "q_balanced_sample" -> (qBalancedSample _),
+    "q_coverage_curve" -> (qCoverageCurve _),
+    "q_dp_sensitivity" -> (qDpSensitivity _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -5817,6 +5920,79 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_overlap_users
         |FROM f""".stripMargin,
+    // q_pca_power: v0 = 0.125 is exact, both engines fold the 64-float
+    // row dot as doubles; loadings rounded once after normalization
+    "q_pca_power" ->
+      """WITH e AS (
+        |  SELECT vec_id,  embedding,
+        |         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |           * 0.125 AS z
+        |  FROM embeddings),
+        |y AS (
+        |  SELECT i - 1 AS dim, SUM(CAST(x AS DOUBLE) * z) AS y
+        |  FROM (SELECT z, unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS i FROM e)
+        |  GROUP BY 1),
+        |n AS (SELECT SQRT(SUM(y * y)) AS nrm FROM y)
+        |SELECT CAST(dim AS BIGINT) AS dim, ROUND(y / nrm, 6) AS loading,
+        |       ROUND(nrm, 4) AS lambda
+        |FROM y, n ORDER BY dim""".stripMargin,
+    // q_balanced_sample: identical portable md5 shuffle order, so both
+    // engines pick the same 60-per-class subset bit-for-bit
+    "q_balanced_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY md5(concat('bal|', CAST(doc_id AS VARCHAR))),
+        |                    doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rn <= 60
+        |ORDER BY lang, doc_id""".stripMargin,
+    // q_coverage_curve: same asc (n_chars, doc_id) rank; shares are exact
+    // integer sums divided once
+    "q_coverage_curve" ->
+      """WITH ranked AS (
+        |  SELECT n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS idx,
+        |         COUNT(*) OVER () AS n,
+        |         SUM(n_chars) OVER () AS total
+        |  FROM documents)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+        |       CAST(MAX(total) AS BIGINT) AS total_chars,
+        |       ROUND(SUM(CASE WHEN idx >= n - FLOOR(n * 1 / 100)
+        |                 THEN n_chars ELSE 0 END) /
+        |             CAST(MAX(total) AS DOUBLE), 6) AS share_top1,
+        |       ROUND(SUM(CASE WHEN idx >= n - FLOOR(n * 5 / 100)
+        |                 THEN n_chars ELSE 0 END) /
+        |             CAST(MAX(total) AS DOUBLE), 6) AS share_top5,
+        |       ROUND(SUM(CASE WHEN idx >= n - FLOOR(n * 10 / 100)
+        |                 THEN n_chars ELSE 0 END) /
+        |             CAST(MAX(total) AS DOUBLE), 6) AS share_top10,
+        |       ROUND(SUM(CASE WHEN idx >= n - FLOOR(n * 25 / 100)
+        |                 THEN n_chars ELSE 0 END) /
+        |             CAST(MAX(total) AS DOUBLE), 6) AS share_top25,
+        |       ROUND(SUM(CASE WHEN idx >= n - FLOOR(n * 50 / 100)
+        |                 THEN n_chars ELSE 0 END) /
+        |             CAST(MAX(total) AS DOUBLE), 6) AS share_top50
+        |FROM ranked""".stripMargin,
+    // q_dp_sensitivity: exact integer maxima; the per-user double sum is
+    // rounded only after the max
+    "q_dp_sensitivity" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+        |pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |              SUM(value) AS v_sum
+        |       FROM ev GROUP BY 1),
+        |pud AS (SELECT user_id, CAST(MAX(n_day) AS BIGINT) AS max_day
+        |        FROM (SELECT user_id, day, COUNT(*) AS n_day
+        |              FROM ev GROUP BY 1, 2)
+        |        GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(MAX(n_rows) AS BIGINT) AS max_rows_per_user,
+        |       ROUND(QUANTILE_CONT(n_rows, 0.99), 4) AS p99_rows_per_user,
+        |       ROUND(MAX(v_sum), 4) AS max_value_sum_per_user,
+        |       CAST(MAX(max_day) AS BIGINT) AS max_rows_per_user_day
+        |FROM pu JOIN pud USING (user_id)""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->

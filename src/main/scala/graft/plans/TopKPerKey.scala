@@ -107,6 +107,38 @@ case class TopKPerKeyExec(
           else if (b == null) 1
           else base.compare(a, b)
       }
+      // a STORED ordering value must not alias the scan's reused row
+      // buffer: a UTF8String (or struct field) read off an UnsafeRow is a
+      // VIEW into that buffer, and by the time the heap compares it the
+      // buffer holds a later row — every stored string key then collapses
+      // to the same bytes and the ordering silently degenerates to the
+      // numeric tiebreaker (observed: a row_number<=k rewrite over an md5
+      // ordering column returned lowest-doc_id-per-key instead; numeric
+      // orderings were unaffected, which is why the original specs
+      // passed). Numeric values are boxed copies already; strings, arrays
+      // and struct FIELDS need a deep copy AT ENQUEUE TIME — comparing a
+      // fresh value is safe, the buffer is live during eval. UnsafeRow
+      // copies are byte-deep; GenericInternalRow.copy() is SHALLOW, so
+      // generic structs recurse field-by-field against the declared type.
+      def copyOrdValue(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+        v match {
+          case null => null
+          case u: UnsafeRow => u.copy()
+          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+          case r: InternalRow =>
+            val st = dt.asInstanceOf[org.apache.spark.sql.types.StructType]
+            val arr = new Array[Any](st.size)
+            var i = 0
+            while (i < st.size) {
+              arr(i) =
+                if (r.isNullAt(i)) null
+                else copyOrdValue(r.get(i, st(i).dataType), st(i).dataType)
+              i += 1
+            }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+          case x => x
+        }
       // keep the k LARGEST under `ord` (or smallest if !largest): the heap
       // root is the current worst element, evicted on overflow
       val heapOrd: Ordering[(Any, UnsafeRow)] =
@@ -123,12 +155,17 @@ case class TopKPerKeyExec(
           mGroups += 1
         }
         val v = boundOrd.eval(row)
-        if (heap.size < kk) heap.enqueue((v, rowProj(row).copy()))
+        if (heap.size < kk)
+          heap.enqueue((copyOrdValue(v, ordExpr.dataType), rowProj(row).copy()))
         else {
           val worst = heap.head._1
           val better = if (big) valueOrdering.compare(v, worst) > 0
             else valueOrdering.compare(v, worst) < 0
-          if (better) { heap.dequeue(); heap.enqueue((v, rowProj(row).copy())); mEvict += 1 }
+          if (better) {
+            heap.dequeue()
+            heap.enqueue((copyOrdValue(v, ordExpr.dataType), rowProj(row).copy()))
+            mEvict += 1
+          }
         }
       }
       import scala.jdk.CollectionConverters._

@@ -330,7 +330,9 @@ class PlanAuditSpec extends SparkTestBase {
                       // attaches — metadata-sized, the q_take shape
       "q_naive_bayes", // 1-row vocab-size / doc-count and 5-row class-axis
                        // broadcast attaches — the q_bm25 corpus-stats shape
-      "q_temporal_split" // 1-row min/max cutoff attach onto the event scan
+      "q_temporal_split", // 1-row min/max cutoff attach onto the event scan
+      "q_pca_power", // 1-row norm attach onto the 64-row loading vector
+      "q_coverage_curve" // 1-row corpus-stats attach onto the indexed scan
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)

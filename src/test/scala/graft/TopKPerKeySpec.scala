@@ -99,4 +99,27 @@ class TopKPerKeySpec extends SparkTestBase {
       .as[(Long, Double)].collect().toSet
     assert(out == Set((1L, 3.0), (2L, 4.0)))
   }
+
+  test("STRING ordering values survive the heap: stored keys must not alias the scan buffer") {
+    // regression: a UTF8String read off a reused UnsafeRow buffer and
+    // stored in the heap un-copied mutates under later rows — every stored
+    // key collapses to the same bytes and the heap silently orders by the
+    // numeric tiebreaker instead (caught by q_balanced_sample's md5-order
+    // window vs its DuckDB oracle; all-numeric orderings never hit it).
+    // Exercised over a real parquet scan because an in-memory localRelation
+    // does not reuse row buffers the way the columnar reader does.
+    val docs = Tables.documents(spark, sf0001)
+    val ord = struct(
+      md5(concat(lit("bal|"), $"doc_id".cast("string"))).as("h"), $"doc_id")
+    val got = TopKPerKey
+      .topKPerKey(docs.select($"lang", $"doc_id"), Seq("lang"), ord,
+        k = 60, largest = false)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("bal|"), $"doc_id".cast("string"))), $"doc_id")
+    val want = docs.select($"lang", $"doc_id")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 60)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    assert(got == want)
+  }
 }
