@@ -2638,6 +2638,92 @@ object SparkEntry {
         col("max_value_sum_per_user"), col("max_rows_per_user_day"))
   }
 
+  /** Per-label centroids and their pairwise cosine separability — the
+    * "are my classes actually separated in embedding space?" report read
+    * before training a classifier on labeled vectors. Centroid components
+    * are per-(label, dim) averages over a posexplode (map-side
+    * combinable, dim·labels output rows); the 45-pair cosine matrix is a
+    * triangular join over the 10-row centroid table (metadata-sized).
+    * Centroids are reassembled into arrays via a dim-sorted collect so
+    * the dot product folds in one deterministic order.
+    */
+  private def qLabelCentroids(s: SparkSession, d: String): DataFrame = {
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+      .select(col("label"), transform(col("sm"), e => e.getField("m")).as("c"))
+    cent.as("a").join(cent.as("b"), col("a.label") < col("b.label"))
+      .select(
+        col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(cosineSimilarity(col("a.c"), col("b.c")), 6).as("cos"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** Hard-negative mining: for each label's centroid, the top-5 most
+    * similar vectors carrying a DIFFERENT label — the contrastive-training
+    * batch builder (and a mislabeling surfacing pass: a foreign vector
+    * nearly on your centroid is either a hard negative or a wrong label).
+    * The 10-row centroid table broadcasts against one corpus scan; per-row
+    * dots are bit-identical across engines (same sequential fold), so the
+    * top-5 rank needs no quantization. At 100 TB the scan side routes
+    * through the IVF index ([[qIvfTopk]]) instead of a full pass.
+    */
+  private def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+      .select(col("label").as("c_label"),
+        transform(col("sm"), e => e.getField("m")).as("c"))
+    val w = Window.partitionBy("c_label")
+      .orderBy(col("cos").desc, col("vec_id"))
+    Tables.embeddings(s, d)
+      .join(broadcast(cent), col("label") =!= col("c_label"))
+      .select(col("c_label"), col("vec_id"),
+        round(cosineSimilarity(toDoubleArray(col("embedding")), col("c")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("c_label").as("label"), col("vec_id"), col("cos"))
+      .orderBy("label", "vec_id")
+  }
+
+  /** k-NN label-noise audit (confident-learning-lite): for a portable
+    * 30% hash sample of vectors, find the 3 nearest neighbors in the full
+    * corpus; a vector NONE of whose neighbors share its label is a
+    * suspected mislabel. The sample×corpus scoring is the
+    * [[Similarity.sampledRecallAudit]] quarantined-audit shape — bounded
+    * by the sample, never corpus×corpus; the production path at scale is
+    * the ANN index. Per-pair dots are bit-identical across engines, so
+    * the neighbor rank is deterministic without quantization.
+    */
+  private def qKnnLabelNoise(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+    val q = e.filter(
+      pmod(conv(substring(md5(concat(lit("knn|"), col("vec_id").cast("string"))),
+        1, 12), 16, 10).cast("long"), lit(1000000L)) < 300000L)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    q.join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosineSimilarity(col("qv"), col("v")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("q_id", "q_label")
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .filter(col("n_agree") === 0)
+      .select(col("q_id"), col("q_label"))
+      .orderBy("q_id")
+  }
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -4445,7 +4531,10 @@ object SparkEntry {
     "q_pca_power" -> (qPcaPower _),
     "q_balanced_sample" -> (qBalancedSample _),
     "q_coverage_curve" -> (qCoverageCurve _),
-    "q_dp_sensitivity" -> (qDpSensitivity _)
+    "q_dp_sensitivity" -> (qDpSensitivity _),
+    "q_label_centroids" -> (qLabelCentroids _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_knn_label_noise" -> (qKnnLabelNoise _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -5993,6 +6082,84 @@ object SparkEntry {
         |       ROUND(MAX(v_sum), 4) AS max_value_sum_per_user,
         |       CAST(MAX(max_day) AS BIGINT) AS max_rows_per_user_day
         |FROM pu JOIN pud USING (user_id)""".stripMargin,
+    // q_label_centroids: dim-ordered centroid reassembly, then the same
+    // sequential-fold dot; one round after the division
+    "q_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, i - 1 AS i, AVG(CAST(v AS DOUBLE)) AS m
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT label, array_agg(m ORDER BY i) AS c FROM x GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       ROUND(CASE WHEN list_dot_product(a.c, a.c) = 0
+        |                    OR list_dot_product(b.c, b.c) = 0 THEN 0.0
+        |                  ELSE list_dot_product(a.c, b.c) /
+        |                       (sqrt(list_dot_product(a.c, a.c)) *
+        |                        sqrt(list_dot_product(b.c, b.c)))
+        |             END, 6) AS cos
+        |FROM c a JOIN c b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
+    // q_hard_negatives: rank on the ROUNDED cosine with the vec_id
+    // tiebreak, identically in both engines
+    "q_hard_negatives" ->
+      """WITH x AS (
+        |  SELECT label, i - 1 AS i, AVG(CAST(v AS DOUBLE)) AS m
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT label AS c_label, array_agg(m ORDER BY i) AS c
+        |      FROM x GROUP BY 1),
+        |s AS (
+        |  SELECT c.c_label, e.vec_id,
+        |         ROUND(CASE WHEN list_dot_product(c.c, c.c) = 0 THEN 0.0
+        |                    ELSE list_dot_product(
+        |                           list_transform(e.embedding,
+        |                                          v -> CAST(v AS DOUBLE)), c.c) /
+        |                         (sqrt(list_dot_product(
+        |                            list_transform(e.embedding,
+        |                                           v -> CAST(v AS DOUBLE)),
+        |                            list_transform(e.embedding,
+        |                                           v -> CAST(v AS DOUBLE)))) *
+        |                          sqrt(list_dot_product(c.c, c.c)))
+        |               END, 6) AS cos
+        |  FROM embeddings e JOIN c ON e.label <> c.c_label),
+        |r AS (SELECT c_label, vec_id, cos,
+        |             ROW_NUMBER() OVER (PARTITION BY c_label
+        |                                ORDER BY cos DESC, vec_id) AS rn
+        |      FROM s)
+        |SELECT c_label AS label, vec_id, cos FROM r WHERE rn <= 5
+        |ORDER BY label, vec_id""".stripMargin,
+    // q_knn_label_noise: same portable 30% hash sample; neighbor rank on
+    // raw dots (bit-identical sequential folds), vec_id tiebreak
+    "q_knn_label_noise" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+        |      WHERE CAST(('0x' || substr(md5(concat('knn|',
+        |                  CAST(vec_id AS VARCHAR))), 1, 12)) AS BIGINT)
+        |            % 1000000 < 300000),
+        |s AS (
+        |  SELECT q.q_id, q.q_label, e.label, e.vec_id,
+        |         CASE WHEN list_dot_product(q.qv, q.qv) = 0
+        |                OR list_dot_product(e.v, e.v) = 0 THEN 0.0
+        |              ELSE list_dot_product(q.qv, e.v) /
+        |                   (sqrt(list_dot_product(q.qv, q.qv)) *
+        |                    sqrt(list_dot_product(e.v, e.v)))
+        |         END AS cos
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, q_label, label,
+        |             ROW_NUMBER() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, vec_id) AS rn
+        |      FROM s)
+        |SELECT q_id, q_label FROM r WHERE rn <= 3
+        |GROUP BY q_id, q_label
+        |HAVING SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) = 0
+        |ORDER BY q_id""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->

@@ -332,7 +332,15 @@ class PlanAuditSpec extends SparkTestBase {
                        // broadcast attaches — the q_bm25 corpus-stats shape
       "q_temporal_split", // 1-row min/max cutoff attach onto the event scan
       "q_pca_power", // 1-row norm attach onto the 64-row loading vector
-      "q_coverage_curve" // 1-row corpus-stats attach onto the indexed scan
+      "q_coverage_curve", // 1-row corpus-stats attach onto the indexed scan
+      "q_label_centroids", // triangular join over the 10-row centroid
+                           // table — metadata-sized
+      "q_hard_negatives", // 10-row centroid axis broadcast against one
+                          // corpus scan (label<>centroid is the join
+                          // condition); ANN index is the 100 TB path
+      "q_knn_label_noise" // the quarantined sampled-audit shape
+                          // (sample×corpus, bounded by the hash sample) —
+                          // the Similarity.sampledRecallAudit discipline
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
