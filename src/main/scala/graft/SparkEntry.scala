@@ -2724,6 +2724,118 @@ object SparkEntry {
       .orderBy("q_id")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion: the BM25 ranking and a
+    * vector-space (tf·idf cosine over the query terms) ranking for the
+    * same 3-term query, fused as Σ 1/(60+rankᵢ) over the top-50 of each
+    * system — the standard hybrid-search combiner, and deliberately
+    * rank-based so the fusion is EXACT integer arithmetic even though the
+    * two scoring functions are floats (both rankings order on scores
+    * rounded to 6dp with a doc_id tiebreak, so the ranks themselves are
+    * engine-independent). One corpus scan + the 1-row stats attach feed
+    * BOTH scorers; the fusion join touches ≤100 candidate rows.
+    */
+  private def qHybridFusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("hash", "join", "merge")
+    val withToks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val perDoc = withToks.select(
+      col("doc_id") +: size(col("toks")).as("dl") +:
+        terms.map(t =>
+          size(filter(col("toks"), x => x === lit(t))).as(s"tf_$t")): _*)
+    val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val bm25 = terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    // vector-space side: query vector = idf per term, doc vector = tf·idf;
+    // cosine restricted to the query's term subspace
+    val idf = terms.map(t => log(col("n_docs") / (col(s"df_$t") + 1.0)))
+    val dotQ = terms.zip(idf).map { case (t, w) => col(s"tf_$t") * w * w }
+      .reduce(_ + _)
+    val docNorm = sqrt(terms.zip(idf).map { case (t, w) =>
+      col(s"tf_$t") * col(s"tf_$t") * w * w }.reduce(_ + _))
+    val qNorm = sqrt(idf.map(w => w * w).reduce(_ + _))
+    val cosv = when(docNorm === 0, lit(0.0))
+      .otherwise(dotQ / (docNorm * qNorm))
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(bm25, 6).as("s_bm25"), round(cosv, 6).as("s_vec"))
+    val wB = Window.orderBy(col("s_bm25").desc, col("doc_id"))
+    val wV = Window.orderBy(col("s_vec").desc, col("doc_id"))
+    val rB = scored.filter(col("s_bm25") > 0)
+      .select(col("doc_id"), row_number().over(wB).as("r_bm25"))
+      .filter(col("r_bm25") <= 50)
+    val rV = scored.filter(col("s_vec") > 0)
+      .select(col("doc_id"), row_number().over(wV).as("r_vec"))
+      .filter(col("r_vec") <= 50)
+    rB.join(rV, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_bm25"), lit(0)).as("r_bm25"),
+        coalesce(col("r_vec"), lit(0)).as("r_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Autocomplete index: the top-3 completions (by corpus frequency) for
+    * every 3-char token prefix with enough support — the typeahead table a
+    * search box serves. The per-prefix top-k is a `row_number<=k` window
+    * the [[graft.plans.RankLimitRule]] rewrites onto the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — with a STRING in the ordering
+    * struct, the exact path the heap's deep-copy fix guards (ties break
+    * token-descending so the all-desc ordering stays rule-rewritable).
+    */
+  private def qAutocomplete(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("t"))
+      .filter(length(col("t")) >= 3)
+      .groupBy(substring(col("t"), 1, 3).as("prefix"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("prefix")
+      .orderBy(col("n").desc, col("t").desc)
+    tok.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("n") >= 20)
+      .select(col("prefix"), col("t").as("token"), col("n"))
+      .orderBy("prefix", "token")
+  }
+
+  /** Per-label centroid outliers: the 5 vectors FARTHEST (lowest cosine)
+    * from their own label's centroid — the "probably mislabeled or
+    * genuinely hard" review queue next to [[qKnnLabelNoise]]'s
+    * neighbor-vote audit. Same centroid recipe as [[qLabelCentroids]];
+    * the rank orders on the ROUNDED cosine with a vec_id tiebreak, so
+    * both engines pick identical rows.
+    */
+  private def qCentroidOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+      .select(col("label"), transform(col("sm"), e => e.getField("m")).as("c"))
+    val w = Window.partitionBy("label").orderBy(col("cos"), col("vec_id"))
+    Tables.embeddings(s, d)
+      .join(broadcast(cent), "label")
+      .select(col("label"), col("vec_id"),
+        round(cosineSimilarity(toDoubleArray(col("embedding")), col("c")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("label"), col("vec_id"), col("cos"))
+      .orderBy("label", "vec_id")
+  }
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -4534,7 +4646,10 @@ object SparkEntry {
     "q_dp_sensitivity" -> (qDpSensitivity _),
     "q_label_centroids" -> (qLabelCentroids _),
     "q_hard_negatives" -> (qHardNegatives _),
-    "q_knn_label_noise" -> (qKnnLabelNoise _)
+    "q_knn_label_noise" -> (qKnnLabelNoise _),
+    "q_hybrid_fusion" -> (qHybridFusion _),
+    "q_autocomplete" -> (qAutocomplete _),
+    "q_centroid_outliers" -> (qCentroidOutliers _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -6160,6 +6275,134 @@ object SparkEntry {
         |GROUP BY q_id, q_label
         |HAVING SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) = 0
         |ORDER BY q_id""".stripMargin,
+    // q_hybrid_fusion: both scores in the q_bm25 operand order, both
+    // rankings on the ROUNDED score with doc_id tiebreak, RRF from the
+    // integer ranks
+    "q_hybrid_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT doc_id, len(toks) AS dl,
+        |         len(list_filter(toks, x -> x = 'hash'))  AS tf_hash,
+        |         len(list_filter(toks, x -> x = 'join'))  AS tf_join,
+        |         len(list_filter(toks, x -> x = 'merge')) AS tf_merge
+        |  FROM tok),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+        |         SUM(CASE WHEN tf_hash  > 0 THEN 1 ELSE 0 END) AS df_hash,
+        |         SUM(CASE WHEN tf_join  > 0 THEN 1 ELSE 0 END) AS df_join,
+        |         SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM per_doc),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ROUND(
+        |      ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+        |        * (tf_hash * CAST(2.2 AS DOUBLE))
+        |        / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+        |        * (tf_join * CAST(2.2 AS DOUBLE))
+        |        / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5) + 1.0)
+        |        * (tf_merge * CAST(2.2 AS DOUBLE))
+        |        / (tf_merge + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s_bm25,
+        |    ROUND(
+        |      CASE WHEN SQRT(tf_hash * tf_hash
+        |                       * ln(n_docs / (df_hash + 1.0))
+        |                       * ln(n_docs / (df_hash + 1.0))
+        |                   + tf_join * tf_join
+        |                       * ln(n_docs / (df_join + 1.0))
+        |                       * ln(n_docs / (df_join + 1.0))
+        |                   + tf_merge * tf_merge
+        |                       * ln(n_docs / (df_merge + 1.0))
+        |                       * ln(n_docs / (df_merge + 1.0))) = 0 THEN 0.0
+        |           ELSE (tf_hash * ln(n_docs / (df_hash + 1.0))
+        |                   * ln(n_docs / (df_hash + 1.0))
+        |               + tf_join * ln(n_docs / (df_join + 1.0))
+        |                   * ln(n_docs / (df_join + 1.0))
+        |               + tf_merge * ln(n_docs / (df_merge + 1.0))
+        |                   * ln(n_docs / (df_merge + 1.0)))
+        |             / (SQRT(tf_hash * tf_hash
+        |                       * ln(n_docs / (df_hash + 1.0))
+        |                       * ln(n_docs / (df_hash + 1.0))
+        |                   + tf_join * tf_join
+        |                       * ln(n_docs / (df_join + 1.0))
+        |                       * ln(n_docs / (df_join + 1.0))
+        |                   + tf_merge * tf_merge
+        |                       * ln(n_docs / (df_merge + 1.0))
+        |                       * ln(n_docs / (df_merge + 1.0)))
+        |                * SQRT(ln(n_docs / (df_hash + 1.0))
+        |                         * ln(n_docs / (df_hash + 1.0))
+        |                     + ln(n_docs / (df_join + 1.0))
+        |                         * ln(n_docs / (df_join + 1.0))
+        |                     + ln(n_docs / (df_merge + 1.0))
+        |                         * ln(n_docs / (df_merge + 1.0))))
+        |      END, 6) AS s_vec
+        |  FROM per_doc, stats),
+        |rb AS (SELECT doc_id, r_bm25 FROM (
+        |         SELECT doc_id,
+        |                ROW_NUMBER() OVER (ORDER BY s_bm25 DESC, doc_id)
+        |                  AS r_bm25
+        |         FROM scored WHERE s_bm25 > 0) WHERE r_bm25 <= 50),
+        |rv AS (SELECT doc_id, r_vec FROM (
+        |         SELECT doc_id,
+        |                ROW_NUMBER() OVER (ORDER BY s_vec DESC, doc_id)
+        |                  AS r_vec
+        |         FROM scored WHERE s_vec > 0) WHERE r_vec <= 50)
+        |SELECT doc_id,
+        |       CAST(COALESCE(r_bm25, 0) AS INT) AS r_bm25,
+        |       CAST(COALESCE(r_vec, 0) AS INT) AS r_vec,
+        |       ROUND(COALESCE(1.0 / (60 + r_bm25), 0.0) +
+        |             COALESCE(1.0 / (60 + r_vec), 0.0), 6) AS rrf
+        |FROM rb FULL OUTER JOIN rv USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // q_autocomplete: same lowercase tokenizer, char-based 3-prefix,
+    // all-desc (n, token) rank in both engines
+    "q_autocomplete" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                            x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |c AS (SELECT substr(t, 1, 3) AS prefix, t, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t WHERE len(t) >= 3 GROUP BY 1, 2),
+        |r AS (SELECT prefix, t AS token, n,
+        |             ROW_NUMBER() OVER (PARTITION BY prefix
+        |                                ORDER BY n DESC, t DESC) AS rn
+        |      FROM c)
+        |SELECT prefix, token, n FROM r WHERE rn <= 3 AND n >= 20
+        |ORDER BY prefix, token""".stripMargin,
+    // q_centroid_outliers: the q_label_centroids centroid CTE; rank on
+    // the rounded own-centroid cosine ascending, vec_id tiebreak
+    "q_centroid_outliers" ->
+      """WITH x AS (
+        |  SELECT label, i - 1 AS i, AVG(CAST(v AS DOUBLE)) AS m
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT label, array_agg(m ORDER BY i) AS c FROM x GROUP BY 1),
+        |s AS (
+        |  SELECT e.label, e.vec_id,
+        |         ROUND(CASE WHEN list_dot_product(c.c, c.c) = 0 THEN 0.0
+        |                    ELSE list_dot_product(
+        |                           list_transform(e.embedding,
+        |                                          v -> CAST(v AS DOUBLE)), c.c) /
+        |                         (sqrt(list_dot_product(
+        |                            list_transform(e.embedding,
+        |                                           v -> CAST(v AS DOUBLE)),
+        |                            list_transform(e.embedding,
+        |                                           v -> CAST(v AS DOUBLE)))) *
+        |                          sqrt(list_dot_product(c.c, c.c)))
+        |               END, 6) AS cos
+        |  FROM embeddings e JOIN c USING (label)),
+        |r AS (SELECT label, vec_id, cos,
+        |             ROW_NUMBER() OVER (PARTITION BY label
+        |                                ORDER BY cos, vec_id) AS rn
+        |      FROM s)
+        |SELECT label, vec_id, cos FROM r WHERE rn <= 5
+        |ORDER BY label, vec_id""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->

@@ -42,6 +42,14 @@ object RankLimitRule extends Rule[LogicalPlan] {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
     case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
     case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    // a conjunct bound is safe: the ORIGINAL filter stays above the heap
+    // and re-applies every predicate (including the rank one), and the
+    // window above the pruned child recomputes ranks 1..k identical to
+    // the unpruned ranks — so extra conjuncts (e.g. `rn <= 3 AND n >= 20`)
+    // only narrow the result further. An OR must NOT rewrite (a row past
+    // rank k could still pass via the other disjunct), and `case _` below
+    // keeps it declined.
+    case And(l, r) => rankBound(l, rn).orElse(rankBound(r, rn))
     case _ => None
   }
 

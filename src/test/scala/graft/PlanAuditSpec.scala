@@ -338,9 +338,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q_hard_negatives", // 10-row centroid axis broadcast against one
                           // corpus scan (label<>centroid is the join
                           // condition); ANN index is the 100 TB path
-      "q_knn_label_noise" // the quarantined sampled-audit shape
-                          // (sample×corpus, bounded by the hash sample) —
-                          // the Similarity.sampledRecallAudit discipline
+      "q_knn_label_noise", // the quarantined sampled-audit shape
+                           // (sample×corpus, bounded by the hash sample) —
+                           // the Similarity.sampledRecallAudit discipline
+      "q_hybrid_fusion" // the q_bm25 1-row corpus-stats attach, feeding
+                        // both scorers from one scan
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)

@@ -70,6 +70,31 @@ class RankLimitRuleSpec extends SparkTestBase {
     assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("compound AND filter rewrites with identical rows; OR declines") {
+    // rn <= k AND <other predicate>: the rank bound is extractable from a
+    // conjunct because the full filter re-applies above the heap
+    def compound(s: SparkSession): DataFrame = {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").desc,
+          col("l_partkey").desc, col("l_suppkey").desc,
+          col("l_quantity").desc, col("l_linenumber").desc)
+      Tables.lineitem(s, sf0001)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 && col("l_quantity") > 10)
+    }
+    val rewritten = compound(gspark)
+    assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val control = compound(spark).collect().map(_.toSeq).toSet
+    assert(rewritten.collect().map(_.toSeq).toSet == control)
+    // OR must decline: a row past rank k can still pass the other disjunct
+    val w2 = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").desc)
+    val orFilter = Tables.lineitem(gspark, sf0001)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= 3 || col("l_quantity") > 10)
+    assert(!orFilter.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("global (unpartitioned) rank filter is left to TakeOrdered paths") {
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val df = Tables.orders(gspark, sf0001)
