@@ -2836,6 +2836,96 @@ object SparkEntry {
       .orderBy("label", "vec_id")
   }
 
+  /** The canonical TPC-H Q1 pricing summary in full — every aggregate of
+    * the classic report (sum qty/base/disc-price/charge, three averages,
+    * count) with the shipdate cutoff, grouped on the 4-cell
+    * (returnflag, linestatus) domain. [[qGroupAgg]] carries a reduced
+    * form; this row is the recognizable benchmark shape: one map-side-
+    * combinable aggregate over a pushed-down scan filter, the plan every
+    * OLAP engine is first judged on. Money sums are rounded at 2 (exact
+    * in practice — the inputs are 2dp decimals carried as doubles),
+    * averages at 6.
+    */
+  private def qTpchQ1(s: SparkSession, d: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(disc), 2).as("sum_disc_price"),
+        round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Peak concurrency via the interval-sweep pattern: per-user-per-day
+    * sessions ([first event, last event]) opened as +1/closed as −1
+    * boundary rows, swept in time order with a running sum — the maximum
+    * is the most sessions ever open at once (capacity planning's number).
+    * Boundary rows are 2 per session (compact); the sweep is one window
+    * over that compact domain ordered (ts, +1 before −1) so touching
+    * intervals count as overlapping. Output: the peak and the first
+    * sweep position attaining it.
+    */
+  private def qPeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id", "day")
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val bounds = sess.select(col("s_us").as("us"), lit(1).as("delta"))
+      .unionAll(sess.select(col("e_us").as("us"), lit(-1).as("delta")))
+      .groupBy("us", "delta").agg(count(lit(1)).as("m"))
+    val sweep = Window.orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = Window.orderBy(col("open").desc, col("us"), col("delta").desc)
+    bounds
+      .withColumn("open", sum(col("delta") * col("m")).over(sweep))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("open").as("peak_concurrent"),
+        col("us").as("at_us"))
+  }
+
+  /** Per-group weighted median: the l_extendedprice at which half the
+    * QUANTITY mass of each return flag sits — the order statistic plain
+    * medians get wrong when rows carry different weights. Classic
+    * distributed shape: the sort and the cumulative-weight window are
+    * PARTITIONED by the group key (no global sort), and the winner is the
+    * first row whose running weight reaches half the group total (exact
+    * integer-scaled comparisons — quantities are whole numbers carried as
+    * doubles, so 2·cum ≥ total is exact).
+    */
+  private def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // value-ordered sweep: price first, then the full unique key so the
+    // cumulative weight is deterministic across tied prices
+    val ord = col("l_extendedprice") +: liKey.map(col)
+    val cum = Window.partitionBy("l_returnflag")
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("l_returnflag")
+    val pick = Window.partitionBy("l_returnflag").orderBy(ord: _*)
+    Tables.lineitem(s, d)
+      .select((Seq("l_returnflag", "l_quantity") ++ liKey.filterNot(
+        Seq("l_returnflag", "l_quantity").contains)).map(col): _*)
+      .withColumn("cumw", sum(col("l_quantity")).over(cum))
+      .withColumn("totw", sum(col("l_quantity")).over(tot))
+      .filter(lit(2.0) * col("cumw") >= col("totw"))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_extendedprice").as("w_median"),
+        col("cumw").cast("double").as("cum_weight"),
+        col("totw").cast("double").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -4649,7 +4739,10 @@ object SparkEntry {
     "q_knn_label_noise" -> (qKnnLabelNoise _),
     "q_hybrid_fusion" -> (qHybridFusion _),
     "q_autocomplete" -> (qAutocomplete _),
-    "q_centroid_outliers" -> (qCentroidOutliers _)
+    "q_centroid_outliers" -> (qCentroidOutliers _),
+    "q_tpch_q1" -> (qTpchQ1 _),
+    "q_peak_concurrency" -> (qPeakConcurrency _),
+    "q_weighted_median" -> (qWeightedMedian _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -6403,6 +6496,67 @@ object SparkEntry {
         |      FROM s)
         |SELECT label, vec_id, cos FROM r WHERE rn <= 5
         |ORDER BY label, vec_id""".stripMargin,
+    // q_tpch_q1: identical operand order in the derived measures; money
+    // sums round at 2, averages at 6
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2)
+        |         AS sum_disc_price,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)),
+        |             2) AS sum_charge,
+        |       ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+        |       ROUND(AVG(l_discount), 6) AS avg_disc,
+        |       CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // q_peak_concurrency: same +1-before--1 sweep order (ties open before
+    // close, so touching intervals overlap); exact integer running sum
+    "q_peak_concurrency" ->
+      """WITH sess AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT us, delta, CAST(COUNT(*) AS BIGINT) AS m FROM (
+        |    SELECT s_us AS us, 1 AS delta FROM sess
+        |    UNION ALL SELECT e_us, -1 FROM sess) GROUP BY 1, 2),
+        |sw AS (
+        |  SELECT us, delta,
+        |         CAST(SUM(delta * m) OVER (ORDER BY us, delta DESC
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+        |  FROM b),
+        |best AS (SELECT open, us FROM sw
+        |         ORDER BY open DESC, us, delta DESC LIMIT 1)
+        |SELECT open AS peak_concurrent, CAST(us AS BIGINT) AS at_us
+        |FROM best""".stripMargin,
+    // q_weighted_median: explicit ROWS frame (both engines default to
+    // RANGE under ORDER BY, which merges price ties); quantity sums are
+    // whole numbers in doubles, so the 2·cum >= total test is exact
+    "q_weighted_median" ->
+      """WITH x AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+        |                    l_partkey, l_suppkey, l_quantity
+        |           ROWS UNBOUNDED PRECEDING) AS cumw,
+        |         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS totw,
+        |         l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT l_returnflag, l_extendedprice, cumw, totw,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+        |                    l_partkey, l_suppkey, l_quantity) AS rn
+        |  FROM x WHERE 2.0 * cumw >= totw)
+        |SELECT l_returnflag, l_extendedprice AS w_median,
+        |       CAST(cumw AS DOUBLE) AS cum_weight,
+        |       CAST(totw AS DOUBLE) AS total_weight
+        |FROM f WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->
