@@ -2926,6 +2926,40 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Streaming HLL distinct as a catalog row: the per-day approximate
+    * user cardinality computed IN the stream
+    * ([[EventsPipeline.streamingWindowedDistinct]] — merge-order-
+    * independent sketch state, KB per window), audited in-plan against
+    * the exact batch distinct — the [[qSketches]] verdict discipline, so
+    * the engine-specific sketch value never reaches the oracle, only the
+    * exact side plus a literal-TRUE error-bound verdict.
+    */
+  private def qStreamHll(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val staged = stagedEvents(s, d)
+    val name = s"graft_stream_hll_$tag"
+    // state partitions sized to state volume, not batch shuffle width —
+    // see qStreamIntervalJoin
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventsPipeline.streamingWindowedDistinct(s, staged, name)
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val exact = Tables.events(s, d)
+      .select((floor(unix_micros(col("ts")) / 86400000000L) * 86400L)
+        .as("window_start"), col("user_id"))
+      .distinct()
+      .groupBy("window_start").agg(count(lit(1)).as("exact_users"))
+    s.table(name)
+      .join(exact, "window_start")
+      .select(col("window_start"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.15).as("hll_ok"))
+      .orderBy("window_start")
+  }
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -4742,7 +4776,8 @@ object SparkEntry {
     "q_centroid_outliers" -> (qCentroidOutliers _),
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
-    "q_weighted_median" -> (qWeightedMedian _)
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_stream_hll" -> (qStreamHll _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -6557,6 +6592,18 @@ object SparkEntry {
         |       CAST(cumw AS DOUBLE) AS cum_weight,
         |       CAST(totw AS DOUBLE) AS total_weight
         |FROM f WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    // q_stream_hll: UTC-day window start as integer epoch; exact side
+    // recomputed, sketch asserted as the literal-TRUE bound verdict
+    "q_stream_hll" ->
+      """WITH w AS (
+        |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+        |         user_id
+        |  FROM events)
+        |SELECT window_start,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       TRUE AS hll_ok
+        |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->

@@ -261,4 +261,36 @@ object EventsPipeline {
       .queryName(queryName)
       .start()
   }
+
+  /** Mergeable sketch IN the stream: per-day approximate distinct users
+    * (HLL++ via `approx_count_distinct`) next to the exact event count.
+    * This is the state shape that makes streaming cardinality viable at
+    * any fan-in: HLL registers are merge-order-independent, so the
+    * micro-batch partial merges produce the SAME sketch as a batch pass —
+    * per-window state is KB-scale regardless of user cardinality, where
+    * an exact streaming distinct would buffer every user id in state.
+    */
+  def streamingWindowedDistinct(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String,
+      windowLen: String = "1 day",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("approx_users"), col("n_events"))
+    stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
 }
