@@ -2960,6 +2960,25 @@ object SparkEntry {
       .orderBy("window_start")
   }
 
+  /** TPC-H Q6, the forecast-revenue-change query — the OTHER benchmark
+    * signature next to [[qTpchQ1]]: a pure filter-aggregate whose entire
+    * cost is the scan, so it measures pushdown + vectorized decode and
+    * nothing else. All three predicates reach the parquet reader
+    * (`PushedFilters`), the aggregate is one partial/final sum, and no
+    * shuffle carries more than a single running double per partition.
+    */
+  private def qTpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -4777,7 +4796,8 @@ object SparkEntry {
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_weighted_median" -> (qWeightedMedian _),
-    "q_stream_hll" -> (qStreamHll _)
+    "q_stream_hll" -> (qStreamHll _),
+    "q_tpch_q6" -> (qTpchQ6 _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -6604,6 +6624,15 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       TRUE AS hll_ok
         |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin,
+    // q_tpch_q6: pure filter-aggregate; one rounded money sum
+    "q_tpch_q6" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->
