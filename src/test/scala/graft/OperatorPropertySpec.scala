@@ -314,4 +314,42 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(trU + teU - bothU == users)
     assert(bothU <= math.min(trU, teU))
   }
+
+  test("autocomplete completions carry their prefix; hard negatives carry a foreign label") {
+    val ac = SparkEntry.queries("q_autocomplete")(spark, sf0001)
+      .as[(String, String, Long)].collect()
+    assert(ac.nonEmpty)
+    ac.foreach { case (p, tok, n) =>
+      assert(tok.startsWith(p) && p.length == 3 && n >= 20)
+    }
+    val labels = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val hn = SparkEntry.queries("q_hard_negatives")(spark, sf0001)
+      .as[(Int, Long, Double)].collect()
+    assert(hn.length == 50) // 10 labels x 5
+    hn.foreach { case (centLabel, vecId, _) =>
+      assert(labels(vecId) != centLabel,
+        s"hard negative $vecId carries its own centroid label $centLabel")
+    }
+  }
+
+  test("weighted median sits at half the quantity mass; peak concurrency is bounded") {
+    val wm = SparkEntry.queries("q_weighted_median")(spark, sf0001)
+      .as[(String, Double, Double, Double)].collect()
+    assert(wm.length == 3)
+    wm.foreach { case (flag, median, cum, tot) =>
+      assert(2.0 * cum >= tot && cum <= tot)
+      // brute-force check: quantity mass strictly below the median price
+      // must be under half the total
+      val below = Tables.lineitem(spark, sf0001)
+        .filter($"l_returnflag" === flag && $"l_extendedprice" < median)
+        .agg(coalesce(sum($"l_quantity"), lit(0.0))).as[Double].head()
+      assert(2.0 * below < tot + 1e-9)
+    }
+    val Array((peak, _)) = SparkEntry.queries("q_peak_concurrency")(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val sessions = Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts")).distinct().count()
+    assert(peak >= 1 && peak <= sessions)
+  }
 }
