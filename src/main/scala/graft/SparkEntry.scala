@@ -784,11 +784,13 @@ object SparkEntry {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     // toks is a plain attribute here, so CollapseProject keeps the
     // tokenize single-evaluation (non-cheap expressions referenced more
-    // than once are not inlined)
+    // than once are not inlined). tf via the native codegen'd equals loop
+    // (the HOF `size(filter(...))` dispatched an interpreted lambda per
+    // token × term)
     val perDoc = withToks.select(
       col("doc_id") +: size(col("toks")).as("dl") +:
         terms.map(t =>
-          size(filter(col("toks"), x => x === lit(t))).as(s"tf_$t")): _*)
+          NativeExpressions.array_count_eq(col("toks"), t).as(s"tf_$t")): _*)
     val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
       terms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
@@ -2739,10 +2741,11 @@ object SparkEntry {
     val terms = Seq("hash", "join", "merge")
     val withToks = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // tf via the native codegen'd equals loop — see [[qBm25]]
     val perDoc = withToks.select(
       col("doc_id") +: size(col("toks")).as("dl") +:
         terms.map(t =>
-          size(filter(col("toks"), x => x === lit(t))).as(s"tf_$t")): _*)
+          NativeExpressions.array_count_eq(col("toks"), t).as(s"tf_$t")): _*)
     val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
       terms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))

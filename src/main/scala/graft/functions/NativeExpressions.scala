@@ -205,6 +205,55 @@ object NativeExpressions {
     * Counts actually RETURNED (≥ 0) are always exact, so emitted pairs'
     * jaccard values are unaffected by the gate.
     */
+  /** Count of ARRAY<STRING> elements equal to a compile-time term — the
+    * tf(term) inner loop of the BM25-family rows. The HOF formulation
+    * `size(filter(toks, x => x === lit(term)))` dispatches an interpreted
+    * lambda per ELEMENT; this is one codegen'd `UTF8String.equals` loop,
+    * run 3 terms × every token of the corpus in `q_bm25` /
+    * `q_hybrid_fusion`. Null elements (not produced by the tokenizer)
+    * don't match.
+    */
+  case class ArrayCountEq(child: Expression, term: String)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(isStringArray(child.dataType),
+        "graft_array_count_eq", "an ARRAY<STRING> argument", child.dataType)
+    override def dataType: DataType = IntegerType
+    @transient private lazy val termUtf8 = UTF8String.fromString(term)
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var c = 0
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i) && a.getUTF8String(i) == termUtf8) c += 1
+        i += 1
+      }
+      java.lang.Integer.valueOf(c)
+    }
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val t = ctx.addReferenceObj("graftTerm", termUtf8,
+          "org.apache.spark.unsafe.types.UTF8String")
+        val n = ctx.freshName("n")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        s"""
+           |final int $n = $a.numElements();
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && $a.getUTF8String($i).equals($t)) $c++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): ArrayCountEq =
+      copy(child = c)
+  }
+
   case class SortedIntersectCount(
       left: Expression, right: Expression, minJaccard: Double = -1.0)
       extends BinaryExpression {
@@ -964,6 +1013,9 @@ object NativeExpressions {
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 
   def tokenize(text: Column): Column = col(Tokenize(expr(text)))
+
+  def array_count_eq(arr: Column, term: String): Column =
+    col(ArrayCountEq(expr(arr), term))
 
   def portable_tf(tokenArr: Column, dims: Int): Column =
     col(PortableHashingTf(expr(tokenArr), dims))

@@ -157,6 +157,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out(3L) == ((3, 7))) // don ' t stop , world !
   }
 
+  test("array_count_eq matches the HOF formulation, codegen and interpreted") {
+    val df = Seq(
+      (0L, Seq("a", "b", "a", "a")),
+      (1L, Seq.empty[String]),
+      (2L, Seq("b", "b")),
+      (3L, Seq("A", "a"))).toDF("id", "toks")
+    val out = df.select($"id",
+      graft.functions.NativeExpressions.array_count_eq($"toks", "a").as("n"),
+      size(filter($"toks", x => x === lit("a"))).as("hof"))
+      .as[(Long, Int, Int)].collect()
+    out.foreach { case (id, n, hof) => assert(n == hof, s"id=$id") }
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 3, 1L -> 0, 2L -> 0, 3L -> 1))
+  }
+
   test("chunking: sliding windows cover every token with the ragged tail") {
     val df = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (1L, "one"), (2L, " "))
       .toDF("doc_id", "text")
