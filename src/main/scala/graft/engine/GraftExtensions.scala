@@ -20,7 +20,9 @@ import graft.functions.NativeExpressions._
   * Registered: graft_minhash_sig(arr, n), graft_simhash64(arr),
   * graft_vec_dot(a, b), graft_hyperplane_bits(vec, planes),
   * graft_chunk_keys(sig, totalBits, chunks), graft_char_shingles(text, k),
-  * graft_word_shingles(text, n), graft_tokenize(text).
+  * graft_word_shingles(text, n), graft_tokenize(text),
+  * graft_bounded_levenshtein(a, b, k), graft_deletion_hashes(s, k),
+  * graft_array_count_eq(arr, term).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -76,5 +78,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(entry("graft_deletion_hashes",
       "graft_deletion_hashes(s, k) - sorted distinct hashes of all <=k-deletion variants",
       args => DeletionHashes(args(0), intArg(args(1), "graft_deletion_hashes"))))
+    e.injectFunction(entry("graft_array_count_eq",
+      "graft_array_count_eq(arr, term) - count of array<string> elements equal to the literal term",
+      args => ArrayCountEq(args(0), strArg(args(1), "graft_array_count_eq"))))
+  }
+
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got: $other")
   }
 }

@@ -41,6 +41,11 @@ object GraftFunctions {
       a => BoundedLevenshtein(a(0), a(1), intArg(a(2))), "scala_udf")
     r.createOrReplaceTempFunction(
       "graft_deletion_hashes", a => DeletionHashes(a(0), intArg(a(1))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_array_count_eq",
+      a => ArrayCountEq(a(0),
+        a(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.toString), "scala_udf")
   }
 
   // ---------------------------------------------------------------- tokens

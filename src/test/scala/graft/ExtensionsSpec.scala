@@ -234,6 +234,9 @@ class ExtensionsSpec extends SparkTestBase {
     // "ab" at k=1: variants {ab, a, b} -> 3 distinct hashes
     assert(spark.sql("SELECT size(graft_deletion_hashes('ab', 1)) AS n")
       .as[Int].head() == 3)
+    assert(spark.sql(
+      "SELECT graft_array_count_eq(array('a', 'b', 'a'), 'a') AS n")
+      .as[Int].head() == 2)
   }
 
   test("IVF top-k recalls the query vector itself first") {
