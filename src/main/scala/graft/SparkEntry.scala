@@ -2982,6 +2982,58 @@ object SparkEntry {
           .as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** Zero-seeded EWMA (α = ½) of the daily event-count series — the
+    * smoothing monitor read next to [[qChangepoint]] and [[qTrendTest]].
+    * α = ½ makes every weight an exact dyadic rational, so the closed
+    * form ewmaₜ = 2^-(t+1)·Σᵢ cᵢ·2ⁱ is EXACT in doubles (Σ stays far
+    * under 2⁵³ on a ~30-day domain) — no fp drift to round away, the
+    * rare smoothing formulation that is engine-independent by
+    * construction. One compact daily aggregate, one cumulative window.
+    */
+  private def qEwma(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val idx = Window.orderBy("day")
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(idx) - 1)
+      .withColumn("sw", sum(col("c") * pow(lit(2.0), col("t"))).over(cum))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c"),
+        round(col("sw") * pow(lit(0.5), col("t") + 1), 6).as("ewma"))
+      .orderBy("day")
+  }
+
+  /** Common-neighbor analysis of the near-dup graph: every document pair
+    * sharing ≥ 1 neighbor, with its support count and whether the pair is
+    * ALREADY an edge. A non-edge here is a link-prediction candidate
+    * ("these two co-match the same documents but never matched directly"
+    * — a threshold chaining templated families); an all-edges result is
+    * the transitivity certificate (near-dup clusters are cliques — what
+    * this corpus shows, consistent with [[qGraphTriangles]]). Standard
+    * shape: symmetrize the oriented edge list, join adjacency to itself
+    * on the SHARED neighbor (the only full-width shuffle, bounded by the
+    * dedup family's degree ceilings upstream), count per pair, flag
+    * membership with a left join.
+    */
+  private def qLinkPrediction(s: SparkSession, d: String): DataFrame = {
+    val e = stagedDupPairs(s, d)
+    val adj = e.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(e.select(col("id_b").as("u"), col("id_a").as("v")))
+    val cand = adj.as("x").join(adj.as("y"), "u")
+      .filter(col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("id_a"), col("y.v").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cand.join(e.withColumn("is_edge", lit(true)), Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        coalesce(col("is_edge"), lit(false)).as("is_edge"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Two Lloyd iterations of k-means (k=4) over the embedding table — the
     * clustering pass a corpus pipeline runs for topic balance or
     * diversity-aware sampling. Classic distributed shape: centroids are
@@ -4800,7 +4852,9 @@ object SparkEntry {
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_stream_hll" -> (qStreamHll _),
-    "q_tpch_q6" -> (qTpchQ6 _)
+    "q_tpch_q6" -> (qTpchQ6 _),
+    "q_ewma" -> (qEwma _),
+    "q_link_prediction" -> (qLinkPrediction _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -6636,6 +6690,61 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // q_ewma: alpha=1/2 dyadic weights make the closed form exact in
+    // doubles — both engines compute identical values
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t
+        |      FROM daily),
+        |y AS (SELECT day, c, t,
+        |             SUM(c * POWER(2.0, t))
+        |               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sw
+        |      FROM x)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, c,
+        |       ROUND(sw * POWER(0.5, t + 1), 6) AS ewma
+        |FROM y ORDER BY day""".stripMargin,
+    // q_link_prediction: the q_dup_clusters exact pair set replayed, then
+    // common-neighbor counting with existing edges anti-joined out
+    "q_link_prediction" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b
+        |  FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.id
+        |  JOIN sizes sb ON i.id_b = sb.id
+        |  WHERE CAST(i.n_inter AS DOUBLE) /
+        |        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5),
+        |adj AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |cand AS (
+        |  SELECT x.v AS id_a, y.v AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM adj x JOIN adj y USING (u)
+        |  WHERE x.v < y.v GROUP BY 1, 2)
+        |SELECT c.id_a, c.id_b, c.n_common,
+        |       p.id_a IS NOT NULL AS is_edge
+        |FROM cand c
+        |LEFT JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->
