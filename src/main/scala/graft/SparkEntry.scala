@@ -3562,6 +3562,20 @@ object SparkEntry {
       .select(col("doc_id").as("id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("id")
 
+  /** Declared vs detected language confusion — the metadata-QA pass over
+    * [[qLangId]]'s per-doc predictions: rows off the diagonal are either
+    * mislabeled metadata or documents the stopword detector cannot place
+    * (`und`, and zh — which has no stopword list — lands there by
+    * construction, making the zh row the detector's honest coverage
+    * statement). One compact (declared, detected) aggregate.
+    */
+  private def qLangConfusion(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_pred")
+
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
@@ -4854,7 +4868,8 @@ object SparkEntry {
     "q_stream_hll" -> (qStreamHll _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_ewma" -> (qEwma _),
-    "q_link_prediction" -> (qLinkPrediction _)
+    "q_link_prediction" -> (qLinkPrediction _),
+    "q_lang_confusion" -> (qLangConfusion _)
   )
 
   /** Shared oracle for the ANN verdict rows ([[annRecallVerdict]]): the
@@ -6745,6 +6760,33 @@ object SparkEntry {
         |FROM cand c
         |LEFT JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
         |ORDER BY c.id_a, c.id_b""".stripMargin,
+    // q_lang_confusion: the q_lang_id detector replayed, grouped against
+    // the declared label
+    "q_lang_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |         len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+        |         len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS s_de,
+        |         len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS s_fr,
+        |         len(list_filter(t, x -> x IN ('el','la','los','las','y','es','un','una','que','por'))) AS s_es,
+        |         len(list_filter(t, x -> x IN ('il','la','gli','e','che','un','una','per','non','sono'))) AS s_it
+        |  FROM (SELECT lang,
+        |               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |p AS (
+        |  SELECT lang,
+        |         CASE
+        |           WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_it = 0 THEN 'und'
+        |           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_it THEN 'en'
+        |           WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_it THEN 'de'
+        |           WHEN s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+        |           WHEN s_es >= s_it THEN 'es'
+        |           ELSE 'it'
+        |         END AS lang_pred
+        |  FROM s)
+        |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q_seasonality: EXTRACT(DOW) 0=Sunday matches dayofweek-1; share
     // computed as (100.0 * n) / total in both engines
     "q_seasonality" ->
