@@ -1815,22 +1815,30 @@ object SparkEntry {
 
   /** Data-profiling audit: per-column row/null/distinct counts over
     * lineitem — the schema-wide quality report a pipeline runs on every
-    * new drop. One generator turns each row into (column, value-as-string)
-    * pairs — casting is injective per column, so distinct cardinality is
-    * preserved — and one group-by on the column name fans the distinct
-    * counts out across the cluster (each column's count is an independent
-    * reduce; no multi-distinct Expand against the whole row).
+    * new drop. One narrow aggregate per column, unioned (the [[qSketches]]
+    * two-level decomposition): each branch's parquet scan reads exactly
+    * ONE column (pruned ReadSchema), collapses onto that column's compact
+    * distinct domain with map-side combine, then reduces to a single
+    * profile row. The previous single-pass form exploded every row into
+    * stringified (column, value) pairs — an N×width row expansion dragging
+    * full-width string casts through one shuffle; the per-column branches
+    * shuffle only (value, count) partials and run as independent stages.
     */
   private def qDataProfile(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val pairs = li.select(explode(array(li.columns.toSeq.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
-      .select(col("p.col_name"), col("p.v"))
-    pairs.groupBy("col_name")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col("v")).as("n_distinct"))
+    li.columns.toSeq.sorted
+      .map { c =>
+        li.select(col(c).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).as("n"),
+            coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+              .as("n_nulls"),
+            count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
+          .select(lit(c).as("col_name"),
+            col("n"), col("n_nulls"), col("n_distinct"))
+      }
+      .reduce(_ unionAll _)
       .orderBy("col_name")
   }
 
@@ -1958,34 +1966,37 @@ object SparkEntry {
 
   /** ROC AUC of the event value as a purchase-vs-rest score, by the
     * Mann–Whitney rank identity — the offline model-quality readout a
-    * training pipeline runs on every scored snapshot. Decomposition keeps
-    * every sum an exact integer until the final division: per-VALUE
-    * positive/negative counts aggregate first (map-side combine onto the
-    * compact distinct-score domain), the below-count is a cumulative
-    * window over that domain, and 2·U = Σ p·(2·below + n) — ties get the
-    * standard half credit without ever touching a float. No row-level
-    * global rank, no 1-row cross-join.
+    * training pipeline runs on every scored snapshot. The global rank
+    * comes from [[graft.operators.PositionalTake.withGlobalIndex]] (the
+    * [[qGini]] distributed-rank pattern: range-partition + zipWithIndex,
+    * never a single-partition cumulative window — the score is a DOUBLE,
+    * so its distinct domain approaches n at scale and the old
+    * per-distinct-value sweep would funnel everything through one task).
+    * Ties get the standard midrank half credit from the per-value
+    * (min idx, max idx) aggregate: 2·ΣR⁺ = Σ p·(lo + hi + 2), then
+    * 2·U = 2·ΣR⁺ − n⁺(n⁺+1). Every sum is an exact integer until the one
+    * final division, identically in both engines.
     */
   private def qAuc(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cnt = Tables.events(s, d)
-      .select(
-        col("value"),
-        (col("event_type") === "purchase").cast("long").as("pos"))
+    val ranked = PositionalTake.withGlobalIndex(
+      Tables.events(s, d).select(
+        col("value"), col("event_id"),
+        (col("event_type") === "purchase").cast("long").as("pos")),
+      Seq("value", "event_id"), "idx")
+    ranked
       .groupBy("value")
-      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("n"))
-    val below = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    cnt
-      .select(col("p"), col("n"),
-        coalesce(sum(col("n")).over(below), lit(0L)).as("n_below"))
+      .agg(
+        sum(col("pos")).as("p"), count(lit(1)).as("m"),
+        min(col("idx")).as("lo"), max(col("idx")).as("hi"))
       .agg(
         sum(col("p")).as("n_pos"),
-        sum(col("n")).as("n_neg"),
-        sum(col("p") * (lit(2L) * col("n_below") + col("n"))).as("u2"))
+        sum(col("m") - col("p")).as("n_neg"),
+        sum(col("p") * (col("lo") + col("hi") + 2)).as("r2"))
       .select(
         col("n_pos"), col("n_neg"),
-        round(col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+        round(
+          (col("r2") - col("n_pos") * (col("n_pos") + 1)) /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)
           .as("auc"))
   }
 
@@ -2769,14 +2780,22 @@ object SparkEntry {
     val scored = perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         round(bm25, 6).as("s_bm25"), round(cosv, 6).as("s_vec"))
+    // each ranking's top-50 is an orderBy.limit (TakeOrderedAndProject — a
+    // per-partition heap + driver merge, never an Exchange SinglePartition
+    // of every scored doc); ranks are then derived by a window over the
+    // ≤50 SURVIVORS only. Identical result: limit keeps exactly the rows
+    // with rank ≤ 50 under the same total order (rounded score, doc_id
+    // tiebreak), and re-ranking a prefix of a total order preserves ranks.
     val wB = Window.orderBy(col("s_bm25").desc, col("doc_id"))
     val wV = Window.orderBy(col("s_vec").desc, col("doc_id"))
     val rB = scored.filter(col("s_bm25") > 0)
+      .select(col("doc_id"), col("s_bm25"))
+      .orderBy(col("s_bm25").desc, col("doc_id")).limit(50)
       .select(col("doc_id"), row_number().over(wB).as("r_bm25"))
-      .filter(col("r_bm25") <= 50)
     val rV = scored.filter(col("s_vec") > 0)
+      .select(col("doc_id"), col("s_vec"))
+      .orderBy(col("s_vec").desc, col("doc_id")).limit(50)
       .select(col("doc_id"), row_number().over(wV).as("r_vec"))
-      .filter(col("r_vec") <= 50)
     rB.join(rV, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("r_bm25"), lit(0)).as("r_bm25"),
@@ -2870,10 +2889,18 @@ object SparkEntry {
     * sessions ([first event, last event]) opened as +1/closed as −1
     * boundary rows, swept in time order with a running sum — the maximum
     * is the most sessions ever open at once (capacity planning's number).
-    * Boundary rows are 2 per session (compact); the sweep is one window
-    * over that compact domain ordered (ts, +1 before −1) so touching
-    * intervals count as overlapping. Output: the peak and the first
-    * sweep position attaining it.
+    * Boundary rows are 2 per session (compact); the sweep is SEGMENTED by
+    * day — the standard distributed prefix-sum shape: each day's running
+    * sum is a day-partitioned window, and the carry-in from all prior days
+    * is a cumulative window over the per-day NET aggregate (one row per
+    * day — KB-scale for years of data), so no window ever orders more than
+    * one day's boundary rows on one task. (Sessions here are intra-day by
+    * construction, making every carry-in zero — but the carry is computed,
+    * not assumed, so the shape stays correct for midnight-spanning
+    * intervals.) Ties order +1 before −1 so touching intervals count as
+    * overlapping. The peak row is a 1-row broadcast max attach plus an
+    * orderBy.limit(1) — no global rank window. Output: the peak and the
+    * first sweep position attaining it.
     */
   private def qPeakConcurrency(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2882,18 +2909,29 @@ object SparkEntry {
         unix_micros(col("ts")).as("us"))
       .groupBy("user_id", "day")
       .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
-    val bounds = sess.select(col("s_us").as("us"), lit(1).as("delta"))
-      .unionAll(sess.select(col("e_us").as("us"), lit(-1).as("delta")))
-      .groupBy("us", "delta").agg(count(lit(1)).as("m"))
-    val sweep = Window.orderBy(col("us"), col("delta").desc)
+    val bounds = sess
+      .select(col("day"), col("s_us").as("us"), lit(1).as("delta"))
+      .unionAll(sess.select(col("day"), col("e_us").as("us"), lit(-1).as("delta")))
+      .groupBy("day", "us", "delta").agg(count(lit(1)).as("m"))
+    val dayNet = bounds.groupBy("day")
+      .agg(sum(col("delta") * col("m")).as("net"))
+    val carryW = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = dayNet.select(col("day"),
+      coalesce(sum(col("net")).over(carryW), lit(0L)).as("carry_in"))
+    val sweep = Window.partitionBy("day")
+      .orderBy(col("us"), col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pick = Window.orderBy(col("open").desc, col("us"), col("delta").desc)
-    bounds
-      .withColumn("open", sum(col("delta") * col("m")).over(sweep))
-      .withColumn("rn", row_number().over(pick))
-      .filter(col("rn") === 1)
-      .select(col("open").as("peak_concurrent"),
-        col("us").as("at_us"))
+    val open = bounds
+      .withColumn("run", sum(col("delta") * col("m")).over(sweep))
+      .join(broadcast(carry), "day")
+      .select(col("us"), col("delta"),
+        (col("carry_in") + col("run")).as("open"))
+    val peak = open.agg(max(col("open")).as("peak"))
+    open.join(broadcast(peak), col("open") === col("peak"))
+      .orderBy(col("us"), col("delta").desc)
+      .limit(1)
+      .select(col("open").as("peak_concurrent"), col("us").as("at_us"))
   }
 
   /** Per-group weighted median: the l_extendedprice at which half the
@@ -2984,27 +3022,45 @@ object SparkEntry {
 
   /** Zero-seeded EWMA (α = ½) of the daily event-count series — the
     * smoothing monitor read next to [[qChangepoint]] and [[qTrendTest]].
-    * α = ½ makes every weight an exact dyadic rational, so the closed
-    * form ewmaₜ = 2^-(t+1)·Σᵢ cᵢ·2ⁱ is EXACT in doubles (Σ stays far
-    * under 2⁵³ on a ~30-day domain) — no fp drift to round away, the
-    * rare smoothing formulation that is engine-independent by
-    * construction. One compact daily aggregate, one cumulative window.
+    * Computed by the literal recursion eₜ = (eₜ₋₁ + cₜ)·½, folded over the
+    * day series with `aggregate` — the per-day domain is compact by
+    * construction (a decade is ~3,650 rows, KB-scale after the count
+    * aggregate), so one row carries the sorted series through the fold and
+    * explodes back. The previous closed form 2^-(t+1)·Σ cᵢ·2ⁱ was exact
+    * only while cᵢ·2ᵗ stayed under 2⁵³ (~36 days at 1e5 events/day) and
+    * overflowed to Infinity past t≈1023; the recursion is BOUNDED
+    * (eₜ ≤ max c) for arbitrarily long ranges, and both engines evaluate
+    * the identical (prev + c)·0.5 operation order, so values stay
+    * bit-identical with the oracle's recursive CTE. The raw-event shuffle
+    * is still the map-side-combined daily count — only the compact series
+    * funnels through the fold.
     */
   private def qEwma(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("c"))
-    val idx = Window.orderBy("day")
-    val cum = Window.orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
-      .withColumn("t", row_number().over(idx) - 1)
-      .withColumn("sw", sum(col("c") * pow(lit(2.0), col("t"))).over(cum))
+      .agg(array_sort(collect_list(struct(col("day"), col("c")))).as("series"))
+      .select(aggregate(
+        col("series"),
+        struct(
+          lit(0.0).as("e"),
+          array().cast("array<struct<day:date,c:bigint,ewma:double>>")
+            .as("out")),
+        (acc, x) => {
+          val e = (acc.getField("e") + x.getField("c")) * lit(0.5)
+          struct(
+            e.as("e"),
+            array_append(acc.getField("out"),
+              struct(x.getField("day").as("day"), x.getField("c").as("c"),
+                e.as("ewma"))).as("out"))
+        },
+        acc => acc.getField("out")).as("out"))
+      .select(explode(col("out")).as("r"))
       .select(
-        date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("c"),
-        round(col("sw") * pow(lit(0.5), col("t") + 1), 6).as("ewma"))
+        date_format(col("r.day"), "yyyy-MM-dd").as("day"),
+        col("r.c").as("c"),
+        round(col("r.ewma"), 6).as("ewma"))
       .orderBy("day")
   }
 
@@ -6705,21 +6761,23 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
-    // q_ewma: alpha=1/2 dyadic weights make the closed form exact in
-    // doubles — both engines compute identical values
+    // q_ewma: the literal recursion e_t = (e_{t-1} + c_t) * 0.5 — the same
+    // IEEE operation order as the engine's fold, so values are
+    // bit-identical and stay bounded for arbitrarily long day ranges
     "q_ewma" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM events GROUP BY 1),
-        |x AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t
-        |      FROM daily),
-        |y AS (SELECT day, c, t,
-        |             SUM(c * POWER(2.0, t))
-        |               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sw
-        |      FROM x)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, c,
-        |       ROUND(sw * POWER(0.5, t + 1), 6) AS ewma
-        |FROM y ORDER BY day""".stripMargin,
+      """WITH RECURSIVE x AS (
+        |  SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) AS t
+        |  FROM (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM events GROUP BY 1)),
+        |rec AS (
+        |  SELECT t, day, c,
+        |         (CAST(0.0 AS DOUBLE) + c) * CAST(0.5 AS DOUBLE) AS e
+        |  FROM x WHERE t = 1
+        |  UNION ALL
+        |  SELECT x.t, x.day, x.c, (rec.e + x.c) * CAST(0.5 AS DOUBLE)
+        |  FROM x JOIN rec ON x.t = rec.t + 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, c, ROUND(e, 6) AS ewma
+        |FROM rec ORDER BY day""".stripMargin,
     // q_link_prediction: the q_dup_clusters exact pair set replayed, then
     // common-neighbor counting with existing edges anti-joined out
     "q_link_prediction" ->

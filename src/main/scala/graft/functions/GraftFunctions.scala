@@ -20,9 +20,22 @@ object GraftFunctions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import NativeExpressions._
     val r = spark.sessionState.functionRegistry
-    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
-      e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-        .value.asInstanceOf[Number].intValue()
+    // fail identically and informatively in BOTH registration paths (this
+    // temp-function path and GraftExtensions' injectFunction path): a
+    // non-literal or NULL argument raises a descriptive
+    // IllegalArgumentException, never an opaque ClassCastException/NPE
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def intArg(e: Expression): Int = e match {
+      case Literal(v: Number, _) if v != null => v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"expected a literal integer argument, got: $other")
+    }
+    def strArg(e: Expression): String = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"expected a literal string argument, got: $other")
+    }
     r.createOrReplaceTempFunction("graft_tokenize", a => Tokenize(a.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_simhash64", a => SimHash64(a.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_vec_dot", a => VecDot(a(0), a(1)), "scala_udf")
@@ -43,9 +56,7 @@ object GraftFunctions {
       "graft_deletion_hashes", a => DeletionHashes(a(0), intArg(a(1))), "scala_udf")
     r.createOrReplaceTempFunction(
       "graft_array_count_eq",
-      a => ArrayCountEq(a(0),
-        a(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.toString), "scala_udf")
+      a => ArrayCountEq(a(0), strArg(a(1))), "scala_udf")
   }
 
   // ---------------------------------------------------------------- tokens

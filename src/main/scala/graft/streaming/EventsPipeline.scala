@@ -267,8 +267,18 @@ object EventsPipeline {
     * This is the state shape that makes streaming cardinality viable at
     * any fan-in: HLL registers are merge-order-independent, so the
     * micro-batch partial merges produce the SAME sketch as a batch pass —
-    * per-window state is KB-scale regardless of user cardinality, where
+    * per-WINDOW state is KB-scale regardless of user cardinality, where
     * an exact streaming distinct would buffer every user id in state.
+    *
+    * Sink-mode honesty: `complete` + the memory sink is a bounded
+    * TEST-HARNESS shape — in complete mode the watermark never evicts
+    * window state, so total state grows with the number of windows (the
+    * KB bound above is per window, not in total), and the memory sink
+    * retains the full result. It is used here because the finite-file
+    * test stream needs every window emitted for the exact-side audit. A
+    * production deployment keys an idempotent sink and runs `update`
+    * mode, where this SAME aggregation is watermark-evicted and total
+    * state is bounded by the open-window count.
     */
   def streamingWindowedDistinct(
       spark: SparkSession,
