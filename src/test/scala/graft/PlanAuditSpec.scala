@@ -359,6 +359,57 @@ class PlanAuditSpec extends SparkTestBase {
       s"quadratic join shapes outside the allowlist:\n${offenders.mkString("\n")}")
   }
 
+  test("no catalog query plans an unpartitioned Window outside the allowlist") {
+    // An unpartitioned Window moves EVERY input row to one task
+    // ("No Partition Defined for Window operation") — at 100 TB that is a
+    // scale bug unless the window's input is compact by construction (a
+    // per-day/per-bucket aggregate, a post-TopK bounded result). The
+    // allowlist carries the rationale for every legitimate use; a future
+    // row reintroducing a global window over raw data fails here.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Window => LogicalWindow, WindowGroupLimit}
+    val allow = Map(
+      // per-day / per-bucket aggregate domains (KB-scale at any corpus
+      // size — the day/bucket count, never the row count)
+      "q_changepoint" -> "cumulative SSE + argmin over the per-day aggregate",
+      "q_kaplan_meier" -> "risk-set/survival windows over the per-day event table",
+      "q_peak_concurrency" -> "carry-in over the per-day NET aggregate; the sweep itself is day-partitioned",
+      "q_psi_drift" -> "cohort totals over the value-bucket count table (fixed-width buckets)",
+      "q_ks_drift" -> "ECDF over the compact distinct-length domain (pre-bucket for continuous metrics)",
+      "q_skyline" -> "strictly-cheaper prefix-max over the per-price grid (one row per distinct price)",
+      "q_cms_freq" -> "stream total over the per-event-type group rows (single-digit domain)",
+      "q_token_budget" -> "greedy fill over the per-source aggregate (compact source domain)",
+      "q_sample_mix" -> "sampleToMix feasibility min over the per-source count table",
+      "q_corpus_pipeline" -> "sampleToMix stage: same per-source count table window",
+      // bounded post-TopK / result-set domains
+      "q_hybrid_fusion" -> "ranks derived from the <=50-row TakeOrdered survivors per ranking",
+      "q_embed_lsh_topk" -> "annRecallVerdict rank over the 20 exact rows post-TopK",
+      "q_ivf_topk" -> "annRecallVerdict rank over the 20 exact rows post-TopK",
+      "q_ivfpq_topk" -> "annRecallVerdict rank over the 20 exact rows post-TopK",
+      "q_pq_topk" -> "annRecallVerdict rank over the 20 exact rows post-TopK",
+      "q_minhash_pairs" -> "pairRecallVerdict whole-result window over the RESULT pair set",
+      "q_embed_pairs" -> "pairRecallVerdict whole-result window over the RESULT pair set",
+      "q_doc_embed_pairs" -> "pairRecallVerdict whole-result window over the RESULT pair set")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow.contains)
+      .flatMap { name =>
+        val wins =
+          try SparkEntry.queries(name)(spark, sf0001)
+            .queryExecution.optimizedPlan.collectWithSubqueries {
+              case w: LogicalWindow if w.partitionSpec.isEmpty => "Window"
+              case w: WindowGroupLimit if w.partitionSpec.isEmpty =>
+                "WindowGroupLimit"
+            }
+          catch { case e: Throwable => Seq(s"PLAN FAILED: $e") }
+        if (wins.isEmpty) None else Some(s"$name: ${wins.mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows outside the allowlist:\n${offenders.mkString("\n")}")
+    // the allowlist must not rot: every entry still names a catalog row
+    val stale = allow.keys.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"allowlist entries for unknown queries: $stale")
+  }
+
   test("q_rfm: quintiles ride the distributed rank — no single-partition window") {
     val df = SparkEntry.queries("q_rfm")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
