@@ -2706,16 +2706,26 @@ object SparkEntry {
   }
 
   /** k-NN label-noise audit (confident-learning-lite): for a portable
-    * 30% hash sample of vectors, find the 3 nearest neighbors in the full
-    * corpus; a vector NONE of whose neighbors share its label is a
-    * suspected mislabel. The sample×corpus scoring is the
-    * [[Similarity.sampledRecallAudit]] quarantined-audit shape — bounded
-    * by the sample, never corpus×corpus; the production path at scale is
-    * the ANN index. Per-pair dots are bit-identical across engines, so
-    * the neighbor rank is deterministic without quantization.
+    * 30% hash sample of vectors, find the 3 nearest neighbors; a vector
+    * NONE of whose neighbors share its label is a suspected mislabel.
+    * The PRODUCTION path runs against the persisted ANN index
+    * ([[annIndex]] — the write-once `graft_ann_idx_*` table): each query
+    * ranks the 16 broadcast centroids, probes its top-4 lists through a
+    * list_id-keyed join (sample × corpus/4 candidate work, shrinking with
+    * nlist at scale), and votes neighbor labels from the probed lists.
+    * The exact sample×corpus side — the [[Similarity.sampledRecallAudit]]
+    * quarantined-audit shape, bounded by the sample — runs BESIDE it as
+    * the recall audit, and the row emits the exact suspects (per-pair
+    * dots are bit-identical across engines, so the DuckDB oracle
+    * reproduces them) plus `ann_ok`: the in-plan verdict that the
+    * index-served suspect set covers the exact set at the measured floor
+    * (suspect overlap 75/87/87% at sf0.001/0.01/0.1; floor 60%, the
+    * probe-pruning trade on structureless embeddings).
     */
   private def qKnnLabelNoise(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val (idx, cents, _) = annIndex(s, d)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
     val q = e.filter(
@@ -2723,8 +2733,33 @@ object SparkEntry {
         1, 12), 16, 10).cast("long"), lit(1000000L)) < 300000L)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"))
+    // ANN path: per-query probe lists from the broadcast centroid
+    // metadata (16 rows), then candidates from the PERSISTED index
+    val centDf = cents.toDF("list_id", "centroid")
+    val pw = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("list_id"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .select(col("q_id"), col("q_label"), col("qv"), col("list_id"),
+        cosineSimilarity(col("qv"), col("centroid")).as("ccos"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= 4)
+      .select(col("q_id"), col("q_label"), col("qv"), col("list_id"))
+    val nw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))
+    val annSuspects = probes.join(idx.select(col("id"), col("v"), col("list_id")),
+        "list_id")
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("id"),
+        cosineSimilarity(col("qv"), col("v")).as("cos"))
+      .withColumn("rn", row_number().over(nw))
+      .filter(col("rn") <= 3)
+      .join(e.select(col("vec_id").as("id"), col("label").as("n_label")), "id")
+      .groupBy("q_id", "q_label")
+      .agg(sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .filter(col("n_agree") === 0)
+      .select(col("q_id"))
+    // exact audit side (quarantined sample×corpus, bounded by the sample)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    q.join(e, col("vec_id") =!= col("q_id"))
+    val exact = q.join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         cosineSimilarity(col("qv"), col("v")).as("cos"))
       .withColumn("rn", row_number().over(w))
@@ -2734,6 +2769,19 @@ object SparkEntry {
         .as("n_agree"))
       .filter(col("n_agree") === 0)
       .select(col("q_id"), col("q_label"))
+    val verdict = exact.select(col("q_id")).withColumn("in_ex", lit(1L))
+      .join(annSuspects.withColumn("in_ann", lit(1L)), Seq("q_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
+        sum(when(col("in_ex").isNotNull && col("in_ann").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(
+        (col("n_hit") * 10L >= col("n_exact") * 6L).as("ann_ok"),
+        lit(1).as("one"))
+    exact
+      .withColumn("one", lit(1))
+      .join(broadcast(verdict), "one")
+      .select(col("q_id"), col("q_label"), col("ann_ok"))
       .orderBy("q_id")
   }
 
@@ -6524,7 +6572,10 @@ object SparkEntry {
         |SELECT c_label AS label, vec_id, cos FROM r WHERE rn <= 5
         |ORDER BY label, vec_id""".stripMargin,
     // q_knn_label_noise: same portable 30% hash sample; neighbor rank on
-    // raw dots (bit-identical sequential folds), vec_id tiebreak
+    // raw dots (bit-identical sequential folds), vec_id tiebreak. The
+    // ANN-index-served suspect set is engine-specific (seeded k-means),
+    // so the oracle computes the exact side and asserts the recall floor
+    // as literal TRUE (the annRecallVerdict discipline)
     "q_knn_label_noise" ->
       """WITH e AS (
         |  SELECT vec_id, label,
@@ -6547,7 +6598,7 @@ object SparkEntry {
         |             ROW_NUMBER() OVER (PARTITION BY q_id
         |                                ORDER BY cos DESC, vec_id) AS rn
         |      FROM s)
-        |SELECT q_id, q_label FROM r WHERE rn <= 3
+        |SELECT q_id, q_label, TRUE AS ann_ok FROM r WHERE rn <= 3
         |GROUP BY q_id, q_label
         |HAVING SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) = 0
         |ORDER BY q_id""".stripMargin,

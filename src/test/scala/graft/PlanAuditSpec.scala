@@ -359,6 +359,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"quadratic join shapes outside the allowlist:\n${offenders.mkString("\n")}")
   }
 
+  test("q_knn_label_noise serves its production path from the persisted ANN index") {
+    // first invocation builds the write-once index; the second must READ it
+    SparkEntry.queries("q_knn_label_noise")(spark, sf0001).collect()
+    val df = SparkEntry.queries("q_knn_label_noise")(spark, sf0001)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_ann_idx_"),
+      s"production path does not read the persisted index:\n${analyzed.take(800)}")
+    // and the row still emits a TRUE verdict (the recall floor holds)
+    val row = df.collect()
+    assert(row.nonEmpty && row.forall(_.getBoolean(2)),
+      "ann_ok verdict is not uniformly TRUE at sf0.001")
+  }
+
   test("no catalog query plans an unpartitioned Window outside the allowlist") {
     // An unpartitioned Window moves EVERY input row to one task
     // ("No Partition Defined for Window operation") — at 100 TB that is a
