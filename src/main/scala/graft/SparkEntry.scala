@@ -77,8 +77,8 @@ object SparkEntry {
   private val dirTagMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val artifactRoots = Seq(
     "graft_ann", "graft_bucketed", "graft_compact", "graft_evo",
-    "graft_json", "graft_partitioned", "graft_pr", "graft_stream",
-    "graft_zorder")
+    "graft_json", "graft_partitioned", "graft_pr", "graft_sigs",
+    "graft_stream", "graft_zorder")
   private def dirTag(d: String): String =
     dirTagMemo.computeIfAbsent(d, { dir =>
       val fp = new StringBuilder(dir)
@@ -3391,20 +3391,57 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Write-once staged compact (id, signature) projections — the
+    * pay-at-write discipline the [[graft.ext.Dedup]] scale note promises
+    * (and [[stagedDupPairs]]/[[annIndex]] already follow): signatures are
+    * derived from full text ONCE per corpus directory and every consumer
+    * reads the KB-per-row parquet instead of re-running the text pass.
+    * `minhash64`: (id, 64-long minhash signature of char-5 shingles) —
+    * consumed three times per [[qMinhashPairs]] run (banding + both
+    * plausibility-attach sides). `tfvec256`: (id, 256-dim md5 hashing-TF
+    * bigram vector) — [[qDocEmbedPairs]] consumes it five times (brute
+    * exact side + LSH side, each with attaches). Single-file coalesce is
+    * an oracle-scale convenience; a production artifact stays partitioned.
+    */
+  private def stagedMinhashSigs(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_sigs/${dirTag(d)}/minhash64"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          minhashSignature(charShingles(col("text"), 5), 64).as("sig"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
+  private def stagedTfVecs(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_sigs/${dirTag(d)}/tfvec256"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Similarity.portableTfVecs(
+          Tables.documents(s, d), "doc_id", "text", dims = 256, ngram = 2)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   /** MinHash+LSH near-dup pairs wrapped in the pair-set exactness audit
     * ([[pairRecallVerdict]]): output = the EXACT char-5-shingle Jaccard
     * pairs at 0.8 ([[graft.ext.Dedup.charJaccardPairs]] — size-ratio-banded,
     * DuckDB-expressible) + `mh_ok`, asserting the banded minhash retrieved
     * the full planted-near-dup pair set (banding 8×8 → recall ≥ 0.999 at
     * the corpus's ~0.93 Jaccard dups; measured recall 1.0 at every test SF,
-    * floor 0.9 leaves margin for an unlucky seedless corpus).
+    * floor 0.9 leaves margin for an unlucky seedless corpus). The LSH side
+    * reads its signatures from the [[stagedMinhashSigs]] write-once
+    * artifact; shingles (corpus-sized) stay derived-on-demand for the
+    * exact verify of the few candidates.
     */
   private def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     pairRecallVerdict(
       Dedup.charJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.8),
-      Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8),
+      Dedup.minhashPairsFromSigs(
+        docs.select(col("doc_id").as("id"),
+          charShingles(col("text"), 5).as("shingles")),
+        stagedMinhashSigs(s, d),
+        numHashes = 64, bands = 8, threshold = 0.8),
       floor = 0.9,
       verdictName = "mh_ok")
   }
@@ -3639,8 +3676,10 @@ object SparkEntry {
     * the planted dups; floor 0.8).
     */
   private def qDocEmbedPairs(s: SparkSession, d: String): DataFrame = {
-    val vecs = Similarity.portableTfVecs(
-      Tables.documents(s, d), "doc_id", "text", dims = 256, ngram = 2)
+    // write-once staged (id, vec) projection — both pair pipelines (and
+    // their attach sides) read the compact artifact instead of re-running
+    // the text→hashing-TF pass per consumer
+    val vecs = stagedTfVecs(s, d)
     pairRecallVerdict(
       Similarity.bruteForcePairs(vecs, "id", "vec", threshold = 0.8),
       Dedup.embeddingPairs(vecs, "id", "vec",

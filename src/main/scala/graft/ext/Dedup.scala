@@ -181,11 +181,34 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.7,
       maxBucket: Int = 10000): DataFrame = {
-    val rows = numHashes / bands
     val sh = df.select(
       col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("shingles"))
-    val sig = sh.select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig"))
+    minhashPairsFromSigs(
+      sh,
+      sh.select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig")),
+      numHashes, bands, threshold, maxBucket)
+  }
+
+  /** [[minhashPairs]] over PRECOMPUTED inputs — the staged-signature entry
+    * point the Dedup scale note promises: a standing pipeline writes the
+    * compact (id, sig) projection once per corpus (the pay-at-write
+    * discipline of the bucketed join) and every dedup query reads the
+    * KB-per-row artifact instead of re-deriving signatures from full text.
+    * The signature subtree is consumed THREE times per query (banding plus
+    * both attach sides), so staging turns three text passes into three
+    * compact parquet reads. `sh` (id, shingles) is still needed for the
+    * exact-Jaccard verify of the few candidate pairs; shingle sets are
+    * corpus-sized, so they stay derived-on-demand rather than staged.
+    */
+  def minhashPairsFromSigs(
+      sh: DataFrame,
+      sig: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val rows = numHashes / bands
     val banded = capBuckets(
       sig.select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("band_key")),
       "band_key", maxBucket)

@@ -359,6 +359,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"quadratic join shapes outside the allowlist:\n${offenders.mkString("\n")}")
   }
 
+  test("pair queries read the staged (id, signature) artifacts instead of re-deriving") {
+    // first invocation writes the write-once projections; the second must
+    // READ them (the stagedDupPairs/annIndex artifact discipline)
+    SparkEntry.queries("q_minhash_pairs")(spark, sf0001).collect()
+    val mh = SparkEntry.queries("q_minhash_pairs")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(mh.contains("graft_sigs"),
+      s"q_minhash_pairs does not scan the staged signature artifact:\n${mh.take(800)}")
+    SparkEntry.queries("q_doc_embed_pairs")(spark, sf0001).collect()
+    val de = SparkEntry.queries("q_doc_embed_pairs")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(de.contains("graft_sigs"),
+      s"q_doc_embed_pairs does not scan the staged tf-vec artifact:\n${de.take(800)}")
+  }
+
   test("q_knn_label_noise serves its production path from the persisted ANN index") {
     // first invocation builds the write-once index; the second must READ it
     SparkEntry.queries("q_knn_label_noise")(spark, sf0001).collect()
