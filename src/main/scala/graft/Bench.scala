@@ -103,9 +103,26 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
+    // variance anchor: a fixed 10-row subset measured TWICE MORE in this
+    // same JVM, both runs reported — the within-session noise floor that
+    // round-over-round comparisons should be read against (single-run
+    // full-catalog totals have varied ±40% with box weather; the anchor
+    // pair shows how much of any round delta is machine, not code)
+    // (skipped for subset invocations: anchors would run cold there and
+    // the pair would measure warm-up, not variance)
+    val anchorNames = (if (args.nonEmpty) Seq.empty[String] else Seq(
+      "q_filter", "q_sum", "q_take", "q_partition", "q_join",
+      "q_window", "q_tfidf", "q_sessionize", "q_topk_per_key",
+      "q_minhash_pairs")).filter(SparkEntry.queries.contains)
+    def anchorPass(): String = anchorNames
+      .map(n => s""""$n":${num(materialize(n, report = false)._1, 3)}""")
+      .mkString("{", ",", "}")
+    val anchorA = anchorPass()
+    val anchorB = anchorPass()
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","rows":$rows,""" +
-        s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,"queries":$qs,""" +
+        s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,""" +
+        s""""anchor_a":$anchorA,"anchor_b":$anchorB,"queries":$qs,""" +
         s""""slowest":$slowest,"n_queries":${names.size},"n_failed":$nFailed,""" +
         s""""total_sec":$total,"sf":"$sfDir"}"""
     println(line)

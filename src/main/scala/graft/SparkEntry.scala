@@ -3068,6 +3068,153 @@ object SparkEntry {
           .as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  // The TPC-H join suite, adapted to this corpus's reduced schemas (no
+  // partsupp table, no l_shipmode/commitdate, single-word p_type, no
+  // o_shippriority): Q3/Q5/Q10/Q14/Q18 — the canonical multi-join
+  // benchmark shapes an OLAP engine is judged on after Q1/Q6's scans.
+  // Plan discipline shared by all five: filters sit ON the scans (pushed
+  // to parquet), tiny dims (region, nation) are explicit broadcasts,
+  // SF-scaling tables (customer, orders, supplier, part) join by hash on
+  // their PK-FK keys and are left to AQE to broadcast when a filter makes
+  // a side small — at 100 TB those sides are cluster-scale and the
+  // shuffle join on the key IS the plan. Every top-k is orderBy.limit
+  // (TakeOrderedAndProject), ordered on the revenue with key tiebreaks.
+  // Exactness discipline: price and discount are 2-decimal values, so
+  // per-line revenue is accumulated as the EXACT integer
+  // round(price·100)·(100 − round(disc·100)) in 10⁻⁴ currency units; the
+  // integer sum is bit-identical everywhere and divides back to money
+  // ONCE per group with no decimal rounding at all — a float sum rounds
+  // differently by add order, and even an exact sum hits the
+  // round-semantics split (Spark rounds the shortest decimal string,
+  // DuckDB the binary value: an exact 307843.595 went .60 vs .59), so
+  // the row's money value is the raw units/1e4 quotient, identical in
+  // both engines because both divide the same long by the same constant.
+
+  /** Per-line revenue `l_extendedprice·(1−l_discount)` in exact 1e-4
+    * currency units (long). Safe to 2^53 ≈ 9e15 units per sum.
+    */
+  private def revUnits: org.apache.spark.sql.Column =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+
+  /** TPC-H Q3 (shipping priority): unshipped BUILDING-segment orders by
+    * revenue. Output drops o_shippriority (absent here).
+    */
+  private def qTpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      .select(col("l_orderkey"), revUnits.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(col("rev")) / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+  }
+
+  /** TPC-H Q5 (local supplier volume): 1996 revenue per ASIA nation where
+    * the supplier and customer share the nation. The nation⋈region
+    * reduction broadcasts (≤25 rows); the supplier join carries BOTH the
+    * s_suppkey equi-key and the s_nationkey=c_nationkey locality condition
+    * in one hash join.
+    */
+  private def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    val asiaN = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), revUnits.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("rev")) / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    * lost to returns in 1996-Q1. Output reduced to the columns this
+    * corpus carries (no address/phone/comment).
+    */
+  private def qTpchQ10(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revUnits.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg((sum(col("rev")) / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+  }
+
+  /** TPC-H Q14 (promotion effect): the share of September-1996 revenue
+    * from PROMO parts — filter-join-aggregate to ONE row. p_type here is
+    * a single word, so the predicate is equality, not LIKE 'PROMO%'.
+    */
+  private def qTpchQ14(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("l_partkey"), revUnits.as("rev"))
+      .join(Tables.part(s, d).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L)) /
+          sum(col("rev"))).as("promo_revenue_pct"),
+        count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds 300, with their customer — the classic
+    * aggregate-then-join-back shape: the HAVING filter reduces lineitem
+    * to a tiny order set BEFORE any wide join, so the orders/customer
+    * joins probe with the survivors only. Quantities are whole numbers
+    * in doubles, so the >300 cut is exact in both engines; o_totalprice
+    * is stored data, not a float computation.
+    */
+  private def qTpchQ18(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+
   /** Zero-seeded EWMA (α = ½) of the daily event-count series — the
     * smoothing monitor read next to [[qChangepoint]] and [[qTrendTest]].
     * Computed by the literal recursion eₜ = (eₜ₋₁ + cₜ)·½, folded over the
@@ -5009,7 +5156,12 @@ object SparkEntry {
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_stream_hll" -> (qStreamHll _),
+    "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_ewma" -> (qEwma _),
     "q_link_prediction" -> (qLinkPrediction _),
     "q_lang_confusion" -> (qLangConfusion _)
@@ -6851,6 +7003,80 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // q_tpch_q3/q5/q10/q14/q18: the same joins, group keys, exact
+    // integer-unit revenue sums, and (revenue, key) top-k tiebreaks as
+    // the engine — see the qTpchQ3 suite note on rounding
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate,
+        |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+        |           / 10000.0 AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+        |         / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+        |           / 10000.0 AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1, 2, 3, 4)
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT 100.0 *
+        |         SUM(CASE WHEN p_type = 'PROMO'
+        |                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |                       (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+        |                  ELSE 0 END) /
+        |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+        |         AS promo_revenue_pct,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300.0)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     // q_ewma: the literal recursion e_t = (e_{t-1} + c_t) * 0.5 — the same
     // IEEE operation order as the engine's fold, so values are
     // bit-identical and stay bounded for arbitrarily long day ranges
