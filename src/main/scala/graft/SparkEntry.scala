@@ -3148,6 +3148,41 @@ object SparkEntry {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** TPC-H Q7 (volume shipping): 1996-1997 revenue between a nation PAIR,
+    * supplier nation × customer nation × year — the two-role dimension
+    * join (nation joined twice under different roles). Both nation sides
+    * are pre-filtered to the pair and broadcast, so the supplier and
+    * customer joins SEMI-reduce their fact sides before the asymmetric
+    * pair filter runs.
+    */
+  private def qTpchQ7(s: SparkSession, d: String): DataFrame = {
+    // NATION_18/19: a supplier-populated pair at every test SF (sf0.001
+    // carries only 10 suppliers across 25 nations, so most pairs are empty
+    // there)
+    val pair = Seq("NATION_18", "NATION_19")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), revUnits.as("rev"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg((sum(col("rev")) / 10000.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
     * lost to returns in 1996-Q1. Output reduced to the columns this
     * corpus carries (no address/phone/comment).
@@ -3190,6 +3225,53 @@ object SparkEntry {
           sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L)) /
           sum(col("rev"))).as("promo_revenue_pct"),
         count(lit(1)).as("n_rows"))
+
+  /** Deterministic per-group sample: 5 documents per source, chosen by
+    * the portable md5 rank (salted "gs|" — the sampling-salt discipline:
+    * unsalted, this sampler would correlate with every other key-hash
+    * sampler it composes with) — the "inspect a few examples from every
+    * source" utility a corpus review runs. The per-key `row_number <= 5`
+    * window is the [[graft.plans.RankLimitRule]] → TopKPerKey bounded-heap
+    * shape: one partitioned shuffle, O(k) state per source, no full
+    * per-group sort at any corpus size.
+    */
+  private def qGroupSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit("gs|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Cross-split near-dup leakage matrix: how many near-dup pairs (the
+    * write-once [[stagedDupPairs]] artifact at threshold 0.5) land with
+    * both members in the same train/val/test split vs straddling two —
+    * the contamination audit run on every split assignment before
+    * training (a test document with a train near-dup inflates eval). The
+    * pair set is read from the staged artifact (no pair recomputation);
+    * split assignment is the portable md5 rule of `q_split_counts`, so
+    * the oracle reproduces the exact matrix. Pairs are normalized to
+    * (least, greatest) split so the matrix is triangular.
+    */
+  private def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val sp = Sampling.assignSplitsPortable(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id",
+        valFraction = 0.1, testFraction = 0.1)
+      .select(col("doc_id"), col("split"))
+    stagedDupPairs(s, d)
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
 
   /** TPC-H Q18 (large-volume customers): orders whose total quantity
     * exceeds 300, with their customer — the classic
@@ -5159,9 +5241,12 @@ object SparkEntry {
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_group_sample" -> (qGroupSample _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_ewma" -> (qEwma _),
     "q_link_prediction" -> (qLinkPrediction _),
     "q_lang_confusion" -> (qLangConfusion _)
@@ -7038,6 +7123,78 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+        |         / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q_group_sample: identical salted portable md5 rank per source
+    "q_group_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(concat('gs|', CAST(doc_id AS VARCHAR))),
+        |                    doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+    // q_split_leakage: the q_dup_clusters exact pair set at 0.5 crossed
+    // with the q_split_counts portable split rule
+    "q_split_leakage" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b
+        |  FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.id
+        |  JOIN sizes sb ON i.id_b = sb.id
+        |  WHERE CAST(i.n_inter AS DOUBLE) /
+        |        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN h < 100000 THEN 'val'
+        |                      WHEN h < 200000 THEN 'test'
+        |                      ELSE 'train' END AS split
+        |  FROM (SELECT doc_id,
+        |               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |                    AS BIGINT) % 1000000 AS h
+        |        FROM documents))
+        |SELECT LEAST(a.split, b.split) AS split_a,
+        |       GREATEST(a.split, b.split) AS split_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       LEAST(a.split, b.split) <> GREATEST(a.split, b.split) AS is_leak
+        |FROM pairs p
+        |JOIN sp a ON p.id_a = a.doc_id
+        |JOIN sp b ON p.id_b = b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
         |  SELECT c_custkey, c_name, c_acctbal, n_name,
