@@ -3226,6 +3226,57 @@ object SparkEntry {
           sum(col("rev"))).as("promo_revenue_pct"),
         count(lit(1)).as("n_rows"))
 
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    * brand×quantity-band arms OR-ed together — the shape that exercises
+    * predicate pushdown under disjunction (the l_quantity bounds are
+    * per-arm, so only the DOMAIN hull `quantity between 1 and 35` can
+    * prune the scan; the full disjunction evaluates post-join). One
+    * PK-FK join against part; revenue in exact integer units.
+    */
+  private def qTpchQ19(s: SparkSession, d: String): DataFrame = {
+    val arms =
+      (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35))
+    Tables.lineitem(s, d)
+      // domain hull of the three arms — prunable at the scan even though
+      // the disjunction itself is not
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 35)
+      .select(col("l_partkey"), col("l_quantity"), revUnits.as("rev"))
+      .join(Tables.part(s, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(arms)
+      .agg(
+        (sum(col("rev")) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Embedding-column quality gate: the audit an ANN/training ingest runs
+    * before touching vectors — wrong-dimension rows, non-finite
+    * coordinates, zero-norm vectors (all of which poison cosine math and
+    * k-means), plus the norm envelope. One narrow scan, one row out; at
+    * 100 TB this is a map-side-combined aggregate over the vector column
+    * only. The expected result is all-zero counts — the row's value IS
+    * the standing zero, and a poisoned drop hash-mismatches the oracle.
+    */
+  private def qVectorAudit(s: SparkSession, d: String): DataFrame = {
+    val v = toDoubleArray(col("embedding"))
+    val nonFinite = size(filter(v, x => x.isNaN || x === Double.PositiveInfinity ||
+      x === Double.NegativeInfinity))
+    Tables.embeddings(s, d)
+      .select(
+        size(col("embedding")).as("dim"),
+        nonFinite.as("n_bad"),
+        NativeExpressions.vec_dot(v, v).as("sq"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_wrong_dim"),
+        sum(when(col("n_bad") > 0, 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("sq") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        round(sqrt(min(col("sq"))), 6).as("min_norm"),
+        round(sqrt(max(col("sq"))), 6).as("max_norm"))
+  }
+
   /** Deterministic per-group sample: 5 documents per source, chosen by
     * the portable md5 rank (salted "gs|" — the sampling-salt discipline:
     * unsalted, this sampler would correlate with every other key-hash
@@ -5245,8 +5296,10 @@ object SparkEntry {
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
     "q_group_sample" -> (qGroupSample _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_vector_audit" -> (qVectorAudit _),
     "q_ewma" -> (qEwma _),
     "q_link_prediction" -> (qLinkPrediction _),
     "q_lang_confusion" -> (qLangConfusion _)
@@ -7141,6 +7194,37 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+        |         / 10000.0 AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    // q_vector_audit: same finite/zero-norm/dim predicates over the raw
+    // float coords cast to double; norms via the identical sequential dot
+    "q_vector_audit" ->
+      """WITH x AS (
+        |  SELECT len(embedding) AS dim,
+        |         len(list_filter(embedding,
+        |             x -> isnan(CAST(x AS DOUBLE))
+        |                  OR NOT isfinite(CAST(x AS DOUBLE)))) AS n_bad,
+        |         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |           AS sq
+        |  FROM embeddings)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |       CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_wrong_dim,
+        |       CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_nonfinite,
+        |       CAST(SUM(CASE WHEN sq = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero_norm,
+        |       ROUND(SQRT(MIN(sq)), 6) AS min_norm,
+        |       ROUND(SQRT(MAX(sq)), 6) AS max_norm
+        |FROM x""".stripMargin,
     // q_group_sample: identical salted portable md5 rank per source
     "q_group_sample" ->
       """SELECT source, doc_id FROM (
