@@ -3148,6 +3148,29 @@ object SparkEntry {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** TPC-H Q4 (order-priority checking), adapted: orders in a quarter
+    * with at least one line item shipped AFTER the order date (the
+    * reduced schema has no commit/receipt dates; ship-after-order is the
+    * analogous lateness EXISTS), counted by priority. The correlated
+    * EXISTS plans as a LEFT SEMI join whose non-equi lateness condition
+    * rides the equi-join on the order key — one shuffle, no subquery
+    * re-execution per row.
+    */
+  private def qTpchQ4(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    ord.join(
+        Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   /** TPC-H Q7 (volume shipping): 1996-1997 revenue between a nation PAIR,
     * supplier nation × customer nation × year — the two-role dimension
     * join (nation joined twice under different roles). Both nation sides
@@ -5296,6 +5319,7 @@ object SparkEntry {
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q19" -> (qTpchQ19 _),
     "q_group_sample" -> (qGroupSample _),
     "q_split_leakage" -> (qSplitLeakage _),
@@ -7194,6 +7218,15 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q19" ->
       """SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
         |           (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
