@@ -3300,6 +3300,33 @@ object SparkEntry {
         round(sqrt(max(col("sq"))), 6).as("max_norm"))
   }
 
+  /** Dedup-impact report: per source, how many documents and characters
+    * exact dedup (min-doc_id survivorship over the md5 fingerprint, the
+    * [[graft.ext.Dedup.exact]] rule) would remove — the "what does dedup
+    * buy us" table in every corpus release note, and the number that
+    * justifies the pipeline stage. Compact shapes only: the fingerprint
+    * group-by shuffles (fp, id) pairs, the survivor set anti-joins back
+    * on doc_id, and both rollups land on the source domain.
+    */
+  private def qDedupSavings(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    val survivors = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val dropped = docs.join(survivors, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_dupes"), sum(col("n_chars")).as("dup_chars"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .join(dropped, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dupes"), lit(0L)).as("n_dupes"),
+        col("total_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .orderBy("source")
+  }
+
   /** Deterministic per-group sample: 5 documents per source, chosen by
     * the portable md5 rank (salted "gs|" — the sampling-salt discipline:
     * unsalted, this sampler would correlate with every other key-hash
@@ -5324,6 +5351,7 @@ object SparkEntry {
     "q_group_sample" -> (qGroupSample _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_vector_audit" -> (qVectorAudit _),
+    "q_dedup_savings" -> (qDedupSavings _),
     "q_ewma" -> (qEwma _),
     "q_link_prediction" -> (qLinkPrediction _),
     "q_lang_confusion" -> (qLangConfusion _)
@@ -7258,6 +7286,21 @@ object SparkEntry {
         |       ROUND(SQRT(MIN(sq)), 6) AS min_norm,
         |       ROUND(SQRT(MAX(sq)), 6) AS max_norm
         |FROM x""".stripMargin,
+    // q_dedup_savings: same md5 fingerprint + min-id survivorship rule
+    "q_dedup_savings" ->
+      """WITH surv AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |drp AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dupes,
+        |         CAST(SUM(n_chars) AS BIGINT) AS dup_chars
+        |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM surv)
+        |  GROUP BY source)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       COALESCE(MAX(drp.n_dupes), 0) AS n_dupes,
+        |       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+        |       COALESCE(MAX(drp.dup_chars), 0) AS dup_chars
+        |FROM documents d LEFT JOIN drp ON d.source = drp.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q_group_sample: identical salted portable md5 rank per source
     "q_group_sample" ->
       """SELECT source, doc_id FROM (
