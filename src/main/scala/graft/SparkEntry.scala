@@ -3206,6 +3206,83 @@ object SparkEntry {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q8 (national market share): the share of ASIA customers'
+    * PROMO-part revenue supplied from NATION_19, per order year — the
+    * conditional-share aggregate over the full dimensional join. The
+    * share divides two exact integer unit sums, so it is engine-identical
+    * with no rounding.
+    */
+  private def qTpchQ8(s: SparkSession, d: String): DataFrame = {
+    val asiaN = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("ck"))
+    val suppN = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revUnits.as("rev"))
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO")
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaN), col("c_nationkey") === col("ck"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppN), col("s_nationkey") === col("sk"))
+      .groupBy(col("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_19", col("rev")).otherwise(0L))
+          .cast("double") / sum(col("rev"))).as("mkt_share"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13 (customer distribution): the histogram of per-customer
+    * order counts INCLUDING zero-order customers — the left-outer-join +
+    * two-level-aggregate shape (count lands on the compact count domain;
+    * customers with no orders survive the outer join as count 0).
+    */
+  private def qTpchQ13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q17 (small-quantity-order revenue): Brand#1 lines whose
+    * quantity is under half their PART's average quantity — the
+    * correlated-aggregate-subquery shape, decorrelated into a per-part
+    * average joined back on the part key (two lineitem scans, one
+    * partkey shuffle each; the quantity average is exact — whole-number
+    * doubles summed then divided identically in both engines).
+    */
+  private def qTpchQ17(s: SparkSession, d: String): DataFrame = {
+    val avgQ = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("ap"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), revUnits.as("rev"))
+      .join(Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.5) * col("aq"))
+      .agg(
+        (sum(col("rev")) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
     * lost to returns in 1996-Q1. Output reduced to the columns this
     * corpus carries (no address/phone/comment).
@@ -5343,7 +5420,10 @@ object SparkEntry {
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_tpch_q4" -> (qTpchQ4 _),
@@ -7355,6 +7435,45 @@ object SparkEntry {
         |JOIN sp a ON p.id_a = a.doc_id
         |JOIN sp b ON p.id_b = b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_tpch_q8/q13/q17: same joins and exact integer-unit revenue; the
+    // q8 share and q17 threshold divide identical exact values
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |       CAST(SUM(CASE WHEN n1.n_name = 'NATION_19'
+        |                     THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |                          (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+        |                     ELSE 0 END) AS DOUBLE) /
+        |       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS mkt_share,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH a AS (SELECT l_partkey AS ap, AVG(l_quantity) AS aq
+        |           FROM lineitem GROUP BY 1)
+        |SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+        |         / 10000.0 AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem l
+        |JOIN part ON l.l_partkey = p_partkey AND p_brand = 'Brand#1'
+        |JOIN a ON l.l_partkey = a.ap
+        |WHERE l.l_quantity < 0.5 * a.aq""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
         |  SELECT c_custkey, c_name, c_acctbal, n_name,
