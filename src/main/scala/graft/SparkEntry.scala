@@ -3070,8 +3070,11 @@ object SparkEntry {
 
   // The TPC-H join suite, adapted to this corpus's reduced schemas (no
   // partsupp table, no l_shipmode/commitdate, single-word p_type, no
-  // o_shippriority): Q3/Q5/Q10/Q14/Q18 — the canonical multi-join
-  // benchmark shapes an OLAP engine is judged on after Q1/Q6's scans.
+  // o_shippriority): Q3/Q4/Q5/Q7/Q8/Q10/Q13/Q14/Q17/Q18/Q19 beside
+  // Q1/Q6's scans — the canonical multi-join benchmark shapes an OLAP
+  // engine is judged on. (Q2/Q9/Q11/Q16/Q20 need partsupp; Q12/Q21 need
+  // ship mode and commit/receipt dates; Q22 needs the phone column —
+  // all absent here.)
   // Plan discipline shared by all five: filters sit ON the scans (pushed
   // to parquet), tiny dims (region, nation) are explicit broadcasts,
   // SF-scaling tables (customer, orders, supplier, part) join by hash on
@@ -3259,6 +3262,28 @@ object SparkEntry {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q15 (top supplier): the supplier(s) with the maximum revenue
+    * over a quarter — the view + scalar-max-subquery shape: the revenue
+    * "view" materializes as one per-supplier aggregate, its max attaches
+    * back as a 1-row broadcast, and the winner filter is an exact
+    * integer-unit equality (no float max ties to break).
+    */
+  private def qTpchQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"), revUnits.as("rev"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev")).as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("total_rev") / 10000.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
 
   /** TPC-H Q17 (small-quantity-order revenue): Brand#1 lines whose
     * quantity is under half their PART's average quantity — the
@@ -5423,6 +5448,7 @@ object SparkEntry {
     "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q18" -> (qTpchQ18 _),
@@ -7463,6 +7489,19 @@ object SparkEntry {
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY 1)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev / 10000.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_tpch_q17" ->
       """WITH a AS (SELECT l_partkey AS ap, AVG(l_quantity) AS aq
         |           FROM lineitem GROUP BY 1)
