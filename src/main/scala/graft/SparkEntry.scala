@@ -3070,7 +3070,7 @@ object SparkEntry {
 
   // The TPC-H join suite, adapted to this corpus's reduced schemas (no
   // partsupp table, no l_shipmode/commitdate, single-word p_type, no
-  // o_shippriority): Q3/Q4/Q5/Q7/Q8/Q10/Q13/Q14/Q17/Q18/Q19 beside
+  // o_shippriority): Q3/Q4/Q5/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18/Q19 beside
   // Q1/Q6's scans — the canonical multi-join benchmark shapes an OLAP
   // engine is judged on. (Q2/Q9/Q11/Q16/Q20 need partsupp; Q12/Q21 need
   // ship mode and commit/receipt dates; Q22 needs the phone column —
