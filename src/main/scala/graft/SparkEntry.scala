@@ -3402,6 +3402,41 @@ object SparkEntry {
         round(sqrt(max(col("sq"))), 6).as("max_norm"))
   }
 
+  /** Deterministic negative sampling for a (customer, part) interaction
+    * model — the recsys/contrastive data-prep op: per customer, 3
+    * hash-generated candidate parts (portable salted md5 onto the valid
+    * part-id range), then the POSITIVES ANTI-JOIN — a generated candidate
+    * the customer actually bought is dropped, which is the step naive
+    * samplers skip and the reason this is a distributed op at all (the
+    * positive set is corpus-sized; candidates join against it on the
+    * compact (cust, part) key). Output is the per-customer negative count
+    * plus the collision count with positives, both exact.
+    */
+  private def qNegativeSample(s: SparkSession, d: String): DataFrame = {
+    val pos = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+      .distinct()
+    val maxPk = Tables.part(s, d).agg(max(col("p_partkey")).as("max_pk"))
+    val cand = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      .crossJoin(broadcast(maxPk))
+      .select(col("custkey"), explode(array((1 to 3).map(lit): _*)).as("i"),
+        col("max_pk"))
+      .select(col("custkey"),
+        (pmod(conv(substring(md5(concat(lit("neg|"), col("custkey"),
+          lit("|"), col("i"))), 1, 12), 16, 10).cast("long"), col("max_pk"))
+          + 1).as("partkey"))
+    cand
+      .join(pos.withColumn("is_pos", lit(1L)), Seq("custkey", "partkey"), "left")
+      .groupBy("custkey")
+      .agg(
+        sum(when(col("is_pos").isNull, 1L).otherwise(0L)).as("n_negatives"),
+        sum(when(col("is_pos").isNotNull, 1L).otherwise(0L)).as("n_collisions"))
+      .orderBy("custkey")
+  }
+
   /** Dedup-impact report: per source, how many documents and characters
     * exact dedup (min-doc_id survivorship over the md5 fingerprint, the
     * [[graft.ext.Dedup.exact]] rule) would remove — the "what does dedup
@@ -5458,6 +5493,7 @@ object SparkEntry {
     "q_split_leakage" -> (qSplitLeakage _),
     "q_vector_audit" -> (qVectorAudit _),
     "q_dedup_savings" -> (qDedupSavings _),
+    "q_negative_sample" -> (qNegativeSample _),
     "q_ewma" -> (qEwma _),
     "q_link_prediction" -> (qLinkPrediction _),
     "q_lang_confusion" -> (qLangConfusion _)
@@ -7392,6 +7428,27 @@ object SparkEntry {
         |       ROUND(SQRT(MIN(sq)), 6) AS min_norm,
         |       ROUND(SQRT(MAX(sq)), 6) AS max_norm
         |FROM x""".stripMargin,
+    // q_negative_sample: identical salted md5 candidate hash onto the
+    // valid part-id range; positives anti-joined identically
+    "q_negative_sample" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |mx AS (SELECT MAX(p_partkey) AS max_pk FROM part),
+        |cand AS (
+        |  SELECT c_custkey AS custkey,
+        |         CAST(('0x' || substr(md5(concat('neg|',
+        |                CAST(c_custkey AS VARCHAR), '|', CAST(i AS VARCHAR))),
+        |              1, 12)) AS BIGINT) % max_pk + 1 AS partkey
+        |  FROM customer, mx, generate_series(1, 3) AS t(i))
+        |SELECT c.custkey,
+        |       CAST(SUM(CASE WHEN p.partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_negatives,
+        |       CAST(SUM(CASE WHEN p.partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_collisions
+        |FROM cand c LEFT JOIN pos p
+        |  ON c.custkey = p.custkey AND c.partkey = p.partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_dedup_savings: same md5 fingerprint + min-id survivorship rule
     "q_dedup_savings" ->
       """WITH surv AS (
