@@ -75,10 +75,14 @@ object SparkEntry {
     * staged copies unboundedly.
     */
   private val dirTagMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // every tag-keyed /tmp/graft_* staging root — MUST list each root the
+  // code writes under dirTag(d), or the stale-tag reaper leaks that tree
+  // across data regenerations (found missing csvrt/orcrt/pairs in r10)
   private val artifactRoots = Seq(
-    "graft_ann", "graft_bucketed", "graft_compact", "graft_evo",
-    "graft_json", "graft_partitioned", "graft_pr", "graft_sigs",
-    "graft_stream", "graft_zorder")
+    "graft_ann", "graft_bucketed", "graft_compact", "graft_csvrt",
+    "graft_evo", "graft_json", "graft_orcrt", "graft_pairs",
+    "graft_partitioned", "graft_pr", "graft_sigs", "graft_stream",
+    "graft_zorder")
   private def dirTag(d: String): String =
     dirTagMemo.computeIfAbsent(d, { dir =>
       val fp = new StringBuilder(dir)
@@ -1831,7 +1835,9 @@ object SparkEntry {
         li.select(col(c).as("v"))
           .groupBy("v").agg(count(lit(1)).as("cnt"))
           .agg(
-            sum(col("cnt")).as("n"),
+            // coalesce: an empty input must profile as n=0 per column (the
+            // oracle's COUNT(*) branches emit one row each), not n=NULL
+            coalesce(sum(col("cnt")), lit(0L)).as("n"),
             coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
               .as("n_nulls"),
             count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
@@ -3870,13 +3876,17 @@ object SparkEntry {
     * exact side + LSH side, each with attaches). Single-file coalesce is
     * an oracle-scale convenience; a production artifact stays partitioned.
     */
+  // repartition(1), NOT coalesce(1): these derivation plans are
+  // shuffle-free, so a coalesce would propagate up and run the corpus-wide
+  // text→signature pass on ONE task — repartition keeps the map side
+  // parallel and only the tiny single-file write serializes
   private def stagedMinhashSigs(s: SparkSession, d: String): DataFrame = {
     val dir = s"/tmp/graft_sigs/${dirTag(d)}/minhash64"
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           minhashSignature(charShingles(col("text"), 5), 64).as("sig"))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+        .repartition(1).write.mode("overwrite").parquet(dir)
     s.read.parquet(dir)
   }
 
@@ -3885,7 +3895,7 @@ object SparkEntry {
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Similarity.portableTfVecs(
           Tables.documents(s, d), "doc_id", "text", dims = 256, ngram = 2)
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+        .repartition(1).write.mode("overwrite").parquet(dir)
     s.read.parquet(dir)
   }
 

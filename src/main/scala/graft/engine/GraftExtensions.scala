@@ -26,11 +26,10 @@ import graft.functions.NativeExpressions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn expects a literal integer argument, got: $other")
-  }
+  // shared with GraftFunctions' temp-function path — both registration
+  // paths fail identically and informatively through one definition
+  private def intArg(e: Expression, fn: String): Int =
+    literalInt(e, fn)
 
   private def entry(
       name: String,
@@ -83,10 +82,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => ArrayCountEq(args(0), strArg(args(1), "graft_array_count_eq"))))
   }
 
-  private def strArg(e: Expression, fn: String): String = e match {
-    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
-      v.toString
-    case other => throw new IllegalArgumentException(
-      s"$fn expects a literal string argument, got: $other")
-  }
+  private def strArg(e: Expression, fn: String): String =
+    literalString(e, fn)
 }

@@ -20,43 +20,42 @@ object GraftFunctions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import NativeExpressions._
     val r = spark.sessionState.functionRegistry
-    // fail identically and informatively in BOTH registration paths (this
-    // temp-function path and GraftExtensions' injectFunction path): a
+    // literal extraction delegates to the SHARED helpers in
+    // NativeExpressions so this temp-function path and GraftExtensions'
+    // injectFunction path fail identically and informatively (a
     // non-literal or NULL argument raises a descriptive
-    // IllegalArgumentException, never an opaque ClassCastException/NPE
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-    def intArg(e: Expression): Int = e match {
-      case Literal(v: Number, _) if v != null => v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"expected a literal integer argument, got: $other")
-    }
-    def strArg(e: Expression): String = e match {
-      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
-        v.toString
-      case other => throw new IllegalArgumentException(
-        s"expected a literal string argument, got: $other")
-    }
+    // IllegalArgumentException naming the function, never an opaque
+    // ClassCastException/NPE) — one definition, no drift between paths
+    import NativeExpressions.{literalInt, literalString}
     r.createOrReplaceTempFunction("graft_tokenize", a => Tokenize(a.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_simhash64", a => SimHash64(a.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_vec_dot", a => VecDot(a(0), a(1)), "scala_udf")
     r.createOrReplaceTempFunction(
-      "graft_minhash_sig", a => MinHashSig(a(0), intArg(a(1))), "scala_udf")
+      "graft_minhash_sig",
+      a => MinHashSig(a(0), literalInt(a(1), "graft_minhash_sig")), "scala_udf")
     r.createOrReplaceTempFunction(
-      "graft_hyperplane_bits", a => HyperplaneBits(a(0), intArg(a(1))), "scala_udf")
+      "graft_hyperplane_bits",
+      a => HyperplaneBits(a(0), literalInt(a(1), "graft_hyperplane_bits")), "scala_udf")
     r.createOrReplaceTempFunction(
-      "graft_chunk_keys", a => ChunkKeys(a(0), intArg(a(1)), intArg(a(2))), "scala_udf")
+      "graft_chunk_keys",
+      a => ChunkKeys(a(0), literalInt(a(1), "graft_chunk_keys"),
+        literalInt(a(2), "graft_chunk_keys")), "scala_udf")
     r.createOrReplaceTempFunction(
-      "graft_char_shingles", a => CharShingles(a(0), intArg(a(1))), "scala_udf")
+      "graft_char_shingles",
+      a => CharShingles(a(0), literalInt(a(1), "graft_char_shingles")), "scala_udf")
     r.createOrReplaceTempFunction(
-      "graft_word_shingles", a => WordShingles(a(0), intArg(a(1))), "scala_udf")
+      "graft_word_shingles",
+      a => WordShingles(a(0), literalInt(a(1), "graft_word_shingles")), "scala_udf")
     r.createOrReplaceTempFunction(
       "graft_bounded_levenshtein",
-      a => BoundedLevenshtein(a(0), a(1), intArg(a(2))), "scala_udf")
+      a => BoundedLevenshtein(a(0), a(1),
+        literalInt(a(2), "graft_bounded_levenshtein")), "scala_udf")
     r.createOrReplaceTempFunction(
-      "graft_deletion_hashes", a => DeletionHashes(a(0), intArg(a(1))), "scala_udf")
+      "graft_deletion_hashes",
+      a => DeletionHashes(a(0), literalInt(a(1), "graft_deletion_hashes")), "scala_udf")
     r.createOrReplaceTempFunction(
       "graft_array_count_eq",
-      a => ArrayCountEq(a(0), strArg(a(1))), "scala_udf")
+      a => ArrayCountEq(a(0), literalString(a(1), "graft_array_count_eq")), "scala_udf")
   }
 
   // ---------------------------------------------------------------- tokens

@@ -28,6 +28,25 @@ object NativeExpressions {
 
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
+  /** Literal-argument extractors shared by BOTH function-registration
+    * paths (GraftExtensions' injectFunction and GraftFunctions'
+    * temp-function registry), so a bad argument fails with the SAME
+    * descriptive error everywhere — one definition, no drift.
+    */
+  def literalInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
+        if v != null => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got: $other")
+  }
+
+  def literalString(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, _)
+        if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got: $other")
+  }
+
   private val P31 = 2147483647L // 2^31 - 1, prime
 
   /** Analysis-time type gate shared by the SQL-registered expressions: a

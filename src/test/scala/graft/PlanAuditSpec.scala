@@ -341,8 +341,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q_knn_label_noise", // the quarantined sampled-audit shape
                            // (sample×corpus, bounded by the hash sample) —
                            // the Similarity.sampledRecallAudit discipline
-      "q_hybrid_fusion" // the q_bm25 1-row corpus-stats attach, feeding
-                        // both scorers from one scan
+      "q_hybrid_fusion", // the q_bm25 1-row corpus-stats attach, feeding
+                         // both scorers from one scan
+      "q_negative_sample" // 1-row max-partkey attach onto the customer
+                          // scan (candidate range bound) — size-bounded
+                          // by design, the q_bm25 shape
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
