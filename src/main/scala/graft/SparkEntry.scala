@@ -3102,7 +3102,7 @@ object SparkEntry {
   /** Per-line revenue `l_extendedprice·(1−l_discount)` in exact 1e-4
     * currency units (long). Safe to 2^53 ≈ 9e15 units per sum.
     */
-  private def revUnits: org.apache.spark.sql.Column =
+  private[graft] def revUnits: org.apache.spark.sql.Column =
     round(col("l_extendedprice") * 100).cast("long") *
       (lit(100L) - round(col("l_discount") * 100).cast("long"))
 

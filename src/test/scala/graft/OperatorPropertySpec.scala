@@ -12,6 +12,33 @@ import graft.sources.Tables
 class OperatorPropertySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("revUnits is the exact integer decomposition of price*(1-discount)") {
+    // the TPC-H suite's money sums accumulate round(price*100)*(100-d*100)
+    // in 1e-4 currency units; this pins that the decomposition is EXACTLY
+    // BigDecimal price*(1-disc) for every 2-decimal (price, discount) pair
+    // — the invariant that makes the revenue sums engine-identical
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(2000) { _ =>
+      val price = BigDecimal(1 + rnd.nextInt(9999999)) / 100 // 0.01..99999.99
+      val disc = BigDecimal(rnd.nextInt(11)) / 100           // 0.00..0.10
+      (price.toDouble, disc.toDouble)
+    }
+    import spark.implicits._
+    val got = rows.toDF("l_extendedprice", "l_discount")
+      .select(SparkEntry.revUnits.as("u"))
+      .collect().map(_.getLong(0))
+    rows.zip(got).foreach { case ((price, disc), u) =>
+      val exact = (BigDecimal(price) * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP) *
+        (100 - (BigDecimal(disc) * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP))
+      assert(BigDecimal(u) == exact, s"price=$price disc=$disc units=$u exact=$exact")
+      // and the decomposition IS price*(1-disc) in exact decimal arithmetic
+      val money = BigDecimal(u) / 10000
+      assert(money == BigDecimal(price) * (1 - BigDecimal(disc)),
+        s"units/1e4=$money != exact ${BigDecimal(price) * (1 - BigDecimal(disc))}")
+    }
+  }
+
   test("hash partition conserves row count and per-column checksum") {
     val li = Tables.lineitem(spark, sf0001)
     val before = li.agg(
