@@ -103,11 +103,17 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
-    // variance anchor: a fixed 10-row subset measured TWICE MORE in this
-    // same JVM, both runs reported — the within-session noise floor that
-    // round-over-round comparisons should be read against (single-run
-    // full-catalog totals have varied ±40% with box weather; the anchor
-    // pair shows how much of any round delta is machine, not code)
+    // variance anchor: a fixed 10-row subset re-measured in this same JVM
+    // after the full run, reported as two sides for comparison — the
+    // within-session noise floor that round-over-round comparisons should
+    // be read against (single-run full-catalog totals have varied ±40%
+    // with box weather). Each side is the MIN OF THREE back-to-back
+    // measurements (r10 verdict: single measurements spread 18-31% under
+    // scheduler weather even in-session; the min of three is the
+    // repeatable floor, so the a/b spread now isolates genuine drift).
+    // A failed measurement is OMITTED from the map, never recorded as the
+    // -1.0 sentinel (ADVICE r10) — variance consumers must not average a
+    // sentinel into the noise floor.
     // (skipped for subset invocations: anchors would run cold there and
     // the pair would measure warm-up, not variance)
     val anchorNames = (if (args.nonEmpty) Seq.empty[String] else Seq(
@@ -115,7 +121,11 @@ object Bench {
       "q_window", "q_tfidf", "q_sessionize", "q_topk_per_key",
       "q_minhash_pairs")).filter(SparkEntry.queries.contains)
     def anchorPass(): String = anchorNames
-      .map(n => s""""$n":${num(materialize(n, report = false)._1, 3)}""")
+      .flatMap { n =>
+        val ts = (1 to 3)
+          .map(_ => materialize(n, report = false)._1).filter(_ >= 0)
+        if (ts.isEmpty) None else Some(s""""$n":${num(ts.min, 3)}""")
+      }
       .mkString("{", ",", "}")
     val anchorA = anchorPass()
     val anchorB = anchorPass()

@@ -80,9 +80,29 @@ object SparkEntry {
   // across data regenerations (found missing csvrt/orcrt/pairs in r10)
   private val artifactRoots = Seq(
     "graft_ann", "graft_bucketed", "graft_compact", "graft_csvrt",
-    "graft_evo", "graft_json", "graft_orcrt", "graft_pairs",
+    "graft_evo", "graft_json", "graft_knn", "graft_orcrt", "graft_pairs",
     "graft_partitioned", "graft_pr", "graft_sigs", "graft_stream",
     "graft_zorder")
+  /** JVM-wide single-writer gate for the write-once `/tmp/graft_*`
+    * staging artifacts (ADVICE r10): without it, two sessions in THIS JVM
+    * racing the same check-then-write could both enter `mode(overwrite)`
+    * while a third reads a half-replaced directory. The build now
+    * serializes behind a per-directory lock with a double guard check.
+    * Cross-JVM races remain a documented single-writer assumption — the
+    * same one in-place data regeneration already carries (see [[dirTag]]'s
+    * reaper note).
+    */
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def stagedOnceGuarded(dir: String)(ready: => Boolean)(
+      write: => Unit): Unit =
+    if (!ready)
+      stageLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+        if (!ready) write
+      }
+  private def stagedOnce(dir: String)(write: => Unit): Unit =
+    stagedOnceGuarded(dir)(new java.io.File(dir, "_SUCCESS").exists())(write)
+
   private def dirTag(d: String): String =
     dirTagMemo.computeIfAbsent(d, { dir =>
       val fp = new StringBuilder(dir)
@@ -210,7 +230,7 @@ object SparkEntry {
   private def bucketedTable(
       s: SparkSession, table: String, path: String, schemaDdl: String,
       key: String)(build: => DataFrame): DataFrame = {
-    if (!s.catalog.tableExists(table)) {
+    stagedOnceGuarded(path)(s.catalog.tableExists(table)) {
       if (new java.io.File(path, "_SUCCESS").exists())
         s.sql(
           s"""CREATE TABLE IF NOT EXISTS $table ($schemaDdl) USING parquet
@@ -411,6 +431,79 @@ object SparkEntry {
       .orderBy(
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+
+  /** percentile_disc vs percentile_cont cross-check per group — the two
+    * ANSI WITHIN-GROUP order statistics side by side over per-flag
+    * quantities. The oracle derives `disc` from FIRST PRINCIPLES (the
+    * smallest value whose cume_dist ≥ p — the ANSI definition — via a
+    * window, not DuckDB's quantile_disc, whose index rounding is not
+    * guaranteed to match), so Spark's builtin is checked against the
+    * definition itself; `cont` interpolates linearly at (n−1)·p, which
+    * over whole-number quantities at quarter fractions is EXACT
+    * quarter-integer arithmetic in any engine — bit-identical without
+    * rounding. Scale: one hash shuffle on the group key; each group's
+    * sort is per-key (no global ordering).
+    */
+  private def qPercentilesWithin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("p25_disc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("p50_disc"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("p75_disc"),
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("p25_cont"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("p50_cont"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)")
+          .cast("double").as("p75_cont"))
+      .orderBy("l_returnflag")
+
+  /** Interval-OVERLAP join (the symmetric sibling of [[qAsofJoin]] and
+    * the point-in-interval [[qRangeJoin]]): per-user daily sessions
+    * [first event, last event] from two disjoint user cohorts, paired
+    * when they overlap in time — the co-presence join behind concurrency
+    * billing, contention analysis, and contact tracing. The production
+    * shape is day-partitioned + HOUR-BANDED: each interval explodes into
+    * the hour buckets it spans (sessions are hours long, so the
+    * expansion is small and bounded), candidates meet on the (day,
+    * bucket) equi-key — never a per-day cross product — and a pair is
+    * counted only in the bucket holding its overlap START
+    * (`floor(max(a_start, b_start))` — the standard dedup that avoids a
+    * distinct shuffle over multi-bucket pairs). Overlap lengths sum as
+    * exact integer µs. The DuckDB oracle is the quadratic per-day join —
+    * differential proof that banding loses no pair. At 100 TB the
+    * candidate volume is governed by bucket width: narrower bands trade
+    * map-side expansion for fewer false candidates, and the day key
+    * partition-prunes both sides.
+    */
+  private def qIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id", "day")
+      .agg(min(col("us")).as("a"), max(col("us")).as("b"))
+    def banded(m: Int, p: String) = sess
+      .filter(pmod(col("user_id"), lit(10)) === m)
+      .select(col("user_id").as(s"${p}_uid"), col("day"),
+        col("a").as(s"${p}_a"), col("b").as(s"${p}_b"),
+        explode(sequence(
+          expr("a div 3600000000"), expr("b div 3600000000"))).as("bucket"))
+    banded(0, "x").join(banded(1, "y"), Seq("day", "bucket"))
+      .filter(col("x_a") <= col("y_b") && col("y_a") <= col("x_b") &&
+        col("bucket") === expr("greatest(x_a, y_a) div 3600000000"))
+      .select(col("day"),
+        (least(col("x_b"), col("y_b")) - greatest(col("x_a"), col("y_a")))
+          .as("ov_us"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ov_us")).as("sum_overlap_us"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_pairs"), col("sum_overlap_us"))
+      .orderBy("day")
+  }
 
   /** Set operations: UNION ALL / INTERSECT / EXCEPT over key projections. */
   private def qSetOps(s: SparkSession, d: String): DataFrame = {
@@ -1056,8 +1149,9 @@ object SparkEntry {
     */
   private def stagedEvents(s: SparkSession, d: String): String = {
     val staged = s"/tmp/graft_stream/${dirTag(d)}/events"
-    if (!new java.io.File(staged, "_SUCCESS").exists())
+    stagedOnce(staged) {
       Tables.events(s, d).coalesce(1).write.mode("overwrite").parquet(staged)
+    }
     staged
   }
 
@@ -1180,7 +1274,7 @@ object SparkEntry {
   private def qStreamDedup(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
     val dupStaged = s"/tmp/graft_stream/$tag/events_dup"
-    if (!new java.io.File(dupStaged, "_SUCCESS").exists()) {
+    stagedOnce(dupStaged) {
       val e = Tables.events(s, d)
       e.unionAll(e).coalesce(1).write.mode("overwrite").parquet(dupStaged)
     }
@@ -1226,7 +1320,8 @@ object SparkEntry {
     // drops _SUCCESS before the sentinels are moved in, and a crash in
     // that window would otherwise leave a half-staged feed that emits
     // nothing (no sentinel → watermark never passes any session's end)
-    if (!new java.io.File(dir, "zz-sentinel2.parquet").exists()) {
+    stagedOnceGuarded(dir)(
+      new java.io.File(dir, "zz-sentinel2.parquet").exists()) {
       val e = Tables.events(s, d)
       e.coalesce(1).write.mode("overwrite").parquet(dir)
       val maxUs = e.agg(unix_micros(max(col("ts")))).head().getLong(0)
@@ -1313,7 +1408,8 @@ object SparkEntry {
   private def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
     val base = s"/tmp/graft_evo/$tag"
-    if (!new java.io.File(s"$base/gen2", "_SUCCESS").exists()) {
+    stagedOnceGuarded(base)(
+      new java.io.File(s"$base/gen2", "_SUCCESS").exists()) {
       val e = Tables.events(s, d)
       e.filter(col("event_id") % 2 === 0)
         .select("event_id", "event_type")
@@ -2373,11 +2469,12 @@ object SparkEntry {
     val dir = s"/tmp/graft_orcrt/${dirTag(d)}/events"
     // guard on _SUCCESS, not the directory: a crashed mid-write leaves a
     // partial directory that a bare exists-check would serve forever
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+    stagedOnce(dir) {
       Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").orc(dir)
+    }
     s.read.orc(dir).orderBy("event_id")
   }
 
@@ -2720,7 +2817,8 @@ object SparkEntry {
     * list_id-keyed join (sample × corpus/4 candidate work, shrinking with
     * nlist at scale), and votes neighbor labels from the probed lists.
     * The exact sample×corpus side — the [[Similarity.sampledRecallAudit]]
-    * quarantined-audit shape, bounded by the sample — runs BESIDE it as
+    * quarantined-audit shape, bounded by the sample — is the write-once
+    * [[stagedKnnSuspects]] artifact (paid once per corpus), read here as
     * the recall audit, and the row emits the exact suspects (per-pair
     * dots are bit-identical across engines, so the DuckDB oracle
     * reproduces them) plus `ann_ok`: the in-plan verdict that the
@@ -2728,10 +2826,11 @@ object SparkEntry {
     * (suspect overlap 75/87/87% at sf0.001/0.01/0.1; floor 60%, the
     * probe-pruning trade on structureless embeddings).
     */
-  private def qKnnLabelNoise(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val (idx, cents, _) = annIndex(s, d)
+  /** The corpus (vec_id, label, v) projection and its portable 30% hash
+    * sample of query vectors — shared by [[qKnnLabelNoise]]'s ANN
+    * production path and the [[stagedKnnSuspects]] exact-audit builder.
+    */
+  private def knnFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
     val q = e.filter(
@@ -2739,6 +2838,45 @@ object SparkEntry {
         1, 12), 16, 10).cast("long"), lit(1000000L)) < 300000L)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"))
+    (e, q)
+  }
+
+  /** Write-once staged EXACT k-NN suspect set — the quarantined
+    * sample×corpus audit side of [[qKnnLabelNoise]], now staged under the
+    * [[stagedDupPairs]] discipline (r10 verdict #6): the exact audit is a
+    * pure function of the corpus directory and was the row's dominant
+    * cost, so it is paid ONCE per corpus and every later run (bench,
+    * verify, repeated sessions) reads the KB-scale (q_id, q_label)
+    * parquet instead of re-scanning sample×corpus. The audit semantics
+    * are unchanged — the staged set IS the exact answer the verdict
+    * compares the index-served suspects against.
+    */
+  private def stagedKnnSuspects(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_knn/${dirTag(d)}/suspects3"
+    stagedOnce(dir) {
+      import org.apache.spark.sql.expressions.Window
+      val (e, q) = knnFrames(s, d)
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      q.join(e, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          cosineSimilarity(col("qv"), col("v")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("q_id", "q_label")
+        .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+        .filter(col("n_agree") === 0)
+        .select(col("q_id"), col("q_label"))
+        .repartition(1).write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  private def qKnnLabelNoise(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val (idx, cents, _) = annIndex(s, d)
+    val (e, q) = knnFrames(s, d)
     // ANN path: per-query probe lists from the broadcast centroid
     // metadata (16 rows), then candidates from the PERSISTED index
     val centDf = cents.toDF("list_id", "centroid")
@@ -2763,18 +2901,9 @@ object SparkEntry {
         .as("n_agree"))
       .filter(col("n_agree") === 0)
       .select(col("q_id"))
-    // exact audit side (quarantined sample×corpus, bounded by the sample)
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    val exact = q.join(e, col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
-        cosineSimilarity(col("qv"), col("v")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .groupBy("q_id", "q_label")
-      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
-        .as("n_agree"))
-      .filter(col("n_agree") === 0)
-      .select(col("q_id"), col("q_label"))
+    // exact audit side: the write-once staged suspect set (quarantined
+    // sample×corpus scan, paid once per corpus — [[stagedKnnSuspects]])
+    val exact = stagedKnnSuspects(s, d)
     val verdict = exact.select(col("q_id")).withColumn("in_ex", lit(1L))
       .join(annSuspects.withColumn("in_ann", lit(1L)), Seq("q_id"), "full_outer")
       .agg(
@@ -2950,7 +3079,8 @@ object SparkEntry {
     * day — KB-scale for years of data), so no window ever orders more than
     * one day's boundary rows on one task. (Sessions here are intra-day by
     * construction, making every carry-in zero — but the carry is computed,
-    * not assumed, so the shape stays correct for midnight-spanning
+    * not assumed, and each boundary row is tagged with the day of its OWN
+    * timestamp, so the decomposition stays correct for midnight-spanning
     * intervals.) Ties order +1 before −1 so touching intervals count as
     * overlapping. The peak row is a 1-row broadcast max attach plus an
     * orderBy.limit(1) — no global rank window. Output: the peak and the
@@ -2963,9 +3093,14 @@ object SparkEntry {
         unix_micros(col("ts")).as("us"))
       .groupBy("user_id", "day")
       .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    // each boundary's sweep day comes from its OWN timestamp, not the
+    // session's opening day (ADVICE r10): a close boundary landing past
+    // midnight must sort into the NEXT day's partition for the carry
+    // decomposition's ordering to hold on midnight-spanning intervals
     val bounds = sess
-      .select(col("day"), col("s_us").as("us"), lit(1).as("delta"))
-      .unionAll(sess.select(col("day"), col("e_us").as("us"), lit(-1).as("delta")))
+      .select(col("s_us").as("us"), lit(1).as("delta"))
+      .unionAll(sess.select(col("e_us").as("us"), lit(-1).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("us"))))
       .groupBy("day", "us", "delta").agg(count(lit(1)).as("m"))
     val dayNet = bounds.groupBy("day")
       .agg(sum(col("delta") * col("m")).as("net"))
@@ -3055,6 +3190,96 @@ object SparkEntry {
       .orderBy("window_start")
   }
 
+  /** Write-once staged TIME-ORDERED multi-file feed: the events table
+    * split into 6 contiguous time ranges, one file per range with
+    * strictly ascending mtimes, so `maxFilesPerTrigger=1` replays the
+    * month as 6 micro-batches whose watermark advances monotonically —
+    * the harness that makes watermark EVICTION observable
+    * ([[qStreamEvict]]). Range boundaries cut mid-day at worst: a
+    * window's last rows always arrive before the watermark (max seen ts
+    * − 2 h, necessarily inside that same window or earlier) can pass the
+    * window's END, so no upserted window is ever incomplete and the
+    * final sink equals the batch aggregate exactly.
+    */
+  private def stagedEventsByTime(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_stream/${dirTag(d)}/events_bytime"
+    // guard on the marker written LAST: the directory is hand-assembled
+    // file by file, so no parquet _SUCCESS covers the whole feed
+    stagedOnceGuarded(dir)(new java.io.File(dir, "_STAGED").exists()) {
+      val e = Tables.events(s, d)
+      val mm = e.agg(unix_micros(min(col("ts"))).as("a"),
+        unix_micros(max(col("ts"))).as("b")).head()
+      val (minUs, span) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 6 + 1)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir)): Unit
+      val now = System.currentTimeMillis()
+      for (b <- 0 until 6) {
+        val tmp = s"$dir-b$b"
+        e.filter(((unix_micros(col("ts")) - lit(minUs)) / lit(span))
+            .cast("long") === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val target = new java.io.File(dir, f"part-$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        graft.engine.Fs.deleteRecursively(new java.io.File(tmp))
+        target.setLastModified(now + b * 60000L): Unit
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_STAGED"), Array.emptyByteArray): Unit
+    }
+    dir
+  }
+
+  /** Streaming day-window distinct in UPDATE mode with watermark eviction
+    * EXECUTED (r10 verdict #5; [[EventsPipeline
+    * .streamingWindowedDistinctUpdate]]): the [[stagedEventsByTime]] feed
+    * replays as 6 time-ordered micro-batches, the watermark advances
+    * between them, closed windows are evicted from state, and every
+    * emission lands in the idempotent window_start-keyed upsert sink. The
+    * row emits the final upserted per-window state — n_events is exact
+    * content (the strongest check), approx_users rides the same ±15%
+    * bound verdict as [[qStreamHll]] — plus `evicted_ok`: the final
+    * progress's state-row count is at most a THIRD of the window count
+    * (measured ~6 of 30: only the last ~5 days stay in state). The
+    * complete-mode variant necessarily retains all 30 windows, so the
+    * floor separates the two modes and fails if eviction regresses.
+    */
+  private def qStreamEvict(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = stagedEventsByTime(s, d)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val (sink, stateRows) =
+      try {
+        val (m, q) = EventsPipeline.streamingWindowedDistinctUpdate(s, staged)
+        try {
+          q.processAllAvailable()
+          (m, q.lastProgress.stateOperators.head.numRowsTotal)
+        } finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+    import scala.jdk.CollectionConverters._
+    val rows = sink.asScala.toSeq.map { case (ws, (au, ne)) => (ws, au, ne) }
+    val evicted = stateRows * 3 <= rows.size
+    val exact = Tables.events(s, d)
+      .select((floor(unix_micros(col("ts")) / 86400000000L) * 86400L)
+        .as("window_start"), col("user_id"))
+      .distinct()
+      .groupBy("window_start").agg(count(lit(1)).as("exact_users"))
+    rows.toDF("window_start", "approx_users", "n_events")
+      .join(exact, "window_start")
+      .select(col("window_start"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.15).as("hll_ok"),
+        lit(evicted).as("evicted_ok"))
+      .orderBy("window_start")
+  }
+
   /** TPC-H Q6, the forecast-revenue-change query — the OTHER benchmark
     * signature next to [[qTpchQ1]]: a pure filter-aggregate whose entire
     * cost is the scan, so it measures pushdown + vectorized decode and
@@ -3078,9 +3303,10 @@ object SparkEntry {
   // partsupp table, no l_shipmode/commitdate, single-word p_type, no
   // o_shippriority): Q3/Q4/Q5/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18/Q19 beside
   // Q1/Q6's scans — the canonical multi-join benchmark shapes an OLAP
-  // engine is judged on. (Q2/Q9/Q11/Q16/Q20 need partsupp; Q12/Q21 need
-  // ship mode and commit/receipt dates; Q22 needs the phone column —
-  // all absent here.)
+  // engine is judged on. (Q2/Q9/Q11/Q16/Q20 are fixture-blocked: the
+  // test corpus ships no partsupp table; Q12 needs ship mode and Q22 the
+  // phone column, both absent. Q21's commit/receipt lateness is adapted
+  // as qTpchQ21 via the same ship-after-order test Q4 uses.)
   // Plan discipline shared by all five: filters sit ON the scans (pushed
   // to parquet), tiny dims (region, nation) are explicit broadcasts,
   // SF-scaling tables (customer, orders, supplier, part) join by hash on
@@ -3541,6 +3767,50 @@ object SparkEntry {
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
       .limit(100)
 
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    * reduced schema: the commit/receipt lateness test becomes the Q4
+    * ship-after-order adaptation (`l_shipdate > o_orderdate`; the fixture
+    * has no commit/receipt dates). A supplier "kept an order waiting"
+    * when, in a finished ('F') multi-supplier order, it is the ONLY
+    * supplier with a late line. The classic correlated EXISTS/NOT-EXISTS
+    * pair is DECORRELATED into one per-(order, supplier) lateness
+    * aggregate plus an order-partitioned window: `n_supp > 1` realizes
+    * EXISTS(other supplier), `n_late = 1` realizes NOT EXISTS(other late
+    * supplier) given the probe supplier is itself late. The plan is one
+    * map-side-combinable aggregate, one key-partitioned window on the
+    * already-reduced (order, supplier) rows, one supplier-keyed count,
+    * and a broadcast supplier attach — no subquery re-execution per line.
+    * `numwait` counts DISTINCT waiting orders (the per-order grain makes
+    * the count independent of how many late lines the supplier had in
+    * one order); the DuckDB oracle keeps the literal EXISTS/NOT-EXISTS
+    * formulation, so the decorrelation itself is what the differential
+    * oracle checks (reference discipline: `host/join/join_test.cc:27-38`).
+    */
+  private def qTpchQ21(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perOrderSupp = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") > col("o_orderdate"), 1L)
+        .otherwise(0L)).as("late"))
+    val w = Window.partitionBy("l_orderkey")
+    perOrderSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .filter(col("late") === 1L && col("n_supp") > 1 && col("n_late") === 1L)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(100)
+  }
+
   /** Zero-seeded EWMA (α = ½) of the daily event-count series — the
     * smoothing monitor read next to [[qChangepoint]] and [[qTrendTest]].
     * Computed by the literal recursion eₜ = (eₜ₋₁ + cₜ)·½, folded over the
@@ -3555,6 +3825,16 @@ object SparkEntry {
     * bit-identical with the oracle's recursive CTE. The raw-event shuffle
     * is still the map-side-combined daily count — only the compact series
     * funnels through the fold.
+    *
+    * GAP SEMANTICS (deliberate, r10 verdict #7): decay steps are
+    * PER-PRESENT-DAY — the recursion advances once per day that has
+    * events, so a gap day contributes no extra halving. This is the
+    * "observation-indexed" EWMA (smooth over the observed series), the
+    * standard choice when absent days mean "no measurement" rather than
+    * "measured zero"; a calendar-indexed variant would first densify the
+    * day axis with zero counts (or decay by 2^-gap) — a different
+    * monitor, not a bug fix. Both engines implement the same choice, so
+    * the oracle pins it.
     */
   private def qEwma(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
@@ -3837,30 +4117,37 @@ object SparkEntry {
       approx: DataFrame,
       floor: Double,
       verdictName: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Both pair pipelines are non-trivial, so each is evaluated exactly
-    // ONCE: a full-outer join of the two (id_a, id_b) sets carries hits,
-    // misses, AND extras through a whole-result window count, then the
-    // extra rows are filtered away AFTER being counted — the output is the
-    // exact pair set, the verdict saw everything. The single-partition
-    // window runs over the RESULT pair set (table-stakes small), never the
-    // corpus.
-    val w = Window.partitionBy(lit(1))
-    exact
+    // Both pair pipelines are non-trivial, so the full-outer join of the
+    // two (id_a, id_b) sets is evaluated exactly ONCE: it is persisted,
+    // the hit/miss/extra counts come out of ONE scalar aggregate (map-side
+    // partial — no row movement beyond the 1-per-partition partials), and
+    // the 1-row count is broadcast back onto the surviving exact rows.
+    // Pair sets grow linearly with the corpus (a web-scale corpus at
+    // 30-50% dup rate has billions of pairs), so nothing here may funnel
+    // them through one task. The persist entry is bounded: the cache
+    // manager dedupes identical plans, so a long-lived session holds one
+    // KB-scale entry per (family, directory), reused across re-runs.
+    val joined = exact
       .withColumn("in_ex", lit(1L))
       .join(approx.select(col("id_a"), col("id_b")).withColumn("in_ap", lit(1L)),
         Seq("id_a", "id_b"), "full_outer")
-      .withColumn("__n_exact", coalesce(sum(col("in_ex")).over(w), lit(0L)))
-      .withColumn("__n_hit",
-        coalesce(sum(when(col("in_ex").isNotNull && col("in_ap").isNotNull, lit(1L)))
-          .over(w), lit(0L)))
-      .withColumn("__n_extra",
-        coalesce(sum(when(col("in_ex").isNull, lit(1L))).over(w), lit(0L)))
+      .persist()
+    val counts = joined
+      .agg(
+        coalesce(sum(col("in_ex")), lit(0L)).as("__n_exact"),
+        coalesce(sum(when(col("in_ex").isNotNull && col("in_ap").isNotNull,
+          lit(1L))), lit(0L)).as("__n_hit"),
+        coalesce(sum(when(col("in_ex").isNull, lit(1L))), lit(0L))
+          .as("__n_extra"))
+      .withColumn("one", lit(1))
+    joined
       .filter(col("in_ex").isNotNull)
+      .withColumn("one", lit(1))
+      .join(broadcast(counts), "one")
       .withColumn(verdictName,
         col("__n_extra") === 0L &&
           col("__n_hit").cast("double") >= lit(floor) * col("__n_exact").cast("double"))
-      .drop("in_ex", "in_ap", "__n_exact", "__n_hit", "__n_extra")
+      .drop("one", "in_ex", "in_ap", "__n_exact", "__n_hit", "__n_extra")
       .orderBy("id_a", "id_b")
   }
 
@@ -3882,20 +4169,22 @@ object SparkEntry {
   // parallel and only the tiny single-file write serializes
   private def stagedMinhashSigs(s: SparkSession, d: String): DataFrame = {
     val dir = s"/tmp/graft_sigs/${dirTag(d)}/minhash64"
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+    stagedOnce(dir) {
       Tables.documents(s, d)
         .select(col("doc_id").as("id"),
           minhashSignature(charShingles(col("text"), 5), 64).as("sig"))
         .repartition(1).write.mode("overwrite").parquet(dir)
+    }
     s.read.parquet(dir)
   }
 
   private def stagedTfVecs(s: SparkSession, d: String): DataFrame = {
     val dir = s"/tmp/graft_sigs/${dirTag(d)}/tfvec256"
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+    stagedOnce(dir) {
       Similarity.portableTfVecs(
           Tables.documents(s, d), "doc_id", "text", dims = 256, ngram = 2)
         .repartition(1).write.mode("overwrite").parquet(dir)
+    }
     s.read.parquet(dir)
   }
 
@@ -4296,8 +4585,8 @@ object SparkEntry {
     // the fully-written artifact ATTACHES it (external tables + partition
     // recovery) instead of retraining — training stays per-corpus, not
     // per-process, and no overwrite can race a concurrent reader.
-    if (!s.catalog.tableExists(idxTable) &&
-        new java.io.File(s"/tmp/graft_ann/$tag/index", "_SUCCESS").exists()) {
+    stagedOnceGuarded(s"/tmp/graft_ann/$tag")(s.catalog.tableExists(idxTable)) {
+      if (new java.io.File(s"/tmp/graft_ann/$tag/index", "_SUCCESS").exists()) {
       s.sql(
         s"""CREATE TABLE IF NOT EXISTS $cbTable
            |(sub INT, code INT, centroid ARRAY<DOUBLE>)
@@ -4312,8 +4601,7 @@ object SparkEntry {
            |USING parquet PARTITIONED BY (list_id)
            |LOCATION '/tmp/graft_ann/$tag/index'""".stripMargin)
       s.sql(s"ALTER TABLE $idxTable RECOVER PARTITIONS")
-    }
-    if (!s.catalog.tableExists(idxTable)) {
+      } else {
       val emb = Tables.embeddings(s, d)
       val cb = graft.ext.Pq.train(emb, "embedding", m = 16, k = 16)
       val (assigned, cents) = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
@@ -4331,6 +4619,7 @@ object SparkEntry {
         .write.partitionBy("list_id")
         .option("path", s"/tmp/graft_ann/$tag/index")
         .mode("overwrite").saveAsTable(idxTable)
+      }
     }
     val cents = s.table(centTable)
       .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
@@ -4975,22 +5264,22 @@ object SparkEntry {
     // cross-JVM write-once, same discipline as bucketedTable/annIndex: a
     // fresh process whose path is fully written ATTACHES it instead of
     // rewriting (which would also race any concurrent reader)
-    if (!s.catalog.tableExists(table) &&
-        new java.io.File(path, "_SUCCESS").exists()) {
-      s.sql(
-        s"""CREATE TABLE IF NOT EXISTS $table
-           |(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
-           | event_type STRING, value DOUBLE, props STRING, event_date DATE)
-           |USING parquet PARTITIONED BY (event_date)
-           |LOCATION '$path'""".stripMargin)
-      s.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
-    }
-    if (!s.catalog.tableExists(table)) {
-      Tables.events(s, d)
-        .withColumn("event_date", to_date(col("ts")))
-        .write.partitionBy("event_date")
-        .option("path", path)
-        .mode("overwrite").saveAsTable(table)
+    stagedOnceGuarded(path)(s.catalog.tableExists(table)) {
+      if (new java.io.File(path, "_SUCCESS").exists()) {
+        s.sql(
+          s"""CREATE TABLE IF NOT EXISTS $table
+             |(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+             | event_type STRING, value DOUBLE, props STRING, event_date DATE)
+             |USING parquet PARTITIONED BY (event_date)
+             |LOCATION '$path'""".stripMargin)
+        s.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+      } else {
+        Tables.events(s, d)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.partitionBy("event_date")
+          .option("path", path)
+          .mode("overwrite").saveAsTable(table)
+      }
     }
     s.table(table)
       .filter(col("event_date") === lit("2024-01-15").cast("date"))
@@ -5012,7 +5301,7 @@ object SparkEntry {
     val tag = dirTag(d)
     val small = s"/tmp/graft_compact/$tag/small"
     val compacted = s"/tmp/graft_compact/$tag/compacted"
-    if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+    stagedOnce(compacted) {
       if (!new java.io.File(small, "_SUCCESS").exists())
         Tables.events(s, d).select("event_id", "event_type", "value")
           .repartition(64) // the fragmented state a drip-writer leaves
@@ -5037,11 +5326,12 @@ object SparkEntry {
   private def qZorderScan(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
     val path = s"/tmp/graft_zorder/$tag/events"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    stagedOnce(path) {
       graft.sources.Layout.writeZOrdered(
         Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
         Seq("user_id", "value"), path)
+    }
     s.read.parquet(path)
       .filter(col("value") >= 100.0 && col("value") < 120.0)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -5074,11 +5364,12 @@ object SparkEntry {
     */
   private def stagedDupPairs(s: SparkSession, d: String): DataFrame = {
     val dir = s"/tmp/graft_pairs/${dirTag(d)}/t05"
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+    stagedOnce(dir) {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
         .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
     s.read.parquet(dir)
   }
 
@@ -5170,9 +5461,10 @@ object SparkEntry {
     val dir = s"/tmp/graft_json/${dirTag(d)}/events"
     // guard on _SUCCESS, not the directory: a crashed mid-write leaves a
     // partial directory that a bare exists-check would serve forever
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+    stagedOnce(dir) {
       Tables.events(s, d).select("event_id", "event_type", "value")
         .write.mode("overwrite").json(dir)
+    }
     s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(dir)
       .orderBy("event_id")
   }
@@ -5287,11 +5579,12 @@ object SparkEntry {
     */
   private def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = s"/tmp/graft_csvrt/${dirTag(d)}/events"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+    stagedOnce(dir) {
       Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").option("header", "true").csv(dir)
+    }
     s.read
       .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
@@ -5318,6 +5611,8 @@ object SparkEntry {
     "q_multi_join" -> (qMultiJoin _),
     "q_percentiles" -> (qPercentiles _),
     "q_rollup" -> (qRollup _),
+    "q_percentiles_within" -> (qPercentilesWithin _),
+    "q_interval_overlap" -> (qIntervalOverlap _),
     "q_set_ops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_distinct" -> (qDistinct _),
@@ -5485,6 +5780,7 @@ object SparkEntry {
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_weighted_median" -> (qWeightedMedian _),
+    "q_stream_evict" -> (qStreamEvict _),
     "q_stream_hll" -> (qStreamHll _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
@@ -5499,6 +5795,7 @@ object SparkEntry {
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q19" -> (qTpchQ19 _),
+    "q_tpch_q21" -> (qTpchQ21 _),
     "q_group_sample" -> (qGroupSample _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_vector_audit" -> (qVectorAudit _),
@@ -5688,6 +5985,49 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // q_percentiles_within: disc from the ANSI first-principles definition
+    // (smallest value with cume_dist >= p), cont via quantile_cont (exact
+    // quarter-integer interpolation over whole-number quantities)
+    "q_percentiles_within" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         cume_dist() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY l_quantity) AS cd
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT l_returnflag,
+        |         CAST(MIN(CASE WHEN cd >= 0.25 THEN l_quantity END)
+        |              AS DOUBLE) AS p25_disc,
+        |         CAST(MIN(CASE WHEN cd >= 0.5 THEN l_quantity END)
+        |              AS DOUBLE) AS p50_disc,
+        |         CAST(MIN(CASE WHEN cd >= 0.75 THEN l_quantity END)
+        |              AS DOUBLE) AS p75_disc
+        |  FROM r GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag,
+        |         CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25_cont,
+        |         CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50_cont,
+        |         CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75_cont
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, p25_disc, p50_disc, p75_disc,
+        |       p25_cont, p50_cont, p75_cont
+        |FROM d JOIN c ON d.l_returnflag = c.l_returnflag
+        |ORDER BY d.l_returnflag""".stripMargin,
+    // q_interval_overlap: the quadratic per-day reference join —
+    // differential proof that the engine's hour-banding loses no pair
+    "q_interval_overlap" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         MIN(epoch_us(ts)) AS a, MAX(epoch_us(ts)) AS b
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(s1.day, '%Y-%m-%d') AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(LEAST(s1.b, s2.b) - GREATEST(s1.a, s2.a))
+        |            AS BIGINT) AS sum_overlap_us
+        |FROM s s1 JOIN s s2 ON s1.day = s2.day
+        |WHERE s1.user_id % 10 = 0 AND s2.user_id % 10 = 1
+        |  AND s1.a <= s2.b AND s2.a <= s1.b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_set_ops" ->
       """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
         |     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW')
@@ -7326,6 +7666,18 @@ object SparkEntry {
         |FROM f WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     // q_stream_hll: UTC-day window start as integer epoch; exact side
     // recomputed, sketch asserted as the literal-TRUE bound verdict
+    // q_stream_evict: same exact side as q_stream_hll; the sketch bound
+    // AND the state-eviction floor are asserted as literal-TRUE verdicts
+    "q_stream_evict" ->
+      """WITH w AS (
+        |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+        |         user_id
+        |  FROM events)
+        |SELECT window_start,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       TRUE AS hll_ok, TRUE AS evicted_ok
+        |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin,
     "q_stream_hll" ->
       """WITH w AS (
         |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
@@ -7407,6 +7759,23 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, numwait FROM (
+        |  SELECT w.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait FROM (
+        |    SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |    FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |    WHERE o.o_orderstatus = 'F'
+        |      AND l1.l_shipdate > o.o_orderdate
+        |      AND EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = l1.l_orderkey
+        |                    AND l2.l_suppkey <> l1.l_suppkey)
+        |      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                      WHERE l3.l_orderkey = l1.l_orderkey
+        |                        AND l3.l_suppkey <> l1.l_suppkey
+        |                        AND l3.l_shipdate > o.o_orderdate)
+        |  ) w GROUP BY w.l_suppkey
+        |) c JOIN supplier ON s_suppkey = c.l_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q_tpch_q19" ->
       """SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
         |           (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))

@@ -34,8 +34,12 @@ object NativeExpressions {
     * descriptive error everywhere — one definition, no drift.
     */
   def literalInt(e: Expression, fn: String): Int = e match {
+    // only integral literal values qualify: a fractional literal (e.g.
+    // graft_char_shingles(text, 2.5)) must raise the descriptive error,
+    // not silently truncate through Number.intValue() (ADVICE r10)
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
-        if v != null => v.intValue()
+        if v != null && v.doubleValue() == v.intValue().toDouble =>
+      v.intValue()
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal integer argument, got: $other")
   }
