@@ -294,16 +294,15 @@ class PlanAuditSpec extends SparkTestBase {
       "q_ivf_topk",
       "q_ivfpq_topk",
       "q_pq_topk",
-      // pair-family verdict rows whose exact audit side is the quarantined
-      // quadratic bruteForcePairs nested loop — size-bounded by design,
-      // never the production dedup path
+      // pairRecallVerdict rows: the 1-row broadcast verdict attach (the
+      // join on a constant key folds to BNLJ — the q_hll_merge shape).
+      // Their exact audit sides are write-once staged artifacts (r11,
+      // stagedExactPairs), so the quarantined quadratic scan appears only
+      // in the per-corpus build, never the steady-state plan; the LSH
+      // candidate joins are equi-keyed. q_knn_label_noise is the same
+      // shape over the staged suspect set (r10 #6)
       "q_embed_pairs",
       "q_doc_embed_pairs",
-      // pairRecallVerdict's 1-row broadcast verdict attach (the join on a
-      // constant key folds to BNLJ — the q_hll_merge shape); the banded
-      // candidate join itself is equi-keyed. Same for the kNN row, whose
-      // exact audit side now reads the staged suspect artifact (r10 #6)
-      // so only the 1-row attach remains non-equi
       "q_minhash_pairs",
       "q_knn_label_noise",
       "q_graph_triangles", // three 1-row global stats (edges/triangles/
@@ -378,6 +377,12 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(de.contains("graft_sigs"),
       s"q_doc_embed_pairs does not scan the staged tf-vec artifact:\n${de.take(800)}")
+    // the exact audit sides read the write-once staged pair sets (r11):
+    // the quarantined quadratic scan is paid per corpus, not per run
+    assert(mh.contains("graft_pairs"),
+      s"q_minhash_pairs does not read its staged exact pair set:\n${mh.take(800)}")
+    assert(de.contains("graft_pairs"),
+      s"q_doc_embed_pairs does not read its staged exact pair set:\n${de.take(800)}")
   }
 
   test("q_knn_label_noise serves its production path from the persisted ANN index") {

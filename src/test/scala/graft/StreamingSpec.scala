@@ -199,6 +199,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want, "append-mode session_window drive != batch gap sessions")
   }
 
+  test("q_stream_evict catalog row: update-mode upsert equals batch, state evicted") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_stream_evict")(spark, sf0001).collect()
+    assert(rows.length == 30, s"expected the 30 day windows, got ${rows.length}")
+    // both in-plan verdicts hold: the sketch bound AND the eviction floor
+    // (final state rows <= 1/3 of the windows — complete mode holds all 30)
+    assert(rows.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      "hll_ok/evicted_ok verdict false at sf0.001")
+    // the idempotent upsert's final content equals the batch aggregate
+    val batch = Tables.events(spark, sf0001)
+      .groupBy((floor(unix_micros(col("ts")) / 86400000000L) * 86400L).as("ws"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.forall(r => batch(r.getLong(0)) == r.getLong(2)),
+      "final upserted n_events diverges from the batch day counts")
+  }
+
   test("sessionization: session count bounded by event count, monotone seq") {
     val s = EventsPipeline.sessionize(Tables.events(spark, sf0001))
     val bad = s.filter($"session_seq" < 1).count()
