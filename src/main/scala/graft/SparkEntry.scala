@@ -3212,19 +3212,27 @@ object SparkEntry {
       val (minUs, span) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 6 + 1)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir)): Unit
       val now = System.currentTimeMillis()
+      // ONE pass: partitionBy(bucket) writes all 6 range files in a single
+      // scan (the per-bucket filter loop this replaces re-read the source
+      // 6 times); partition values live in directory names, so the moved
+      // files keep the plain event schema the stream reader expects
+      val tmp = s"$dir-staging"
+      e.withColumn("bucket",
+          ((unix_micros(col("ts")) - lit(minUs)) / lit(span)).cast("long"))
+        .repartition(1)
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
       for (b <- 0 until 6) {
-        val tmp = s"$dir-b$b"
-        e.filter(((unix_micros(col("ts")) - lit(minUs)) / lit(span))
-            .cast("long") === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val target = new java.io.File(dir, f"part-$b%02d.parquet")
-        java.nio.file.Files.move(part.toPath, target.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-        graft.engine.Fs.deleteRecursively(new java.io.File(tmp))
-        target.setLastModified(now + b * 60000L): Unit
+        val bucketDir = new java.io.File(tmp, s"bucket=$b")
+        val part = Option(bucketDir.listFiles())
+          .flatMap(_.find(_.getName.endsWith(".parquet")))
+        part.foreach { p => // an empty range writes no dir; skip it
+          val target = new java.io.File(dir, f"part-$b%02d.parquet")
+          java.nio.file.Files.move(p.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          target.setLastModified(now + b * 60000L): Unit
+        }
       }
+      graft.engine.Fs.deleteRecursively(new java.io.File(tmp))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, "_STAGED"), Array.emptyByteArray): Unit
     }
@@ -4118,15 +4126,21 @@ object SparkEntry {
       floor: Double,
       verdictName: String): DataFrame = {
     // Both pair pipelines are non-trivial, so the full-outer join of the
-    // two (id_a, id_b) sets is evaluated exactly ONCE: it is persisted,
-    // the hit/miss/extra counts come out of ONE scalar aggregate (map-side
-    // partial — no row movement beyond the 1-per-partition partials), and
-    // the 1-row count is broadcast back onto the surviving exact rows.
-    // Pair sets grow linearly with the corpus (a web-scale corpus at
-    // 30-50% dup rate has billions of pairs), so nothing here may funnel
-    // them through one task. The persist entry is bounded: the cache
-    // manager dedupes identical plans, so a long-lived session holds one
-    // KB-scale entry per (family, directory), reused across re-runs.
+    // two (id_a, id_b) sets is evaluated exactly ONCE: a LAZY local
+    // checkpoint materializes it at first use, the hit/miss/extra counts
+    // come out of ONE scalar aggregate over it (map-side partial — no row
+    // movement beyond the 1-per-partition partials), and the 1-row count
+    // is broadcast back onto the surviving exact rows. Pair sets grow
+    // linearly with the corpus (a web-scale corpus at 30-50% dup rate has
+    // billions of pairs), so nothing here may funnel them through one
+    // task. persist, NOT localCheckpoint: a checkpoint replaces the plan
+    // with an opaque LogicalRDD, hiding the staged-artifact scans from
+    // the catalog plan audits; the persist entry is bounded (CacheManager
+    // dedupes identical plans — one KB-scale entry per family×directory,
+    // reused across re-runs) and the one hazard it carries — a staged
+    // input rebuilt at the same path mid-session serving the stale cached
+    // relation — is already excluded by the regeneration contract
+    // ([[dirTag]]: in-place data regeneration requires fresh sessions).
     val joined = exact
       .withColumn("in_ex", lit(1L))
       .join(approx.select(col("id_a"), col("id_b")).withColumn("in_ap", lit(1L)),
@@ -5385,16 +5399,11 @@ object SparkEntry {
     * single-file coalesce is an oracle-scale convenience (hundreds of
     * rows); a production artifact stays partitioned.
     */
-  private def stagedDupPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_pairs/${dirTag(d)}/t05"
-    stagedOnce(dir) {
+  private def stagedDupPairs(s: SparkSession, d: String): DataFrame =
+    stagedExactPairs(s, d, "t05")(
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b"))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
-    }
-    s.read.parquet(dir)
-  }
+        .select(col("id_a"), col("id_b")))
 
   private def qDupClusters(s: SparkSession, d: String): DataFrame =
     Components.duplicateClusters(stagedDupPairs(s, d), "id_a", "id_b")
