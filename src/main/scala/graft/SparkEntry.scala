@@ -432,6 +432,37 @@ object SparkEntry {
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Correlated LATERAL subquery — per-nation top-2 customers by exact
+    * integer-unit spend, through the ANSI LATERAL surface (the SQL twin
+    * of the [[plans.TopKPerKey]] operator family: same semantics, third
+    * mechanism — Catalyst DECORRELATES the ordered-limited correlated
+    * subquery into a per-key rank under the hood, so no nation's
+    * candidate list is ever evaluated per outer row). Spend accumulates
+    * as exact 1e-2 currency longs (order-independent, bit-identical
+    * across engines); ties break on c_custkey. At 100 TB the aggregate
+    * shuffles once on (nationkey, custkey) and the decorrelated rank
+    * shuffles once on nationkey — the 25-row nation side never drives
+    * per-row re-execution.
+    */
+  private def qLateralTopn(s: SparkSession, d: String): DataFrame = {
+    val nation = tempView(s, d, "graft_nation", Tables.nation(s, d))
+    val cust = tempView(s, d, "graft_customer", Tables.customer(s, d))
+    val orders = tempView(s, d, "graft_orders", Tables.orders(s, d))
+    s.sql(
+      s"""WITH spend AS (
+         |  SELECT c.c_nationkey, c.c_custkey,
+         |         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS sp
+         |  FROM $cust c JOIN $orders o ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2)
+         |SELECT n.n_name, t.c_custkey, CAST(t.sp AS DOUBLE) / 100.0 AS spend
+         |FROM $nation n
+         |JOIN LATERAL (
+         |  SELECT s.c_custkey, s.sp FROM spend s
+         |  WHERE s.c_nationkey = n.n_nationkey
+         |  ORDER BY s.sp DESC, s.c_custkey LIMIT 2) t
+         |ORDER BY n.n_name, spend DESC, c_custkey""".stripMargin)
+  }
+
   /** percentile_disc vs percentile_cont cross-check per group — the two
     * ANSI WITHIN-GROUP order statistics side by side over per-flag
     * quantities. The oracle derives `disc` from FIRST PRINCIPLES (the
@@ -5409,6 +5440,45 @@ object SparkEntry {
     Components.duplicateClusters(stagedDupPairs(s, d), "id_a", "id_b")
       .orderBy("cluster_id")
 
+  /** Connected-component labels through Spark's native `WITH RECURSIVE`
+    * SQL surface — the same cluster_id/n_members result as
+    * [[qDupClusters]] (identical oracle), computed by the ANSI recursive
+    * CTE instead of [[graft.ext.Components]]' pointer jumping. Three
+    * engines, three mechanisms, one answer: DuckDB's unbounded
+    * UNION-dedup recursion (the oracle), Spark's iterative UnionLoop
+    * here, and the log-hop pointer jumping — a genuine differential on
+    * the recursion machinery itself. The recursive term propagates a
+    * label only DOWNWARD (`r.comp < e.dst`) and is depth-bounded at 3:
+    * near-dup clusters at threshold 0.5 are cliques (the
+    * [[qGraphTriangles]] transitivity certificate), so the component
+    * minimum reaches every member in ONE hop and the bound is safety
+    * margin, not a correctness assumption the oracle can't check — a
+    * diameter-4 chain would hash-mismatch against DuckDB's unbounded
+    * recursion. Scale note: recursive SQL with UNION ALL grows the
+    * frontier per level, so the 100 TB path for deep graphs remains the
+    * pointer-jumping operator (log-hop, deduped per round); this row
+    * pins the SQL surface on the graph shape it is right for.
+    */
+  private def qRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    val pairs = tempView(s, d, "graft_dup_pairs", stagedDupPairs(s, d))
+    s.sql(
+      s"""WITH RECURSIVE reach(id, comp, dist) AS (
+         |  SELECT DISTINCT src, src, 0 FROM (
+         |    SELECT id_a AS src FROM $pairs
+         |    UNION ALL SELECT id_b FROM $pairs)
+         |  UNION ALL
+         |  SELECT e.dst, r.comp, r.dist + 1
+         |  FROM reach r
+         |  JOIN (SELECT id_a AS src, id_b AS dst FROM $pairs
+         |        UNION ALL SELECT id_b, id_a FROM $pairs) e
+         |    ON e.src = r.id
+         |  WHERE r.dist < 3 AND r.comp < e.dst
+         |),
+         |lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM lbl GROUP BY comp ORDER BY cluster_id""".stripMargin)
+  }
+
   /** Triangle count + global clustering coefficient over the near-dup
     * pair graph — the transitivity diagnostic of a dedup pipeline: near-dup
     * SHOULD be roughly transitive (A≈B≈C ⇒ A≈C), so a low
@@ -5645,6 +5715,7 @@ object SparkEntry {
     "q_rollup" -> (qRollup _),
     "q_percentiles_within" -> (qPercentilesWithin _),
     "q_interval_overlap" -> (qIntervalOverlap _),
+    "q_lateral_topn" -> (qLateralTopn _),
     "q_set_ops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_distinct" -> (qDistinct _),
@@ -5769,6 +5840,7 @@ object SparkEntry {
     "q_gini" -> (qGini _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_recursive_cte" -> (qRecursiveCte _),
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_rolling_window" -> (qRollingWindow _),
@@ -5868,7 +5940,49 @@ object SparkEntry {
     * asserted TRUE, so the oracle checks both the exact values and that
     * the approximate operator met its floor.
     */
+  // q_dup_clusters and q_recursive_cte share ONE oracle text: same
+  // cluster labels, two engine-side mechanisms (pointer jumping vs the
+  // native recursive CTE) — the sharpest possible differential
+  private val dupClustersOracle: String =
+    """WITH RECURSIVE
+      |sh AS (
+      |  SELECT doc_id AS id,
+      |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+      |                                  for i in generate_series(1, len(t) - 2)])
+      |         END AS g
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(lower(text), '\s+'),
+      |                           x -> len(x) > 0) AS t
+      |        FROM documents)),
+      |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+      |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+      |shared AS (SELECT gram FROM posting
+      |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+      |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+      |inter AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      |  FROM pruned a JOIN pruned b USING (gram)
+      |  WHERE a.id < b.id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i.id_a, i.id_b
+      |  FROM inter i
+      |  JOIN sizes sa ON i.id_a = sa.id
+      |  JOIN sizes sb ON i.id_b = sb.id
+      |  WHERE CAST(i.n_inter AS DOUBLE) /
+      |        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      |lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      |FROM lbl GROUP BY comp ORDER BY cluster_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_recursive_cte" -> dupClustersOracle,
     "q_filter" ->
       "SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice < 30000 ORDER BY v",
     "q_sum" ->
@@ -6017,6 +6131,19 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // q_lateral_topn: same LATERAL formulation; exact 1e-2 spend units
+    "q_lateral_topn" ->
+      """WITH spend AS (
+        |  SELECT c.c_nationkey, c.c_custkey,
+        |         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS sp
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT n.n_name, t.c_custkey, CAST(t.sp AS DOUBLE) / 100.0 AS spend
+        |FROM nation n, LATERAL (
+        |  SELECT s.c_custkey, s.sp FROM spend s
+        |  WHERE s.c_nationkey = n.n_nationkey
+        |  ORDER BY s.sp DESC, s.c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, spend DESC, c_custkey""".stripMargin,
     // q_percentiles_within: disc from the ANSI first-principles definition
     // (smallest value with cume_dist >= p), cont via quantile_cont (exact
     // quarter-integer interpolation over whole-number quantities)
@@ -8465,43 +8592,7 @@ object SparkEntry {
     // min-reachable-id per node via a recursive CTE (transitive closure is
     // fine at oracle scale; the engine side uses iterative label
     // propagation instead)
-    "q_dup_clusters" ->
-      """WITH RECURSIVE
-        |sh AS (
-        |  SELECT doc_id AS id,
-        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
-        |                                  for i in generate_series(1, len(t) - 2)])
-        |         END AS g
-        |  FROM (SELECT doc_id,
-        |               list_filter(string_split_regex(lower(text), '\s+'),
-        |                           x -> len(x) > 0) AS t
-        |        FROM documents)),
-        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
-        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
-        |shared AS (SELECT gram FROM posting
-        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
-        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
-        |inter AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-        |  FROM pruned a JOIN pruned b USING (gram)
-        |  WHERE a.id < b.id GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT i.id_a, i.id_b
-        |  FROM inter i
-        |  JOIN sizes sa ON i.id_a = sa.id
-        |  JOIN sizes sb ON i.id_b = sb.id
-        |  WHERE CAST(i.n_inter AS DOUBLE) /
-        |        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-        |lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
-        |SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
-        |FROM lbl GROUP BY comp ORDER BY cluster_id""".stripMargin,
+    "q_dup_clusters" -> dupClustersOracle,
     // q_graph_triangles: the same exact pair set as q_dup_clusters, then
     // oriented wedge join + closing edge; wedges integer-exact via DIV,
     // transitivity double with identical operand order in both engines
