@@ -124,4 +124,24 @@ class RobustnessSpec extends SparkTestBase {
     assert(est.contains(("view", 1L)))
     assert(est.exists { case (s, e) => s == null && e == null })
   }
+
+  test("concurrent sessions racing a cold staged artifact build once and agree") {
+    // ADVICE r10: the write-once staging builders serialize behind a
+    // per-directory JVM lock — two threads hitting the same cold
+    // directory must not both enter mode(overwrite) (one could replace
+    // files under the other's read). Exercised through the public
+    // surface: clear the pair-staging root for this corpus tag, then
+    // race two q_minhash_pairs builds end to end.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    graft.engine.Fs.deleteRecursively(new java.io.File("/tmp/graft_pairs"))
+    val runs = Seq.fill(2)(Future {
+      SparkEntry.queries("q_minhash_pairs")(spark, sf0001)
+        .collect().map(_.toString).toSeq.sorted
+    })
+    val Seq(a, b) = Await.result(Future.sequence(runs), 10.minutes)
+    assert(a.nonEmpty && a == b,
+      "racing builds disagreed — staging is not single-writer")
+  }
 }
