@@ -4072,6 +4072,59 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** Semi-structured analytics through the VARIANT type (Spark 4):
+    * `parse_json` decodes each `props` document ONCE into the binary
+    * columnar VARIANT encoding and `variant_get` does typed path access
+    * on the decoded form — the scale story vs [[qEventsJson]]'s
+    * `get_json_object`, which re-parses the JSON STRING on every path
+    * touch (one parse per path per row; a wide extraction re-tokenizes
+    * the document k times, where VARIANT pays one parse then O(path)
+    * binary walks). Grouped rollup by the extracted key's decade with
+    * exact measures only: counts, min/max of the key, and the value sum
+    * in exact 1e-4 units (a raw double sum is partial-order-dependent
+    * and would not be bit-stable across engines). The oracle extracts
+    * the same path with DuckDB's native JSON reader — the differential
+    * checks the VARIANT decode end to end.
+    */
+  private def qVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        col("value"))
+      .groupBy((col("k") - pmod(col("k"), lit(10))).as("k_decade"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(round(col("value") * 10000).cast("long")).as("sum_value_u4"))
+      .orderBy("k_decade")
+
+  /** In-flight data-quality metrics via the Observation API
+    * (`df.observe` → `CollectMetrics`): the quality counters piggyback
+    * on the SAME single pass that feeds the sink — the operational shape
+    * for ETL writes at 100 TB, where a separate validation query would
+    * re-scan the table (here: one noop-sink pass, metrics collected as
+    * accumulator-style aggregates on the executors, zero extra scans).
+    * Emitted metrics are all exact (counts, whole-number quantity sum,
+    * a predicate count), so the 1-row result is fully oracled by a
+    * DuckDB recompute of the same aggregates.
+    */
+  private def qObserve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    Tables.lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_disc_gt5"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("n_disc_gt5").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "n_disc_gt5")
+  }
+
   /** Ordered-sequence funnel (view → click-after-view →
     * purchase-after-click): per-stage user counts where each stage's event
     * must strictly follow the user's earliest previous-stage event. Every
@@ -5762,6 +5815,8 @@ object SparkEntry {
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_sessionize" -> (qSessionize _),
     "q_events_json" -> (qEventsJson _),
+    "q_variant" -> (qVariant _),
+    "q_observe" -> (qObserve _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_histogram" -> (qHistogram _),
@@ -6663,6 +6718,25 @@ object SparkEntry {
         |       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_observe: the observed single-pass metrics, recomputed directly
+    "q_observe" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+        |         AS n_disc_gt5
+        |FROM lineitem""".stripMargin,
+    // q_variant: DuckDB's native JSON reader extracts the same path the
+    // VARIANT decode serves on the Spark side; measures all exact
+    "q_variant" ->
+      """WITH x AS (
+        |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
+        |  FROM events)
+        |SELECT k - (k % 10) AS k_decade,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(k) AS min_k, MAX(k) AS max_k,
+        |       CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_u4
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
