@@ -517,15 +517,13 @@ object SparkEntry {
         unix_micros(col("ts")).as("us"))
       .groupBy("user_id", "day")
       .agg(min(col("us")).as("a"), max(col("us")).as("b"))
-    def banded(m: Int, p: String) = sess
+    def side(m: Int, p: String) = sess
       .filter(pmod(col("user_id"), lit(10)) === m)
       .select(col("user_id").as(s"${p}_uid"), col("day"),
-        col("a").as(s"${p}_a"), col("b").as(s"${p}_b"),
-        explode(sequence(
-          expr("a div 3600000000"), expr("b div 3600000000"))).as("bucket"))
-    banded(0, "x").join(banded(1, "y"), Seq("day", "bucket"))
-      .filter(col("x_a") <= col("y_b") && col("y_a") <= col("x_b") &&
-        col("bucket") === expr("greatest(x_a, y_a) div 3600000000"))
+        col("a").as(s"${p}_a"), col("b").as(s"${p}_b"))
+    RangeJoin
+      .overlapJoin(side(0, "x"), side(1, "y"), Seq("day"),
+        "x_a", "x_b", "y_a", "y_b", bucketWidth = 3600000000L)
       .select(col("day"),
         (least(col("x_b"), col("y_b")) - greatest(col("x_a"), col("y_a")))
           .as("ov_us"))

@@ -50,6 +50,26 @@ class AsOfJoinSpec extends SparkTestBase {
       (3L, 30L), (4L, 30L)))
   }
 
+  test("overlap join equals the naive theta-join, each pair exactly once") {
+    import graft.operators.RangeJoin
+    // intervals spanning multiple buckets (width 10) force the
+    // overlap-start dedup to matter; key 'g' restricts the pairing
+    val l = Seq((1L, "a", 0L, 25L), (2L, "a", 30L, 31L), (3L, "b", 0L, 100L))
+      .toDF("lid", "g", "ls", "le")
+    val r = Seq((10L, "a", 5L, 6L), (20L, "a", 24L, 40L), (30L, "b", 99L, 250L),
+        (40L, "a", 26L, 29L))
+      .toDF("rid", "g", "rs", "re")
+    val got = RangeJoin
+      .overlapJoin(l, r, Seq("g"), "ls", "le", "rs", "re", bucketWidth = 10L)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toList
+    // a LIST, not a set: multi-bucket pairs must not be emitted twice
+    assert(got.sorted == List((1L, 10L), (1L, 20L), (2L, 20L), (3L, 30L)))
+    val naive = l.as("l").join(r.as("r"),
+        $"l.g" === $"r.g" && $"ls" <= $"re" && $"rs" <= $"le")
+      .select($"lid", $"rid").as[(Long, Long)].collect().toList
+    assert(got.sorted == naive.sorted)
+  }
+
   test("left rows are preserved 1:1") {
     val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
     val right = Seq.empty[(Long, Timestamp, Double)].toDF("k", "rt", "v")
