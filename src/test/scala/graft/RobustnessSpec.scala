@@ -136,6 +136,14 @@ class RobustnessSpec extends SparkTestBase {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     graft.engine.Fs.deleteRecursively(new java.io.File("/tmp/graft_pairs"))
+    // ADVICE r11: deleting the staged root in-session violates the
+    // fresh-session regeneration contract, so earlier suites' cached
+    // plans over the same path (CrossCheckSpec materializes the pair
+    // verdict's persisted join) could serve this test's collect() from
+    // the pre-delete cache — the race would then never touch the
+    // rebuilt artifacts it claims to validate. Evict everything first
+    // so both racers genuinely re-list and re-read.
+    SparkEntry.evictCaches(spark)
     val runs = Seq.fill(2)(Future {
       SparkEntry.queries("q_minhash_pairs")(spark, sf0001)
         .collect().map(_.toString).toSeq.sorted
