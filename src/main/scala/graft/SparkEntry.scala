@@ -2398,6 +2398,64 @@ object SparkEntry {
         round(col("sse"), 4).as("sse"))
   }
 
+  /** Event-time-weighted average value per event type: each reading
+    * holds until the NEXT reading of its type, so the mean weights every
+    * value by its holding duration — the right average for irregularly
+    * sampled gauges, where the arithmetic mean over-counts bursts (the
+    * monitoring read beside [[qEventGaps]]). The lead window is
+    * type-partitioned (distributed by key, never global), durations are
+    * exact integer µs (`unix_micros`, tie rows → dt 0, dropped
+    * deterministically), and the weighted sum accumulates as
+    * DECIMAL(38,0) — value-units × µs exceeds the int64 range at month
+    * gaps, so the product is promoted BEFORE the multiply on both
+    * engines (HUGEINT on the oracle side) — with ONE double division at
+    * the end. Everything after the window is a map-side-combinable
+    * per-type aggregate.
+    */
+  private def qTimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 10000).cast("long").as("v_u4"))
+      .withColumn("dt_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt_us").isNotNull && col("dt_us") > 0L)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("sum_dt_us"),
+        (sum(col("v_u4").cast("decimal(38,0)") * col("dt_us"))
+          .cast("double") / sum(col("dt_us")).cast("double") / 10000.0)
+          .as("twa_value"))
+      .orderBy("event_type")
+  }
+
+  /** Deterministic per-group MODE (most frequent value, ties → smallest
+    * value): two cascaded map-side-combinable aggregates, window-free —
+    * count per (group, value), then argmax via a lexicographic struct
+    * MAX whose second field is the NEGATED value, so the tie-break is
+    * part of the aggregate itself. Spark's built-in `mode` is
+    * tie-nondeterministic (any modal value may win), which cannot be
+    * oracled; this shape pins the answer AND scales better than the
+    * rank-window formulation — no sort, no per-group row funnel, state
+    * is one (count, value) pair per partition per group.
+    */
+  private def qMode(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "qty")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("l_returnflag")
+      .agg(
+        max(struct(col("n"), (-col("qty")).as("neg_qty"))).as("m"),
+        sum(col("n")).as("n_rows"))
+      .select(col("l_returnflag"),
+        col("m.n").as("mode_count"),
+        (-col("m.neg_qty")).as("mode_qty"),
+        col("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Inter-event gap profile: per-user time between consecutive events,
     * bucketed into operational bands — the cadence distribution that
     * sizes session timeouts and retention windows. The lag window is
@@ -3885,6 +3943,76 @@ object SparkEntry {
       .select(col("s_name"), col("numwait"))
       .orderBy(desc("numwait"), col("s_name"))
       .limit(100)
+  }
+
+  /** TPC-H Q12 (shipping-mode / order-priority split), adapted: the
+    * reduced schema carries no l_shipmode / l_commitdate / l_receiptdate,
+    * so the mode dimension is `l_returnflag` and "late delivery" is the
+    * Q4/Q21 ship-after-order lateness, here > 30 days past the order date
+    * (reference discipline: differential oracle, `host/join/
+    * join_test.cc:27-38`). Per flag, 1996-shipped late lines split into
+    * high-priority (1-URGENT / 2-HIGH) vs low-priority counts — the
+    * canonical conditional two-counter aggregate. ONE equi-shuffle join
+    * carries the priority column onto the lines (AQE broadcasts the
+    * pruned orders side when it fits); the year filter is pushed to the
+    * lineitem scan and both counters are map-side partials, so the only
+    * row movement is the join itself.
+    */
+  private def qTpchQ12(s: SparkSession, d: String): DataFrame = {
+    val high = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(high: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin(high: _*), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q22 (global sales opportunity), adapted: no `c_phone`, so the
+    * country code is `c_nationkey % 10` restricted to the odd codes, and
+    * "customers with no orders" — empty in this fixture, every customer
+    * has ordered — becomes the equivalent DORMANT-customer anti-join (no
+    * order since 2000-01-01). Keeps Q22's whole shape: an uncorrelated
+    * scalar subquery (mean positive balance) gating the probe side, a
+    * NOT-EXISTS anti-join against orders, and the country-code rollup.
+    * Money is exact integer cents end to end with ONE double division at
+    * the end. Scale: the average is a 1-row broadcast attach (no
+    * re-execution per row), the anti-join is an equi-keyed LEFT ANTI on
+    * the customer key (shuffle- or broadcast-hash, never quadratic), and
+    * the date predicate prunes the orders side at the scan.
+    */
+  private def qTpchQ22(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        (col("c_nationkey") % 10).cast("long").as("cntrycode"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_u2"))
+      .filter(col("cntrycode").isin(1L, 3L, 5L, 7L, 9L))
+    val avgBal = cust.filter(col("bal_u2") > 0L)
+      .agg((sum(col("bal_u2")).cast("double") / count(lit(1)))
+        .as("__avg_u2"))
+      .withColumn("one", lit(1))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust
+      .withColumn("one", lit(1))
+      .join(broadcast(avgBal), "one")
+      .filter(col("bal_u2").cast("double") > col("__avg_u2"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        (sum(col("bal_u2")).cast("double") / 100.0).as("totacctbal"))
+      .orderBy("cntrycode")
   }
 
   /** Zero-seeded EWMA (α = ½) of the daily event-count series — the
@@ -6001,6 +6129,10 @@ object SparkEntry {
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q19" -> (qTpchQ19 _),
     "q_tpch_q21" -> (qTpchQ21 _),
+    "q_tpch_q12" -> (qTpchQ12 _),
+    "q_tpch_q22" -> (qTpchQ22 _),
+    "q_time_weighted_avg" -> (qTimeWeightedAvg _),
+    "q_mode" -> (qMode _),
     "q_group_sample" -> (qGroupSample _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_vector_audit" -> (qVectorAudit _),
@@ -8059,6 +8191,74 @@ object SparkEntry {
         |  ) w GROUP BY w.l_suppkey
         |) c JOIN supplier ON s_suppkey = c.l_suppkey
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_tpch_q22 adapted: cntrycode = nationkey % 10 (odd codes), dormant
+    // = no order since 2000-01-01; money exact cents, one final division
+    "q_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_u2
+        |  FROM customer WHERE (c_nationkey % 10) IN (1, 3, 5, 7, 9)
+        |), a AS (
+        |  SELECT CAST(SUM(bal_u2) AS DOUBLE) / COUNT(*) AS avg_u2
+        |  FROM cust WHERE bal_u2 > 0
+        |)
+        |SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(bal_u2) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM cust, a
+        |WHERE CAST(bal_u2 AS DOUBLE) > avg_u2
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = cust.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_time_weighted_avg: identical lead/filter/aggregate semantics; the
+    // weighted sum is promoted to HUGEINT before the multiply (the Spark
+    // side promotes to DECIMAL(38,0)) and cast to double exactly once
+    "q_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_us(ts) AS BIGINT) AS us,
+        |         LEAD(epoch_us(ts)) OVER (
+        |           PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+        |           AS nxt_us,
+        |         CAST(ROUND(value * 10000) AS BIGINT) AS v_u4
+        |  FROM events
+        |), i AS (
+        |  SELECT event_type, v_u4, nxt_us - us AS dt_us
+        |  FROM e WHERE nxt_us IS NOT NULL AND nxt_us - us > 0
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |       CAST(SUM(dt_us) AS BIGINT) AS sum_dt_us,
+        |       CAST(SUM(CAST(v_u4 AS HUGEINT) * dt_us) AS DOUBLE)
+        |         / CAST(SUM(dt_us) AS DOUBLE) / 10000.0 AS twa_value
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_mode: oracled from first principles (rank over the value counts,
+    // ties to the smallest value) — DuckDB's mode() is tie-unspecified
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT l_returnflag, n, qty,
+        |         SUM(n) OVER (PARTITION BY l_returnflag) AS tot,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY n DESC, qty ASC) AS rk
+        |  FROM c
+        |)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS mode_count,
+        |       qty AS mode_qty, CAST(tot AS BIGINT) AS n_rows
+        |FROM r WHERE rk = 1 ORDER BY 1""".stripMargin,
     "q_tpch_q19" ->
       """SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
         |           (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
