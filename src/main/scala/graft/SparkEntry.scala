@@ -2267,6 +2267,41 @@ object SparkEntry {
       .orderBy("rep")
   }
 
+  /** Ratio-to-parent rollup: each nation's share of its region's order
+    * revenue — the canonical drill-down report column. Geography joins
+    * are broadcast dimension attaches onto the orders fact; revenue
+    * accumulates once per (region, nation) as exact cents, and the
+    * parent total comes from a region-partitioned window OVER THE
+    * COMPACT ROLLUP — the scale trap with ratio-to-parent is windowing
+    * the fact table (corpus-sized partitions through a sort); windowing
+    * the ≤nations-sized aggregate is metadata work, and the fact rows
+    * move exactly once (the groupBy shuffle, map-side combined). Shares
+    * divide exact integers, so they are engine-identical.
+    */
+  private def qShareOfParent(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val geo = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("u2"))
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("u2")).as("nat_u2"))
+      .withColumn("reg_u2",
+        sum(col("nat_u2")).over(Window.partitionBy("r_name")))
+      .select(col("r_name"), col("n_name"),
+        (col("nat_u2").cast("double") / 100.0).as("revenue"),
+        (col("nat_u2").cast("double") / col("reg_u2").cast("double"))
+          .as("share_of_region"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Day-of-week × hour-of-day traffic profile — the seasonality heatmap
     * behind capacity planning and anomaly baselines. One compact-domain
     * aggregate (≤168 cells, map-side combine) with the grand total
@@ -2535,6 +2570,8 @@ object SparkEntry {
     * correction a group-by over equal counts, and every input to z is an
     * exact integer so the verdict is engine-independent.
     */
+  // (qOlsTrend lives below qTrendTest: the parametric line next to the
+  // non-parametric verdict)
   private def qTrendTest(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
@@ -2559,6 +2596,43 @@ object SparkEntry {
             .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
             .otherwise(lit(0.0)), 4).as("z"))
   }
+
+  /** Per-type OLS trend line of the daily event-count series — the
+    * parametric line beside [[qTrendTest]]'s non-parametric verdict (a
+    * monitor wants both: Mann-Kendall says WHETHER, the slope says HOW
+    * FAST). x is the day offset from the corpus epoch, y the daily
+    * count, so all five sufficient statistics (n, Σx, Σy, Σxy, Σxx) are
+    * EXACT integers from ONE map-side-combinable aggregate over the
+    * compact (type, day) domain; slope and intercept are closed-form
+    * ratios of those integers — two double divisions at the end, no
+    * iterative fitting, no window. This is the textbook
+    * sufficient-statistics decomposition that makes regression a single
+    * distributed pass at any scale (the same shape `regr_slope` uses,
+    * spelled out so both engines compute bit-identical ratios).
+    */
+  private def qOlsTrend(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("event_type"), col("n_days"), col("sy").as("n_events"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_per_day"),
+        col("sx"), col("sy"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope_per_day") * col("sx").cast("double"))
+          / col("n_days").cast("double"))
+      .drop("sx", "sy")
+      .orderBy("event_type")
 
   /** Join-key skew diagnostic over lineitem.l_partkey — the pre-flight a
     * pipeline runs before choosing plain vs salted vs broadcast joins
@@ -5415,6 +5489,38 @@ object SparkEntry {
         "metric", "value")
       .orderBy("l_returnflag", "metric")
 
+  /** Map-function battery — MapType as a first-class column: per return
+    * flag, the linestatus→count map is BUILT in an aggregate
+    * (`map_from_entries` over a `sort_array`ed entry list — maps are
+    * unordered, so deterministic construction sorts the entries first),
+    * then read back through the higher-order map surface: `size`,
+    * `element_at` (typed point lookup, NULL on miss), `map_filter` (the
+    * lambda prunes small statuses), and a `map_values`+`aggregate` fold
+    * re-summing the counts. The collect_list rides a BOUNDED domain (the
+    * per-flag status alphabet, ≤ a handful of entries) — the same
+    * compact-domain contract [[qEwma]] documents, never corpus-sized
+    * rows. Everything is oracled as scalars: the map round-trips back to
+    * the conditional counts DuckDB computes relationally.
+    */
+  private def qMapOps(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("l_linestatus"), col("n")))))
+        .as("m"))
+      .select(
+        col("l_returnflag"),
+        size(col("m")).as("n_statuses"),
+        element_at(col("m"), "O").as("n_open"),
+        element_at(col("m"), "F").as("n_final"),
+        size(map_filter(col("m"), (_, v) => v >= lit(1000L)))
+          .as("n_big_statuses"),
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v)
+          .as("n_total"))
+      .orderBy("l_returnflag")
+
   /** Array-function battery over the token arrays (canonicalized to
     * scalars/strings so results are engine-comparable).
     */
@@ -6133,6 +6239,9 @@ object SparkEntry {
     "q_tpch_q22" -> (qTpchQ22 _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "q_mode" -> (qMode _),
+    "q_ols_trend" -> (qOlsTrend _),
+    "q_map_ops" -> (qMapOps _),
+    "q_share_of_parent" -> (qShareOfParent _),
     "q_group_sample" -> (qGroupSample _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_vector_audit" -> (qVectorAudit _),
@@ -8242,6 +8351,66 @@ object SparkEntry {
         |       CAST(SUM(CAST(v_u4 AS HUGEINT) * dt_us) AS DOUBLE)
         |         / CAST(SUM(dt_us) AS DOUBLE) / 10000.0 AS twa_value
         |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_ols_trend: the identical sufficient-statistics closed form; all
+    // five sums are exact integers, the two divisions mirror Spark's
+    "q_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS x,
+        |         COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT event_type, n_days, sy AS n_events,
+        |       CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |         CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day,
+        |       (CAST(sy AS DOUBLE) -
+        |        (CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |         CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |         / CAST(n_days AS DOUBLE) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
+    // q_map_ops: the map round-trips back to relational conditional
+    // counts; element_at misses are NULL (CASE with no ELSE)
+    "q_map_ops" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_linestatus) AS INTEGER) AS n_statuses,
+        |       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+        |         AS n_open,
+        |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+        |         AS n_final,
+        |       CAST(COUNT(DISTINCT CASE WHEN cnt >= 1000 THEN l_linestatus END)
+        |            AS INTEGER) AS n_big_statuses,
+        |       CAST(COUNT(*) AS BIGINT) AS n_total
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |             COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus)
+        |               AS cnt
+        |      FROM lineitem) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_share_of_parent: identical two-level rollup; shares divide exact
+    // integer cent sums
+    "q_share_of_parent" ->
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS nat_u2
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r_name, n_name,
+        |       CAST(nat_u2 AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(nat_u2 AS DOUBLE) /
+        |         CAST(SUM(nat_u2) OVER (PARTITION BY r_name) AS DOUBLE)
+        |         AS share_of_region
+        |FROM nat ORDER BY r_name, n_name""".stripMargin,
     // q_mode: oracled from first principles (rank over the value counts,
     // ties to the smallest value) — DuckDB's mode() is tie-unspecified
     "q_mode" ->
