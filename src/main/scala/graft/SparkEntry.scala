@@ -2267,6 +2267,49 @@ object SparkEntry {
       .orderBy("rep")
   }
 
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data / unit-mixup detector for money columns (natural
+    * multiplicative amounts follow P(d) = log10(1+1/d); flat or spiked
+    * digit profiles flag synthetic or truncated feeds). The digit is
+    * extracted from the EXACT integer-cent string — never from float
+    * formatting, which differs across engines — so the per-digit counts
+    * are engine-identical; expected shares are pinned as shared literal
+    * constants on both sides (not each engine's own log10, whose libm
+    * may differ in the last ulp). One map-side-combined 9-row aggregate
+    * plus the [[qSeasonality]]-shape 1-row grand-total broadcast attach
+    * for the share/χ² columns.
+    */
+  private def qBenford(s: SparkSession, d: String): DataFrame = {
+    // log10(1 + 1/d), d = 1..9 — shortest-roundtrip literals shared
+    // verbatim with the oracle SQL
+    val benfordShare = Seq(
+      0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val digits = Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("u2"))
+      .filter(col("u2") > 0L)
+      .select(substring(col("u2").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("__n_total"))
+      .withColumn("one", lit(1))
+    val expShare = (2 to 9).foldLeft(
+      when(col("digit") === 1, lit(benfordShare.head))) { (acc, dd) =>
+        acc.when(col("digit") === dd, lit(benfordShare(dd - 1)))
+    }
+    digits
+      .withColumn("one", lit(1))
+      .join(broadcast(total), "one")
+      .withColumn("share", col("n").cast("double") / col("__n_total").cast("double"))
+      .withColumn("exp_share", expShare)
+      .withColumn("chi2_term",
+        (col("share") - col("exp_share")) * (col("share") - col("exp_share"))
+          / col("exp_share") * col("__n_total").cast("double"))
+      .select(col("digit"), col("n"), col("share"), col("exp_share"),
+        col("chi2_term"))
+      .orderBy("digit")
+  }
+
   /** Ratio-to-parent rollup: each nation's share of its region's order
     * revenue — the canonical drill-down report column. Geography joins
     * are broadcast dimension attaches onto the orders fact; revenue
@@ -6242,6 +6285,7 @@ object SparkEntry {
     "q_ols_trend" -> (qOlsTrend _),
     "q_map_ops" -> (qMapOps _),
     "q_share_of_parent" -> (qShareOfParent _),
+    "q_benford" -> (qBenford _),
     "q_group_sample" -> (qGroupSample _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_vector_audit" -> (qVectorAudit _),
@@ -8411,6 +8455,35 @@ object SparkEntry {
         |         CAST(SUM(nat_u2) OVER (PARTITION BY r_name) AS DOUBLE)
         |         AS share_of_region
         |FROM nat ORDER BY r_name, n_name""".stripMargin,
+    // q_benford: digit from the exact integer-cent string; expected
+    // shares are the SAME literal constants as the Spark side (never
+    // each engine's own log10)
+    "q_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |                             AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |         COUNT(*) AS n
+        |  FROM orders WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+        |  GROUP BY 1
+        |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM dg),
+        |e(digit, exp_share) AS (VALUES
+        |  (1, CAST(0.3010299956639812 AS DOUBLE)),
+        |  (2, CAST(0.17609125905568124 AS DOUBLE)),
+        |  (3, CAST(0.12493873660829992 AS DOUBLE)),
+        |  (4, CAST(0.09691001300805642 AS DOUBLE)),
+        |  (5, CAST(0.07918124604762482 AS DOUBLE)),
+        |  (6, CAST(0.06694678963061322 AS DOUBLE)),
+        |  (7, CAST(0.05799194697768673 AS DOUBLE)),
+        |  (8, CAST(0.05115252244738129 AS DOUBLE)),
+        |  (9, CAST(0.04575749056067514 AS DOUBLE)))
+        |SELECT dg.digit, CAST(dg.n AS BIGINT) AS n,
+        |       CAST(dg.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+        |       e.exp_share,
+        |       (CAST(dg.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) - e.exp_share)
+        |         * (CAST(dg.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) - e.exp_share)
+        |         / e.exp_share * CAST(t.n_total AS DOUBLE) AS chi2_term
+        |FROM dg, t JOIN e ON dg.digit = e.digit
+        |ORDER BY dg.digit""".stripMargin,
     // q_mode: oracled from first principles (rank over the value counts,
     // ties to the smallest value) — DuckDB's mode() is tie-unspecified
     "q_mode" ->

@@ -325,6 +325,7 @@ class PlanAuditSpec extends SparkTestBase {
                         // attaches (avoids a 4x multi-distinct Expand)
       "q_calibration", // 1-row total-count attach onto the decile cut
       "q_seasonality", // 1-row grand-total attach for the share column
+      "q_benford", // 1-row grand-total attach onto the 9-digit profile
       "q_token_budget", // 1-row budget attach onto the source domain
       "q_bootstrap_ci", // the 32-row replicate axis broadcast against the
                         // purchase scan — the bounded map-side expansion
