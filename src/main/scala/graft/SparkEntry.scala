@@ -5816,6 +5816,28 @@ object SparkEntry {
     Components.duplicateClusters(stagedDupPairs(s, d), "id_a", "id_b")
       .orderBy("cluster_id")
 
+  /** BFS hop distance from each near-dup cluster's canonical survivor
+    * ([[Components.hopDistance]]): how many near-dup links separate a
+    * document from the representative its cluster keeps — the "dup
+    * chain depth" a curation pipeline inspects when transitive
+    * near-dup merging (A≈B≈C) starts fusing documents that are NOT
+    * pairwise similar (dist ≥ 2 = kept only via a chain). Seeds are the
+    * component minima from the same one staged pair set every graph row
+    * consumes; both the labeling and the BFS are
+    * one-edge-shuffle-per-round iterations, O(diameter) rounds. The
+    * oracle recomputes labels AND distances from raw text via recursive
+    * CTEs — a full differential on the iterative machinery.
+    */
+  private def qGraphBfs(s: SparkSession, d: String): DataFrame = {
+    val pairs = stagedDupPairs(s, d)
+    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+    val seeds = labels.filter(col("id") === col("comp")).select("id")
+    Components.hopDistance(pairs, "id_a", "id_b", seeds, "id")
+      .join(labels, "id")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"), col("dist"))
+      .orderBy("doc_id")
+  }
+
   /** Connected-component labels through Spark's native `WITH RECURSIVE`
     * SQL surface — the same cluster_id/n_members result as
     * [[qDupClusters]] (identical oracle), computed by the ANSI recursive
@@ -6218,6 +6240,7 @@ object SparkEntry {
     "q_gini" -> (qGini _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_graph_bfs" -> (qGraphBfs _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_graph_triangles" -> (qGraphTriangles _),
@@ -6366,6 +6389,29 @@ object SparkEntry {
       |lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
       |SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
       |FROM lbl GROUP BY comp ORDER BY cluster_id""".stripMargin
+
+  /** [[dupClustersOracle]]'s graph rebuilt from raw text, extended with a
+    * recursive BFS from the component minima — the oracle for
+    * [[qGraphBfs]]. The recursion is depth-bounded (dist < 20, matching
+    * hopDistance's maxIter) so cycles terminate; MIN(dist) per node then
+    * yields the shortest hop count.
+    */
+  private val dupBfsOracle: String = {
+    val cut = dupClustersOracle.lastIndexOf("\nSELECT comp AS cluster_id")
+    dupClustersOracle.substring(0, cut) +
+      """,
+        |seeds AS (SELECT DISTINCT comp AS id FROM lbl),
+        |bfs(id, dist) AS (
+        |  SELECT id, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.id
+        |  WHERE b.dist < 20),
+        |dmin AS (SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id)
+        |SELECT l.id AS doc_id, l.comp AS cluster_id,
+        |       CAST(d.dist AS BIGINT) AS dist
+        |FROM lbl l JOIN dmin d ON l.id = d.id
+        |ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_recursive_cte" -> dupClustersOracle,
@@ -9159,6 +9205,7 @@ object SparkEntry {
     // fine at oracle scale; the engine side uses iterative label
     // propagation instead)
     "q_dup_clusters" -> dupClustersOracle,
+    "q_graph_bfs" -> dupBfsOracle,
     // q_graph_triangles: the same exact pair set as q_dup_clusters, then
     // oriented wedge join + closing edge; wedges integer-exact via DIV,
     // transitivity double with identical operand order in both engines

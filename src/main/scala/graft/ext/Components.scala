@@ -109,6 +109,70 @@ object Components {
     labels
   }
 
+  /** Minimal hop count from any seed — multi-source BFS as distributed
+    * unit-weight relaxation (the Bellman-Ford specialization): seeds
+    * start at 0, each round every node adopts `min(own, min neighbor
+    * + 1)`, fixpoint = shortest hop distances. The round structure is
+    * the same one-edge-shuffle-per-round discipline as
+    * [[connectedComponents]], rounds = eccentricity of the seed set
+    * (2–3 on near-dup clusters). Distances never increase and the
+    * reached set never shrinks, so `(count, Σdist)` is a strict
+    * convergence witness — one scalar aggregate per round. Unreached
+    * nodes are absent from the result (disconnected from every seed),
+    * mirroring the components contract that only edge-touched nodes
+    * are labeled.
+    */
+  def hopDistance(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    var dist = seeds
+      .select(col(seedCol).as("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    // Witness: count is non-decreasing, and for a fixed reached set every
+    // relaxation strictly lowers the (decimal-exact) distance sum — so
+    // the pair is stable iff the table is.
+    def witness(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(col("dist").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = witness(dist)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbr = sym
+        .join(dist.select(col("id").as("src"), col("dist")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg((min(col("dist")) + 1L).as("nd"))
+      val next = dist
+        .join(nbr, Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist")))
+            .as("dist"))
+        .localCheckpoint()
+      val w = witness(next)
+      converged = w._1 == prev._1 && w._2.compareTo(prev._2) == 0
+      prev = w
+      dist = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"hopDistance did not converge in $maxIter rounds; " +
+          "distances would be incomplete — raise maxIter")
+    dist
+  }
+
   /** One row per duplicate cluster: (cluster_id = min member id,
     * n_members), from a pair list such as [[Dedup.ngramJaccardPairs]].
     */

@@ -205,4 +205,43 @@ class PropertyCheckSpec extends SparkTestBase {
       assert(got == want, s"edges=$edges")
     }
   }
+
+  test("property: hopDistance matches a local BFS from the component minima") {
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)).suchThat(p => p._1 != p._2))
+    samples(edgeGen, 4).foreach { edges =>
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // reference: textbook frontier BFS from every local component min
+      val comp = {
+        // reuse a simple flood fill to find component minima
+        val seen = scala.collection.mutable.Map[Long, Long]()
+        nodes.sorted.foreach { n =>
+          if (!seen.contains(n)) {
+            var frontier = Set(n)
+            while (frontier.nonEmpty) {
+              frontier.foreach(seen(_) = n)
+              frontier = frontier.flatMap(adj(_)).filterNot(seen.contains)
+            }
+          }
+        }
+        seen.toMap
+      }
+      val seedSet = comp.values.toSet
+      // multi-source BFS: ALL seeds enter the frontier at distance 0
+      val want = scala.collection.mutable.Map[Long, Long]()
+      var frontier = seedSet; var d = 0L
+      while (frontier.nonEmpty) {
+        frontier.foreach(n => if (!want.contains(n)) want(n) = d)
+        frontier = frontier.flatMap(adj(_)).filterNot(want.contains)
+        d += 1
+      }
+      val seeds = seedSet.toSeq.toDF("id")
+      val got = graft.ext.Components
+        .hopDistance(edges.toDF("a", "b"), "a", "b", seeds, "id")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want.toMap, s"edges=$edges")
+    }
+  }
 }
