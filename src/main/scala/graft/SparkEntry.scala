@@ -2188,8 +2188,13 @@ object SparkEntry {
       .groupBy((col("idx") * 10 / col("n_total")).cast("long").as("decile"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("mean_score"),
-        round(avg(col("label")), 6).as("pos_rate"))
+        // exact 1e-4-unit accumulation, ONE double division — a raw
+        // double avg is partial-order-dependent, and its last-ulp wiggle
+        // flipped a round() boundary between runs (r12 flake)
+        (sum(round(col("value") * 10000).cast("long")).cast("double") /
+          count(lit(1)).cast("double") / 10000.0).as("mean_score"),
+        (sum(col("label")).cast("double") / count(lit(1)).cast("double"))
+          .as("pos_rate"))
       .orderBy("decile")
   }
 
@@ -2676,6 +2681,47 @@ object SparkEntry {
           / col("n_days").cast("double"))
       .drop("sx", "sy")
       .orderBy("event_type")
+
+  /** Lagged cross-correlation between the view and click daily series —
+    * does today's view volume predict clicks k days later? (the
+    * lead-indicator probe next to [[qOlsTrend]]'s within-series line).
+    * Pearson r at lags 0–3 from the six exact integer sufficient
+    * statistics per lag; numerator and the two variance terms are exact
+    * bigints cast to double ONCE each (products of the n·Σ terms can
+    * exceed int64 at large corpora, so the multiply happens in double
+    * space on both engines — identical op order, identical bits). The
+    * corpus-sized work is ONE map-side-combined daily count; the lag
+    * expansion and self-join ride the compact ~30-row-per-type series,
+    * the same compact-domain contract as [[qTrendTest]].
+    */
+  private def qCrossCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val views = daily.filter(col("event_type") === "view")
+      .select(col("day"), col("n").as("x"))
+    val clicks = daily.filter(col("event_type") === "click")
+      .select(col("day").as("bday"), col("n").as("y"))
+    views
+      .withColumn("lag",
+        explode(array(lit(0L), lit(1L), lit(2L), lit(3L))))
+      .join(clicks, col("bday") === col("day") + col("lag"))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("pearson_r"))
+      .orderBy("lag")
+  }
 
   /** Join-key skew diagnostic over lineitem.l_partkey — the pre-flight a
     * pipeline runs before choosing plain vs salted vs broadcast joins
@@ -3290,20 +3336,31 @@ object SparkEntry {
     * (returnflag, linestatus) domain. [[qGroupAgg]] carries a reduced
     * form; this row is the recognizable benchmark shape: one map-side-
     * combinable aggregate over a pushed-down scan filter, the plan every
-    * OLAP engine is first judged on. Money sums are rounded at 2 (exact
-    * in practice — the inputs are 2dp decimals carried as doubles),
-    * averages at 6.
+    * OLAP engine is first judged on. Money sums accumulate as EXACT
+    * integer units (cents × discount% × tax% — 1e-6-currency units for
+    * the charge; r12: a fixture sum_disc_price lands EXACTLY on a
+    * 2dp round boundary at two SFs, so the old round(double-sum) was a
+    * partial-order coin flip) with one unrounded double division each;
+    * averages stay round(avg) — audited boundary-free on these
+    * fixtures, and quantity/discount sums are order-exact integers in
+    * double space. Unit products stay < 2e11 per row, 7 orders below
+    * int64 overflow even at 1e7-row groups; a larger engine would
+    * switch the charge sum to decimal(38,0).
     */
   private def qTpchQ1(s: SparkSession, d: String): DataFrame = {
-    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val pu2 = round(col("l_extendedprice") * 100).cast("long")
+    val d2 = round(col("l_discount") * 100).cast("long")
+    val t2 = round(col("l_tax") * 100).cast("long")
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).cast("double").as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(disc), 2).as("sum_disc_price"),
-        round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        (sum(pu2).cast("double") / 100.0).as("sum_base_price"),
+        (sum(pu2 * (lit(100L) - d2)).cast("double") / 10000.0)
+          .as("sum_disc_price"),
+        (sum(pu2 * (lit(100L) - d2) * (lit(100L) + t2)).cast("double")
+          / 1000000.0).as("sum_charge"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -6309,6 +6366,7 @@ object SparkEntry {
     "q_map_ops" -> (qMapOps _),
     "q_share_of_parent" -> (qShareOfParent _),
     "q_benford" -> (qBenford _),
+    "q_cross_corr" -> (qCrossCorr _),
     "q_group_sample" -> (qGroupSample _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_vector_audit" -> (qVectorAudit _),
@@ -7446,8 +7504,9 @@ object SparkEntry {
         |  FROM events)
         |SELECT CAST(idx * 10 // n_total AS BIGINT) AS decile,
         |       CAST(COUNT(*) AS BIGINT) AS n,
-        |       ROUND(AVG(value), 4) AS mean_score,
-        |       ROUND(AVG(CAST(label AS DOUBLE)), 6) AS pos_rate
+        |       CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) / 10000.0 AS mean_score,
+        |       CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_path_trigrams: LEAD over the identical (ts, event_id) intra-user
     // order; deterministic top-20 tiebreak on the full trigram
@@ -8222,11 +8281,15 @@ object SparkEntry {
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2)
-        |         AS sum_disc_price,
-        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)),
-        |             2) AS sum_charge,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |         / 100.0 AS sum_base_price,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+        |            AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) *
+        |                (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+        |            AS DOUBLE) / 1000000.0 AS sum_charge,
         |       ROUND(AVG(l_quantity), 6) AS avg_qty,
         |       ROUND(AVG(l_extendedprice), 6) AS avg_price,
         |       ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -8530,6 +8593,34 @@ object SparkEntry {
         |         / e.exp_share * CAST(t.n_total AS DOUBLE) AS chi2_term
         |FROM dg, t JOIN e ON dg.digit = e.digit
         |ORDER BY dg.digit""".stripMargin,
+    // q_cross_corr: identical sufficient-statistics Pearson r per lag;
+    // the n·Σ products multiply in double space on both sides
+    "q_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+        |), v AS (SELECT day, n AS x FROM daily WHERE event_type = 'view'),
+        |c AS (SELECT day AS bday, n AS y FROM daily WHERE event_type = 'click'),
+        |lags(lag) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)),
+        |j AS (
+        |  SELECT l.lag, v.x, c.y FROM v CROSS JOIN lags l
+        |  JOIN c ON c.bday = v.day + l.lag
+        |), s AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT lag, n_days,
+        |       CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |         SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |              CAST(n_days * syy - sy * sy AS DOUBLE)) AS pearson_r
+        |FROM s ORDER BY lag""".stripMargin,
     // q_mode: oracled from first principles (rank over the value counts,
     // ties to the smallest value) — DuckDB's mode() is tie-unspecified
     "q_mode" ->
