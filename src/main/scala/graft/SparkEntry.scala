@@ -6149,6 +6149,162 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Mann–Whitney U rank-sum test (returnflag R vs A on l_extendedprice)
+    * with exact tie-averaged ranks computed WITHOUT a global window: cent
+    * values aggregate to a (value → per-group count) table, values segment
+    * into fixed-width $1,000 buckets, the within-bucket rank prefix is a
+    * bucket-PARTITIONED window, and the cross-bucket carry is a window over
+    * the bucket-total table whose size is bounded by the VALUE RANGE (~110
+    * rows for TPC-H prices at any corpus size), never the row count — the
+    * same carry-in decomposition as [[qPeakConcurrency]]. Statistics stay
+    * in exact integer space doubled to clear half-ranks (2·avgrank =
+    * 2·cum + t + 1), so `u2_a` = 2·U is an exact bigint far past 100 TB;
+    * the AUC estimate U/(n_a·n_b) is the only double — one cast-and-divide
+    * per engine, bit-identical. Reference discipline: differential oracle
+    * (host/join/join_test.cc:27-38).
+    */
+  private def qRankTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(
+        round(col("l_extendedprice") * 100).cast("long").as("v"),
+        (col("l_returnflag") === "R").as("is_a"))
+      .groupBy("v")
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("nb"))
+      .withColumn("bucket", floor(col("v") / lit(100000L)))
+    val within = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perValue.groupBy("bucket")
+      .agg(sum(col("na") + col("nb")).as("bt"))
+      .select(col("bucket"),
+        coalesce(sum(col("bt")).over(carryW), lit(0L)).as("carry_in"))
+    perValue
+      .withColumn("cum_in",
+        coalesce(sum(col("na") + col("nb")).over(within), lit(0L)))
+      .join(broadcast(carry), "bucket")
+      .select(col("na"), col("nb"),
+        (col("carry_in") + col("cum_in")).as("cum"),
+        (col("na") + col("nb")).as("t"))
+      .agg(
+        sum(col("na")).as("n_a"),
+        sum(col("nb")).as("n_b"),
+        sum(col("na") * (lit(2L) * col("cum") + col("t") + lit(1L))).as("r2_a"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + lit(1L))).as("u2_a"))
+      .withColumn("auc_a",
+        col("u2_a").cast("double") /
+          (lit(2L) * col("n_a") * col("n_b")).cast("double"))
+  }
+
+  /** NULL-semantics battery in one aggregate pass: a nullable group key
+    * (NULLIF collapses 'O' status to NULL — ANSI groups every NULL into
+    * one bucket) and a nullable measure (every 7th order's price withheld)
+    * exercise the aggregate null contract: COUNT(*) counts rows,
+    * COUNT(col)/SUM/MIN/MAX skip NULLs. The sort pins NULLS FIRST
+    * explicitly because engine DEFAULTS disagree (Spark ASC = NULLS
+    * FIRST, DuckDB = NULLS LAST) — left implicit this row would
+    * hash-diverge, which is exactly the portability trap it documents.
+    * One map-side-combinable shuffle onto a ≤3-value key domain; o_orderkey
+    * is non-negative so pmod and truncated % agree (the [[qVariant]]
+    * floor-mod lesson, stated rather than assumed).
+    */
+  private def qNullSemantics(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      .groupBy("st")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("cents")).as("n_priced"),
+        count(when(col("cents").isNull, 1)).as("n_null_price"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("st").asc_nulls_first)
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) with the scale
+    * discipline that makes it survivable: NULL is a legitimate join-key
+    * value that hash-partitions like any other, so a ROW-level null-safe
+    * join concentrates every null×null pair into one task (n_null² pair
+    * blowup — the null-key analogue of [[qSaltedJoin]]'s hot key). The
+    * remedy is aggregate-first: each side reduces to per-key counts
+    * (map-side combine), the null-safe join runs over the compact key
+    * domain, and pair counts multiply — identical answer, no blowup.
+    * Spark plans EqualNullSafe as a real hash-join key (not a nested
+    * loop), which the catalog-wide cartesian audit pins.
+    */
+  private def qNullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    def side(m: Int) = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(2)) === m)
+      .select(
+        nullif(substring(col("o_orderpriority"), 1, 1), lit("3")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val a = side(0).select(col("k"), col("n").as("n_a"))
+    val b = side(1).select(col("k").as("kb"), col("n").as("n_b"))
+    a.join(b, col("k") <=> col("kb"))
+      .select(col("k"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("n_pairs"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  /** Ridge regression (price ~ quantity + discount, λ=1000) by
+    * DISTRIBUTED normal equations: the corpus-sized pass is ONE scalar
+    * aggregate of nine exact-integer sufficient statistics (cent-unit y,
+    * whole-unit quantity, percent-unit discount keep every Σ an exact
+    * bigint to ~10^17 rows); the centered 2×2 closed-form solve runs on
+    * the 1-row result in double space with the SAME operation order on
+    * both engines, so every IEEE op rounds identically and the
+    * coefficients hash bit-for-bit unrounded. The model-fit shape a
+    * feature pipeline needs at 100 TB: no driver loop, no gradient
+    * iterations, one shuffle of nine numbers.
+    */
+  private def qRidge(s: SparkSession, d: String): DataFrame = {
+    val lam = lit(1000.0)
+    def d_(c: String) = col(c).cast("double")
+    Tables.lineitem(s, d)
+      .select(
+        round(col("l_quantity")).cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      .select(col("n"),
+        (d_("s11") - d_("s1") * d_("s1") / d_("n")).as("c11"),
+        (d_("s12") - d_("s1") * d_("s2") / d_("n")).as("c12"),
+        (d_("s22") - d_("s2") * d_("s2") / d_("n")).as("c22"),
+        (d_("s1y") - d_("s1") * d_("sy") / d_("n")).as("cy1"),
+        (d_("s2y") - d_("s2") * d_("sy") / d_("n")).as("cy2"),
+        (d_("s1") / d_("n")).as("xb1"),
+        (d_("s2") / d_("n")).as("xb2"),
+        (d_("sy") / d_("n")).as("yb"))
+      .withColumn("det",
+        (col("c11") + lam) * (col("c22") + lam) - col("c12") * col("c12"))
+      .withColumn("b1",
+        ((col("c22") + lam) * col("cy1") - col("c12") * col("cy2")) /
+          col("det"))
+      .withColumn("b2",
+        ((col("c11") + lam) * col("cy2") - col("c12") * col("cy1")) /
+          col("det"))
+      .withColumn("b0",
+        col("yb") - col("b1") * col("xb1") - col("b2") * col("xb2"))
+      .select(col("n"), col("b0"), col("b1"), col("b2"))
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6367,6 +6523,10 @@ object SparkEntry {
     "q_share_of_parent" -> (qShareOfParent _),
     "q_benford" -> (qBenford _),
     "q_cross_corr" -> (qCrossCorr _),
+    "q_rank_test" -> (qRankTest _),
+    "q_null_semantics" -> (qNullSemantics _),
+    "q_nullsafe_join" -> (qNullsafeJoin _),
+    "q_ridge" -> (qRidge _),
     "q_group_sample" -> (qGroupSample _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_vector_audit" -> (qVectorAudit _),
@@ -8621,6 +8781,109 @@ object SparkEntry {
         |         SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE) *
         |              CAST(n_days * syy - sy * sy AS DOUBLE)) AS pearson_r
         |FROM s ORDER BY lag""".stripMargin,
+    // q_rank_test: identical two-level exact rank-sum; the oracle's single
+    // ORDER BY window replaces the engine's bucket+carry decomposition
+    "q_rank_test" ->
+      """WITH v AS (
+        |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+        |         (l_returnflag = 'R') AS is_a
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        |), a AS (
+        |  SELECT v,
+        |         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM v GROUP BY v
+        |), p AS (
+        |  SELECT na, nb, na + nb AS t,
+        |         CAST(COALESCE(SUM(na + nb) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum
+        |  FROM a
+        |), s AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |         CAST(SUM(nb) AS BIGINT) AS n_b,
+        |         CAST(SUM(na * (2 * cum + t + 1)) AS BIGINT) AS r2_a
+        |  FROM p
+        |)
+        |SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a,
+        |       CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) /
+        |         CAST(2 * n_a * n_b AS DOUBLE) AS auc_a
+        |FROM s""".stripMargin,
+    // q_null_semantics: NULLS FIRST is explicit — DuckDB's default is
+    // NULLS LAST, Spark's is NULLS FIRST
+    "q_null_semantics" ->
+      """WITH b AS (
+        |  SELECT NULLIF(o_orderstatus, 'O') AS st,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |         END AS cents
+        |  FROM orders
+        |)
+        |SELECT st, COUNT(*) AS n_rows, COUNT(cents) AS n_priced,
+        |       CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null_price,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM b GROUP BY st ORDER BY st NULLS FIRST""".stripMargin,
+    // q_nullsafe_join: IS NOT DISTINCT FROM is ANSI's <=>
+    "q_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT NULLIF(substr(o_orderpriority, 1, 1), '3') AS k,
+        |         COUNT(*) AS n_a
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+        |), b AS (
+        |  SELECT NULLIF(substr(o_orderpriority, 1, 1), '3') AS k,
+        |         COUNT(*) AS n_b
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+        |)
+        |SELECT a.k AS k, a.n_a, b.n_b, a.n_a * b.n_b AS n_pairs
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin,
+    // q_ridge: the double-space solve mirrors the Spark expression order
+    // op-for-op so every IEEE rounding decision is identical; the decimal
+    // literal is CAST to DOUBLE because DuckDB parses 1000.0 as DECIMAL
+    "q_ridge" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x1) AS BIGINT) AS s1,
+        |         CAST(SUM(x2) AS BIGINT) AS s2,
+        |         CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+        |         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+        |         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+        |         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+        |         CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        |  FROM (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+        |               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+        |               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        |        FROM lineitem)
+        |), c AS (
+        |  SELECT n,
+        |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c11,
+        |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c12,
+        |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c22,
+        |    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cy1,
+        |    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cy2,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS xb1,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS xb2,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS yb
+        |  FROM m
+        |), f AS (
+        |  SELECT *, (c11 + CAST(1000 AS DOUBLE)) * (c22 + CAST(1000 AS DOUBLE))
+        |            - c12 * c12 AS det
+        |  FROM c
+        |), g AS (
+        |  SELECT *,
+        |    ((c22 + CAST(1000 AS DOUBLE)) * cy1 - c12 * cy2) / det AS b1,
+        |    ((c11 + CAST(1000 AS DOUBLE)) * cy2 - c12 * cy1) / det AS b2
+        |  FROM f
+        |)
+        |SELECT n, yb - b1 * xb1 - b2 * xb2 AS b0, b1, b2 FROM g""".stripMargin,
     // q_mode: oracled from first principles (rank over the value counts,
     // ties to the smallest value) — DuckDB's mode() is tie-unspecified
     "q_mode" ->

@@ -420,6 +420,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_changepoint" -> "cumulative SSE + argmin over the per-day aggregate",
       "q_kaplan_meier" -> "risk-set/survival windows over the per-day event table",
       "q_peak_concurrency" -> "carry-in over the per-day NET aggregate; the sweep itself is day-partitioned",
+      "q_rank_test" -> "carry-in over the ~110-row $1k-bucket totals (bounded by the price RANGE, not rows); the rank prefix itself is bucket-partitioned",
       "q_psi_drift" -> "cohort totals over the value-bucket count table (fixed-width buckets)",
       "q_ks_drift" -> "ECDF over the compact distinct-length domain (pre-bucket for continuous metrics)",
       "q_skyline" -> "strictly-cheaper prefix-max over the per-price grid (one row per distinct price)",
