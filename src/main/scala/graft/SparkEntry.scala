@@ -1247,6 +1247,44 @@ object SparkEntry {
     s.table(name).orderBy("window_start", "event_type")
   }
 
+  /** The scale-grade state BACKEND as a catalog row: the [[qStreamAgg]]
+    * micro-batch windowed aggregate executed on the RocksDB state store
+    * provider instead of the default in-heap HDFS-backed store. At 100 TB
+    * the stateful-agg state (watermark-deep windows × key domain) outgrows
+    * executor heaps; RocksDB keeps working state on local disk with
+    * incremental snapshot checkpointing, turning state size into a disk
+    * problem instead of an OOM. local[32] proves the real wiring — native
+    * library load, provider lifecycle per state partition, correctness of
+    * get/put/commit — under the same finite-input oracle parity contract
+    * as [[qStreamAgg]]; 30-minute windows differentiate the oracle from
+    * that row's hourly one. Conf is set/restored around the query because
+    * the provider is resolved per-query-start from session conf.
+    */
+  private def qStreamRocksdb(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val staged = stagedEvents(s, d)
+    val name = s"graft_stream_rocksdb_$tag"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsPipeline.streamingWindowedAgg(
+        s, staged, name, windowLen = "30 minutes")
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevPart)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+    s.table(name).orderBy("window_start", "event_type")
+  }
+
   /** The stateful-streaming seam as a catalog row: per-user running
     * counters via `flatMapGroupsWithState` (custom state, not windowed
     * agg), driven to completion on the staged finite events copy (same
@@ -6365,6 +6403,7 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_dataset_card" -> (qDatasetCard _),
     "q_stream_agg" -> (qStreamAgg _),
+    "q_stream_rocksdb" -> (qStreamRocksdb _),
     "q_stream_stats" -> (qStreamStats _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -6913,6 +6952,15 @@ object SparkEntry {
     // batch aggregate, so the streaming row shares q_events_window's oracle
     "q_stream_agg" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_stream_rocksdb: same parity contract as q_stream_agg on the
+    // RocksDB state store; 30-minute buckets
+    "q_stream_rocksdb" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT)
+        |         AS window_start,
         |       event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value

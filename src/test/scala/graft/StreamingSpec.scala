@@ -41,6 +41,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed agg on the RocksDB state store matches batch and engages RocksDB") {
+    import scala.jdk.CollectionConverters._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsPipeline.streamingWindowedAgg(spark, stagedEvents, "rocks_out")
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("rocks_out")
+          .select("window_start", "event_type", "n_events", "sum_value")
+          .as[(Long, String, Long, Double)].collect().toSet
+        val batch = EventsPipeline.windowedAgg(Tables.events(spark, sf0001))
+          .as[(Long, String, Long, Double)].collect().toSet
+        assert(streamed == batch)
+        assert(batch.nonEmpty)
+        // the provider must REALLY be RocksDB, not a silent fallback to the
+        // in-heap default: RocksDB's state operator reports provider-specific
+        // custom metrics in the progress events
+        assert(q.recentProgress.exists(_.stateOperators.exists(
+            _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))),
+          "no rocksdb* custom metrics in stateOperators progress")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("append-mode windowed agg with watermark emits only finalized windows") {
     import org.apache.spark.sql.functions._
     val staged = stagedEvents
