@@ -6343,6 +6343,48 @@ object SparkEntry {
       .select(col("n"), col("b0"), col("b1"), col("b2"))
   }
 
+  /** MinHash/LSH band-config PLANNER: before committing 100 TB to a
+    * (bands, rows) choice, score the candidate configs against the
+    * corpus's OWN pair-similarity distribution. The corpus-sized work is
+    * the exact n-gram pair scan already audited by [[qNgramJaccard]]
+    * (threshold 0.03, inverted-index + df-ceiling discipline); pairs then
+    * reduce to a ≤10-row Jaccard-decile histogram, and each (b, r) config
+    * with b·r = 128 gets the S-curve catch probability 1 − (1 − s^r)^b at
+    * the decile midpoint plus the expected caught-pair count. Powers are
+    * EXPLICIT square chains (s→s²→s⁴→…) mirrored op-for-op in the oracle —
+    * never pow()/exp(), whose libm rounding differs across engines. The
+    * 10×3 grid cross-join is metadata-sized (cartesian-audit allowlisted).
+    */
+  private def qMinhashTuning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val decs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.03)
+      .select(least(floor(col("jaccard") * 10), lit(9L)).as("dec"))
+      .groupBy("dec").agg(count(lit(1)).as("n_pairs"))
+    val configs = Seq((32, 4), (16, 8), (8, 16)).toDF("b", "r")
+    decs.crossJoin(broadcast(configs))
+      .withColumn("s",
+        (col("dec").cast("double") + lit(0.5)) / lit(10.0))
+      .withColumn("s2", col("s") * col("s"))
+      .withColumn("s4", col("s2") * col("s2"))
+      .withColumn("s8", col("s4") * col("s4"))
+      .withColumn("s16", col("s8") * col("s8"))
+      .withColumn("q",
+        lit(1.0) - when(col("r") === 4, col("s4"))
+          .when(col("r") === 8, col("s8")).otherwise(col("s16")))
+      .withColumn("q2", col("q") * col("q"))
+      .withColumn("q4", col("q2") * col("q2"))
+      .withColumn("q8", col("q4") * col("q4"))
+      .withColumn("q16", col("q8") * col("q8"))
+      .withColumn("q32", col("q16") * col("q16"))
+      .withColumn("p_mid",
+        lit(1.0) - when(col("b") === 8, col("q8"))
+          .when(col("b") === 16, col("q16")).otherwise(col("q32")))
+      .select(col("b"), col("r"), col("dec"), col("n_pairs"), col("p_mid"),
+        (col("n_pairs").cast("double") * col("p_mid")).as("exp_caught"))
+      .orderBy("b", "dec")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6563,6 +6605,7 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_cross_corr" -> (qCrossCorr _),
     "q_rank_test" -> (qRankTest _),
+    "q_minhash_tuning" -> (qMinhashTuning _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_nullsafe_join" -> (qNullsafeJoin _),
     "q_ridge" -> (qRidge _),
@@ -8857,6 +8900,66 @@ object SparkEntry {
         |       CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) /
         |         CAST(2 * n_a * n_b AS DOUBLE) AS auc_a
         |FROM s""".stripMargin,
+    // q_minhash_tuning: the q_ngram_jaccard pair CTE at threshold 0.03,
+    // then the decile histogram × band-config grid; powers are the SAME
+    // explicit square chains as the Spark side (never pow(), whose libm
+    // rounding is engine-specific)
+    "q_minhash_tuning" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                                  for i in generate_series(1, len(t) - 2)])
+        |         END AS g
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS t
+        |        FROM documents)),
+        |posting AS (SELECT id, unnest(g) AS gram FROM sh),
+        |sizes AS (SELECT id, len(g) AS n_sh FROM sh),
+        |shared AS (SELECT gram FROM posting
+        |           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 10000),
+        |pruned AS (SELECT id, gram FROM posting JOIN shared USING (gram)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM pruned a JOIN pruned b USING (gram)
+        |  WHERE a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ROUND(CAST(i.n_inter AS DOUBLE) /
+        |               CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6) AS j
+        |  FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.id
+        |  JOIN sizes sb ON i.id_b = sb.id
+        |  WHERE CAST(i.n_inter AS DOUBLE) /
+        |        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.03),
+        |decs AS (
+        |  SELECT CAST(LEAST(FLOOR(j * 10), 9) AS BIGINT) AS dec,
+        |         COUNT(*) AS n_pairs
+        |  FROM pairs GROUP BY 1),
+        |configs(b, r) AS (VALUES (32, 4), (16, 8), (8, 16)),
+        |grid AS (
+        |  SELECT b, r, dec, n_pairs,
+        |         (CAST(dec AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |           / CAST(10.0 AS DOUBLE) AS s
+        |  FROM decs CROSS JOIN configs),
+        |p1 AS (SELECT *, s * s AS s2 FROM grid),
+        |p2 AS (SELECT *, s2 * s2 AS s4 FROM p1),
+        |p3 AS (SELECT *, s4 * s4 AS s8 FROM p2),
+        |p4 AS (SELECT *, s8 * s8 AS s16 FROM p3),
+        |p5 AS (SELECT *, CAST(1.0 AS DOUBLE) -
+        |         (CASE WHEN r = 4 THEN s4 WHEN r = 8 THEN s8
+        |               ELSE s16 END) AS q FROM p4),
+        |p6 AS (SELECT *, q * q AS q2 FROM p5),
+        |p7 AS (SELECT *, q2 * q2 AS q4 FROM p6),
+        |p8 AS (SELECT *, q4 * q4 AS q8 FROM p7),
+        |p9 AS (SELECT *, q8 * q8 AS q16 FROM p8),
+        |pa AS (SELECT *, q16 * q16 AS q32 FROM p9),
+        |pb AS (SELECT *, CAST(1.0 AS DOUBLE) -
+        |         (CASE WHEN b = 8 THEN q8 WHEN b = 16 THEN q16
+        |               ELSE q32 END) AS p_mid FROM pa)
+        |SELECT b, r, dec, n_pairs, p_mid,
+        |       CAST(n_pairs AS DOUBLE) * p_mid AS exp_caught
+        |FROM pb ORDER BY b, dec""".stripMargin,
     // q_null_semantics: NULLS FIRST is explicit — DuckDB's default is
     // NULLS LAST, Spark's is NULLS FIRST
     "q_null_semantics" ->

@@ -327,6 +327,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_seasonality", // 1-row grand-total attach for the share column
       "q_benford", // 1-row grand-total attach onto the 9-digit profile
       "q_token_budget", // 1-row budget attach onto the source domain
+      "q_minhash_tuning", // the ≤10-row decile histogram × 3-row band-config
+                          // grid — metadata-sized planner output
       "q_bootstrap_ci", // the 32-row replicate axis broadcast against the
                         // purchase scan — the bounded map-side expansion
                         // that IS the distributed bootstrap
