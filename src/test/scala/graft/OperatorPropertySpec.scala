@@ -379,4 +379,57 @@ class OperatorPropertySpec extends SparkTestBase {
       .select($"user_id", to_date($"ts")).distinct().count()
     assert(peak >= 1 && peak <= sessions)
   }
+
+  test("rank test equals the naive global-window rank sum; U symmetry holds") {
+    import org.apache.spark.sql.expressions.Window
+    val Array((nA, nB, u2A, auc)) = SparkEntry.queries("q_rank_test")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    // naive differential: one GLOBAL avg-rank window over the raw rows
+    // (test-only shape — the production row is the bucket+carry split);
+    // 2*avgrank for a tie run = 2*rank() + t - 1
+    val ranked = Tables.lineitem(spark, sf0001)
+      .filter($"l_returnflag".isin("R", "A"))
+      .select(round($"l_extendedprice" * 100).cast("long").as("v"),
+        ($"l_returnflag" === "R").as("is_a"))
+      .withColumn("r2",
+        rank().over(Window.orderBy("v")) * 2L +
+          count(lit(1)).over(Window.partitionBy("v")) - 1L)
+    def u2(flagA: Boolean): Long = {
+      val r2 = ranked.filter($"is_a" === flagA)
+        .agg(sum($"r2")).as[Long].head()
+      val n = if (flagA) nA else nB
+      r2 - n * (n + 1)
+    }
+    assert(u2(true) == u2A, "bucket+carry rank sum != naive global window")
+    // U_A + U_B = 2*n_a*n_b (every cross pair contributes exactly 2)
+    assert(u2(true) + u2(false) == 2 * nA * nB)
+    assert(auc == u2A.toDouble / (2.0 * nA * nB))
+  }
+
+  test("ridge coefficients satisfy the regularized normal equations") {
+    val Array((n, b0, b1, b2)) = SparkEntry.queries("q_ridge")(spark, sf0001)
+      .as[(Long, Double, Double, Double)].collect()
+    val m = Tables.lineitem(spark, sf0001)
+      .select(
+        round($"l_quantity").cast("long").as("x1"),
+        round($"l_discount" * 100).cast("long").as("x2"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      .agg(count(lit(1)), sum($"x1"), sum($"x2"), sum($"y"),
+        sum($"x1" * $"x1"), sum($"x1" * $"x2"), sum($"x2" * $"x2"),
+        sum($"x1" * $"y"), sum($"x2" * $"y"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (cnt, s1, s2, sy, s11, s12, s22, s1y, s2y) = m
+    assert(cnt == n)
+    val nd = cnt.toDouble
+    val (c11, c12, c22) = (s11 - s1.toDouble * s1 / nd,
+      s12 - s1.toDouble * s2 / nd, s22 - s2.toDouble * s2 / nd)
+    val (cy1, cy2) = (s1y - s1.toDouble * sy / nd, s2y - s2.toDouble * sy / nd)
+    val lam = 1000.0
+    // (C + λI) b = c_y, equation by equation, to relative 1e-9
+    assert(math.abs((c11 + lam) * b1 + c12 * b2 - cy1) <= 1e-9 * math.abs(cy1))
+    assert(math.abs(c12 * b1 + (c22 + lam) * b2 - cy2) <= 1e-9 * math.abs(cy2))
+    // intercept recenters the means
+    val (xb1, xb2, yb) = (s1 / nd, s2 / nd, sy / nd)
+    assert(math.abs(yb - b1 * xb1 - b2 * xb2 - b0) <= 1e-9 * math.abs(yb))
+  }
 }
