@@ -1317,6 +1317,46 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Spark 4's `transformWithState` as a catalog row: the same per-user
+    * running counters as [[qStreamStats]] executed on the NEW arbitrary-
+    * stateful-processing operator ([[graft.streaming.EventsPipeline.UserStatsTwsProcessor]]
+    * — typed named ValueState, TTL surface, timers) instead of
+    * `flatMapGroupsWithState`. The operator requires the RocksDB state
+    * store (set/restored around the query, the [[qStreamRocksdb]]
+    * discipline); sharing [[qStreamStats]]'s oracle means any semantic
+    * drift between the v1 and v2 stateful APIs is a correctness failure,
+    * not a silent difference. State is per-key on disk — scales with user
+    * cardinality and spills past heap, never with stream length.
+    */
+  private def qStreamTws(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val staged = stagedEvents(s, d)
+    val name = s"graft_stream_tws_$tag"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsPipeline.streamingUserStatsTws(s, staged, name)
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevPart)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+    s.table(name)
+      .groupBy("user_id")
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max_by(col("sum_value"), col("n_events")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** Stream-stream INTERVAL join as a driver-gated catalog row: errors
     * joined to the same user's purchases within the preceding hour, both
     * sides watermarked so the state store retains only a bounded horizon
@@ -6447,6 +6487,7 @@ object SparkEntry {
     "q_stream_agg" -> (qStreamAgg _),
     "q_stream_rocksdb" -> (qStreamRocksdb _),
     "q_stream_stats" -> (qStreamStats _),
+    "q_stream_tws" -> (qStreamTws _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -7011,6 +7052,12 @@ object SparkEntry {
     // q_stream_stats: finite stream driven to completion — final
     // flatMapGroupsWithState state equals the batch per-user aggregate
     "q_stream_stats" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_stream_tws: transformWithState (v2 API) shares the v1 row's
+    // oracle — API drift would surface as a correctness failure
+    "q_stream_tws" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -99,6 +99,61 @@ object EventsPipeline {
       .start()
   }
 
+  /** Per-user running stats on Spark 4's `transformWithState` — the
+    * arbitrary-stateful-processing successor to `flatMapGroupsWithState`
+    * ([[streamingUserStats]] is the v1 twin kept for comparison): typed
+    * named [[org.apache.spark.sql.streaming.ValueState]] per key, an
+    * explicit TTL surface, timer support, and a RocksDB-only contract —
+    * the operator REQUIRES the disk-backed provider, which is exactly
+    * what lets its state outgrow executor heaps at scale. Same Update-mode
+    * running (n, Σvalue) emission as the v1 twin, so the two share an
+    * oracle and any semantic drift between the APIs shows up as a
+    * correctness failure.
+    */
+  class UserStatsTwsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserStats] {
+    import org.apache.spark.sql.streaming.{
+      OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("stats",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      val prev = if (state.exists()) state.get() else UserState(0L, 0.0)
+      var n = prev.nEvents
+      var s = prev.sumValue
+      rows.foreach { e => n += 1; s += e.value }
+      state.update(UserState(n, s))
+      Iterator.single(UserStats(key, n, math.rint(s * 10000) / 10000))
+    }
+  }
+
+  def streamingUserStatsTws(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserStatsTwsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   /** The same windowed aggregate as a streaming query reading parquet from
     * `inputDir`; results land in the in-memory table `queryName` (tests
     * drive it with `processAllAvailable()`).
