@@ -5080,6 +5080,28 @@ object SparkEntry {
          |FROM $docs ORDER BY id""".stripMargin)
   }
 
+  /** Spark 4 SQL surface: PIPE syntax (`|>` — linear dataflow SQL, each
+    * stage a Catalyst-planned relational op, not string preprocessing)
+    * combined with a NAMED PARAMETER marker (`:minprice` bound via
+    * `sql(text, args)` — injection-proof parameterization, the contract a
+    * query service needs). The pipeline parses to exactly the plan the
+    * classic form produces — filter → project → hash aggregate with
+    * map-side combine — so the feature costs nothing at scale; the oracle
+    * is the classic-syntax equivalent, pinning that pipe syntax is pure
+    * surface, not semantics.
+    */
+  private def qSqlPipe(s: SparkSession, d: String): DataFrame = {
+    val ord = tempView(s, d, "graft_orders", Tables.orders(s, d))
+    s.sql(
+      s"""FROM $ord
+         ||> WHERE o_totalprice > :minprice
+         ||> EXTEND CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+         ||> AGGREGATE COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+         |   GROUP BY o_orderpriority
+         ||> ORDER BY o_orderpriority""".stripMargin,
+      Map("minprice" -> 100000))
+  }
+
   /** Typed custom aggregate (the reference's `aggregator_fn_t` seam →
     * `Aggregator[IN,BUF,OUT]`, SURVEY §2.3): Welford mean/variance.
     */
@@ -6534,6 +6556,7 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_sample_mix" -> (qSampleMix _),
     "q_sql_text" -> (qSqlText _),
+    "q_sql_pipe" -> (qSqlPipe _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_ivf_topk" -> (qIvfTopK _),
@@ -9585,6 +9608,14 @@ object SparkEntry {
         |         ELSE 'it'
         |       END AS lang_pred
         |FROM s ORDER BY id""".stripMargin,
+    // q_sql_pipe: the classic-syntax equivalent of the pipe pipeline
+    "q_sql_pipe" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sql_text" ->
       """SELECT doc_id AS id,
         |       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
