@@ -4411,6 +4411,60 @@ object SparkEntry {
           6).as("chi2"))
   }
 
+  /** Two-proportion z-test on per-user conversion between the portable
+    * md5 arms — the readout that turns [[qAbAssign]]'s assignment into a
+    * ship/no-ship decision. Scale shape: conversion collapses to ONE
+    * per-user flag first (user-keyed map-side-combinable aggregate), so
+    * the four cell counts come from a scan of the compact user table —
+    * never a ×4 Expand of the raw event stream (the multi-countDistinct
+    * plan this row deliberately avoids). The z statistic is a mirrored
+    * double chain over the four exact counts; IEEE-754 requires sqrt to
+    * be correctly rounded, so — unlike pow()/exp(), banned in
+    * [[qMinhashTuning]] — sqrt is safe cross-engine and z hashes
+    * bit-for-bit unrounded.
+    */
+  private def qAbZtest(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select((bucket < 500000L).as("is_a"), col("conv"))
+    users
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a"), col("conv")).otherwise(0L)).as("c_a"),
+        sum(when(!col("is_a"), col("conv")).otherwise(0L)).as("c_b"))
+      // tiny fixtures can leave an arm EMPTY (sf0.001 has 15 users) —
+      // the degenerate readout is NULL, not a division error, and the
+      // CASE guard short-circuits the ANSI-mode division on both engines
+      .withColumn("p_a",
+        when(col("n_a") > 0,
+          col("c_a").cast("double") / col("n_a").cast("double")))
+      .withColumn("p_b",
+        when(col("n_b") > 0,
+          col("c_b").cast("double") / col("n_b").cast("double")))
+      .withColumn("p",
+        (col("c_a") + col("c_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      // pooled p of exactly 0 or 1 (tiny fixtures: EVERY user converts at
+      // sf0.001) zeroes the standard error — also a NULL readout
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("c_a") + col("c_b") > 0 &&
+            col("c_a") + col("c_b") < col("n_a") + col("n_b"),
+          (col("p_a") - col("p_b")) /
+            sqrt(col("p") * (lit(1.0) - col("p")) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))))
+      .select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+        col("p_a"), col("p_b"), col("z"))
+  }
+
   /** Token-budget allocation across sources — the data-mixing step that
     * fills a training budget greedily by source quality (here: exact
     * unique-text ratio, the dedup health signal) until the budget is
@@ -6670,6 +6724,7 @@ object SparkEntry {
     "q_cross_corr" -> (qCrossCorr _),
     "q_rank_test" -> (qRankTest _),
     "q_minhash_tuning" -> (qMinhashTuning _),
+    "q_ab_ztest" -> (qAbZtest _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_nullsafe_join" -> (qNullsafeJoin _),
     "q_ridge" -> (qRidge _),
@@ -7213,6 +7268,43 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |       ROUND(AVG(value), 6) AS mean_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_ab_ztest: mirrored double chain over four exact counts; sqrt is
+    // IEEE-correctly-rounded in both engines so z is bit-identical
+    "q_ab_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS conv
+        |  FROM events GROUP BY user_id
+        |), f AS (
+        |  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |               AS BIGINT) % 1000000 < 500000) AS is_a,
+        |         conv
+        |  FROM u
+        |), s AS (
+        |  SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(SUM(CASE WHEN is_a THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |         CAST(SUM(CASE WHEN NOT is_a THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM f
+        |), t AS (
+        |  SELECT *,
+        |         CASE WHEN n_a > 0
+        |              THEN CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+        |         CASE WHEN n_b > 0
+        |              THEN CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+        |         CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
+        |  FROM s
+        |)
+        |SELECT n_a, n_b, c_a, c_b, p_a, p_b,
+        |       CASE WHEN n_a > 0 AND n_b > 0
+        |                 AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+        |         (p_a - p_b) /
+        |           SQRT(p * (CAST(1.0 AS DOUBLE) - p) *
+        |                (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |                 CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |       END AS z
+        |FROM t""".stripMargin,
     // q_rfm: DuckDB's native ntile over (metric DESC, cust) replays the
     // engine's closed-form ANSI split from the distributed global rank
     "q_rfm" ->
