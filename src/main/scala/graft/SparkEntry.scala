@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Components, Dedup, IvfIndex, PageRank, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, NativeExpressions, TypedAggregates}
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, PositionalTake, RangeJoin, Relational, SkewJoin}
+import graft.operators.{AsOfJoin, PositionalTake, PrefixSum, RangeJoin, Relational, SkewJoin}
 import graft.sources.Tables
 import graft.streaming.EventsPipeline
 
@@ -6310,7 +6310,8 @@ object SparkEntry {
     * bucket-PARTITIONED window, and the cross-bucket carry is a window over
     * the bucket-total table whose size is bounded by the VALUE RANGE (~110
     * rows for TPC-H prices at any corpus size), never the row count — the
-    * same carry-in decomposition as [[qPeakConcurrency]]. Statistics stay
+    * [[graft.operators.PrefixSum.exclusive]] library operator (same
+    * carry-in decomposition as [[qPeakConcurrency]]). Statistics stay
     * in exact integer space doubled to clear half-ranks (2·avgrank =
     * 2·cum + t + 1), so `u2_a` = 2·U is an exact bigint far past 100 TB;
     * the AUC estimate U/(n_a·n_b) is the only double — one cast-and-divide
@@ -6318,7 +6319,6 @@ object SparkEntry {
     * (host/join/join_test.cc:27-38).
     */
   private def qRankTest(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perValue = Tables.lineitem(s, d)
       .filter(col("l_returnflag").isin("R", "A"))
       .select(
@@ -6328,21 +6328,9 @@ object SparkEntry {
       .agg(
         sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
         sum(when(col("is_a"), 0L).otherwise(1L)).as("nb"))
-      .withColumn("bucket", floor(col("v") / lit(100000L)))
-    val within = Window.partitionBy("bucket").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carryW = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = perValue.groupBy("bucket")
-      .agg(sum(col("na") + col("nb")).as("bt"))
-      .select(col("bucket"),
-        coalesce(sum(col("bt")).over(carryW), lit(0L)).as("carry_in"))
-    perValue
-      .withColumn("cum_in",
-        coalesce(sum(col("na") + col("nb")).over(within), lit(0L)))
-      .join(broadcast(carry), "bucket")
-      .select(col("na"), col("nb"),
-        (col("carry_in") + col("cum_in")).as("cum"),
+    PrefixSum.exclusive(perValue, floor(col("v") / lit(100000L)),
+        Seq(col("v")), col("na") + col("nb"), "cum")
+      .select(col("na"), col("nb"), col("cum"),
         (col("na") + col("nb")).as("t"))
       .agg(
         sum(col("na")).as("n_a"),

@@ -380,6 +380,25 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(peak >= 1 && peak <= sessions)
   }
 
+  test("segmented prefix sum equals the naive global running total") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.PrefixSum
+    // deterministic pseudo-random rows: unique key k, value from a hash;
+    // bucket = k div 97 (monotone, compact segmentation of the order)
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((0L until 5000L).toList)
+      .map(k => (k, (k * 2654435761L % 1000) - 200)) // negatives included
+    val df = rows.toDF("k", "v").repartition(13)
+    val got = PrefixSum.exclusive(df, floor($"k" / 97L), Seq($"k"), $"v", "ps")
+      .select($"k", $"ps").as[(Long, Long)].collect().toMap
+    val naive = df
+      .withColumn("ps", coalesce(sum($"v").over(
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"k", $"ps").as[(Long, Long)].collect().toMap
+    assert(got.size == 5000 && got == naive)
+  }
+
   test("rank test equals the naive global-window rank sum; U symmetry holds") {
     import org.apache.spark.sql.expressions.Window
     val Array((nA, nB, u2A, auc)) = SparkEntry.queries("q_rank_test")(spark, sf0001)
