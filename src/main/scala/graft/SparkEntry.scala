@@ -4411,6 +4411,55 @@ object SparkEntry {
           6).as("chi2"))
   }
 
+  /** Decile lift / gains table — rank users by an activity score, cut
+    * ANSI deciles, and read conversion concentration per decile with
+    * cumulative lift: the standard evaluation for any targeting/quality
+    * score before it gates a pipeline. The ranking rides the DISTRIBUTED
+    * global index ([[PositionalTake.withGlobalIndex]] — range-partitioned
+    * sort, never a single-partition ntile window) with the ANSI bucket
+    * split replayed in closed form from (rank, n) — the [[qRfm]]
+    * discipline at k=10; ties break on user_id so any engine's native
+    * ntile reproduces the cut. Cumulative/total sums then ride the 10-row
+    * decile grid (allowlisted compact-domain window); rates and lift are
+    * mirrored exact-integer divisions.
+    */
+  private def qDecileLift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val n = users.agg(count(lit(1)).as("n_tot"))
+    val ranked = PositionalTake.withGlobalIndex(
+      users.select(col("user_id"), (-col("n_ev")).as("neg_ev"), col("conv")),
+      Seq("neg_ev", "user_id"), "idx")
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked.crossJoin(broadcast(n))
+      .select(col("conv"),
+        expr("CASE WHEN idx < (n_tot % 10) * (n_tot div 10 + 1) " +
+          "THEN idx div (n_tot div 10 + 1) + 1 " +
+          "ELSE (n_tot % 10) + (idx - (n_tot % 10) * (n_tot div 10 + 1)) " +
+          "div (n_tot div 10) + 1 END").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .withColumn("cum_users", sum(col("n_users")).over(wCum))
+      .withColumn("cum_conv", sum(col("n_conv")).over(wCum))
+      .withColumn("tot_users", sum(col("n_users")).over(wAll))
+      .withColumn("tot_conv", sum(col("n_conv")).over(wAll))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        (col("n_conv").cast("double") / col("n_users").cast("double"))
+          .as("conv_rate"),
+        when(col("tot_conv") > 0,
+          (col("cum_conv").cast("double") / col("cum_users").cast("double")) /
+            (col("tot_conv").cast("double") / col("tot_users").cast("double")))
+          .as("cum_lift"))
+      .orderBy("decile")
+  }
+
   /** Two-proportion z-test on per-user conversion between the portable
     * md5 arms — the readout that turns [[qAbAssign]]'s assignment into a
     * ship/no-ship decision. Scale shape: conversion collapses to ONE
@@ -6713,6 +6762,7 @@ object SparkEntry {
     "q_rank_test" -> (qRankTest _),
     "q_minhash_tuning" -> (qMinhashTuning _),
     "q_ab_ztest" -> (qAbZtest _),
+    "q_decile_lift" -> (qDecileLift _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_nullsafe_join" -> (qNullsafeJoin _),
     "q_ridge" -> (qRidge _),
@@ -7256,6 +7306,42 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |       ROUND(AVG(value), 6) AS mean_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_decile_lift: DuckDB's native NTILE(10) over (n_ev DESC, user_id)
+    // replays the closed-form ANSI split from the distributed global rank
+    "q_decile_lift" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS n_ev,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS conv
+        |  FROM events GROUP BY user_id
+        |), d AS (
+        |  SELECT conv,
+        |         CAST(NTILE(10) OVER (ORDER BY n_ev DESC, user_id)
+        |              AS BIGINT) AS decile
+        |  FROM u
+        |), g AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(conv) AS BIGINT) AS n_conv
+        |  FROM d GROUP BY 1
+        |), c AS (
+        |  SELECT *,
+        |         CAST(SUM(n_users) OVER (ORDER BY decile ROWS BETWEEN
+        |              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum_users,
+        |         CAST(SUM(n_conv) OVER (ORDER BY decile ROWS BETWEEN
+        |              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum_conv,
+        |         CAST(SUM(n_users) OVER () AS BIGINT) AS tot_users,
+        |         CAST(SUM(n_conv) OVER () AS BIGINT) AS tot_conv
+        |  FROM g
+        |)
+        |SELECT decile, n_users, n_conv,
+        |       CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+        |       CASE WHEN tot_conv > 0 THEN
+        |         (CAST(cum_conv AS DOUBLE) / CAST(cum_users AS DOUBLE)) /
+        |         (CAST(tot_conv AS DOUBLE) / CAST(tot_users AS DOUBLE))
+        |       END AS cum_lift
+        |FROM c ORDER BY decile""".stripMargin,
     // q_ab_ztest: mirrored double chain over four exact counts; sqrt is
     // IEEE-correctly-rounded in both engines so z is bit-identical
     "q_ab_ztest" ->

@@ -320,6 +320,8 @@ class PlanAuditSpec extends SparkTestBase {
       // numPartitions-row aggregate, metadata-sized) — the q_take/q_gini
       // shape — plus, for q_rfm, the 1-row customer-count attach
       "q_rfm",
+      "q_decile_lift", // same withGlobalIndex prefix-sum + 1-row user-count
+                       // attach as q_rfm, at k=10
       "q_zipf_slope",
       "q_dataset_card", // three 1-row aggregate passes meet in broadcast
                         // attaches (avoids a 4x multi-distinct Expand)
@@ -423,6 +425,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_kaplan_meier" -> "risk-set/survival windows over the per-day event table",
       "q_peak_concurrency" -> "carry-in over the per-day NET aggregate; the sweep itself is day-partitioned",
       "q_rank_test" -> "carry-in over the ~110-row $1k-bucket totals (bounded by the price RANGE, not rows); the rank prefix itself is bucket-partitioned",
+      "q_decile_lift" -> "cumulative/total sums over the 10-row decile grid; the user ranking is the distributed global index",
       "q_psi_drift" -> "cohort totals over the value-bucket count table (fixed-width buckets)",
       "q_ks_drift" -> "ECDF over the compact distinct-length domain (pre-bucket for continuous metrics)",
       "q_skyline" -> "strictly-cheaper prefix-max over the per-price grid (one row per distinct price)",
