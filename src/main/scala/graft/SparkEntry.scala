@@ -4411,6 +4411,32 @@ object SparkEntry {
           6).as("chi2"))
   }
 
+  /** FORWARD as-of join ([[AsOfJoin.asOfJoinNext]]): each error event
+    * picks the same user's NEXT purchase at-or-after it — the
+    * time-to-recovery probe, the mirror of [[qAsOfJoin]]'s
+    * latest-before direction. Same single-shuffle shape (tag + union +
+    * one descending keyed window, no per-row range probing); the oracle
+    * is the independent MIN-over-inequality-join formulation, so the
+    * window trick is differentially checked, not assumed. Purchases
+    * dedupe to (user, ts) first — the operator's uniqueness contract.
+    * Timestamps stay in exact epoch MICROSECONDS end to end.
+    */
+  private def qAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("err_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .distinct()
+      .withColumn("next_us", col("p_us"))
+    AsOfJoin.asOfJoinNext(errors, purchases, Seq("user_id"),
+        "err_us", "p_us", Seq("next_us"))
+      .select(col("event_id"), col("user_id"), col("err_us"),
+        col("next_us"), (col("next_us") - col("err_us")).as("wait_us"))
+      .orderBy("event_id")
+  }
+
   /** Decile lift / gains table — rank users by an activity score, cut
     * ANSI deciles, and read conversion concentration per decile with
     * cumulative lift: the standard evaluation for any targeting/quality
@@ -6571,6 +6597,7 @@ object SparkEntry {
     "q_hll_merge" -> (qHllMerge _),
     "q_cms_freq" -> (qCmsFreq _),
     "q_asof_join" -> (qAsOfJoin _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_range_join" -> (qRangeJoin _),
     "q_explode_tokens" -> (qExplodeTokens _),
     "q_scalar_subquery" -> (qScalarSubquery _),
@@ -7121,6 +7148,25 @@ object SparkEntry {
         |FROM customer c JOIN supplier s
         |  ON c.c_acctbal BETWEEN s.s_acctbal - 50.0 AND s.s_acctbal + 50.0
         |ORDER BY c.c_custkey, s.s_suppkey""".stripMargin,
+    // q_asof_forward: independent MIN-over-inequality-join formulation
+    // of the forward as-of pick
+    "q_asof_forward" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS err_us
+        |  FROM events WHERE event_type = 'error'
+        |), pur AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), nxt AS (
+        |  SELECT e.event_id, MIN(p.p_us) AS next_us
+        |  FROM err e JOIN pur p
+        |    ON p.user_id = e.user_id AND p.p_us >= e.err_us
+        |  GROUP BY e.event_id
+        |)
+        |SELECT e.event_id, e.user_id, e.err_us, n.next_us,
+        |       n.next_us - e.err_us AS wait_us
+        |FROM err e LEFT JOIN nxt n ON e.event_id = n.event_id
+        |ORDER BY e.event_id""".stripMargin,
     "q_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, ts, MAX(value) AS purchase_value

@@ -26,16 +26,45 @@ object AsOfJoin {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    directional(left, right, keys, leftTs, rightTs, valueCols,
+      forward = false)
+
+  /** Forward as-of — for each left row, the value columns of the EARLIEST
+    * right row with `rightTs >= leftTs` in the same key group (the
+    * "next event after" probe: recovery after an error, next restock
+    * after a stockout). Identical single-shuffle shape to
+    * [[asOfJoinLatest]] — the running pick just scans time DESCENDING, so
+    * the `last(ignoreNulls)` seen at a left row is the nearest FUTURE
+    * right row; inclusive at equal timestamps.
+    */
+  def asOfJoinNext(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame =
+    directional(left, right, keys, leftTs, rightTs, valueCols,
+      forward = true)
+
+  private def directional(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftOther = left.columns.filterNot(keys.contains).toSeq
     // fail fast on ambiguity the output could not represent anyway
     val collisions = valueCols.toSet.intersect(leftOther.toSet ++ keys)
     require(collisions.isEmpty,
-      s"asOfJoinLatest: value column(s) ${collisions.mkString(", ")} collide " +
+      s"AsOfJoin: value column(s) ${collisions.mkString(", ")} collide " +
         "with left-side columns; rename one side before joining")
     val internal = Set("__ts", "__src", "__vals")
     require(!(left.columns ++ right.columns).exists(internal.contains),
-      "asOfJoinLatest: inputs must not carry reserved columns __ts/__src/__vals")
+      "AsOfJoin: inputs must not carry reserved columns __ts/__src/__vals")
     // The right row's value columns travel as ONE nullable struct: the
     // running `last(ignoreNulls)` then picks the latest right ROW
     // atomically — a right-side value that is GENUINELY null stays null
@@ -54,11 +83,13 @@ object AsOfJoin {
         Seq(col(rightTs).as("__ts"), lit(0).as("__src")) ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(valueCols.map(col): _*).as("__vals"): _*)
-    // Right rows sort BEFORE left rows at equal timestamps, so an exact-ts
-    // match is visible to the left row (ASOF's inclusive `<=`).
+    // Right rows sort BEFORE left rows at equal timestamps (in the chosen
+    // scan direction), so an exact-ts match is visible to the left row
+    // (ASOF's inclusive bound in either direction).
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__src").asc)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc,
+        col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     lSide.unionAll(rSide)
       .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))

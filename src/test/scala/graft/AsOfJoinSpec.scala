@@ -34,6 +34,28 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(4L).contains(9.0))
   }
 
+  test("forward as-of picks earliest at-or-after value, inclusive at equal ts") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // next is 11:00
+      (2L, 100L, ts("2024-01-01 12:00:00")), // exact match at 12:00
+      (3L, 100L, ts("2024-01-01 13:30:00")), // after all rights -> null
+      (4L, 200L, ts("2024-01-01 00:30:00"))  // other key, own timeline
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, ts("2024-01-01 11:00:00"), 1.0),
+      (100L, ts("2024-01-01 12:00:00"), 2.0),
+      (100L, ts("2024-01-01 13:00:00"), 3.0),
+      (200L, ts("2024-01-01 01:00:00"), 9.0)
+    ).toDF("k", "rt", "v")
+    val out = AsOfJoin
+      .asOfJoinNext(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0))
+    assert(out(2L).contains(2.0))
+    assert(out(3L).isEmpty)
+    assert(out(4L).contains(9.0))
+  }
+
   test("range join equals the naive theta-join on literal intervals") {
     import graft.operators.RangeJoin
     val points = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, -3.0))
