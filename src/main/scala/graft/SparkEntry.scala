@@ -5951,6 +5951,32 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** REAL codec-free media-header audit: serialize a valid PNG
+    * signature+IHDR prefix per document (dims derived from doc_id), then
+    * parse width/height/signature BACK from the raw bytes with
+    * [[Multimodal.pngWidth]]/[[Multimodal.pngHeight]] — fixed-offset
+    * big-endian byte slicing as codegen'd column expressions, no image
+    * library. This is the header-level pass a 100 TB multimodal ingest
+    * runs BEFORE paying for decode (dimension filters, corrupt-signature
+    * quarantine): stateless per-row expressions, no shuffle. The oracle
+    * computes the expected dims ARITHMETICALLY — only a byte-correct
+    * serializer + parser round-trip can match it.
+    */
+  private def qMediaHeaders(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d).select(
+      col("doc_id"),
+      Multimodal.pngHeader(
+        lit(1L) + pmod(col("doc_id"), lit(640L)),
+        lit(1L) + pmod(col("doc_id") * 7L, lit(480L))).as("media"))
+    media.select(
+        col("doc_id"),
+        Multimodal.pngSigOk(col("media")).as("sig_ok"),
+        Multimodal.pngWidth(col("media")).as("width"),
+        Multimodal.pngHeight(col("media")).as("height"),
+        length(col("media")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -6668,6 +6694,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal" -> (qMultimodal _),
+    "q_media_headers" -> (qMediaHeaders _),
     "q_sample" -> (qSample _),
     "q_split_counts" -> (qSplitCounts _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -7388,6 +7415,14 @@ object SparkEntry {
         |         (CAST(tot_conv AS DOUBLE) / CAST(tot_users AS DOUBLE))
         |       END AS cum_lift
         |FROM c ORDER BY decile""".stripMargin,
+    // q_media_headers: expected dims computed arithmetically — only a
+    // byte-correct PNG serialize+parse round trip matches
+    "q_media_headers" ->
+      """SELECT doc_id, TRUE AS sig_ok,
+        |       1 + doc_id % 640 AS width,
+        |       1 + (doc_id * 7) % 480 AS height,
+        |       CAST(29 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q_ab_ztest: mirrored double chain over four exact counts; sqrt is
     // IEEE-correctly-rounded in both engines so z is bit-identical
     "q_ab_ztest" ->

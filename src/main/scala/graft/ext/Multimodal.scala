@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -86,6 +86,40 @@ object Multimodal {
   /** End-to-end: text table → media payloads → decoded feature table. */
   def featurize(df: DataFrame, idCol: String, payloadCol: String, mediaType: String): DataFrame =
     decodeFeatures(asMedia(df, idCol, payloadCol, mediaType))
+
+  // ---- REAL (codec-free) PNG IHDR construction + parsing ----------------
+  // A PNG file's dimensions live at FIXED byte offsets — signature (8
+  // bytes), IHDR chunk length + type (8), then big-endian width and height
+  // (4 each) — so the metadata-extraction stage of a multimodal pipeline
+  // needs no image library at all: it is pure byte slicing, expressed here
+  // as fully codegen'd column expressions (substring/hex/conv on
+  // BinaryType). Only decode-to-pixels remains behind the [[fakeDecode]]
+  // stub; header-level audit (dims, signature check) — the pass a 100 TB
+  // ingest runs BEFORE paying for decode — is real.
+
+  /** Serializes a valid 29-byte PNG signature + IHDR prefix for the given
+    * dimensions (bit depth 8, RGBA, standard compression/filter, no
+    * interlace; CRC omitted — readers locate dims positionally).
+    */
+  def pngHeader(width: Column, height: Column): Column =
+    concat(
+      unhex(lit("89504E470D0A1A0A")), // PNG signature
+      unhex(lit("0000000D49484452")), // IHDR length=13 + "IHDR"
+      unhex(lpad(hex(width), 8, "0")), // big-endian u32 width
+      unhex(lpad(hex(height), 8, "0")), // big-endian u32 height
+      unhex(lit("0806000000"))) // depth/color/compression/filter/interlace
+
+  /** Big-endian u32 width at byte offset 16 (1-based 17). */
+  def pngWidth(media: Column): Column =
+    conv(hex(substring(media, 17, 4)), 16, 10).cast("long")
+
+  /** Big-endian u32 height at byte offset 20 (1-based 21). */
+  def pngHeight(media: Column): Column =
+    conv(hex(substring(media, 21, 4)), 16, 10).cast("long")
+
+  /** True iff the payload starts with the 8-byte PNG signature. */
+  def pngSigOk(media: Column): Column =
+    hex(substring(media, 1, 8)) === lit("89504E470D0A1A0A")
 
   /** Resize stage (metadata math; a real pipeline would also transform the
     * pixel payload here): fit (width, height) inside (maxW, maxH)
