@@ -5209,6 +5209,42 @@ object SparkEntry {
          |FROM $docs ORDER BY id""".stripMargin)
   }
 
+  /** Spark 4 SQL SCRIPTING (`BEGIN … END`): a declared session variable
+    * feeds two sequential statements — a procedural surface (variables,
+    * control flow) that ports stored-procedure-style logic WITHOUT a
+    * driver-side string-formatting layer; each statement inside the block
+    * still plans through Catalyst, and the block returns the last
+    * statement's result. The conf flag is set/restored around the call
+    * ([[qStreamRocksdb]] discipline). The variable participates in
+    * constant folding, so the filter still pushes to the scan. The cut is
+    * MAX/2, not AVG — max of doubles is exact and halving is a power-of-two
+    * scale, so the threshold is bit-identical cross-engine; an averaged
+    * cut would carry summation-order ulps that can flip membership of a
+    * price sitting near it.
+    */
+  private def qSqlScript(s: SparkSession, d: String): DataFrame = {
+    val ord = tempView(s, d, "graft_orders", Tables.orders(s, d))
+    val key = "spark.sql.scripting.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      s.sql(
+        s"""BEGIN
+           |  DECLARE graft_cut DOUBLE DEFAULT 0.0;
+           |  SET graft_cut = (SELECT MAX(o_totalprice) / 2 FROM $ord);
+           |  SELECT o_orderpriority,
+           |         COUNT(*) AS n_above,
+           |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           |              AS BIGINT) AS sum_cents
+           |  FROM $ord WHERE o_totalprice > graft_cut
+           |  GROUP BY o_orderpriority ORDER BY o_orderpriority;
+           |END""".stripMargin)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Spark 4 SQL surface: PIPE syntax (`|>` — linear dataflow SQL, each
     * stage a Catalyst-planned relational op, not string preprocessing)
     * combined with a NAMED PARAMETER marker (`:minprice` bound via
@@ -6702,6 +6738,7 @@ object SparkEntry {
     "q_sample_mix" -> (qSampleMix _),
     "q_sql_text" -> (qSqlText _),
     "q_sql_pipe" -> (qSqlPipe _),
+    "q_sql_script" -> (qSqlScript _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_ivf_topk" -> (qIvfTopK _),
@@ -9855,6 +9892,16 @@ object SparkEntry {
         |         ELSE 'it'
         |       END AS lang_pred
         |FROM s ORDER BY id""".stripMargin,
+    // q_sql_script: classic-syntax equivalent of the scripted block;
+    // the MAX/2 cut is bit-identical cross-engine
+    "q_sql_script" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n_above,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // q_sql_pipe: the classic-syntax equivalent of the pipe pipeline
     "q_sql_pipe" ->
       """SELECT o_orderpriority,
