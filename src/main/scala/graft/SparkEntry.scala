@@ -5209,6 +5209,26 @@ object SparkEntry {
          |FROM $docs ORDER BY id""".stripMargin)
   }
 
+  /** Spark 4 COLLATION surface: grouping under the case-insensitive
+    * UTF8_LCASE collation — comparison semantics attached to the TYPE, so
+    * every operator downstream (group-by here; joins, distinct, order-by
+    * equally) honors them without scattering `lower()` calls, and the
+    * collation-aware hash stays codegen'd. Mixed-case inputs are
+    * fabricated deterministically (every even event upper-cased); the
+    * emitted key is explicitly lower-cased because a CI group's
+    * REPRESENTATIVE value is engine-arbitrary — exactly the pitfall this
+    * row documents. Oracle = the lower()-normalized classic grouping.
+    */
+  private def qCollation(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        when(pmod(col("event_id"), lit(2)) === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("et"))
+      .groupBy(expr("et COLLATE UTF8_LCASE").as("et_ci"))
+      .agg(count(lit(1)).as("n"))
+      .select(lower(col("et_ci")).as("event_type"), col("n"))
+      .orderBy("event_type")
+
   /** Spark 4 SQL SCRIPTING (`BEGIN … END`): a declared session variable
     * feeds two sequential statements — a procedural surface (variables,
     * control flow) that ports stored-procedure-style logic WITHOUT a
@@ -6739,6 +6759,7 @@ object SparkEntry {
     "q_sql_text" -> (qSqlText _),
     "q_sql_pipe" -> (qSqlPipe _),
     "q_sql_script" -> (qSqlScript _),
+    "q_collation" -> (qCollation _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_ivf_topk" -> (qIvfTopK _),
@@ -9892,6 +9913,12 @@ object SparkEntry {
         |         ELSE 'it'
         |       END AS lang_pred
         |FROM s ORDER BY id""".stripMargin,
+    // q_collation: lower()-normalized classic grouping
+    "q_collation" ->
+      """SELECT lower(CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |             ELSE event_type END) AS event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_sql_script: classic-syntax equivalent of the scripted block;
     // the MAX/2 cut is bit-identical cross-engine
     "q_sql_script" ->
