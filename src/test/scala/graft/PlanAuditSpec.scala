@@ -312,6 +312,8 @@ class PlanAuditSpec extends SparkTestBase {
       // 1-row broadcast stat attaches (midpoint/anchor/total), the
       // q_bm25/q_collocations shape — size-bounded by design
       "q_chi2_drift", // 1-row midpoint + 1-row grand total
+      "q_tpch_q11", // the 1-row (total, n_parts) broadcast gating the
+                    // value cut — the q_bm25 corpus-stats shape
       "q_tpch_q22", // Q22's uncorrelated scalar subquery: the 1-row
                     // mean-positive-balance broadcast gating the probe side
       "q_decay_score", // 1-row max-timestamp anchor
