@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Components, Dedup, IvfIndex, PageRank, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.ext.{Components, DataQuality, Dedup, IvfIndex, PageRank, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, NativeExpressions, TypedAggregates}
 import graft.functions.GraftFunctions._
 import graft.operators.{AsOfJoin, PositionalTake, PrefixSum, RangeJoin, Relational, SkewJoin}
@@ -80,7 +80,8 @@ object SparkEntry {
   // across data regenerations (found missing csvrt/orcrt/pairs in r10)
   private val artifactRoots = Seq(
     "graft_ann", "graft_bucketed", "graft_compact", "graft_csvrt",
-    "graft_evo", "graft_json", "graft_knn", "graft_orcrt", "graft_pairs",
+    "graft_evo", "graft_incagg", "graft_json", "graft_knn", "graft_orcrt",
+    "graft_pairs",
     "graft_partitioned", "graft_partsupp", "graft_pr", "graft_sigs",
     "graft_stream", "graft_zorder")
   /** JVM-wide single-writer gate for the write-once `/tmp/graft_*`
@@ -3903,6 +3904,61 @@ object SparkEntry {
       .orderBy("s_suppkey")
   }
 
+  /** Declarative data-quality report ([[DataQuality.evaluate]]): five
+    * named rules — domain membership, format regex, range, positivity,
+    * and cross-table referential integrity (the FK flag pre-joined so
+    * Catalyst plans ONE broadcast join + ONE aggregate pass for the whole
+    * rule set) — compiled into per-rule conditional counters in a single
+    * scan. Two rules genuinely fail on this corpus (late orders past the
+    * freshness bound, totals under the floor), so the report exercises
+    * both outcomes. Exact integer counts; rule count never adds scans.
+    */
+  private def qDqRules(s: SparkSession, d: String): DataFrame = {
+    val custKeys = Tables.customer(s, d).select(col("c_custkey"))
+    val base = Tables.orders(s, d)
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"),
+        "left")
+      .withColumn("fk_ok", col("c_custkey").isNotNull)
+    DataQuality.evaluate(base, Seq(
+      "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+      "priority_format" -> col("o_orderpriority").rlike("^[1-5]-"),
+      "date_fresh" ->
+        (col("o_orderdate") < lit("2000-01-01").cast("timestamp")),
+      "total_above_floor" -> (col("o_totalprice") >= 5000.0),
+      "fk_customer" -> col("fk_ok")))
+  }
+
+  /** Incremental aggregate MAINTENANCE: the daily revenue rollup kept as
+    * two PARTIAL aggregates — a write-once staged base partial (even
+    * order keys, standing artifact) and a freshly-computed delta partial
+    * (odd keys) — merged by re-aggregating the union of partials
+    * (Σ of Σ, Σ of counts: the associative-merge property that makes
+    * partial aggregates composable). The deliberately OVERLAPPING day
+    * keys across the two partials make this a true merge, not a
+    * concatenation. At 100 TB this is the view-maintenance shape: the
+    * standing partial is never rescanned from raw data — only the delta
+    * is, and the merge runs over two compact day-keyed aggregates. The
+    * oracle recomputes the rollup from scratch, pinning merge == rebuild.
+    */
+  private def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def partial(parity: Int) = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(2)) === parity)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        count(lit(1)).as("n_orders"))
+    val baseDir = s"/tmp/graft_incagg/${dirTag(d)}/base"
+    stagedOnce(baseDir) {
+      partial(0).coalesce(1).write.mode("overwrite").parquet(baseDir)
+    }
+    s.read.parquet(baseDir)
+      .unionAll(partial(1))
+      .groupBy("day")
+      .agg(sum(col("sum_cents")).as("sum_cents"),
+        sum(col("n_orders")).as("n_orders"))
+      .orderBy("day")
+  }
+
   /** DERIVED partsupp — the one TPC-H table this corpus does not ship.
     * Reconstructed deterministically from the OBSERVED part-supplier
     * relationships (distinct (l_partkey, l_suppkey) pairs — so every
@@ -7030,6 +7086,8 @@ object SparkEntry {
     "q_tpch_q4" -> (qTpchQ4 _),
     "q_tpch_q19" -> (qTpchQ19 _),
     "q_tpch_q21" -> (qTpchQ21 _),
+    "q_dq_rules" -> (qDqRules _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q_tpch_q2" -> (qTpchQ2 _),
     "q_tpch_q9" -> (qTpchQ9 _),
     "q_tpch_q11" -> (qTpchQ11 _),
@@ -9235,6 +9293,39 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_dq_rules: plain conditional counts per rule
+    "q_dq_rules" ->
+      """WITH b AS (
+        |  SELECT o.*, (c.c_custkey IS NOT NULL) AS fk_ok
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS p_status,
+        |    CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS p_prio,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '2000-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS p_fresh,
+        |    CAST(SUM(CASE WHEN o_totalprice >= 5000.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS p_floor,
+        |    CAST(SUM(CASE WHEN fk_ok THEN 1 ELSE 0 END) AS BIGINT) AS p_fk
+        |  FROM b
+        |)
+        |SELECT rule, n_rows, n_pass, n_rows - n_pass AS n_fail FROM (
+        |  SELECT 'status_domain' AS rule, n_rows, p_status AS n_pass FROM m
+        |  UNION ALL
+        |  SELECT 'priority_format', n_rows, p_prio FROM m
+        |  UNION ALL SELECT 'date_fresh', n_rows, p_fresh FROM m
+        |  UNION ALL SELECT 'total_above_floor', n_rows, p_floor FROM m
+        |  UNION ALL SELECT 'fk_customer', n_rows, p_fk FROM m
+        |) ORDER BY rule""".stripMargin,
+    // q_incremental_agg: merge == rebuild — the from-scratch rollup
+    "q_incremental_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
     // q_tpch_q2/9/11/16/20: the oracle derives the IDENTICAL partsupp
     // from the observed lineitem pairs (non-negative keys: % == pmod)
     "q_tpch_q2" ->
