@@ -1626,6 +1626,27 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** Native `session_window` sessionization — the same 30-minute-gap
+    * sessions as [[qSessionize]]'s manual gaps-and-islands window, through
+    * Spark's built-in session aggregation (plans as a dedicated
+    * session-merging aggregate, no lag window) — the cross-mechanism pin
+    * (the [[qRecursiveCte]] discipline). SEMANTIC BOUNDARY NOTE, which is
+    * exactly what this row documents: a session window spans
+    * [first, last + gap), so an event at EXACTLY last + gap starts a NEW
+    * session (`>=`), while the manual lag formulation extends on `>` —
+    * the oracle replays `>=`, and a corpus with exact-gap timestamps
+    * would tell the two rows apart.
+    */
+  private def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+
   /** SLIDING (hopping) event-time windows — 1-hour windows every 30
     * minutes, the overlapping-window shape [[qEventsWindow]]'s tumbling
     * row cannot express (each event lands in exactly two windows; Spark's
@@ -6940,6 +6961,7 @@ object SparkEntry {
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_window" -> (qSessionWindow _),
     "q_events_json" -> (qEventsJson _),
     "q_variant" -> (qVariant _),
     "q_observe" -> (qObserve _),
@@ -8003,6 +8025,20 @@ object SparkEntry {
         |  SELECT user_id,
         |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                        + INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_session_window: >= at the gap boundary (session spans
+    // [first, last+gap)) — vs q_sessionize's manual > formulation
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |                        + INTERVAL '30 minutes'
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events)
