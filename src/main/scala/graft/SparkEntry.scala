@@ -1626,6 +1626,49 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** Growth accounting — the weekly NEW / RETAINED / RESURRECTED /
+    * CHURNED user decomposition under every growth dashboard (states
+    * partition active users; churn counts last week's actives who went
+    * dark). Shape: the event stream reduces ONCE to the distinct
+    * (user, week) activity table plus per-user first weeks (both
+    * map-side-combinable); states come from user-keyed self-joins of that
+    * compact table — never the raw stream. Churn is counted only for
+    * OBSERVED weeks (a semi-join on the week set), which bounds the grid
+    * without a max-week scalar attach. All-integer arithmetic; weeks are
+    * epoch-day div 7 from the fixture origin.
+    */
+  private def qGrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.events(s, d)
+      .select(col("user_id").as("u"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+          .cast("long").as("w"))
+      .distinct()
+    val firstW = weekly.groupBy("u").agg(min(col("w")).as("fw"))
+    val prev = weekly.select(col("u").as("pu"), (col("w") + 1L).as("pw"))
+    val states = weekly
+      .join(firstW, "u")
+      .join(prev, col("u") === col("pu") && col("w") === col("pw"), "left")
+      .select(col("w"),
+        when(col("w") === col("fw"), lit("new"))
+          .when(col("pu").isNotNull, lit("retained"))
+          .otherwise(lit("resurrected")).as("state"))
+      .groupBy("w").pivot("state", Seq("new", "retained", "resurrected"))
+      .count()
+    val churned = prev
+      .join(weekly, col("pu") === col("u") && col("pw") === col("w"),
+        "left_anti")
+      .join(weekly.select(col("w").as("ow")).distinct(),
+        col("pw") === col("ow"), "left_semi")
+      .groupBy(col("pw").as("w")).agg(count(lit(1)).as("churned"))
+    states.join(churned, Seq("w"), "left")
+      .select(col("w").as("week"),
+        coalesce(col("new"), lit(0L)).as("n_new"),
+        coalesce(col("retained"), lit(0L)).as("n_retained"),
+        coalesce(col("resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
   /** Native `session_window` sessionization — the same 30-minute-gap
     * sessions as [[qSessionize]]'s manual gaps-and-islands window, through
     * Spark's built-in session aggregation (plans as a dedicated
@@ -6962,6 +7005,7 @@ object SparkEntry {
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
+    "q_growth_accounting" -> (qGrowthAccounting _),
     "q_events_json" -> (qEventsJson _),
     "q_variant" -> (qVariant _),
     "q_observe" -> (qObserve _),
@@ -8032,6 +8076,43 @@ object SparkEntry {
         |       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_growth_accounting: states replayed with window functions; churn
+    // only for observed weeks
+    "q_growth_accounting" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |           AS w
+        |  FROM events
+        |), fw AS (SELECT u, MIN(w) AS fw FROM weekly GROUP BY u),
+        |st AS (
+        |  SELECT wk.w,
+        |         CASE WHEN wk.w = fw.fw THEN 'new'
+        |              WHEN p.u IS NOT NULL THEN 'retained'
+        |              ELSE 'resurrected' END AS state
+        |  FROM weekly wk
+        |  JOIN fw ON wk.u = fw.u
+        |  LEFT JOIN weekly p ON p.u = wk.u AND p.w = wk.w - 1
+        |), agg AS (
+        |  SELECT w,
+        |    CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_resurrected
+        |  FROM st GROUP BY w
+        |), ch AS (
+        |  SELECT p.w + 1 AS w, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM weekly p
+        |  LEFT JOIN weekly c ON c.u = p.u AND c.w = p.w + 1
+        |  WHERE c.u IS NULL AND p.w + 1 IN (SELECT w FROM weekly)
+        |  GROUP BY 1
+        |)
+        |SELECT agg.w AS week, n_new, n_retained, n_resurrected,
+        |       COALESCE(ch.n_churned, 0) AS n_churned
+        |FROM agg LEFT JOIN ch ON agg.w = ch.w
+        |ORDER BY week""".stripMargin,
     // q_session_window: >= at the gap boundary (session spans
     // [first, last+gap)) — vs q_sessionize's manual > formulation
     "q_session_window" ->
