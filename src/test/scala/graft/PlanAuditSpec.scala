@@ -564,4 +564,44 @@ class PlanAuditSpec extends SparkTestBase {
       assert(n == expected, s"mem=$mem: $n != $expected")
     }
   }
+
+  test("AQE splits a skewed shuffle join (skew=true in the final plan)") {
+    // the automatic remedy BESIDE q_salted_join's manual one: a hot key
+    // concentrating half the probe side must be split by
+    // OptimizeSkewedJoin at runtime, not melt one task. Thresholds are
+    // lowered so the sf-test-scale skew qualifies; broadcast is disabled
+    // to force the shuffle join AQE can operate on.
+    import org.apache.spark.sql.functions._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      val left = spark.range(400000L).select(
+        when(col("id") % 2 === 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(100000L)
+        .select(col("id").as("k2"), (col("id") * 3).as("w"))
+      val joined = left.join(right, col("k") === col("k2"))
+      // materialize THIS dataframe (count() would plan a separate query
+      // execution and leave joined's own adaptive plan unexecuted)
+      assert(joined.collect().length == 250000) // 200k key-7 + 50k odd
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n${finalPlan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
