@@ -1626,6 +1626,29 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** Leave-one-out target encoding — the categorical feature encoder a
+    * training pipeline runs where plain mean-encoding would LEAK the
+    * row's own label: each row gets (Σ_group target − own) / (n_group − 1).
+    * Shape: one map-side-combinable group aggregate over the tiny
+    * category domain, broadcast back onto the stream — per-row arithmetic
+    * from exact integer counts, one division (bit-identical), no window.
+    * Singleton groups read out NULL (undefined LOO) rather than dividing
+    * by zero under ANSI. Target = order completion ('F').
+    */
+  private def qTargetEncode(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority").as("cat"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("t"))
+    val grp = base.groupBy(col("cat").as("gcat"))
+      .agg(sum(col("t")).as("gsum"), count(lit(1)).as("gn"))
+    base.join(broadcast(grp), col("cat") === col("gcat"))
+      .select(col("o_orderkey"), col("cat"), col("t"),
+        when(col("gn") > 1,
+          (col("gsum") - col("t")).cast("double") /
+            (col("gn") - 1L).cast("double")).as("loo_mean"))
+      .orderBy("o_orderkey")
+  }
+
   /** Growth accounting — the weekly NEW / RETAINED / RESURRECTED /
     * CHURNED user decomposition under every growth dashboard (states
     * partition active users; churn counts last week's actives who went
@@ -7006,6 +7029,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_growth_accounting" -> (qGrowthAccounting _),
+    "q_target_encode" -> (qTargetEncode _),
     "q_events_json" -> (qEventsJson _),
     "q_variant" -> (qVariant _),
     "q_observe" -> (qObserve _),
@@ -8076,6 +8100,23 @@ object SparkEntry {
         |       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_target_encode: identical LOO arithmetic from the group sums
+    "q_target_encode" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority AS cat,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS t
+        |  FROM orders
+        |), g AS (
+        |  SELECT cat, CAST(SUM(t) AS BIGINT) AS gsum,
+        |         CAST(COUNT(*) AS BIGINT) AS gn
+        |  FROM b GROUP BY cat
+        |)
+        |SELECT o_orderkey, b.cat, CAST(t AS BIGINT) AS t,
+        |       CASE WHEN gn > 1 THEN
+        |         CAST(gsum - t AS DOUBLE) / CAST(gn - 1 AS DOUBLE)
+        |       END AS loo_mean
+        |FROM b JOIN g ON b.cat = g.cat
+        |ORDER BY o_orderkey""".stripMargin,
     // q_growth_accounting: states replayed with window functions; churn
     // only for observed weeks
     "q_growth_accounting" ->
