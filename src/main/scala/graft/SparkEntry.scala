@@ -1358,6 +1358,52 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join as a catalog row
+    * ([[EventsPipeline.streamingLeftOuterJoin]]): the append-mode outer
+    * result — matches plus watermark-released null rows — equals the
+    * batch left join EXACTLY because the staged feed carries one
+    * far-future sentinel row (type `__wm`, filtered out of both join
+    * sides) whose only job is to push the final watermark past every
+    * error's join horizon; without it the last watermark-delay's worth
+    * of unmatched errors would sit in state forever on a finite feed,
+    * which is precisely the semantics this row documents. State on an
+    * unbounded feed stays watermark-deep on both sides.
+    */
+  private def qStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val dir = s"/tmp/graft_stream/$tag/events_wm"
+    stagedOnce(dir) {
+      val e = Tables.events(s, d)
+      // one ERROR and one PURCHASE sentinel on disjoint negative users:
+      // each side's watermark operator must see a far-future row of ITS
+      // OWN type (see streamingLeftOuterJoin's caveat)
+      val sentinels = e.agg(max(col("ts")).as("mts"))
+        .select(explode(array(
+          struct(lit(-1L).as("event_id"),
+            (col("mts") + expr("INTERVAL 10 DAYS")).as("ts"),
+            lit(-1L).as("user_id"), lit("error").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props")),
+          struct(lit(-2L).as("event_id"),
+            (col("mts") + expr("INTERVAL 10 DAYS")).as("ts"),
+            lit(-2L).as("user_id"), lit("purchase").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props"))))
+          .as("r"))
+        .select(col("r.*"))
+      e.unionByName(sentinels).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val name = s"graft_stream_loj_$tag"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventsPipeline.streamingLeftOuterJoin(s, dir, name)
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name).filter(col("eid") >= 0)
+      .orderBy(col("eid"), col("p_us").asc_nulls_first)
+  }
+
   /** Stream-stream INTERVAL join as a driver-gated catalog row: errors
     * joined to the same user's purchases within the preceding hour, both
     * sides watermarked so the state store retains only a bounded horizon
@@ -7021,6 +7067,7 @@ object SparkEntry {
     "q_stream_rocksdb" -> (qStreamRocksdb _),
     "q_stream_stats" -> (qStreamStats _),
     "q_stream_tws" -> (qStreamTws _),
+    "q_stream_outer_join" -> (qStreamOuterJoin _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -7623,6 +7670,20 @@ object SparkEntry {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_stream_outer_join: the batch left interval join; NULLS FIRST
+    // pinned (engine defaults disagree)
+    "q_stream_outer_join" ->
+      """WITH err AS (
+        |  SELECT event_id AS eid, user_id AS eu, epoch_us(ts) AS e_us
+        |  FROM events WHERE event_type = 'error'
+        |), pur AS (
+        |  SELECT user_id AS pu, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT eid, e_us, p_us
+        |FROM err LEFT JOIN pur
+        |  ON eu = pu AND p_us BETWEEN e_us - 3600000000 AND e_us
+        |ORDER BY eid, p_us NULLS FIRST""".stripMargin,
     // q_stream_tws: transformWithState (v2 API) shares the v1 row's
     // oracle — API drift would surface as a correctness failure
     "q_stream_tws" ->

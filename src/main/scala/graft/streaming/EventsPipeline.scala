@@ -192,6 +192,45 @@ object EventsPipeline {
       .start()
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join: every error
+    * emits — matched against same-user purchases from the preceding hour,
+    * or as a null-extended row once the watermark PROVES no match can
+    * still arrive. The outer side is the semantics the inner interval
+    * join ([[streamingPurchaseErrorJoin]]) cannot give: emission of the
+    * null row is gated on watermark progress (state for an error is held
+    * exactly until `wm > its join horizon`, then released) — bounded
+    * state AND complete results. Finite-feed oracle parity needs the
+    * watermark to pass EVERY error's horizon, which is what the caller's
+    * far-future sentinel row provides.
+    */
+  def streamingLeftOuterJoin(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String): StreamingQuery = {
+    val ev = spark.readStream.schema(eventSchema).parquet(inputDir)
+    // Finite-feed caveat: the feed must carry one far-future ERROR and one
+    // far-future PURCHASE sentinel (negative ids, disjoint users) so each
+    // side's watermark operator sees them — the global watermark is the
+    // MIN across operators, and a sentinel of a filtered-out third type
+    // would be pushed-down-filtered before ever reaching the watermark
+    // nodes (measured: the last watermark-delay of unmatched errors then
+    // never emits). The caller drops sentinel output rows by id sign.
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("user_id").as("eu"),
+        col("ts").as("ets"))
+      .withWatermark("ets", "2 hours")
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    err.join(pur,
+        expr("eu = pu AND pts BETWEEN ets - INTERVAL 1 HOUR AND ets"),
+        "left_outer")
+      .select(col("eid"), unix_micros(col("ets")).as("e_us"),
+        unix_micros(col("pts")).as("p_us"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+  }
+
   /** Stream-stream interval join with watermarks on BOTH sides: errors
     * pair with same-user purchases from the preceding hour. The time-range
     * condition bounds the buffered state — each side retains only

@@ -41,6 +41,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed agg resumes from checkpoint across a restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    val all = Tables.events(spark, sf0001)
+    val feed = Files.createTempDirectory("graft_ckpt_feed").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val stage = Files.createTempDirectory("graft_ckpt_stage").toString
+    all.filter(dayofmonth($"ts") <= 15).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/h1")
+    all.filter(dayofmonth($"ts") > 15).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/h2")
+    def addFile(src: String, dst: String): Unit = {
+      val f = new java.io.File(src).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, Paths.get(feed, dst),
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(EventsPipeline.eventSchema).parquet(feed)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp($"window.start").as("ws"), $"event_type",
+          $"n_events")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("ckpt_out").option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // first incarnation sees only the first half of the feed
+    addFile(s"$stage/h1", "f1.parquet")
+    run()
+    val mid = spark.table("ckpt_out").as[(Long, String, Long)].collect()
+      .map { case (ws, et, n) => (ws, et) -> n }.toMap
+    // restart from the SAME checkpoint with the second half added: the
+    // file-source log must skip f1 (exactly-once) and the recovered agg
+    // state must still carry its counts — a failure either way diverges
+    // from the batch aggregate
+    addFile(s"$stage/h2", "f2.parquet")
+    run()
+    val streamed = spark.table("ckpt_out")
+      .as[(Long, String, Long)].collect()
+      .map { case (ws, et, n) => (ws, et) -> n }.toMap
+    val batch = EventsPipeline.windowedAgg(all)
+      .select($"window_start", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect()
+      .map { case (ws, et, n) => (ws, et) -> n }.toMap
+    assert(mid.nonEmpty && mid.size < batch.size, "first run was not partial")
+    assert(streamed == batch)
+  }
+
   test("windowed agg on the RocksDB state store matches batch and engages RocksDB") {
     import scala.jdk.CollectionConverters._
     val provKey = "spark.sql.streaming.stateStore.providerClass"
