@@ -300,6 +300,40 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_quantity", "o_totalprice")
   }
 
+  /** Bucket-PRUNED point lookup — the at-scale point-query story the
+    * bucketed layout buys beyond shuffle-free joins ([[qBucketedJoin]]):
+    * an equality/IN probe on the bucket column opens ONLY the buckets the
+    * keys hash into (`SelectedBucketsCount` in the scan, pinned by
+    * `PlanAuditSpec`), so a needle query on a 100 TB table reads 3/16ths
+    * of the files instead of all of them — no index structure, just the
+    * write-time layout. Reuses [[qBucketedJoin]]'s staged orders table.
+    * `autoBucketedScan` is pinned OFF around the read: Spark's
+    * DisableUnnecessaryBucketedScan rule models only exchange-avoidance
+    * benefits, so left alone it turns the bucketed scan off here and
+    * forfeits the pruning this query exists for.
+    */
+  private def qBucketLookup(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try {
+      val o = bucketedTable(s, s"graft_o_bkt_$tag",
+        s"/tmp/graft_bucketed/$tag/orders",
+        "o_orderkey BIGINT, o_totalprice DOUBLE", "o_orderkey") {
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      }
+      val out = o.filter(col("o_orderkey").isin(64L, 128L, 999L))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .orderBy("o_orderkey")
+      // planning is lazy and reads SQLConf at plan time — force it while
+      // the conf override is live (QueryExecution caches the result)
+      out.queryExecution.executedPlan
+      out
+    } finally s.conf.set(key, prev)
+  }
+
   // -------------------------------------------------------- analytics ops
 
   /** Scan-heavy filter+aggregate (TPC-H Q6 shape): every predicate reaches
@@ -7150,6 +7184,7 @@ object SparkEntry {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_standardize" -> (qStandardize _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_bucket_lookup" -> (qBucketLookup _),
     "q_pq_topk" -> (qPqTopK _),
     "q_bool_agg" -> (qBoolAgg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -9512,6 +9547,11 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_bucket_lookup: plain point probe
+    "q_bucket_lookup" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey IN (64, 128, 999)
+        |ORDER BY o_orderkey""".stripMargin,
     // q_dq_rules: plain conditional counts per rule
     "q_dq_rules" ->
       """WITH b AS (

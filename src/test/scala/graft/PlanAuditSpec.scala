@@ -565,6 +565,17 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_bucket_lookup opens only the probed buckets (SelectedBucketsCount)") {
+    val df = SparkEntry.queries("q_bucket_lookup")(spark, sf0001)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n${plan.take(1200)}")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"probe scanned every bucket: ${m.get.matched}")
+  }
+
   test("AQE splits a skewed shuffle join (skew=true in the final plan)") {
     // the automatic remedy BESIDE q_salted_join's manual one: a hot key
     // concentrating half the probe side must be split by
