@@ -1706,6 +1706,31 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** Order-independent CONTENT SIGNATURE per partition-day — the
+    * anti-entropy primitive behind table sync/diff at scale: each row
+    * contributes the engine-portable md5 bucket of its canonical string
+    * form ([[qAbAssign]]'s first-12-hex construction), and the per-day
+    * signature is the SUM of contributions — commutative and mergeable,
+    * so two replicas compare a day by exchanging ONE (count, sig) pair
+    * instead of rows, and an incremental writer updates the signature
+    * from the delta alone. Contributions are bounded to 2⁴⁰ so bigint
+    * sums hold to ~8M rows/day in ANSI mode; a 100 TB deployment lifts
+    * the partial sums to DECIMAL(38,0) (the [[qDecimalSum]] seam) with
+    * the same per-row math. Any single-row difference moves the sum.
+    */
+  private def qContentSignature(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        pmod(
+          conv(substring(md5(concat_ws("|",
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long"),
+            col("o_orderpriority"))), 1, 12), 16, 10).cast("long"),
+          lit(1099511627776L)).as("h"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("sig"))
+      .orderBy("day")
+
   /** Leave-one-out target encoding — the categorical feature encoder a
     * training pipeline runs where plain mean-encoding would LEAK the
     * row's own label: each row gets (Σ_group target − own) / (n_group − 1).
@@ -7111,6 +7136,7 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_target_encode" -> (qTargetEncode _),
+    "q_content_signature" -> (qContentSignature _),
     "q_events_json" -> (qEventsJson _),
     "q_variant" -> (qVariant _),
     "q_observe" -> (qObserve _),
@@ -8196,6 +8222,17 @@ object SparkEntry {
         |       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q_content_signature: identical md5-bucket row contribution; the
+    // concat must match Spark's cast-to-string forms exactly
+    "q_content_signature" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(('0x' || substr(md5(
+        |           o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+        |           || '|' || CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |           || '|' || o_orderpriority), 1, 12)) AS BIGINT)
+        |         % 1099511627776) AS BIGINT) AS sig
+        |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
     // q_target_encode: identical LOO arithmetic from the group sums
     "q_target_encode" ->
       """WITH b AS (
