@@ -83,7 +83,7 @@ object SparkEntry {
     "graft_evo", "graft_incagg", "graft_json", "graft_knn", "graft_orcrt",
     "graft_pairs",
     "graft_partitioned", "graft_partsupp", "graft_pr", "graft_sigs",
-    "graft_stream", "graft_zorder")
+    "graft_stream", "graft_xmlrt", "graft_zorder")
   /** JVM-wide single-writer gate for the write-once `/tmp/graft_*`
     * staging artifacts (ADVICE r10): without it, two sessions in THIS JVM
     * racing the same check-then-write could both enter `mode(overwrite)`
@@ -7062,9 +7062,106 @@ object SparkEntry {
       .orderBy("b", "dec")
   }
 
+  /** EXACT distinct counting via mergeable roaring-style bitmaps
+    * (Spark's `bitmap_*` family) — the scale answer when HLL's ±2% error
+    * (the [[qSketches]] row) is not acceptable but a full
+    * `COUNT(DISTINCT)` shuffle of raw 8-byte keys is too expensive: each
+    * input row reduces map-side to a bit in a fixed 4 KB bucket bitmap
+    * (`bitmap_bucket_number` = id >> 15, `bitmap_bit_position` = id &
+    * 32767), partial bitmaps OR-merge associatively, and the shuffle
+    * carries only (type, bucket, ≤4 KB) partials — state is bounded by
+    * the ID RANGE / 32768, never the row count. The final readout sums
+    * exact per-bucket popcounts. At 100 TB the same plan holds: the
+    * bitmap partials are also persistable as an incremental-refresh
+    * sketch table (the [[qIncrementalAgg]] merge discipline), something a
+    * raw COUNT(DISTINCT) can never be.
+    */
+  private def qBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+        .as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy("event_type")
+
+  /** Error-SAFE arithmetic (`try_divide` / `try_add` / `try_mod`) — the
+    * ANSI-mode survival kit for dirty data at scale: a single bad row in
+    * a 100 TB scan must yield NULL, not kill the stage (and with it the
+    * retry storm a failing 10k-task stage triggers). `safe_div`/`safe_mod`
+    * NULL out the zero-divisor rows; `safe_add` NULLs the bigint overflow
+    * rows (event_id > 807 past Long.Max − 775) — all codegen'd, no UDF,
+    * and each is one exact-integer op or a single division (bit-identical
+    * across engines). The oracle mirrors them as CASE guards, pinning the
+    * exact NULL semantics rather than just "doesn't crash".
+    */
+  private def qTryArithmetic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), pmod(col("user_id"), lit(7)).as("d7"))
+      .select(
+        col("event_id"),
+        expr("try_divide(event_id, d7)").as("safe_div"),
+        expr("try_mod(event_id, d7)").as("safe_mod"),
+        expr("try_add(9223372036854775000L, event_id)").as("safe_add"))
+      .orderBy("event_id")
+
+  /** Ordered LISTAGG readout (Spark 4 `listagg ... WITHIN GROUP`) — the
+    * denormalized "children as one string" export BI handoffs ask for.
+    * Scale shape: group state is the concatenation itself, so this is
+    * safe ONLY over a bounded-fanout group (suppliers per nation —
+    * fanout is suppliers/25 at every SF); an unbounded-fanout listagg is
+    * the same anti-pattern as an unbounded collect_list and belongs
+    * behind the [[qTopkPerKey]] rank-limit first. The WITHIN GROUP order
+    * makes the string deterministic — an unordered listagg is a
+    * flaky-diff generator across retries/partitionings.
+    */
+  private def qListagg(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        expr("listagg(s_name, ',') within group (order by s_name)")
+          .as("supplier_csv"))
+      .orderBy("n_name")
+
+  /** XML source/sink roundtrip (Spark 4 built-in XML data source) — the
+    * third interchange format beside [[qCsvRoundtrip]]/[[qJsonRoundtrip]]:
+    * feeds, sitemaps, and legacy enterprise exports arrive as XML. The
+    * staged write keeps the `props` JSON column on purpose — its quotes,
+    * braces, and ampersand-free-but-bracketed content force real XML
+    * entity escaping on write and unescaping on read. Read back with an
+    * explicit schema + rowTag (schema-on-read; no inference pass), the
+    * timestamp travelling as epoch-µs BIGINT exactly as the CSV row does
+    * (XML has no timestamp type either). Write-once staged under the
+    * dirTag discipline; reads parallelize per file like any text source.
+    */
+  private def qXmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_xmlrt/${dirTag(d)}/events"
+    stagedOnce(dir) {
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").option("rootTag", "events")
+        .option("rowTag", "event").format("xml").save(dir)
+    }
+    s.read
+      .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("rowTag", "event").format("xml").load(dir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitmap_distinct" -> (qBitmapDistinct _),
+    "q_try_arithmetic" -> (qTryArithmetic _),
+    "q_listagg" -> (qListagg _),
+    "q_xml_roundtrip" -> (qXmlRoundtrip _),
     "q_filter" -> (qFilter _),
     "q_sum" -> (qSum _),
     "q_take" -> (qTake _),
@@ -7412,6 +7509,33 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_bitmap_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_try_arithmetic: NULL semantics mirrored as CASE guards (floor-mod
+    // divisor on both sides; the guard also keeps DuckDB's bigint
+    // overflow-throw from firing where Spark's try_add yields NULL)
+    "q_try_arithmetic" ->
+      """SELECT event_id,
+        |  CASE WHEN ((user_id % 7) + 7) % 7 = 0 THEN NULL
+        |       ELSE CAST(event_id AS DOUBLE) /
+        |            CAST(((user_id % 7) + 7) % 7 AS DOUBLE) END AS safe_div,
+        |  CASE WHEN ((user_id % 7) + 7) % 7 = 0 THEN NULL
+        |       ELSE event_id % (((user_id % 7) + 7) % 7) END AS safe_mod,
+        |  CASE WHEN event_id > 807 THEN NULL
+        |       ELSE 9223372036854775000 + event_id END AS safe_add
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_listagg" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // q_xml_roundtrip: entity-escaping-safe identity on these columns
+    // (props is JSON — quotes/braces must survive XML write+read verbatim)
+    "q_xml_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |       value, props
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_recursive_cte" -> dupClustersOracle,
     "q_filter" ->
       "SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice < 30000 ORDER BY v",
