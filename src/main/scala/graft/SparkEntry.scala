@@ -7155,9 +7155,101 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Grid-bucketed SPATIAL within-distance self-join — the scale pattern
+    * for "all point pairs within radius r" (geo dedup, store/competitor
+    * matching, sensor correlation) without the all-pairs cross join: each
+    * point lands in an r-sized grid cell, ONE side replicates to its 3×3
+    * neighbor cells (constant ×9 map-side expansion — no broadcast of the
+    * corpus), and the join is an equi-join on cell id, so it shuffles and
+    * hash-partitions like any PK–FK join. Any pair within r is guaranteed
+    * to meet (cell size = r), each pair meets exactly once per orientation
+    * (the home cell is unique), and `id_a < id_b` keeps one orientation.
+    * Candidates are bounded by local density × 9, never n²; a dense-cell
+    * hotspot is ordinary join skew (AQE skew split / salting, the
+    * [[qSaltedJoin]] remedy). Coordinates derive from the portable md5
+    * construction ([[qAbAssign]]) so the oracle replays them; distance
+    * stays in exact integer space (squared, no sqrt).
+    */
+  private def qSpatialJoin(s: SparkSession, d: String): DataFrame = {
+    def coord(pos: Int) = pmod(
+      conv(substring(md5(col("c_custkey").cast("string")), pos, 12), 16, 10)
+        .cast("long"),
+      lit(10000L))
+    val pts = Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(col("c_custkey").as("id"), coord(1).as("x"), coord(13).as("y"))
+      .withColumn("cx", expr("x div 1000"))
+      .withColumn("cy", expr("y div 1000"))
+    val neighbors = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct((col("cx") + dx).as("ncx"), (col("cy") + dy).as("ncy"))): _*)
+    val a = pts
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        explode(neighbors).as("nc"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        col("nc.ncx").as("cx"), col("nc.ncy").as("cy"))
+    val b = pts.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b") && d2 <= 1000000L)
+      .select(col("id_a"), col("id_b"), d2.as("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** CUPED variance-reduced experiment readout — the pre-period covariate
+    * adjustment every mature A/B platform applies (ŷ_adj = ȳ − θ(x̄ −
+    * x̄_all), θ = cov(x,y)/var(x)): same point estimate discipline as
+    * [[qAbZtest]] but with the pre-period activity soaked out, which is
+    * what makes small effects readable at fixed sample size. Shape: ONE
+    * pass reduces events to the per-user (pre, post) count pair; θ and the
+    * global pre-mean come from exact bigint sums (n·Σxy − ΣxΣy over
+    * n·Σx² − Σx², one division — bit-identical) in a 1-row broadcast
+    * attach (the [[qBm25]] corpus-stats shape); per-arm means are single
+    * divisions of exact sums. A 100 TB run lifts the bigint products to
+    * DECIMAL(38,0) (the [[qDecimalSum]] seam) with the same plan. The
+    * var(x)=0 degenerate (no pre-period signal) reads θ=0 — plain means —
+    * under the ANSI divide guard.
+    */
+  private def qCuped(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2024-01-15").cast("timestamp")
+    val arm = when(
+      pmod(conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long"), lit(1000000L)) < 500000L, lit("a"))
+      .otherwise(lit("b"))
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(col("ts") < cut, 0L).otherwise(1L)).as("y"))
+      .withColumn("arm", arm)
+    val g = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val theta =
+      when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    val xbar = col("sx").cast("double") / col("n").cast("double")
+    val meanPost = col("ay").cast("double") / col("n_users").cast("double")
+    val meanPre = col("ax").cast("double") / col("n_users").cast("double")
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+      .crossJoin(broadcast(g))
+      .select(col("arm"), col("n_users"),
+        round(meanPost, 6).as("mean_post"),
+        round(meanPre, 6).as("mean_pre"),
+        round(meanPost - theta * (meanPre - xbar), 6).as("mean_adj"))
+      .orderBy("arm")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_join" -> (qSpatialJoin _),
+    "q_cuped" -> (qCuped _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_try_arithmetic" -> (qTryArithmetic _),
     "q_listagg" -> (qListagg _),
@@ -7509,6 +7601,57 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q_spatial_join: the oracle verifies by direct quadratic join over
+    // the sampled point set (fine at oracle scale; the engine side is the
+    // grid-bucketed equi-join) — coordinates replayed via the portable
+    // md5 construction, distance kept squared in exact integer space
+    "q_spatial_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))
+        |         AS BIGINT) % 10000 AS x,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 13, 12))
+        |         AS BIGINT) % 10000 AS y
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST((a.x - b.x) * (a.x - b.x)
+        |            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 1000000
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q_cuped: θ and all means replayed from the same exact bigint sums,
+    // single divisions, mirrored operand trees (bit-identical doubles)
+    "q_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS x,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END) AS y,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |                                   1, 12)) AS BIGINT)
+        |              % 1000000 < 500000
+        |         THEN 'a' ELSE 'b' END AS arm
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx,
+        |             CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |             CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM u),
+        |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |             CAST(SUM(x) AS BIGINT) AS ax,
+        |             CAST(SUM(y) AS BIGINT) AS ay
+        |      FROM u GROUP BY arm)
+        |SELECT arm, n_users,
+        |  ROUND(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_post,
+        |  ROUND(CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_pre,
+        |  ROUND(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |        - (CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |                     / CAST(n * sxx - sx * sx AS DOUBLE) END)
+        |          * (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mean_adj
+        |FROM a, g ORDER BY arm""".stripMargin,
     "q_bitmap_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -354,9 +354,11 @@ class PlanAuditSpec extends SparkTestBase {
                           // condition); ANN index is the 100 TB path
       "q_hybrid_fusion", // the q_bm25 1-row corpus-stats attach, feeding
                          // both scorers from one scan
-      "q_negative_sample" // 1-row max-partkey attach onto the customer
-                          // scan (candidate range bound) — size-bounded
-                          // by design, the q_bm25 shape
+      "q_negative_sample", // 1-row max-partkey attach onto the customer
+                           // scan (candidate range bound) — size-bounded
+                           // by design, the q_bm25 shape
+      "q_cuped" // 1-row global (n, Σx, Σy, Σxy, Σx²) stats broadcast onto
+                // the 2-row per-arm table — the q_bm25 corpus-stats shape
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
