@@ -7090,20 +7090,27 @@ object SparkEntry {
     * ANSI-mode survival kit for dirty data at scale: a single bad row in
     * a 100 TB scan must yield NULL, not kill the stage (and with it the
     * retry storm a failing 10k-task stage triggers). `safe_div`/`safe_mod`
-    * NULL out the zero-divisor rows; `safe_add` NULLs the bigint overflow
-    * rows (event_id > 807 past Long.Max − 775) — all codegen'd, no UDF,
-    * and each is one exact-integer op or a single division (bit-identical
-    * across engines). The oracle mirrors them as CASE guards, pinning the
-    * exact NULL semantics rather than just "doesn't crash".
+    * NULL out the ~0.1% zero-divisor rows; `safe_add` NULLs the rare
+    * bigint-overflow rows — all codegen'd, no UDF, each one exact-integer
+    * op or a single division (bit-identical across engines). The error
+    * rows are deliberately RARE: Spark's try_* catch a thrown JVM
+    * exception per bad row, so they are the right tool for sparse dirt
+    * only — a column where errors are DENSE belongs behind an explicit
+    * `when()` guard instead (a first cut of this row overflowed on 99% of
+    * rows and ran 10× slower than the guarded form). The oracle mirrors
+    * the NULL semantics as CASE guards, pinning exactly which rows NULL
+    * out rather than just "doesn't crash".
     */
   private def qTryArithmetic(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(col("event_id"), pmod(col("user_id"), lit(7)).as("d7"))
+      .select(col("event_id"), pmod(col("user_id"), lit(997)).as("dv"),
+        when(pmod(col("event_id"), lit(997)) === 0,
+          lit(9223372036854775000L)).otherwise(lit(0L)).as("addend"))
       .select(
         col("event_id"),
-        expr("try_divide(event_id, d7)").as("safe_div"),
-        expr("try_mod(event_id, d7)").as("safe_mod"),
-        expr("try_add(9223372036854775000L, event_id)").as("safe_add"))
+        expr("try_divide(event_id, dv)").as("safe_div"),
+        expr("try_mod(event_id, dv)").as("safe_mod"),
+        expr("try_add(addend, event_id)").as("safe_add"))
       .orderBy("event_id")
 
   /** Ordered LISTAGG readout (Spark 4 `listagg ... WITHIN GROUP`) — the
@@ -7660,13 +7667,15 @@ object SparkEntry {
     // overflow-throw from firing where Spark's try_add yields NULL)
     "q_try_arithmetic" ->
       """SELECT event_id,
-        |  CASE WHEN ((user_id % 7) + 7) % 7 = 0 THEN NULL
+        |  CASE WHEN ((user_id % 997) + 997) % 997 = 0 THEN NULL
         |       ELSE CAST(event_id AS DOUBLE) /
-        |            CAST(((user_id % 7) + 7) % 7 AS DOUBLE) END AS safe_div,
-        |  CASE WHEN ((user_id % 7) + 7) % 7 = 0 THEN NULL
-        |       ELSE event_id % (((user_id % 7) + 7) % 7) END AS safe_mod,
-        |  CASE WHEN event_id > 807 THEN NULL
-        |       ELSE 9223372036854775000 + event_id END AS safe_add
+        |            CAST(((user_id % 997) + 997) % 997 AS DOUBLE)
+        |       END AS safe_div,
+        |  CASE WHEN ((user_id % 997) + 997) % 997 = 0 THEN NULL
+        |       ELSE event_id % (((user_id % 997) + 997) % 997) END AS safe_mod,
+        |  CASE WHEN event_id % 997 = 0 AND event_id > 807 THEN NULL
+        |       WHEN event_id % 997 = 0 THEN 9223372036854775000 + event_id
+        |       ELSE event_id END AS safe_add
         |FROM events ORDER BY event_id""".stripMargin,
     "q_listagg" ->
       """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
