@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Components, DataQuality, Dedup, IvfIndex, PageRank, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, NativeExpressions, TypedAggregates}
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, PositionalTake, PrefixSum, RangeJoin, Relational, SkewJoin}
+import graft.operators.{AsOfJoin, PositionalTake, PrefixSum, RangeJoin, Relational, SkewJoin, SpatialJoin}
 import graft.sources.Tables
 import graft.streaming.EventsPipeline
 
@@ -7185,22 +7185,7 @@ object SparkEntry {
     val pts = Tables.customer(s, d)
       .filter(pmod(col("c_custkey"), lit(10)) === 0)
       .select(col("c_custkey").as("id"), coord(1).as("x"), coord(13).as("y"))
-      .withColumn("cx", expr("x div 1000"))
-      .withColumn("cy", expr("y div 1000"))
-    val neighbors = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
-      struct((col("cx") + dx).as("ncx"), (col("cy") + dy).as("ncy"))): _*)
-    val a = pts
-      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
-        explode(neighbors).as("nc"))
-      .select(col("id_a"), col("xa"), col("ya"),
-        col("nc.ncx").as("cx"), col("nc.ncy").as("cy"))
-    val b = pts.select(col("id").as("id_b"), col("x").as("xb"),
-      col("y").as("yb"), col("cx"), col("cy"))
-    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-      (col("ya") - col("yb")) * (col("ya") - col("yb"))
-    a.join(b, Seq("cx", "cy"))
-      .filter(col("id_a") < col("id_b") && d2 <= 1000000L)
-      .select(col("id_a"), col("id_b"), d2.as("dist2"))
+    SpatialJoin.withinDistance(pts, "id", "x", "y", 1000L)
       .orderBy("id_a", "id_b")
   }
 

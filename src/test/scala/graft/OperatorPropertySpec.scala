@@ -451,4 +451,19 @@ class OperatorPropertySpec extends SparkTestBase {
     val (xb1, xb2, yb) = (s1 / nd, s2 / nd, sy / nd)
     assert(math.abs(yb - b1 * xb1 - b2 * xb2 - b0) <= 1e-9 * math.abs(yb))
   }
+  test("bitmap exact-distinct == countDistinct across bucket boundaries") {
+    // ids straddle the 32768-bit bucket boundary and reach into the
+    // millions — the construction must count each distinct id once no
+    // matter which bucket its bit lands in, duplicates included
+    val ids = Seq(0L, 1L, 1L, 32766L, 32767L, 32768L, 32769L, 65535L,
+      65536L, 1000000L, 1000000L, 7654321L) ++
+      Seq.tabulate(500)(i => (i * 97 % 200000).toLong)
+    val df = ids.toDF("id")
+    val got = df
+      .groupBy(expr("bitmap_bucket_number(id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(id))").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n"))
+      .head().getLong(0)
+    assert(got == ids.distinct.size.toLong)
+  }
 }

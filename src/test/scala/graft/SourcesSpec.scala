@@ -119,4 +119,21 @@ class SourcesSpec extends SparkTestBase {
     val k = out.getAs[Int]("k")
     assert(k == math.min(out.getAs[Int]("n_frames"), 4))
   }
+  test("XML roundtrip preserves entity-hostile strings verbatim") {
+    // the fixture props column exercises quotes/braces; this pins the
+    // characters XML itself must entity-escape (&, <, >) plus quotes and
+    // unicode — a writer that emits them raw produces unparseable rows
+    val rows = Seq(
+      (1L, "a & b < c > d"),
+      (2L, "\"quoted\" & 'apos'"),
+      (3L, "json {\"k\": \"v & w\"}"),
+      (4L, "unicode \u00e9\u4e2d\u6587 &amp; literal-entity"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xml_spec").toString + "/t"
+    rows.toDF("id", "s").write.option("rowTag", "row").format("xml").save(dir)
+    val back = spark.read.schema("id BIGINT, s STRING")
+      .option("rowTag", "row").format("xml").load(dir)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(back == rows.sorted)
+  }
 }
