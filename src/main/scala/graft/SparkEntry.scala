@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Components, DataQuality, Dedup, IvfIndex, PageRank, Sampling, Similarity, TextAnalysis, Multimodal}
@@ -7237,9 +7237,78 @@ object SparkEntry {
       .orderBy("arm")
   }
 
+  /** Partition MANIFEST statistics — the per-partition (min, max, count,
+    * null-count) table a lakehouse keeps beside the data (Iceberg
+    * manifests, Delta file stats, parquet row-group footers) so planners
+    * can prune partitions WITHOUT opening them: a point/range predicate
+    * on `event_id` or `value` consults this KB-scale table and skips
+    * every day whose [min, max] misses the predicate — the mechanism
+    * behind [[qPrunedScan]]'s PushedFilters actually skipping IO at
+    * 100 TB. Shape: one map-side-combinable pass (min/max/count are all
+    * mergeable — no sums of doubles, so the readout is bit-exact);
+    * output is bounded by the partition count, never the row count, and
+    * refreshes incrementally per written partition (the
+    * [[qIncrementalAgg]] discipline).
+    */
+  private def qPartitionStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+
+  /** Difference-in-differences readout — the quasi-experimental estimate
+    * when only a BEFORE/AFTER boundary and a treated/control split exist
+    * (feature rollout, pricing change): dd = (ȳ_t,post − ȳ_t,pre) −
+    * (ȳ_c,post − ȳ_c,pre), which cancels both the group baseline and the
+    * common time trend. Same one-pass shape as [[qCuped]]: events reduce
+    * to per-user (pre, post) counts, the four cell means are single
+    * divisions of exact bigint sums (bit-identical), and the subtraction
+    * chain is mirrored operand-for-operand in the oracle. Degenerate
+    * empty arms (possible at tiny SF — the md5 arm warning on
+    * [[qAbZtest]]) read NULL through the guarded divisions instead of
+    * throwing under ANSI.
+    */
+  private def qDiffInDiff(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2024-01-15").cast("timestamp")
+    val treated =
+      pmod(conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long"), lit(1000000L)) < 500000L
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(col("ts") < cut, 0L).otherwise(1L)).as("y"))
+      .withColumn("t", treated)
+    def cellMean(num: Column, den: Column): Column =
+      when(den > 0L, num.cast("double") / den.cast("double"))
+    val agg = perUser.agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("t"), col("x")).otherwise(0L)).as("sx_t"),
+      sum(when(col("t"), col("y")).otherwise(0L)).as("sy_t"),
+      sum(when(!col("t"), col("x")).otherwise(0L)).as("sx_c"),
+      sum(when(!col("t"), col("y")).otherwise(0L)).as("sy_c"))
+    val (mtPre, mtPost) = (cellMean(col("sx_t"), col("n_t")),
+      cellMean(col("sy_t"), col("n_t")))
+    val (mcPre, mcPost) = (cellMean(col("sx_c"), col("n_c")),
+      cellMean(col("sy_c"), col("n_c")))
+    agg.select(
+      col("n_t"), col("n_c"),
+      round(mtPre, 6).as("mean_t_pre"), round(mtPost, 6).as("mean_t_post"),
+      round(mcPre, 6).as("mean_c_pre"), round(mcPost, 6).as("mean_c_post"),
+      round((mtPost - mtPre) - (mcPost - mcPre), 6).as("dd"))
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partition_stats" -> (qPartitionStats _),
+    "q_diff_in_diff" -> (qDiffInDiff _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_cuped" -> (qCuped _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
@@ -7593,6 +7662,57 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_partition_stats" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |       MIN(value) AS min_value, MAX(value) AS max_value,
+        |       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null_value,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_diff_in_diff: four cell means as guarded single divisions of
+    // exact bigint sums; the dd subtraction chain mirrored operand-for-
+    // operand (bit-identical doubles)
+    "q_diff_in_diff" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS x,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END) AS y,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |         AS BIGINT) % 1000000 < 500000 AS t
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |         CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+        |         CAST(SUM(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+        |         CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+        |         CAST(SUM(CASE WHEN t THEN 0 ELSE x END) AS BIGINT) AS sx_c,
+        |         CAST(SUM(CASE WHEN t THEN 0 ELSE y END) AS BIGINT) AS sy_c
+        |  FROM u)
+        |SELECT n_t, n_c,
+        |  ROUND(CASE WHEN n_t > 0
+        |             THEN CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) END, 6)
+        |    AS mean_t_pre,
+        |  ROUND(CASE WHEN n_t > 0
+        |             THEN CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) END, 6)
+        |    AS mean_t_post,
+        |  ROUND(CASE WHEN n_c > 0
+        |             THEN CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) END, 6)
+        |    AS mean_c_pre,
+        |  ROUND(CASE WHEN n_c > 0
+        |             THEN CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) END, 6)
+        |    AS mean_c_post,
+        |  ROUND((CASE WHEN n_t > 0
+        |              THEN CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) END
+        |         - CASE WHEN n_t > 0
+        |                THEN CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) END)
+        |        - (CASE WHEN n_c > 0
+        |                THEN CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) END
+        |           - CASE WHEN n_c > 0
+        |                  THEN CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) END),
+        |        6) AS dd
+        |FROM g""".stripMargin,
     // q_spatial_join: the oracle verifies by direct quadratic join over
     // the sampled point set (fine at oracle scale; the engine side is the
     // grid-bucketed equi-join) — coordinates replayed via the portable
