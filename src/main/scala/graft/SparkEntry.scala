@@ -7304,9 +7304,90 @@ object SparkEntry {
       round((mtPost - mtPre) - (mcPost - mcPre), 6).as("dd"))
   }
 
+  /** CDC changelog APPLY — materializing a base table forward through an
+    * out-of-order insert/update/delete log (Debezium → lakehouse, Hudi/
+    * Delta CDF): last-writer-wins per key by sequence number, deletes
+    * drop the key, updates replace the value. Shape: the changelog
+    * reduces FIRST with a map-side-combinable `max_by(payload, seq)` —
+    * the log compaction a streaming CDC sink runs continuously — so the
+    * base table joins against ONE row per touched key, never the raw
+    * log; no window over the log, no ordering shuffle. The base join is
+    * key-equi (bucket co-location at 100 TB — the [[qBucketedJoin]]
+    * seam), and deletes fall out as a post-join filter, not an anti-join
+    * pass. Beats [[qMergeUpsert]]'s single-batch full-outer shape on the
+    * semantics that matter in production: multiple events per key,
+    * sequence ordering, tombstones.
+    */
+  private def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("base_val"))
+    val log = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+      when(pmod(col("o_orderkey"), lit(10)) === 0, lit("D"))
+        .otherwise(lit("U")).as("op"),
+      col("o_totalprice").as("v"))
+    val compacted = log.groupBy("k")
+      .agg(max_by(struct(col("op"), col("v")), col("seq")).as("f"))
+      .select(col("k"), col("f.op").as("op"), col("f.v").as("v"))
+    base.join(compacted, Seq("k"), "left")
+      .filter(col("op").isNull || col("op") === "U")
+      .select(col("k"), coalesce(col("v"), col("base_val")).as("val"),
+        when(col("op").isNull, lit("base")).otherwise(lit("updated"))
+          .as("src"))
+      .orderBy("k")
+  }
+
+  /** Mix-shift DECOMPOSITION — the "why did the topline move" answer a
+    * metrics platform owes every on-call analyst: between two periods,
+    * ΔR splits exactly into Σ(w₂−w₁)·r₁ (MIX — traffic moved across
+    * segments) plus Σw₂·(r₂−r₁) (WITHIN — segments themselves changed),
+    * per segment. Rate here is share of events with value > 500, so
+    * every input is an exact bigint count; weights and rates are single
+    * divisions, and the contribution products are mirrored
+    * operand-for-operand in the oracle (bit-identical doubles). Shape:
+    * ONE aggregate over (segment, period) — map-side combinable, output
+    * bounded by the segment domain — plus a 1-row period-totals
+    * broadcast; segments absent from a period contribute through the
+    * COALESCE(0) path instead of NULL-poisoning the sum.
+    */
+  private def qMixShift(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2024-01-15").cast("timestamp")
+    val cell = Tables.events(s, d)
+      .groupBy(col("event_type").as("seg"),
+        (col("ts") < cut).as("pre"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 500.0, 1L).otherwise(0L)).as("c"))
+    val p1 = cell.filter(col("pre"))
+      .select(col("seg"), col("n").as("n1"), col("c").as("c1"))
+    val p2 = cell.filter(!col("pre"))
+      .select(col("seg").as("seg2"), col("n").as("n2"), col("c").as("c2"))
+    val tot = p1.agg(sum(col("n1")).as("t1")).crossJoin(
+      p2.agg(sum(col("n2")).as("t2")))
+    val joined = p1.join(p2, col("seg") === col("seg2"), "full_outer")
+      .select(coalesce(col("seg"), col("seg2")).as("seg"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .crossJoin(broadcast(tot))
+    def rate(c: Column, n: Column): Column =
+      when(n > 0L, c.cast("double") / n.cast("double")).otherwise(lit(0.0))
+    val (w1, w2) = (rate(col("n1"), col("t1")), rate(col("n2"), col("t2")))
+    val (r1, r2) = (rate(col("c1"), col("n1")), rate(col("c2"), col("n2")))
+    joined.select(col("seg"),
+        round(w1, 6).as("w1"), round(w2, 6).as("w2"),
+        round(r1, 6).as("r1"), round(r2, 6).as("r2"),
+        // + 0.0 canonicalizes IEEE -0.0 from tiny negative contributions
+        (round((w2 - w1) * r1, 6) + 0.0).as("mix_contrib"),
+        (round(w2 * (r2 - r1), 6) + 0.0).as("within_contrib"))
+      .orderBy("seg")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
     "q_spatial_join" -> (qSpatialJoin _),
@@ -7662,6 +7743,55 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q_cdc_apply: last-writer-wins replayed as join-on-max-seq (seq is
+    // unique per key, so it picks the same row as the engine's max_by)
+    "q_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS k, o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS v
+        |  FROM orders),
+        |last AS (SELECT k, MAX(seq) AS mseq FROM ch GROUP BY k),
+        |fin AS (SELECT ch.k, ch.op, ch.v
+        |        FROM ch JOIN last ON ch.k = last.k AND ch.seq = last.mseq)
+        |SELECT c.c_custkey AS k,
+        |       COALESCE(f.v, c.c_acctbal) AS val,
+        |       CASE WHEN f.k IS NULL THEN 'base' ELSE 'updated' END AS src
+        |FROM customer c LEFT JOIN fin f ON c.c_custkey = f.k
+        |WHERE f.op IS NULL OR f.op = 'U'
+        |ORDER BY k""".stripMargin,
+    // q_mix_shift: weights/rates as guarded single divisions of exact
+    // bigint counts; contribution products mirrored operand-for-operand
+    "q_mix_shift" ->
+      """WITH cell AS (
+        |  SELECT event_type AS seg, ts < TIMESTAMP '2024-01-15' AS pre,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN value > 500.0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p1 AS (SELECT seg, n AS n1, c AS c1 FROM cell WHERE pre),
+        |p2 AS (SELECT seg AS seg2, n AS n2, c AS c2 FROM cell WHERE NOT pre),
+        |tot AS (SELECT (SELECT CAST(SUM(n1) AS BIGINT) FROM p1) AS t1,
+        |               (SELECT CAST(SUM(n2) AS BIGINT) FROM p2) AS t2),
+        |j AS (SELECT COALESCE(seg, seg2) AS seg,
+        |             COALESCE(n1, 0) AS n1, COALESCE(c1, 0) AS c1,
+        |             COALESCE(n2, 0) AS n2, COALESCE(c2, 0) AS c2, t1, t2
+        |      FROM p1 FULL OUTER JOIN p2 ON seg = seg2, tot),
+        |r AS (SELECT seg,
+        |        CASE WHEN t1 > 0 THEN CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+        |             ELSE 0.0 END AS w1,
+        |        CASE WHEN t2 > 0 THEN CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+        |             ELSE 0.0 END AS w2,
+        |        CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |             ELSE 0.0 END AS r1,
+        |        CASE WHEN n2 > 0 THEN CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |             ELSE 0.0 END AS r2
+        |      FROM j)
+        |SELECT seg, ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2,
+        |       ROUND(r1, 6) AS r1, ROUND(r2, 6) AS r2,
+        |       ROUND((w2 - w1) * r1, 6) + 0.0 AS mix_contrib,
+        |       ROUND(w2 * (r2 - r1), 6) + 0.0 AS within_contrib
+        |FROM r ORDER BY seg""".stripMargin,
     "q_partition_stats" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |       CAST(COUNT(*) AS BIGINT) AS n_rows,

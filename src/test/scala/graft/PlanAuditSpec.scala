@@ -357,8 +357,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q_negative_sample", // 1-row max-partkey attach onto the customer
                            // scan (candidate range bound) — size-bounded
                            // by design, the q_bm25 shape
-      "q_cuped" // 1-row global (n, Σx, Σy, Σxy, Σx²) stats broadcast onto
-                // the 2-row per-arm table — the q_bm25 corpus-stats shape
+      "q_cuped", // 1-row global (n, Σx, Σy, Σxy, Σx²) stats broadcast onto
+                 // the 2-row per-arm table — the q_bm25 corpus-stats shape
+      "q_mix_shift" // 1-row period-totals broadcast onto the ≤|segment|-row
+                    // decomposition — the q_bm25 corpus-stats shape
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
