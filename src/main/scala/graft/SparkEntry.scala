@@ -7383,9 +7383,34 @@ object SparkEntry {
       .orderBy("seg")
   }
 
+  /** Global DICTIONARY ENCODING — assigning dense contiguous ids to a
+    * string domain (vocab building, categorical interning, the id
+    * remapping every embedding table / one-hot pipeline needs before
+    * training): ids are frequency-descending (ties on term) so the
+    * hottest terms get the smallest ids — the layout that makes the
+    * downstream embedding table cache-friendly. Shape: one
+    * map-side-combinable frequency aggregate over the token stream, then
+    * the DISTRIBUTED global index ([[PositionalTake.withGlobalIndex]] —
+    * range-partition sort + per-partition offsets, never a
+    * single-partition ROW_NUMBER window) hands out dense ids; output is
+    * bounded by the vocabulary, not the corpus. Encoding the corpus back
+    * is then one broadcast (small vocab) or shuffle (web-scale vocab)
+    * equi-join against this table — the [[qJoin]] seam.
+    */
+  private def qDictEncode(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("neg_freq", -col("freq"))
+    PositionalTake.withGlobalIndex(vocab, Seq("neg_freq", "term"), "id")
+      .select(col("term"), col("id"), col("freq"))
+      .orderBy("id")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dict_encode" -> (qDictEncode _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
@@ -7743,6 +7768,21 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q_dict_encode: the distributed global index replayed as DuckDB's
+    // ROW_NUMBER over the same (freq DESC, term) total order; same
+    // whitespace tokenization as q_explode_tokens
+    "q_dict_encode" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                            x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        |      FROM tok GROUP BY term)
+        |SELECT term,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) - 1
+        |            AS BIGINT) AS id,
+        |       freq
+        |FROM v ORDER BY id""".stripMargin,
     // q_cdc_apply: last-writer-wins replayed as join-on-max-seq (seq is
     // unique per key, so it picks the same row as the engine's max_by)
     "q_cdc_apply" ->
