@@ -7407,9 +7407,40 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** AUDIO header audit — [[qMediaHeaders]]'s counterpart for the second
+    * media modality: serialize a real 44-byte PCM WAV (RIFF) header per
+    * row, then parse the fields back by byte offset. RIFF integers are
+    * LITTLE-endian, so this exercises the opposite byte order from PNG's
+    * big-endian IHDR — the serializer and parser both go through an
+    * explicit per-byte swap ([[Multimodal.wavHeader]]), all codegen'd
+    * binary slicing, no UDF. This is the header-level pass a 100 TB
+    * audio-ingest runs BEFORE paying for sample decode: container magic,
+    * channel/rate sanity, and declared-size vs actual-size reconciliation
+    * — only sample decode itself stays behind the declared codec stub.
+    * The oracle computes the expected fields arithmetically, so only a
+    * byte-correct serialize+parse round trip matches.
+    */
+  private def qAudioHeaders(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d).select(
+      col("doc_id"),
+      Multimodal.wavHeader(
+        lit(1L) + pmod(col("doc_id"), lit(2L)),
+        lit(8000L) + lit(100L) * pmod(col("doc_id"), lit(80L))).as("media"))
+    media.select(
+        col("doc_id"),
+        Multimodal.wavRiffOk(col("media")).as("riff_ok"),
+        Multimodal.wavChannels(col("media")).as("channels"),
+        Multimodal.wavSampleRate(col("media")).as("sample_rate"),
+        Multimodal.wavByteRate(col("media")).as("byte_rate"),
+        Multimodal.wavDataSize(col("media")).as("data_size"),
+        length(col("media")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_headers" -> (qAudioHeaders _),
     "q_dict_encode" -> (qDictEncode _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_mix_shift" -> (qMixShift _),
@@ -7768,6 +7799,18 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q_audio_headers: expected fields computed arithmetically — only a
+    // byte-correct little-endian WAV serialize+parse round trip matches
+    "q_audio_headers" ->
+      """SELECT doc_id, TRUE AS riff_ok,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |       CAST(8000 + 100 * (doc_id % 80) AS BIGINT) AS sample_rate,
+        |       CAST((8000 + 100 * (doc_id % 80)) * (1 + doc_id % 2) * 2
+        |            AS BIGINT) AS byte_rate,
+        |       CAST((8000 + 100 * (doc_id % 80)) * (1 + doc_id % 2) * 2
+        |            AS BIGINT) AS data_size,
+        |       CAST(44 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q_dict_encode: the distributed global index replayed as DuckDB's
     // ROW_NUMBER over the same (freq DESC, term) total order; same
     // whitespace tokenization as q_explode_tokens

@@ -125,6 +125,68 @@ object Multimodal {
     * pixel payload here): fit (width, height) inside (maxW, maxH)
     * preserving aspect ratio. Pure column arithmetic — no shuffle.
     */
+  // ---- WAV/RIFF audio headers: PNG's counterpart for the audio
+  // modality, with the opposite byte order — RIFF integers are
+  // LITTLE-endian, so serialize/parse go through an explicit per-byte
+  // swap instead of PNG's straight hex. Same contract as the PNG
+  // helpers: fully codegen'd column expressions over BinaryType; only
+  // sample decode stays behind the declared stub.
+
+  /** Little-endian unsigned integer serializer: `n` bytes, low byte
+    * first (the RIFF/WAV on-disk layout).
+    */
+  private def leBytes(v: Column, n: Int): Column =
+    concat((0 until n).map(i =>
+      unhex(lpad(hex(pmod(shiftright(v, 8 * i), lit(256L))), 2, "0"))): _*)
+
+  /** Little-endian unsigned integer parser: `n` bytes at 1-based byte
+    * offset `off1`, low byte first.
+    */
+  private def leParse(media: Column, off1: Int, n: Int): Column =
+    conv(concat((0 until n).reverse.map(i =>
+      lpad(hex(substring(media, off1 + i, 1)), 2, "0")): _*), 16, 10)
+      .cast("long")
+
+  /** Serializes a valid 44-byte PCM WAV header (RIFF + fmt + data chunk
+    * headers; 16-bit samples; declared payload = one second of audio,
+    * payload bytes omitted — readers locate every field positionally).
+    */
+  def wavHeader(channels: Column, sampleRate: Column): Column = {
+    val blockAlign = channels * lit(2L) // 16-bit PCM
+    val byteRate = sampleRate * blockAlign
+    val dataSize = byteRate // one declared second
+    concat(
+      lit("RIFF".getBytes("US-ASCII")),
+      leBytes(lit(36L) + dataSize, 4),
+      lit("WAVEfmt ".getBytes("US-ASCII")),
+      leBytes(lit(16L), 4), // fmt chunk size
+      leBytes(lit(1L), 2), // PCM
+      leBytes(channels, 2),
+      leBytes(sampleRate, 4),
+      leBytes(byteRate, 4),
+      leBytes(blockAlign, 2),
+      leBytes(lit(16L), 2), // bits per sample
+      lit("data".getBytes("US-ASCII")),
+      leBytes(dataSize, 4))
+  }
+
+  /** True iff the payload carries the RIFF....WAVE container magic. */
+  def wavRiffOk(media: Column): Column =
+    hex(substring(media, 1, 4)) === lit("52494646") &&
+      hex(substring(media, 9, 4)) === lit("57415645")
+
+  /** u16le channel count at byte offset 22 (1-based 23). */
+  def wavChannels(media: Column): Column = leParse(media, 23, 2)
+
+  /** u32le sample rate at byte offset 24 (1-based 25). */
+  def wavSampleRate(media: Column): Column = leParse(media, 25, 4)
+
+  /** u32le byte rate at byte offset 28 (1-based 29). */
+  def wavByteRate(media: Column): Column = leParse(media, 29, 4)
+
+  /** u32le data-chunk size at byte offset 40 (1-based 41). */
+  def wavDataSize(media: Column): Column = leParse(media, 41, 4)
+
   def resizeMeta(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(
       lit(1.0),

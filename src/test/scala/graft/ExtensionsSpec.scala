@@ -384,6 +384,53 @@ class ExtensionsSpec extends SparkTestBase {
       .select(Multimodal.pngSigOk($"media")).as[Boolean].head())
   }
 
+  test("wav header round-trips fields; parser reads a hand-written real header") {
+    val specs = Seq((1L, 8000L), (2L, 44100L), (1L, 96000L)).toDF("c", "r")
+    val rt = specs.select(
+        Multimodal.wavChannels(Multimodal.wavHeader($"c", $"r")).as("pc"),
+        Multimodal.wavSampleRate(Multimodal.wavHeader($"c", $"r")).as("pr"),
+        Multimodal.wavByteRate(Multimodal.wavHeader($"c", $"r")).as("pb"),
+        Multimodal.wavRiffOk(Multimodal.wavHeader($"c", $"r")).as("ok"),
+        $"c", $"r")
+      .collect()
+    rt.foreach { row =>
+      assert(row.getAs[Long]("pc") == row.getAs[Long]("c"))
+      assert(row.getAs[Long]("pr") == row.getAs[Long]("r"))
+      assert(row.getAs[Long]("pb") == row.getAs[Long]("r") * row.getAs[Long]("c") * 2)
+      assert(row.getAs[Boolean]("ok"))
+    }
+    // golden: a canonical 44-byte mono 44.1 kHz 16-bit PCM header written
+    // BYTE BY BYTE from the RIFF spec (little-endian fields), not via
+    // wavHeader — an independent witness that the parser reads real WAV
+    // bytes, not just its own serializer's
+    val golden: Array[Byte] = Array(
+      0x52, 0x49, 0x46, 0x46, // "RIFF"
+      0x24, 0x58, 0x01, 0x00, // chunk size 88100 = 36 + 88064... see below
+      0x57, 0x41, 0x56, 0x45, // "WAVE"
+      0x66, 0x6D, 0x74, 0x20, // "fmt "
+      0x10, 0x00, 0x00, 0x00, // fmt size 16
+      0x01, 0x00, // PCM
+      0x01, 0x00, // 1 channel
+      0x44, 0xAC, 0x00, 0x00, // 44100 (0x0000AC44 little-endian)
+      0x88, 0x58, 0x01, 0x00, // byte rate 88200 (0x00015888)
+      0x02, 0x00, // block align 2
+      0x10, 0x00, // 16 bits
+      0x64, 0x61, 0x74, 0x61, // "data"
+      0x88, 0x58, 0x01, 0x00 // data size 88200
+    ).map(_.toByte)
+    val parsed = Seq(Tuple1(golden)).toDF("media")
+      .select(Multimodal.wavChannels($"media").as("c"),
+        Multimodal.wavSampleRate($"media").as("r"),
+        Multimodal.wavByteRate($"media").as("b"),
+        Multimodal.wavDataSize($"media").as("d"),
+        Multimodal.wavRiffOk($"media").as("ok"))
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(parsed == ((1L, 44100L, 88200L, 88200L, true)))
+    // a PNG payload must NOT pass the RIFF magic check
+    assert(!Seq(Tuple1(golden.updated(8, 0x00.toByte))).toDF("media")
+      .select(Multimodal.wavRiffOk($"media")).as[Boolean].head())
+  }
+
   test("data-quality rules: one-pass counters match per-rule truth; empty rules rejected") {
     import graft.ext.DataQuality
     val df = Seq(
