@@ -82,6 +82,7 @@ object SparkEntry {
     "graft_ann", "graft_bucketed", "graft_compact", "graft_csvrt",
     "graft_evo", "graft_incagg", "graft_json", "graft_knn", "graft_orcrt",
     "graft_pairs",
+    "graft_dppdim",
     "graft_partitioned", "graft_partsupp", "graft_pr", "graft_sigs",
     "graft_stream", "graft_xmlrt", "graft_zorder")
   /** JVM-wide single-writer gate for the write-once `/tmp/graft_*`
@@ -6485,7 +6486,11 @@ object SparkEntry {
     * non-empty, the plan-shape property this query exists to pin (the
     * bucketed-join counterpart of `BucketingSpec`'s exchange-free check).
     */
-  private def qPrunedScan(s: SparkSession, d: String): DataFrame = {
+  /** The date-partitioned events table (write-once staged) — the layout
+    * under [[qPrunedScan]] (static pruning) and [[qDppJoin]] (dynamic
+    * pruning).
+    */
+  private def eventsByDate(s: SparkSession, d: String): DataFrame = {
     val tag = dirTag(d)
     val table = s"graft_ev_bydate_$tag"
     val path = s"/tmp/graft_partitioned/$tag/events"
@@ -6510,9 +6515,48 @@ object SparkEntry {
       }
     }
     s.table(table)
+  }
+
+  private def qPrunedScan(s: SparkSession, d: String): DataFrame =
+    eventsByDate(s, d)
       .filter(col("event_date") === lit("2024-01-15").cast("date"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")
+
+  /** DYNAMIC partition pruning — the runtime half of the pruning story:
+    * [[qPrunedScan]] pins the static case (a literal predicate prunes at
+    * plan time), but the common 100 TB shape is a fact table joined to a
+    * FILTERED dimension whose surviving keys are only known at run time.
+    * Catalyst plants a DynamicPruningSubquery on the fact's partition
+    * column: the broadcast dim materializes first, and only the
+    * partitions its keys name are ever listed/read — 3 of ~30 days here,
+    * the difference between scanning 100 TB and 10 TB in production.
+    * `PlanAuditSpec` pins `dynamicpruning` in the fact scan's partition
+    * filters. Aggregates stay in exact integer space.
+    */
+  private def qDppJoin(s: SparkSession, d: String): DataFrame = {
+    // the dim must be a real source with a live Filter node: a local
+    // in-memory relation constant-folds its filter away, and without a
+    // selective dim-side predicate Catalyst (correctly) skips DPP
+    val dir = s"/tmp/graft_dppdim/${dirTag(d)}/campaign_days"
+    stagedOnce(dir) {
+      s.createDataFrame(Seq(
+          ("2024-01-05", "promo"), ("2024-01-15", "promo"),
+          ("2024-01-25", "control"), ("2024-02-14", "unused")))
+        .toDF("dim_day", "campaign")
+        .select(col("dim_day").cast("date").as("dim_date"), col("campaign"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val dim = s.read.parquet(dir)
+    eventsByDate(s, d)
+      .join(broadcast(dim.filter(col("campaign") =!= "unused")),
+        col("event_date") === col("dim_date"))
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+        col("campaign"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_id"))
+      .orderBy("day")
   }
 
   /** Small-file compaction — the lakehouse maintenance op a 100 TB table
@@ -7440,6 +7484,7 @@ object SparkEntry {
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp_join" -> (qDppJoin _),
     "q_audio_headers" -> (qAudioHeaders _),
     "q_dict_encode" -> (qDictEncode _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -7799,6 +7844,16 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_dpp_join" ->
+      """WITH dim(dim_day, campaign) AS (VALUES
+        |  ('2024-01-05', 'promo'), ('2024-01-15', 'promo'),
+        |  ('2024-01-25', 'control'))
+        |SELECT strftime(ts, '%Y-%m-%d') AS day, campaign,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |FROM events JOIN dim ON strftime(ts, '%Y-%m-%d') = dim_day
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q_audio_headers: expected fields computed arithmetically — only a
     // byte-correct little-endian WAV serialize+parse round trip matches
     "q_audio_headers" ->

@@ -22,6 +22,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("q_dpp_join plants a dynamic-pruning subquery on the fact partition column") {
+    val df = SparkEntry.queries("q_dpp_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.split("PartitionFilters: \\[").drop(1)
+      .map(_.takeWhile(_ != ']')).mkString("; ")
+    assert(pf.toLowerCase.contains("dynamicpruning"),
+      s"fact scan carries no dynamic-pruning partition filter: [$pf]\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("ANN queries scan the persisted index table with list_id partition pruning") {
     // first invocation builds the write-once index; the second must READ it
     SparkEntry.queries("q_ivf_topk")(spark, sf0001).collect()
