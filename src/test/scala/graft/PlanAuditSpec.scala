@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-shape assertions for write-layout catalog queries: the property
   * these rows exist to pin (which bytes a scan is allowed to touch) is
   * visible only in the physical plan, not in the result — the counterpart
@@ -30,6 +32,49 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pf.toLowerCase.contains("dynamicpruning"),
       s"fact scan carries no dynamic-pruning partition filter: [$pf]\n$plan")
     assert(df.count() > 0)
+  }
+
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // the row-level counterpart of q_dpp_join's partition-level pruning:
+    // a selective dim-side predicate becomes a bloom filter evaluated
+    // inside the fact scan, cutting shuffle input before the exchange —
+    // at 100 TB this is what keeps a 1%-selective PK-FK join from
+    // shuffling the full fact table. Thresholds are lowered to make the
+    // optimizer's size heuristics fire at test scale; try/finally
+    // restores (shared test session).
+    import graft.sources.Tables
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    // expected count planned OUTSIDE the conf window (no bloom, default
+    // join strategy) — the baseline the bloom-filtered plan must equal
+    val expected = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "100MB")
+      spark.conf.set(keys(3), "-1") // force the shuffle join the filter targets
+      val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom runtime filter on the fact side:\n$plan")
+      // semantics preserved: the bloom is a pre-filter, never a decider
+      assert(joined.count() == expected && expected > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("ANN queries scan the persisted index table with list_id partition pruning") {
