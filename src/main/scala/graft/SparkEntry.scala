@@ -7481,9 +7481,35 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION … RETURN`) —
+    * the UDF users SHOULD write at 100 TB: unlike a JVM/Python UDF
+    * (black box: blocks predicate pushdown, column pruning through it,
+    * and whole-stage codegen), a SQL UDF is INLINED into the plan by
+    * Catalyst, so `softsign(value)` below costs exactly what writing the
+    * expression by hand costs — it stays inside WholeStageCodegen and
+    * the optimizer sees through it. The function body is a rational
+    * softsign x/(1+|x|) (one division of IEEE-exact operands — portable;
+    * a sigmoid's exp() would not be, libm differs across engines). The
+    * oracle inlines the same expression, which is also exactly what
+    * Catalyst does — the row pins that equivalence.
+    */
+  private def qSqlUdf(s: SparkSession, d: String): DataFrame = {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_softsign(x DOUBLE)
+        |RETURNS DOUBLE RETURN x / (1.0 + abs(x))""".stripMargin)
+    Tables.events(s, d).createOrReplaceTempView(s"graft_udf_ev_${dirTag(d)}")
+    s.sql(
+      s"""SELECT event_type,
+         |       ROUND(SUM(graft_softsign(value - 500.0)), 6) AS score,
+         |       COUNT(*) AS n
+         |FROM graft_udf_ev_${dirTag(d)}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_udf" -> (qSqlUdf _),
     "q_dpp_join" -> (qDppJoin _),
     "q_audio_headers" -> (qAudioHeaders _),
     "q_dict_encode" -> (qDictEncode _),
@@ -7844,6 +7870,14 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q_sql_udf: the oracle inlines the function body — exactly what
+    // Catalyst does with a SQL UDF (the equivalence this row pins)
+    "q_sql_udf" ->
+      """SELECT event_type,
+        |       ROUND(SUM((value - 500.0) / (1.0 + abs(value - 500.0))), 6)
+        |         AS score,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dpp_join" ->
       """WITH dim(dim_day, campaign) AS (VALUES
         |  ('2024-01-05', 'promo'), ('2024-01-15', 'promo'),

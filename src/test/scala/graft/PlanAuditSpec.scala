@@ -77,6 +77,19 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("SQL UDF inlines into the plan (no black-box UDF node, codegen intact)") {
+    val df = SparkEntry.queries("q_sql_udf")(spark, sf0001)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // a JVM UDF would appear as ScalaUDF and break codegen; the SQL UDF
+    // must instead show up as its expanded arithmetic inside the aggregate
+    assert(!plan.contains("ScalaUDF"), s"black-box UDF node in plan:\n$plan")
+    assert(plan.contains("abs("), s"function body not inlined:\n$plan")
+    // `*(n)` prefixes mark WholeStageCodegen spans in the plan toString;
+    // the aggregate consuming the inlined body must sit inside one
+    assert(plan.contains("*(1) HashAggregate"), s"codegen lost:\n$plan")
+  }
+
   test("ANN queries scan the persisted index table with list_id partition pruning") {
     // first invocation builds the write-once index; the second must READ it
     SparkEntry.queries("q_ivf_topk")(spark, sf0001).collect()

@@ -136,4 +136,21 @@ class SourcesSpec extends SparkTestBase {
       .as[(Long, String)].collect().sorted.toSeq
     assert(back == rows.sorted)
   }
+  test("maxRecordsPerFile caps shard size on write (training-export shape)") {
+    // the writer-side knob that bounds shard sizes for a training-data
+    // export: no shard may exceed the cap, and no row may be lost
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/out"
+    val n = 1000
+    spark.range(n).toDF("id").repartition(2)
+      .write.option("maxRecordsPerFile", 150).parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n)
+    val perFile = spark.read.parquet(dir)
+      .select(input_file_name().as("f"))
+      .groupBy("f").count().as[(String, Long)].collect()
+    assert(perFile.forall(_._2 <= 150L),
+      s"oversized shard: ${perFile.filter(_._2 > 150L).mkString(",")}")
+    assert(perFile.length >= 8) // 1000 rows / 150 cap needs >= 7 shards
+  }
 }
