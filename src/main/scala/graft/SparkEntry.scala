@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Components, DataQuality, Dedup, IvfIndex, PageRank, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, NativeExpressions, TypedAggregates}
 import graft.functions.GraftFunctions._
-import graft.operators.{AsOfJoin, PositionalTake, PrefixSum, RangeJoin, Relational, SkewJoin, SpatialJoin}
+import graft.operators.{AsOfJoin, Changelog, PositionalTake, PrefixSum, RangeJoin, Relational, SkewJoin, SpatialJoin}
 import graft.sources.Tables
 import graft.streaming.EventsPipeline
 
@@ -7364,20 +7364,16 @@ object SparkEntry {
     */
   private def qCdcApply(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d)
-      .select(col("c_custkey").as("k"), col("c_acctbal").as("base_val"))
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
     val log = Tables.orders(s, d).select(
       col("o_custkey").as("k"), col("o_orderkey").as("seq"),
       when(pmod(col("o_orderkey"), lit(10)) === 0, lit("D"))
         .otherwise(lit("U")).as("op"),
       col("o_totalprice").as("v"))
-    val compacted = log.groupBy("k")
-      .agg(max_by(struct(col("op"), col("v")), col("seq")).as("f"))
-      .select(col("k"), col("f.op").as("op"), col("f.v").as("v"))
-    base.join(compacted, Seq("k"), "left")
-      .filter(col("op").isNull || col("op") === "U")
-      .select(col("k"), coalesce(col("v"), col("base_val")).as("val"),
-        when(col("op").isNull, lit("base")).otherwise(lit("updated"))
-          .as("src"))
+    // every log key exists in base here (o_custkey FK), so the operator's
+    // upsert-insert path is exercised by OperatorPropertySpec instead
+    Changelog(base, log)
+      .select(col("k"), col("v").as("val"), col("src"))
       .orderBy("k")
   }
 

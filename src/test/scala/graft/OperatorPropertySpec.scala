@@ -466,4 +466,45 @@ class OperatorPropertySpec extends SparkTestBase {
       .head().getLong(0)
     assert(got == ids.distinct.size.toLong)
   }
+  test("changelog apply == local reference; split-anywhere composition; upserts insert") {
+    import graft.operators.Changelog
+    val rnd = new scala.util.Random(13)
+    val baseRows = Seq.tabulate(40)(i => (i.toLong, i * 10.0))
+    // random log over keys 0..59 (40..59 exercise the upsert-INSERT path),
+    // unique seqs, ~25% tombstones, several events per key
+    val logRows = Seq.tabulate(300) { s =>
+      (rnd.nextInt(60).toLong, s.toLong,
+        if (rnd.nextInt(4) == 0) "D" else "U", rnd.nextInt(1000).toDouble)
+    }
+    val base = baseRows.toDF("k", "v")
+    val log = logRows.toDF("k", "seq", "op", "v")
+    // local reference: last-writer-wins, D drops, U upserts
+    val last = logRows.groupBy(_._1).map { case (k, es) =>
+      val (_, _, op, v) = es.maxBy(_._2); k -> (op, v)
+    }
+    val baseMap = baseRows.toMap
+    val expected = (baseMap.keySet ++ last.keySet).flatMap { k =>
+      last.get(k) match {
+        case Some(("D", _)) => None
+        case Some((_, v)) => Some(k -> v)
+        case None => Some(k -> baseMap(k))
+      }
+    }
+    val one = Changelog(base, log)
+    assert(one.select("k", "v").as[(Long, Double)].collect().toSet == expected)
+    // src labels: updated iff the key appears in the compacted log with U
+    val updated = one.filter($"src" === "updated")
+      .select("k").as[Long].collect().toSet
+    assert(updated == last.collect { case (k, ("U", _)) => k }.toSet)
+    // inserts actually occurred (keys absent from base survive as U)
+    assert(updated.exists(_ >= 40L))
+    // composition: applying the log split at an arbitrary seq boundary in
+    // two batches equals the one-shot application (on the final state;
+    // src labels are per-batch provenance and legitimately differ)
+    val mid = 150L
+    val two = Changelog(
+      Changelog(base, log.filter($"seq" < mid)).select("k", "v"),
+      log.filter($"seq" >= mid))
+    assert(two.select("k", "v").as[(Long, Double)].collect().toSet == expected)
+  }
 }
