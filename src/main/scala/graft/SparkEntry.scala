@@ -7502,9 +7502,71 @@ object SparkEntry {
          |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** NULL-KEY skew bypass on an outer join — the silent 100 TB killer
+    * this row pins the remedy for: in a shuffled left join, every
+    * null-key row hashes to the SAME partition, so a 33%-null FK column
+    * (unset optional references are exactly this common) turns into one
+    * straggler task holding a third of the fact table. SQL semantics say
+    * null keys can never match, so the fix is structural, not statistical
+    * (AQE skew-split can only shave it): route `k IS NULL` rows AROUND
+    * the exchange entirely and union them back as unmatched — the join
+    * shuffles only the matchable minority. The oracle is the plain LEFT
+    * JOIN (bypass must be invisible in results); negative keys provide a
+    * real unmatched-but-non-null population so all three outcome buckets
+    * are exercised. Sums stay exact (integer-valued quantities).
+    */
+  private def qNullSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      when(pmod(col("l_orderkey"), lit(3)) === 0, lit(null))
+        .when(pmod(col("l_orderkey"), lit(3)) === 1, -col("l_orderkey"))
+        .otherwise(col("l_orderkey")).cast("long").as("k"),
+      col("l_quantity").as("qty"))
+    val nulls = li.filter(col("k").isNull)
+      .select(lit("null_key").as("bucket"), col("qty"))
+    val probe = li.filter(col("k").isNotNull)
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("k") === col("o_orderkey"), "left")
+      .select(when(col("o_orderkey").isNull, lit("unmatched"))
+        .otherwise(lit("matched")).as("bucket"), col("qty"))
+    nulls.unionByName(probe)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+      .orderBy("bucket")
+  }
+
+  /** Rolling 7-day distinct users (rolling MAU) — the windowed
+    * COUNT(DISTINCT) no window frame can express (distinct aggregates
+    * are unsupported over RANGE frames, and a naive per-day self-join
+    * rescans the stream once per day). Scale shape: the stream reduces
+    * ONCE to the compact distinct (user, day) activity table; each
+    * activity row then fans out to the ≤7 window anchors it supports (a
+    * CONSTANT map-side `explode(sequence(...))` — the [[qSpatialJoin]]
+    * replication idea on the time axis), a semi-join bounds anchors to
+    * observed days, and one (day)-keyed shuffle finishes with
+    * countDistinct. State is bounded by 7 × |activity|, never
+    * days × stream.
+    */
+  private def qRollingMau(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(to_date(col("ts")).as("aday"), col("user_id").as("u"))
+      .distinct()
+    val support = act.select(
+      explode(sequence(col("aday"), date_add(col("aday"), 6))).as("day"),
+      col("u"))
+    val axis = act.select(col("aday").as("day")).distinct()
+    support.join(axis, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("u")).as("mau7"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("mau7"))
+      .orderBy("day")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_skew_join" -> (qNullSkewJoin _),
+    "q_rolling_mau" -> (qRollingMau _),
     "q_sql_udf" -> (qSqlUdf _),
     "q_dpp_join" -> (qDppJoin _),
     "q_audio_headers" -> (qAudioHeaders _),
@@ -7866,6 +7928,32 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q_null_skew_join: the oracle is the PLAIN left join — the engine's
+    // null-key bypass must be invisible in results
+    "q_null_skew_join" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN NULL
+        |              WHEN l_orderkey % 3 = 1 THEN -l_orderkey
+        |              ELSE l_orderkey END AS k,
+        |         l_quantity AS qty
+        |  FROM lineitem)
+        |SELECT CASE WHEN k IS NULL THEN 'null_key'
+        |            WHEN o_orderkey IS NULL THEN 'unmatched'
+        |            ELSE 'matched' END AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(qty) AS DOUBLE) AS sum_qty
+        |FROM li LEFT JOIN orders ON k = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_rolling_mau: the fan-out-to-anchors plan replayed as a direct
+    // interval join over the compact activity table
+    "q_rolling_mau" ->
+      """WITH act AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS aday, user_id FROM events),
+        |axis AS (SELECT DISTINCT aday AS day FROM act)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau7
+        |FROM axis JOIN act ON aday BETWEEN day - 6 AND day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_sql_udf: the oracle inlines the function body — exactly what
     // Catalyst does with a SQL UDF (the equivalence this row pins)
     "q_sql_udf" ->
