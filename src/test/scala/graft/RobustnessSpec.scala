@@ -152,4 +152,30 @@ class RobustnessSpec extends SparkTestBase {
     assert(a.nonEmpty && a == b,
       "racing builds disagreed — staging is not single-writer")
   }
+  test("every tag-keyed /tmp/graft_* staging root is reaper-registered") {
+    // the r10 leak class: a new staged artifact root not listed in
+    // SparkEntry.artifactRoots survives data regeneration as garbage.
+    // Tripwire: every "/tmp/graft_<root>" literal in src/main must appear
+    // in the artifactRoots literal (graft_tags is the breadcrumb dir the
+    // reaper itself maintains, not a tag-keyed artifact).
+    def read(f: java.io.File): String =
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
+      val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      fs.filter(_.isFile).filter(_.getName.endsWith(".scala")) ++
+        fs.filter(_.isDirectory).flatMap(scalaFiles)
+    }
+    val srcs = scalaFiles(new java.io.File("src/main/scala/graft"))
+    assert(srcs.nonEmpty)
+    val used = srcs.flatMap(f =>
+      "\"/tmp/(graft_[a-z_]+)".r.findAllMatchIn(read(f)).map(_.group(1)))
+      .toSet - "graft_tags"
+    val entry = read(new java.io.File("src/main/scala/graft/SparkEntry.scala"))
+    val decl = entry.split("artifactRoots = Seq\\(")(1).split("\\)")(0)
+    val registered = "\"(graft_[a-z_]+)\"".r
+      .findAllMatchIn(decl).map(_.group(1)).toSet
+    val missing = used -- registered
+    assert(missing.isEmpty,
+      s"staging roots missing from SparkEntry.artifactRoots: $missing")
+  }
 }
