@@ -7562,9 +7562,34 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Seasonal-naive forecast BACKTEST — the baseline every forecasting
+    * pipeline must beat (and the degradation alarm when a fancier model
+    * silently rots): forecast(d) = actual(d − 7), scored per day. Shape:
+    * the stream reduces ONCE to the compact daily-count table (exact
+    * bigint counts — the whole backtest stays in integer space, no libm,
+    * no fitted coefficients to drift across engines); forecast attachment
+    * is a self-equi-join of that ~|days| table on the shifted key, never
+    * a second pass over events. Days without a 7-back observation emit
+    * NULL forecast (the honest cold-start readout) rather than being
+    * silently dropped.
+    */
+  private def qSeasonalNaive(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("actual"))
+    val lagged = daily.select(
+      date_format(date_add(to_date(col("day")), 7), "yyyy-MM-dd").as("day"),
+      col("actual").as("forecast"))
+    daily.join(lagged, Seq("day"), "left")
+      .select(col("day"), col("actual"), col("forecast"),
+        abs(col("actual") - col("forecast")).as("abs_err"))
+      .orderBy("day")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_naive" -> (qSeasonalNaive _),
     "q_null_skew_join" -> (qNullSkewJoin _),
     "q_rolling_mau" -> (qRollingMau _),
     "q_sql_udf" -> (qSqlUdf _),
@@ -7928,6 +7953,16 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS actual
+        |  FROM events GROUP BY 1)
+        |SELECT d.day, d.actual, l.actual AS forecast,
+        |       ABS(d.actual - l.actual) AS abs_err
+        |FROM daily d LEFT JOIN daily l
+        |  ON CAST(d.day AS DATE) = CAST(l.day AS DATE) + 7
+        |ORDER BY d.day""".stripMargin,
     // q_null_skew_join: the oracle is the PLAIN left join — the engine's
     // null-key bypass must be invisible in results
     "q_null_skew_join" ->
