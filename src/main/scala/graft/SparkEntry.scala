@@ -7240,8 +7240,9 @@ object SparkEntry {
     * what makes small effects readable at fixed sample size. Shape: ONE
     * pass reduces events to the per-user (pre, post) count pair; θ and the
     * global pre-mean come from exact bigint sums (n·Σxy − ΣxΣy over
-    * n·Σx² − Σx², one division — bit-identical) in a 1-row broadcast
-    * attach (the [[qBm25]] corpus-stats shape); per-arm means are single
+    * n·Σx² − Σx², one division — bit-identical), which are ADDITIVE and
+    * so fold up from the per-arm aggregate through a compact-domain
+    * window — events is scanned exactly once; per-arm means are single
     * divisions of exact sums. A 100 TB run lifts the bigint products to
     * DECIMAL(38,0) (the [[qDecimalSum]] seam) with the same plan. The
     * var(x)=0 degenerate (no pre-period signal) reads θ=0 — plain means —
@@ -7259,10 +7260,13 @@ object SparkEntry {
         sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
         sum(when(col("ts") < cut, 0L).otherwise(1L)).as("y"))
       .withColumn("arm", arm)
-    val g = perUser.agg(
-      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"))
+    // θ's sufficient statistics are additive, so the GLOBAL sums come
+    // from the ≤2-row per-arm table through a compact-domain window
+    // (PlanAuditSpec-allowlisted) instead of a second pass over the
+    // per-user table — the first cut scanned events twice for them
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val den = col("n") * col("sxx") - col("sx") * col("sx")
     val num = col("n") * col("sxy") - col("sx") * col("sy")
     val theta =
@@ -7272,8 +7276,14 @@ object SparkEntry {
     val meanPre = col("ax").cast("double") / col("n_users").cast("double")
     perUser.groupBy("arm")
       .agg(count(lit(1)).as("n_users"),
-        sum(col("x")).as("ax"), sum(col("y")).as("ay"))
-      .crossJoin(broadcast(g))
+        sum(col("x")).as("ax"), sum(col("y")).as("ay"),
+        sum(col("x") * col("y")).as("axy"),
+        sum(col("x") * col("x")).as("axx"))
+      .withColumn("n", sum(col("n_users")).over(w))
+      .withColumn("sx", sum(col("ax")).over(w))
+      .withColumn("sy", sum(col("ay")).over(w))
+      .withColumn("sxy", sum(col("axy")).over(w))
+      .withColumn("sxx", sum(col("axx")).over(w))
       .select(col("arm"), col("n_users"),
         round(meanPost, 6).as("mean_post"),
         round(meanPre, 6).as("mean_pre"),
@@ -7385,31 +7395,33 @@ object SparkEntry {
     * every input is an exact bigint count; weights and rates are single
     * divisions, and the contribution products are mirrored
     * operand-for-operand in the oracle (bit-identical doubles). Shape:
-    * ONE aggregate over (segment, period) — map-side combinable, output
-    * bounded by the segment domain — plus a 1-row period-totals
-    * broadcast; segments absent from a period contribute through the
-    * COALESCE(0) path instead of NULL-poisoning the sum.
+    * ONE conditional-sum aggregate over segments — map-side combinable,
+    * output bounded by the segment domain, events scanned exactly once —
+    * with period totals folded over the compact result; segments absent
+    * from a period read 0 through the conditional sums instead of
+    * NULL-poisoning the decomposition.
     */
   private def qMixShift(s: SparkSession, d: String): DataFrame = {
     val cut = lit("2024-01-15").cast("timestamp")
-    val cell = Tables.events(s, d)
-      .groupBy(col("event_type").as("seg"),
-        (col("ts") < cut).as("pre"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("value") > 500.0, 1L).otherwise(0L)).as("c"))
-    val p1 = cell.filter(col("pre"))
-      .select(col("seg"), col("n").as("n1"), col("c").as("c1"))
-    val p2 = cell.filter(!col("pre"))
-      .select(col("seg").as("seg2"), col("n").as("n2"), col("c").as("c2"))
-    val tot = p1.agg(sum(col("n1")).as("t1")).crossJoin(
-      p2.agg(sum(col("n2")).as("t2")))
-    val joined = p1.join(p2, col("seg") === col("seg2"), "full_outer")
-      .select(coalesce(col("seg"), col("seg2")).as("seg"),
-        coalesce(col("n1"), lit(0L)).as("n1"),
-        coalesce(col("c1"), lit(0L)).as("c1"),
-        coalesce(col("n2"), lit(0L)).as("n2"),
-        coalesce(col("c2"), lit(0L)).as("c2"))
-      .crossJoin(broadcast(tot))
+    // ONE conditional-sum aggregate replaces the (seg, period) grid +
+    // full-outer period self-join + totals pass of the first cut (which
+    // planned FOUR events scans); absent-period cells read 0 through the
+    // conditional sums, and the period totals ride a compact-domain
+    // window over the ≤|segment|-row table (PlanAuditSpec-allowlisted)
+    val pre = col("ts") < cut
+    val conv = col("value") > 500.0
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val joined = Tables.events(s, d)
+      .groupBy(col("event_type").as("seg"))
+      .agg(
+        sum(when(pre, 1L).otherwise(0L)).as("n1"),
+        sum(when(pre && conv, 1L).otherwise(0L)).as("c1"),
+        sum(when(!pre, 1L).otherwise(0L)).as("n2"),
+        sum(when(!pre && conv, 1L).otherwise(0L)).as("c2"))
+      .withColumn("t1", sum(col("n1")).over(w))
+      .withColumn("t2", sum(col("n2")).over(w))
     def rate(c: Column, n: Column): Column =
       when(n > 0L, c.cast("double") / n.cast("double")).otherwise(lit(0.0))
     val (w1, w2) = (rate(col("n1"), col("t1")), rate(col("n2"), col("t2")))
@@ -7577,13 +7589,19 @@ object SparkEntry {
     * silently dropped.
     */
   private def qSeasonalNaive(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
+    // forecast attachment is a RANGE [-7,-7] window over the compact
+    // daily table (date-valued, so calendar gaps read NULL — a row-offset
+    // lag(7) would silently mis-align across gaps); the first cut
+    // self-joined the aggregate on the shifted key, which planned the
+    // events scan twice with no runtime exchange reuse
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day_num").rangeBetween(-7, -7)
+    Tables.events(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("actual"))
-    val lagged = daily.select(
-      date_format(date_add(to_date(col("day")), 7), "yyyy-MM-dd").as("day"),
-      col("actual").as("forecast"))
-    daily.join(lagged, Seq("day"), "left")
+      .withColumn("day_num",
+        datediff(to_date(col("day")), to_date(lit("2024-01-01"))))
+      .withColumn("forecast", max(col("actual")).over(w))
       .select(col("day"), col("actual"), col("forecast"),
         abs(col("actual") - col("forecast")).as("abs_err"))
       .orderBy("day")

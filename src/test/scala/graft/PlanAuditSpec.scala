@@ -422,13 +422,9 @@ class PlanAuditSpec extends SparkTestBase {
                           // condition); ANN index is the 100 TB path
       "q_hybrid_fusion", // the q_bm25 1-row corpus-stats attach, feeding
                          // both scorers from one scan
-      "q_negative_sample", // 1-row max-partkey attach onto the customer
-                           // scan (candidate range bound) — size-bounded
-                           // by design, the q_bm25 shape
-      "q_cuped", // 1-row global (n, Σx, Σy, Σxy, Σx²) stats broadcast onto
-                 // the 2-row per-arm table — the q_bm25 corpus-stats shape
-      "q_mix_shift" // 1-row period-totals broadcast onto the ≤|segment|-row
-                    // decomposition — the q_bm25 corpus-stats shape
+      "q_negative_sample" // 1-row max-partkey attach onto the customer
+                          // scan (candidate range bound) — size-bounded
+                          // by design, the q_bm25 shape
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
@@ -507,6 +503,9 @@ class PlanAuditSpec extends SparkTestBase {
       "q_token_budget" -> "greedy fill over the per-source aggregate (compact source domain)",
       "q_sample_mix" -> "sampleToMix feasibility min over the per-source count table",
       "q_corpus_pipeline" -> "sampleToMix stage: same per-source count table window",
+      "q_cuped" -> "additive global θ-statistics summed over the ≤2-row per-arm table (single events scan; replaced a second corpus pass)",
+      "q_mix_shift" -> "period totals over the ≤|segment|-row decomposition table (single events scan; replaced a 4-scan grid self-join)",
+      "q_seasonal_naive" -> "RANGE [-7,-7] forecast lookup over the per-day aggregate (calendar-gap-safe; replaced a shifted-key self-join)",
       // bounded post-TopK / result-set domains
       "q_hybrid_fusion" -> "ranks derived from the <=50-row TakeOrdered survivors per ranking",
       "q_embed_lsh_topk" -> "annRecallVerdict rank over the 20 exact rows post-TopK",
