@@ -7526,6 +7526,9 @@ object SparkEntry {
     * JOIN (bypass must be invisible in results); negative keys provide a
     * real unmatched-but-non-null population so all three outcome buckets
     * are exercised. Sums stay exact (integer-valued quantities).
+    * Deliberate tradeoff: the two union branches scan the fact twice
+    * (column-pruned to 2 columns) — at scale a second pruned scan is
+    * cheap, the straggler shuffle partition is not.
     */
   private def qNullSkewJoin(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(

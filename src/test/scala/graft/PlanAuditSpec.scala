@@ -90,6 +90,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("*(1) HashAggregate"), s"codegen lost:\n$plan")
   }
 
+  test("single-scan rows read their fact exactly once") {
+    // these rows were rewritten from multi-pass shapes (grid self-joins,
+    // totals passes, shifted-key self-joins) to one corpus scan with
+    // compact-domain windows; a regression re-introducing a second scan
+    // of the fact table fails here
+    for (name <- Seq("q_cuped", "q_mix_shift", "q_seasonal_naive",
+        "q_rolling_mau", "q_diff_in_diff", "q_partition_stats")) {
+      val plan =
+        SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+      val scans = "FileScan parquet".r.findAllIn(plan).size
+      assert(scans == 1, s"$name: expected exactly 1 fact scan, got $scans")
+    }
+  }
+
   test("ANN queries scan the persisted index table with list_id partition pruning") {
     // first invocation builds the write-once index; the second must READ it
     SparkEntry.queries("q_ivf_topk")(spark, sf0001).collect()
