@@ -7610,9 +7610,52 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Byte-range COALESCING — the shard-read planner a WebDataset-style
+    * ingest runs before touching storage: given (shard, offset, length)
+    * index entries, merge ranges whose gap is ≤ 4 KB into one contiguous
+    * read, because at 100 TB the seek/request count — not bytes — is
+    * what kills object-store throughput (every merged gap is one less
+    * GET). The classic interval-union: per shard, a range starts a new
+    * island iff its offset clears the running max end-so-far + gap
+    * (prefix-max window, PARTITIONED by shard — parallel in the shard
+    * count, no global state); island ids are a running flag sum; one
+    * group-by emits (read_start, read_end, n_ranges) per coalesced read.
+    * All exact integer arithmetic; deterministic tie order (offset, end).
+    */
+  private def qRangeCoalesce(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // same-offset entries pre-combine map-side (max end carries both;
+    // the count keeps them audited) — this also makes the window sort
+    // key TOTAL, so the two window passes cannot disagree on tie order
+    // in any engine (a non-total order here is a cross-engine
+    // nondeterminism trap: island ids of tied rows depend on visit order)
+    val uniq = Tables.lineitem(s, d).select(
+        pmod(col("l_suppkey"), lit(50L)).as("shard"),
+        pmod(col("l_orderkey") * 1000L, lit(10000000L)).as("off"),
+        (lit(500L) + col("l_quantity").cast("long") * 10L).as("len"))
+      .groupBy("shard", "off")
+      .agg(max(col("off") + col("len")).as("end"), count(lit(1)).as("cnt"))
+    val order = Window.partitionBy("shard").orderBy("off")
+    val prevMaxEnd = max(col("end"))
+      .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    uniq
+      .withColumn("brk",
+        when(prevMaxEnd.isNull || col("off") > prevMaxEnd + 4096L, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("shard", "island")
+      .agg(min(col("off")).as("read_start"), max(col("end")).as("read_end"),
+        sum(col("cnt")).as("n_ranges"))
+      .select(col("shard"), col("read_start"), col("read_end"),
+        col("n_ranges"))
+      .orderBy("shard", "read_start")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_coalesce" -> (qRangeCoalesce _),
     "q_seasonal_naive" -> (qSeasonalNaive _),
     "q_null_skew_join" -> (qNullSkewJoin _),
     "q_rolling_mau" -> (qRollingMau _),
@@ -7977,6 +8020,34 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q_range_coalesce: identical interval-union replay; the (shard, off)
+    // pre-combine makes the window order total, so both engines assign
+    // identical islands
+    "q_range_coalesce" ->
+      """WITH uniq AS (
+        |  SELECT ((l_suppkey % 50) + 50) % 50 AS shard,
+        |         ((l_orderkey * 1000) % 10000000 + 10000000) % 10000000
+        |           AS off,
+        |         MAX(((l_orderkey * 1000) % 10000000 + 10000000) % 10000000
+        |             + 500 + CAST(l_quantity AS BIGINT) * 10) AS e,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT shard, off, e, cnt,
+        |        MAX(e) OVER (PARTITION BY shard ORDER BY off
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND 1 PRECEDING) AS pme
+        |      FROM uniq),
+        |i AS (SELECT shard, off, e, cnt,
+        |        SUM(CASE WHEN pme IS NULL OR off > pme + 4096
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY shard ORDER BY off
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS island
+        |      FROM m)
+        |SELECT shard, MIN(off) AS read_start, MAX(e) AS read_end,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_ranges
+        |FROM i GROUP BY shard, island
+        |ORDER BY shard, read_start""".stripMargin,
     "q_seasonal_naive" ->
       """WITH daily AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -507,4 +507,17 @@ class OperatorPropertySpec extends SparkTestBase {
       log.filter($"seq" >= mid))
     assert(two.select("k", "v").as[(Long, Double)].collect().toSet == expected)
   }
+  test("mix-shift decomposition sums exactly to the topline delta") {
+    // the algebra the row exists for: sum(mix) + sum(within)
+    // = sum(w2*r2) - sum(w1*r1) = R2 - R1; only 6-dp output rounding
+    // separates the engine readout from the identity
+    val rows = SparkEntry.queries("q_mix_shift")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    def sumOf(c: String) = rows.map(_.getAs[Double](c)).sum
+    val topline =
+      rows.map(r => r.getAs[Double]("w2") * r.getAs[Double]("r2")).sum -
+        rows.map(r => r.getAs[Double]("w1") * r.getAs[Double]("r1")).sum
+    assert(math.abs(sumOf("mix_contrib") + sumOf("within_contrib") - topline)
+      <= 5e-5)
+  }
 }
