@@ -7652,9 +7652,31 @@ object SparkEntry {
       .orderBy("shard", "read_start")
   }
 
+  /** Corpus ASSEMBLY offsets — the byte/char-offset map a pretraining
+    * pipeline materializes when it concatenates documents (doc-id order,
+    * one separator char) into a flat training stream: each doc's global
+    * start offset, so any sample index maps back to its source document
+    * (the provenance lookup audits and dedup-tracing need). The global
+    * running total rides [[PrefixSum.exclusive]] — per-bucket prefix
+    * windows plus a carry over the bucket-total table — never a
+    * single-partition ROW_NUMBER/SUM window over the corpus; bucket
+    * width (500 docs here) scales with the corpus so the carry table
+    * stays KB-scale at 100 TB. Exact integer lengths end to end.
+    */
+  private def qCorpusOffsets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (length(col("text")).cast("long") + 1L).as("n_chars"))
+    PrefixSum.exclusive(docs, expr("doc_id div 500"), Seq(col("doc_id")),
+        col("n_chars"), "offset")
+      .select(col("doc_id"), col("n_chars"), col("offset"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_offsets" -> (qCorpusOffsets _),
     "q_range_coalesce" -> (qRangeCoalesce _),
     "q_seasonal_naive" -> (qSeasonalNaive _),
     "q_null_skew_join" -> (qNullSkewJoin _),
@@ -8020,6 +8042,16 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q_corpus_offsets: the bucketed prefix sum replayed as one running
+    // window (fine at oracle scale)
+    "q_corpus_offsets" ->
+      """SELECT doc_id,
+        |       CAST(LENGTH(text) + 1 AS BIGINT) AS n_chars,
+        |       CAST(COALESCE(SUM(LENGTH(text) + 1) OVER (
+        |              ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS offset
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q_range_coalesce: identical interval-union replay; the (shard, off)
     // pre-combine makes the window order total, so both engines assign
     // identical islands

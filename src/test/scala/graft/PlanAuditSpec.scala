@@ -517,6 +517,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_token_budget" -> "greedy fill over the per-source aggregate (compact source domain)",
       "q_sample_mix" -> "sampleToMix feasibility min over the per-source count table",
       "q_corpus_pipeline" -> "sampleToMix stage: same per-source count table window",
+      "q_corpus_offsets" -> "PrefixSum carry over the bucket-total table (corpus-size / 500 rows; bucket width scales with the corpus — the q_rank_test bounded-bucket contract)",
       "q_cuped" -> "additive global θ-statistics summed over the ≤2-row per-arm table (single events scan; replaced a second corpus pass)",
       "q_mix_shift" -> "period totals over the ≤|segment|-row decomposition table (single events scan; replaced a 4-scan grid self-join)",
       "q_seasonal_naive" -> "RANGE [-7,-7] forecast lookup over the per-day aggregate (calendar-gap-safe; replaced a shifted-key self-join)",
