@@ -7673,9 +7673,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** `percentile_disc` vs `percentile_cont` CROSS-CHECK (the ANSI
+    * WITHIN GROUP forms) — the semantics difference that silently skews
+    * SLO dashboards: cont INTERPOLATES between observations (its p99 may
+    * be a latency no request ever had), disc returns the smallest
+    * OBSERVED value with cume_dist ≥ p (what "p99 latency" should
+    * report). Emitting both per group pins the divergence explicitly.
+    * The oracle replays disc from its definition (min value with
+    * cume_dist ≥ p over a group-partitioned window) rather than trusting
+    * any engine's builtin to share tie/index conventions. Scale note:
+    * these are exact sort-based aggregates — the 100 TB path is the GK
+    * sketch row ([[qApproxQuantiles]]) with these as the audit.
+    */
+  private def qPercentileDisc(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .createOrReplaceTempView(s"graft_pd_li_${dirTag(d)}")
+    s.sql(
+      s"""SELECT l_returnflag,
+         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+         |    AS p50_disc,
+         |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+         |    AS p90_disc,
+         |  ROUND(percentile_cont(0.5)
+         |        WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_cont,
+         |  ROUND(percentile_cont(0.9)
+         |        WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_cont
+         |FROM graft_pd_li_${dirTag(d)}
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   // -------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile_disc" -> (qPercentileDisc _),
     "q_corpus_offsets" -> (qCorpusOffsets _),
     "q_range_coalesce" -> (qRangeCoalesce _),
     "q_seasonal_naive" -> (qSeasonalNaive _),
@@ -8042,6 +8072,21 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q_percentile_disc: disc replayed from its DEFINITION (min observed
+    // value with cume_dist >= p) so no builtin tie/index convention is
+    // trusted; cont via QUANTILE_CONT (matches Spark's interpolation)
+    "q_percentile_disc" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         cume_dist() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY l_extendedprice) AS cd
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       MIN(CASE WHEN cd >= 0.5 THEN v END) AS p50_disc,
+        |       MIN(CASE WHEN cd >= 0.9 THEN v END) AS p90_disc,
+        |       ROUND(QUANTILE_CONT(v, 0.5), 4) AS p50_cont,
+        |       ROUND(QUANTILE_CONT(v, 0.9), 4) AS p90_cont
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_corpus_offsets: the bucketed prefix sum replayed as one running
     // window (fine at oracle scale)
     "q_corpus_offsets" ->
