@@ -4162,25 +4162,36 @@ object SparkEntry {
     * pmod and SQL's % agree). Write-once staged per directory (the
     * [[stagedDupPairs]] discipline): the distinct pair scan runs once per
     * corpus and the five consumers read the KB-scale artifact. At 100 TB
-    * the distinct is one map-side-combinable shuffle on the pair key.
+    * the distinct is one map-side-combinable shuffle on the pair key —
+    * kept parallel by `repartition(1)` AFTER the distinct (NOT coalesce,
+    * which would propagate to the reduce side and run the corpus-wide
+    * dedup on one task); only the tiny deduped artifact write serializes.
     */
   private def partsuppDerived(s: SparkSession, d: String): DataFrame = {
     val dir = s"/tmp/graft_partsupp/${dirTag(d)}/ps"
     stagedOnce(dir) {
-      Tables.lineitem(s, d)
-        .select(col("l_partkey").as("ps_partkey"),
-          col("l_suppkey").as("ps_suppkey"))
-        .distinct()
-        .select(col("ps_partkey"), col("ps_suppkey"),
-          (lit(1L) + pmod(col("ps_partkey") * 37 + col("ps_suppkey") * 61,
-            lit(9999L))).as("ps_availqty"),
-          (lit(100L) + pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 17,
-            lit(99900L))).as("ps_supplycost_cents"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(dir)
+      partsuppStaging(s, d).write.mode("overwrite").parquet(dir)
     }
     s.read.parquet(dir)
   }
+
+  /** The partsupp staging plan, exposed for the PlanAuditSpec pin that the
+    * corpus-wide (partkey, suppkey) distinct keeps a multi-partition
+    * reduce side (hashpartitioning exchange) and only the post-dedup
+    * artifact write serializes (round-robin repartition(1), NOT a
+    * coalesce, which would collapse the distinct to one task).
+    */
+  private[graft] def partsuppStaging(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (lit(1L) + pmod(col("ps_partkey") * 37 + col("ps_suppkey") * 61,
+          lit(9999L))).as("ps_availqty"),
+        (lit(100L) + pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 17,
+          lit(99900L))).as("ps_supplycost_cents"))
+      .repartition(1)
 
   /** TPC-H Q2 (minimum-cost supplier) on [[partsuppDerived]]: for each
     * STANDARD size-15 part, the cheapest EUROPE-region supplier. The
@@ -6296,7 +6307,10 @@ object SparkEntry {
     * (`map_from_entries` over a `sort_array`ed entry list — maps are
     * unordered, so deterministic construction sorts the entries first),
     * then read back through the higher-order map surface: `size`,
-    * `element_at` (typed point lookup, NULL on miss), `map_filter` (the
+    * `try_element_at` (typed point lookup, NULL on miss — the ANSI-safe
+    * form: plain `element_at` THROWS on a missing key under Spark 4's
+    * default ANSI mode, so a corpus where some flag group lacks one
+    * linestatus would kill the row instead of reading NULL), `map_filter` (the
     * lambda prunes small statuses), and a `map_values`+`aggregate` fold
     * re-summing the counts. The collect_list rides a BOUNDED domain (the
     * per-flag status alphabet, ≤ a handful of entries) — the same
@@ -6315,8 +6329,8 @@ object SparkEntry {
       .select(
         col("l_returnflag"),
         size(col("m")).as("n_statuses"),
-        element_at(col("m"), "O").as("n_open"),
-        element_at(col("m"), "F").as("n_final"),
+        try_element_at(col("m"), lit("O")).as("n_open"),
+        try_element_at(col("m"), lit("F")).as("n_final"),
         size(map_filter(col("m"), (_, v) => v >= lit(1000L)))
           .as("n_big_statuses"),
         aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v)
@@ -7659,16 +7673,23 @@ object SparkEntry {
     * (the provenance lookup audits and dedup-tracing need). The global
     * running total rides [[PrefixSum.exclusive]] — per-bucket prefix
     * windows plus a carry over the bucket-total table — never a
-    * single-partition ROW_NUMBER/SUM window over the corpus; bucket
-    * width (500 docs here) scales with the corpus so the carry table
-    * stays KB-scale at 100 TB. Exact integer lengths end to end.
+    * single-partition ROW_NUMBER/SUM window over the corpus. The bucket
+    * WIDTH is derived from the observed id range (max_doc_id / 1024,
+    * floor 1) so the carry table is capped at ~1025 rows no matter the
+    * corpus size — PrefixSum's data-independent bucket-count contract
+    * held by construction, not by a constant that happens to fit the
+    * test SFs. The max() probe is one columnar-stats-cheap scalar job;
+    * bucketing never changes the prefix values, only the decomposition,
+    * so the oracle is width-independent. Exact integer lengths end to end.
     */
   private def qCorpusOffsets(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         (length(col("text")).cast("long") + 1L).as("n_chars"))
-    PrefixSum.exclusive(docs, expr("doc_id div 500"), Seq(col("doc_id")),
-        col("n_chars"), "offset")
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val width = math.max(1L, maxId / 1024L)
+    PrefixSum.exclusive(docs, expr(s"doc_id div ${width}L"),
+        Seq(col("doc_id")), col("n_chars"), "offset")
       .select(col("doc_id"), col("n_chars"), col("offset"))
       .orderBy("doc_id")
   }
@@ -7679,27 +7700,58 @@ object SparkEntry {
     * be a latency no request ever had), disc returns the smallest
     * OBSERVED value with cume_dist ≥ p (what "p99 latency" should
     * report). Emitting both per group pins the divergence explicitly.
-    * The oracle replays disc from its definition (min value with
-    * cume_dist ≥ p over a group-partitioned window) rather than trusting
-    * any engine's builtin to share tie/index conventions. Scale note:
-    * these are exact sort-based aggregates — the 100 TB path is the GK
-    * sketch row ([[qApproxQuantiles]]) with these as the audit.
+    * The Spark side and the oracle BOTH replay disc AND cont from their
+    * definitions (disc: min value with cume_dist ≥ p; cont: linear
+    * interpolation between the two order statistics bracketing position
+    * p·(n−1)) so no builtin tie/index convention is trusted. ONE sort,
+    * not four buffers: cume_dist, row_number and the unbounded count
+    * share a single window spec → one WindowExec, one per-group sort —
+    * and the follow-on aggregate reuses the window's flag-partitioning
+    * (no second exchange). No percentile buffer at all: the cont points
+    * are positional CASE-mins over the same sorted stream. FP
+    * portability: the interpolation is the identical op chain on both
+    * engines (one multiply of exact ints, floor, one subtract, one
+    * multiply, one add — no multi-term sums), with 0.5/0.9 cast to
+    * DOUBLE on the DuckDB side (it parses bare decimals as DECIMAL).
+    * Scale note: exact sort-based — the 100 TB path is the GK sketch
+    * row ([[qApproxQuantiles]]) with this as the audit.
     */
   private def qPercentileDisc(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d)
       .createOrReplaceTempView(s"graft_pd_li_${dirTag(d)}")
     s.sql(
-      s"""SELECT l_returnflag,
-         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
-         |    AS p50_disc,
-         |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
-         |    AS p90_disc,
-         |  ROUND(percentile_cont(0.5)
-         |        WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_cont,
-         |  ROUND(percentile_cont(0.9)
-         |        WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_cont
-         |FROM graft_pd_li_${dirTag(d)}
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      s"""WITH c AS (
+         |  SELECT l_returnflag, l_extendedprice AS v,
+         |         cume_dist() OVER w AS cd,
+         |         row_number() OVER w AS rn,
+         |         count(*) OVER (PARTITION BY l_returnflag
+         |           ORDER BY l_extendedprice
+         |           ROWS BETWEEN UNBOUNDED PRECEDING
+         |                    AND UNBOUNDED FOLLOWING) AS n
+         |  FROM graft_pd_li_${dirTag(d)}
+         |  WINDOW w AS (PARTITION BY l_returnflag
+         |               ORDER BY l_extendedprice)),
+         |g AS (
+         |  SELECT l_returnflag,
+         |         MAX(CAST(0.5D * CAST(n - 1 AS DOUBLE) AS DOUBLE)) AS pos50,
+         |         MAX(CAST(0.9D * CAST(n - 1 AS DOUBLE) AS DOUBLE)) AS pos90,
+         |         MIN(CASE WHEN cd >= 0.5D THEN v END) AS p50_disc,
+         |         MIN(CASE WHEN cd >= 0.9D THEN v END) AS p90_disc,
+         |         MIN(CASE WHEN rn = CAST(FLOOR(0.5D * CAST(n - 1 AS DOUBLE))
+         |             AS BIGINT) + 1 THEN v END) AS lo50,
+         |         MIN(CASE WHEN rn = CAST(CEIL(0.5D * CAST(n - 1 AS DOUBLE))
+         |             AS BIGINT) + 1 THEN v END) AS hi50,
+         |         MIN(CASE WHEN rn = CAST(FLOOR(0.9D * CAST(n - 1 AS DOUBLE))
+         |             AS BIGINT) + 1 THEN v END) AS lo90,
+         |         MIN(CASE WHEN rn = CAST(CEIL(0.9D * CAST(n - 1 AS DOUBLE))
+         |             AS BIGINT) + 1 THEN v END) AS hi90
+         |  FROM c GROUP BY 1)
+         |SELECT l_returnflag, p50_disc, p90_disc,
+         |       ROUND(lo50 + (hi50 - lo50) * (pos50 - FLOOR(pos50)), 4)
+         |         AS p50_cont,
+         |       ROUND(lo90 + (hi90 - lo90) * (pos90 - FLOOR(pos90)), 4)
+         |         AS p90_cont
+         |FROM g ORDER BY l_returnflag""".stripMargin)
   }
 
   // -------------------------------------------------------------- catalog
@@ -8072,21 +8124,44 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
-    // q_percentile_disc: disc replayed from its DEFINITION (min observed
-    // value with cume_dist >= p) so no builtin tie/index convention is
-    // trusted; cont via QUANTILE_CONT (matches Spark's interpolation)
+    // q_percentile_disc: disc AND cont replayed from their DEFINITIONS
+    // (disc: min observed value with cume_dist >= p; cont: interpolation
+    // between the order statistics at floor/ceil of p*(n-1)) so no
+    // builtin tie/index convention is trusted; the interpolation is the
+    // IDENTICAL op chain as the Spark side (oracle float law), with the
+    // p literals cast to DOUBLE (DuckDB parses bare decimals as DECIMAL)
     "q_percentile_disc" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_extendedprice AS v,
-        |         cume_dist() OVER (PARTITION BY l_returnflag
-        |                           ORDER BY l_extendedprice) AS cd
-        |  FROM lineitem)
-        |SELECT l_returnflag,
-        |       MIN(CASE WHEN cd >= 0.5 THEN v END) AS p50_disc,
-        |       MIN(CASE WHEN cd >= 0.9 THEN v END) AS p90_disc,
-        |       ROUND(QUANTILE_CONT(v, 0.5), 4) AS p50_cont,
-        |       ROUND(QUANTILE_CONT(v, 0.9), 4) AS p90_cont
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+        |         cume_dist() OVER w AS cd,
+        |         row_number() OVER w AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice
+        |           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND UNBOUNDED FOLLOWING) AS n
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice)),
+        |g AS (
+        |  SELECT l_returnflag,
+        |    MAX(CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS pos50,
+        |    MAX(CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS pos90,
+        |    MIN(CASE WHEN cd >= CAST(0.5 AS DOUBLE) THEN v END) AS p50_disc,
+        |    MIN(CASE WHEN cd >= CAST(0.9 AS DOUBLE) THEN v END) AS p90_disc,
+        |    MIN(CASE WHEN rn = CAST(FLOOR(CAST(0.5 AS DOUBLE)
+        |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS lo50,
+        |    MIN(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE)
+        |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS hi50,
+        |    MIN(CASE WHEN rn = CAST(FLOOR(CAST(0.9 AS DOUBLE)
+        |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS lo90,
+        |    MIN(CASE WHEN rn = CAST(CEIL(CAST(0.9 AS DOUBLE)
+        |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS hi90
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, p50_disc, p90_disc,
+        |       ROUND(lo50 + (hi50 - lo50) * (pos50 - FLOOR(pos50)), 4)
+        |         AS p50_cont,
+        |       ROUND(lo90 + (hi90 - lo90) * (pos90 - FLOOR(pos90)), 4)
+        |         AS p90_cont
+        |FROM g ORDER BY 1""".stripMargin,
     // q_corpus_offsets: the bucketed prefix sum replayed as one running
     // window (fine at oracle scale)
     "q_corpus_offsets" ->

@@ -17,8 +17,18 @@ object DataQuality {
 
   def evaluate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "DataQuality.evaluate: no rules")
+    // rule names are spliced into the stack() SQL below as literals and
+    // backticked aliases — restrict them to identifier characters so a
+    // quote/backtick/comma can't break parsing or mislabel a row
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"DataQuality.evaluate: rule name '$name' must match [A-Za-z0-9_]+")
+    }
+    // coalesce: on EMPTY input count() is 0 but sum() is NULL — the report
+    // must read 0 passed / 0 failed, not NULL
     val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
-      sum(when(pred, 1L).otherwise(0L)).as(s"__pass_$name")
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+        .as(s"__pass_$name")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single row: one output row per rule

@@ -27,9 +27,14 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   /** Adds `outCol` = Σ `valueCol` over all rows STRICTLY BEFORE this row
-    * in the total order (`bucketCol` asc, then `orderCols` asc; ties on
-    * the full ordering key are summed together — supply a unique
-    * `orderCols` key if strict per-row exclusivity matters).
+    * in the total order (`bucketCol` asc, then `orderCols` asc).
+    * `orderCols` MUST be a unique key within each bucket: the within-bucket
+    * window uses a ROWS frame, so tied ordering keys would each see a
+    * prefix that depends on their arbitrary physical order within the tie
+    * group — nondeterministic across runs/partitionings. (RANGE-frame
+    * "ties share one prefix" semantics would need a single numeric
+    * ordering column; all current callers have a natural unique key, so
+    * the contract is uniqueness rather than tie-group summing.)
     */
   def exclusive(
       df: DataFrame,

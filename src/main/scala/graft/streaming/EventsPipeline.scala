@@ -441,6 +441,9 @@ object EventsPipeline {
     val q = stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // bounded collect: each update-mode batch carries at most one row
+        // per active window (≤ the day count of the feed), never raw
+        // events — the same KB-scale contract IvfIndex.scala documents
         batch.collect().foreach { r =>
           sink.put(r.getLong(0), (r.getLong(1), r.getLong(2))): Unit
         }

@@ -517,7 +517,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_token_budget" -> "greedy fill over the per-source aggregate (compact source domain)",
       "q_sample_mix" -> "sampleToMix feasibility min over the per-source count table",
       "q_corpus_pipeline" -> "sampleToMix stage: same per-source count table window",
-      "q_corpus_offsets" -> "PrefixSum carry over the bucket-total table (corpus-size / 500 rows; bucket width scales with the corpus — the q_rank_test bounded-bucket contract)",
+      "q_corpus_offsets" -> "PrefixSum carry over the bucket-total table (width = max_doc_id/1024 so the carry is capped at ~1025 rows at any corpus size — the q_rank_test bounded-bucket contract)",
       "q_cuped" -> "additive global θ-statistics summed over the ≤2-row per-arm table (single events scan; replaced a second corpus pass)",
       "q_mix_shift" -> "period totals over the ≤|segment|-row decomposition table (single events scan; replaced a 4-scan grid self-join)",
       "q_seasonal_naive" -> "RANGE [-7,-7] forecast lookup over the per-day aggregate (calendar-gap-safe; replaced a shifted-key self-join)",
@@ -700,5 +700,28 @@ class PlanAuditSpec extends SparkTestBase {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("partsupp staging keeps the corpus-wide distinct parallel (no coalesce(1) choke)") {
+    // the build path shared by q_tpch_q2/q9/q11/q16/q20: the distinct over
+    // all observed (partkey, suppkey) pairs — linear in the corpus at
+    // 100 TB — must reduce on a multi-partition hashpartitioning exchange;
+    // only the KB-scale deduped artifact write may serialize, via a
+    // post-agg round-robin repartition(1), never a Coalesce (which would
+    // propagate to the reduce side and dedup the corpus on one task).
+    val df = SparkEntry.partsuppStaging(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Coalesce"),
+      s"staging plan collapses via Coalesce:\n${plan.take(1500)}")
+    val hashEx = "hashpartitioning\\([^)]*?(\\d+)\\)".r.findFirstMatchIn(plan)
+    assert(hashEx.isDefined,
+      s"distinct lost its hashpartitioning exchange:\n${plan.take(1500)}")
+    assert(hashEx.get.group(1).toInt > 1,
+      s"distinct reduces on a single partition: ${hashEx.get.matched}")
+    assert(plan.contains("RoundRobinPartitioning(1)") ||
+      plan.contains("SinglePartition"),
+      s"no post-agg single-file repartition found:\n${plan.take(1500)}")
+    assert(df.count() > 0)
   }
 }

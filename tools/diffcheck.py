@@ -4,7 +4,12 @@ parquet under OUTDIR, run the matching oracle SQL from oracle_sql.json in
 DuckDB over views named after the testdata tables, and compare (schema,
 row count, exact value hash with columns sorted by name).
 
-Usage: diffcheck.py SFDIR OUTDIR
+Fails CLOSED: every query expected in OUTDIR (the optional comma-separated
+QUERY list if given, else the full oracle_sql.json key set) with no output
+dir — i.e. its Verify run crashed — counts as a failure instead of being
+silently skipped.
+
+Usage: diffcheck.py SFDIR OUTDIR [QUERY[,QUERY...]]
 """
 import hashlib
 import json
@@ -35,17 +40,21 @@ def df_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sfdir: str, outdir: str) -> int:
+def main(sfdir: str, outdir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     failures = 0
-    for name in sorted(os.listdir(outdir)):
+    present = set(n for n in os.listdir(outdir)
+                  if os.path.isdir(os.path.join(outdir, n)))
+    expected = set(only) if only else set(oracles)
+    for name in sorted(expected - present):
+        print(f"{name:22s} MISSING (no output dir — Verify crashed?)")
+        failures += 1
+    for name in sorted(present):
         d = os.path.join(outdir, name)
-        if not os.path.isdir(d):
-            continue
         got = canon(pd.read_parquet(d)).reset_index(drop=True)
         if name not in oracles:
             print(f"{name:22s} rows-only: {len(got)} rows"
@@ -76,4 +85,5 @@ def main(sfdir: str, outdir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-13 close-out validation chain (run via nohup; logs in /tmp/r14_*.log)
+# Round-14 close-out validation chain (run via nohup; logs in /tmp/r14_*.log)
 cd /root/repo
 rm -rf /tmp/v14_001 /tmp/v14_01 /tmp/v14_1 /tmp/r14_chain_done
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/v14_01" > /tmp/r14_verify01.log 2>&1
