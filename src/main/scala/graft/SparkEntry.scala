@@ -7682,6 +7682,54 @@ object SparkEntry {
     * bucketing never changes the prefix values, only the decomposition,
     * so the oracle is width-independent. Exact integer lengths end to end.
     */
+  /** Cost-based-optimizer star join — the one Catalyst surface the rest
+    * of the catalog leaves untouched: catalog tables carry ANALYZE'd
+    * row/column statistics, and with `spark.sql.cbo.enabled` +
+    * `joinReorder.enabled` the optimizer REORDERS the syntactic
+    * ((lineitem ⋈ orders) ⋈ customer) chain so the two small relations
+    * join first (the filtered customer side, then orders) and the fact
+    * table joins the reduced intermediate — the stats-driven plan a
+    * 100 TB star schema lives or dies by, vs the syntactic order that
+    * would join the two big tables first. The conf window try/finally-
+    * restores (shared session) and forces `executedPlan` INSIDE it —
+    * SQLConf is read at plan time, not build time — so the pinned
+    * `optimizedPlan` is the CBO one (PlanAuditSpec asserts the innermost
+    * join excludes lineitem). Tables are session-scoped (in-memory
+    * catalog) external parquet mappings named per corpus dir; ANALYZE
+    * cost is one metadata+stats scan per table, amortizable in
+    * production as a post-ingest step. Result is join-order-invariant,
+    * so the oracle is the plain relational answer.
+    */
+  private def qCboReorder(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    def tbl(name: String) = s"graft_cbo_${tag}_$name"
+    Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey, o_custkey",
+        "customer" -> "c_custkey, c_mktsegment").foreach { case (t, cols) =>
+      s.sql(s"CREATE TABLE IF NOT EXISTS ${tbl(t)} USING parquet " +
+        s"LOCATION '$d/$t.parquet'")
+      s.sql(s"ANALYZE TABLE ${tbl(t)} COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      keys.foreach(s.conf.set(_, "true"))
+      val df = s.sql(
+        s"""SELECT c_mktsegment,
+           |       COUNT(*) AS n_items,
+           |       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+           |FROM ${tbl("lineitem")}
+           |JOIN ${tbl("orders")} ON l_orderkey = o_orderkey
+           |JOIN ${tbl("customer")} ON o_custkey = c_custkey
+           |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      df.queryExecution.executedPlan // force planning inside the CBO window
+      df
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   private def qCorpusOffsets(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -7758,6 +7806,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentile_disc" -> (qPercentileDisc _),
+    "q_cbo_reorder" -> (qCboReorder _),
     "q_corpus_offsets" -> (qCorpusOffsets _),
     "q_range_coalesce" -> (qRangeCoalesce _),
     "q_seasonal_naive" -> (qSeasonalNaive _),
@@ -8162,6 +8211,18 @@ object SparkEntry {
         |       ROUND(lo90 + (hi90 - lo90) * (pos90 - FLOOR(pos90)), 4)
         |         AS p90_cont
         |FROM g ORDER BY 1""".stripMargin,
+    // q_cbo_reorder: join-order-invariant relational answer — the Spark
+    // side exists to exercise ANALYZE stats + CBO join reorder; the
+    // result must be the plain 3-table star answer under any order
+    "q_cbo_reorder" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // q_corpus_offsets: the bucketed prefix sum replayed as one running
     // window (fine at oracle scale)
     "q_corpus_offsets" ->

@@ -702,6 +702,24 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_cbo_reorder: ANALYZE stats drive the star join smallest-first") {
+    // syntactic order is ((lineitem JOIN orders) JOIN customer) — the two
+    // BIG tables first. With column stats + CBO join reorder the optimizer
+    // must join the small relations (filtered customer, orders) at the
+    // bottom and the fact table last; the builder forces planning inside
+    // its conf window, so the materialized optimizedPlan is the CBO one.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("q_cbo_reorder")(spark, sf0001)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 2, s"expected a 2-join star, got ${joins.size}")
+    val innermost = joins.last.collectLeaves().map(_.toString).mkString("; ")
+    assert(!innermost.contains("lineitem"),
+      s"CBO did not reorder: fact table still in the innermost join: $innermost")
+    assert(innermost.contains("orders") && innermost.contains("customer"),
+      s"unexpected innermost join inputs: $innermost")
+    assert(df.count() > 0)
+  }
+
   test("partsupp staging keeps the corpus-wide distinct parallel (no coalesce(1) choke)") {
     // the build path shared by q_tpch_q2/q9/q11/q16/q20: the distinct over
     // all observed (partkey, suppkey) pairs — linear in the corpus at
