@@ -32,9 +32,22 @@ object RefBench {
 
   /** One untimed execution (warm-up), then `iters` measured runs; returns
     * (min seconds, rows from the last run).
+    *
+    * `warmups` (round-13 hardening): the join section measured 2-3× its
+    * own historical envelope on some runs with min-of-3 — profiling
+    * (bench.JoinProfile) showed zero spills but cumulative task time 3×
+    * higher on early iterations: the C2-compiled codegen isn't hot after
+    * one pass of a 33M-row sort-merge, and GC debt from earlier sections'
+    * caches lands mid-sort. A GC quiesce before the timed loop plus a
+    * second warm-up pass returns the measurement to its envelope — the
+    * analog of the reference running every baseline in a FRESH process
+    * (`scripts/run-python-baselines.sh`, `baseline/join.py:113-116`),
+    * which this single-JVM harness cannot do.
     */
-  private def timed(f: => Long, iters: Int = 3): (Double, Long) = {
-    f
+  private def timed(f: => Long, iters: Int = 3, warmups: Int = 1): (Double, Long) = {
+    var w = 0
+    while (w < warmups) { f; w += 1 }
+    System.gc()
     var best = Double.MaxValue
     var rows = 0L
     var i = 0
@@ -134,13 +147,38 @@ object RefBench {
     // hard-fails; the guard ([[graft.operators.Relational.boundedHashJoin]])
     // stays OPT-IN for builds known to fit, reported below for tracking.
     val (jSec, jRows) = timed(
-      left.join(right.hint("MERGE"), $"fk" === $"pk", "inner").count())
+      left.join(right.hint("MERGE"), $"fk" === $"pk", "inner").count(),
+      warmups = 2)
     report("join", sf, nJoin, jSec, jRows)
     val (jShjSec, jShjRows) = timed(
-      graft.operators.Relational.boundedHashJoin(left, right, "fk", "pk").count())
+      graft.operators.Relational.boundedHashJoin(left, right, "fk", "pk").count(),
+      warmups = 2)
     report("join_shj_guarded", sf, nJoin, jShjSec, jShjRows)
     right.unpersist(blocking = true)
     left.unpersist(blocking = true)
+
+    // ---- join, co-located inputs: both sides repartitioned on the join
+    // key and sorted WITHIN partitions before caching — InMemoryRelation
+    // preserves its child's outputPartitioning/outputOrdering, so the
+    // sort-merge join plans with NO exchange and NO per-run sort: the
+    // merge alone. This is the bucketed-table execution shape (see
+    // q_bucketed_join) materialized in RAM — the 100 TB path where both
+    // fact tables are bucket-partitioned on the join key at write time
+    // and every subsequent join is shuffle-free. Reported beside the
+    // headline (which pays shuffle+sort every run) to quantify what
+    // co-location buys at this shape.
+    val rightCo = spark.range(nJoin).select($"id".as("pk"), u32($"id").as("x"))
+      .repartition(32, $"pk").sortWithinPartitions($"pk").cache()
+    val leftCo = spark.range(nJoin)
+      .select(pmod(xxhash64($"id", lit(7)), lit(nJoin)).as("fk"), u32($"id").as("y"))
+      .repartition(32, $"fk").sortWithinPartitions($"fk").cache()
+    rightCo.count(); leftCo.count()
+    val (jCoSec, jCoRows) = timed(
+      leftCo.join(rightCo.hint("MERGE"), $"fk" === $"pk", "inner").count(),
+      warmups = 2)
+    report("join_colocated", sf, nJoin, jCoSec, jCoRows)
+    rightCo.unpersist(blocking = true)
+    leftCo.unpersist(blocking = true)
 
     spark.stop()
   }
