@@ -1669,14 +1669,16 @@ object SparkEntry {
     * summation-order slack is ~1e-15 of rank mass, six orders below the
     * rounding grain).
     */
-  private def qPagerank(s: SparkSession, d: String): DataFrame = {
-    // The iteration-invariant graph — orders⋈lineitem edge build, distinct,
-    // symmetrize, degree aggregation, dangling validation — is STAGED once
-    // per directory as a bucketed-on-src table (dirTag discipline, like the
-    // ANN index): every subsequent execution runs only the five rank
-    // iterations, and the bucketing keeps the edge side of each iteration's
-    // join exchange-free.
-    val ed = bucketedTable(s, s"graft_pr_ed_${dirTag(d)}",
+  /** The iteration-invariant co-purchase graph — orders⋈lineitem edge
+    * build, distinct, symmetrize, degree aggregation, dangling
+    * validation — STAGED once per directory as a bucketed-on-src table
+    * (dirTag discipline, like the ANN index) and SHARED by both
+    * iterative graph rows ([[qPagerank]], [[qLabelProp]]): every
+    * execution runs only its iterations, and the bucketing keeps the
+    * edge side of each iteration's join exchange-free.
+    */
+  private def pagerankEdges(s: SparkSession, d: String): DataFrame =
+    bucketedTable(s, s"graft_pr_ed_${dirTag(d)}",
       s"/tmp/graft_pr/${dirTag(d)}/edges",
       "src BIGINT, dst BIGINT, deg BIGINT", "src") {
       val cs = Tables.orders(s, d)
@@ -1693,10 +1695,31 @@ object SparkEntry {
         .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
       PageRank.prepare(edges, "src", "dst")
     }
-    PageRank.runPrepared(ed, iterations = 5)
+
+  private def qPagerank(s: SparkSession, d: String): DataFrame = {
+    PageRank.runPrepared(pagerankEdges(s, d), iterations = 5)
       .select(col("id"), round(col("rank"), 8).as("rank"))
       .orderBy("id")
   }
+
+  /** Label-propagation COMMUNITY DETECTION over the same staged
+    * co-purchase graph as [[qPagerank]] — the third member of the
+    * iterative-graph family (components find who's CONNECTED, PageRank
+    * who's CENTRAL, LPA who CLUSTERS): three synchronous plurality
+    * rounds with the deterministic min-label tie rule
+    * ([[Components.labelPropagation]] documents why the schedule and tie
+    * rule are fixed). The oracle unrolls the identical three rounds as
+    * chained CTEs — the plurality argmax replayed as a
+    * `row_number() OVER (ORDER BY cnt DESC, lbl ASC) = 1` window, the
+    * exact order the operator's `min(struct(-cnt, lbl))` aggregate
+    * encodes — so community assignments are value-checked end to end.
+    * Integer counts and id comparisons only: no float portability
+    * surface at all.
+    */
+  private def qLabelProp(s: SparkSession, d: String): DataFrame =
+    Components.labelPropagation(pagerankEdges(s, d), "src", "dst", 3)
+      .select(col("id"), col("lbl").as("community"))
+      .orderBy("id")
 
   /** Gap-based sessionization statistics. */
   private def qSessionize(s: SparkSession, d: String): DataFrame =
@@ -7401,6 +7424,53 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  /** CDC → SCD2 COMPOSITION — the two changelog operators run against
+    * the SAME log through genuinely different code paths, pinned
+    * consistent per key: the SCD2 side replays the log as a versioned
+    * history (one ordering window per key: a version opens on the first
+    * U, on a value change, or on a U after a tombstone; the OPEN
+    * version's value is the last row's if it is a U), while the CDC side
+    * is [[graft.operators.Changelog]]'s window-free max_by compaction +
+    * base join. `consistent` = open-version value null-safe-equals the
+    * applied state (absent for finally-tombstoned keys) — TRUE for every
+    * key is the cross-operator invariant that makes a warehouse's
+    * dimension history trustworthy against its own snapshot, and the
+    * oracle hash-pins it row by row. Scale: one shuffle on k for the
+    * history window, the compaction is map-side combinable, values
+    * compared exactly (no arithmetic on doubles).
+    */
+  private def qCdcScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+    val log = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+      when(pmod(col("o_orderkey"), lit(10)) === 0, lit("D"))
+        .otherwise(lit("U")).as("op"),
+      col("o_totalprice").as("v"))
+    val w = Window.partitionBy("k").orderBy("seq")
+    val hist = log
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+    val nv = hist.filter(col("op") === "U" &&
+        (col("prev_op").isNull || col("prev_op") === "D" ||
+          col("prev_v") =!= col("v")))
+      .groupBy("k").agg(count(lit(1)).as("n_versions"))
+    val open = log.groupBy("k")
+      .agg(max_by(struct(col("op"), col("v")), col("seq")).as("f"))
+      .select(col("k"), when(col("f.op") === "U", col("f.v")).as("open_v"))
+    val applied = Changelog(base, log)
+      .filter(col("src") === "updated") // touched keys only
+      .select(col("k"), col("v").as("cdc_v"))
+    open.join(nv, Seq("k"), "left")
+      .join(applied, Seq("k"), "left") // finally-tombstoned keys: no row
+      .select(col("k"),
+        coalesce(col("n_versions"), lit(0L)).as("n_versions"),
+        col("open_v"), col("cdc_v"),
+        (col("open_v") <=> col("cdc_v")).as("consistent"))
+      .orderBy("k")
+  }
+
   /** Mix-shift DECOMPOSITION — the "why did the topline move" answer a
     * metrics platform owes every on-call analyst: between two periods,
     * ΔR splits exactly into Σ(w₂−w₁)·r₁ (MIX — traffic moved across
@@ -7526,6 +7596,47 @@ object SparkEntry {
          |       COUNT(*) AS n
          |FROM graft_udf_ev_${dirTag(d)}
          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** SQL-defined TABLE function (Spark 4 `CREATE FUNCTION … RETURNS
+    * TABLE`) applied via LATERAL — the set-returning companion of
+    * [[qSqlUdf]]: each order priority's total revenue splits into
+    * progressive tier bands (the tax-bracket decomposition), one output
+    * row per non-empty band. PLAN DISCIPLINE (measured, not assumed):
+    * Spark executes a correlated SQL UDTF by DEDUPLICATING the
+    * correlation key, running the body once per distinct value, and
+    * joining back — so a LATERAL over a raw fact column would add a
+    * corpus-wide distinct shuffle plus a join-back per use (and the
+    * UNION-of-SELECTs body form is worse still: one aggregated fact scan
+    * PER BRANCH). The rule this row pins: correlate SQL UDTFs on COMPACT
+    * domains (here the 5-row per-priority aggregate; the fact is scanned
+    * exactly once), and keep the body a single Generate-able `inline`
+    * projection. Per-priority totals are summed as integer CENTS (exact)
+    * and the band arithmetic is single LEAST/subtractions of the
+    * cents-derived double — every value bit-stable across engines, no
+    * rounding anywhere.
+    */
+  private def qSqlUdtf(s: SparkSession, d: String): DataFrame = {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_tiers(total DOUBLE)
+        |RETURNS TABLE (tier STRING, amount DOUBLE)
+        |RETURN SELECT tier, amount FROM (
+        |  SELECT inline(array(
+        |    struct('low' AS tier, LEAST(total, 10000000.0D) AS amount),
+        |    struct('mid' AS tier,
+        |           LEAST(total - 10000000.0D, 40000000.0D) AS amount),
+        |    struct('high' AS tier, (total - 50000000.0D) AS amount))))
+        |WHERE amount > 0.0D""".stripMargin)
+    Tables.orders(s, d).createOrReplaceTempView(s"graft_udtf_o_${dirTag(d)}")
+    s.sql(
+      s"""WITH p AS (
+         |  SELECT o_orderpriority AS priority,
+         |         CAST(SUM(CAST(ROUND(o_totalprice * 100.0D) AS BIGINT))
+         |              AS DOUBLE) / 100.0D AS total
+         |  FROM graft_udtf_o_${dirTag(d)} GROUP BY o_orderpriority)
+         |SELECT priority, tier, amount
+         |FROM p, LATERAL graft_tiers(total)
+         |ORDER BY priority, tier""".stripMargin)
   }
 
   /** NULL-KEY skew bypass on an outer join — the silent 100 TB killer
@@ -7813,10 +7924,12 @@ object SparkEntry {
     "q_null_skew_join" -> (qNullSkewJoin _),
     "q_rolling_mau" -> (qRollingMau _),
     "q_sql_udf" -> (qSqlUdf _),
+    "q_sql_udtf" -> (qSqlUdtf _),
     "q_dpp_join" -> (qDppJoin _),
     "q_audio_headers" -> (qAudioHeaders _),
     "q_dict_encode" -> (qDictEncode _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_cdc_scd2" -> (qCdcScd2 _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -7907,6 +8020,7 @@ object SparkEntry {
     "q_deciles" -> (qDeciles _),
     "q_streaks" -> (qStreaks _),
     "q_pagerank" -> (qPagerank _),
+    "q_label_prop" -> (qLabelProp _),
     "q_bm25" -> (qBm25 _),
     "q_tfidf" -> (qTfidf _),
     "q_lm_score" -> (qLmScore _),
@@ -8305,6 +8419,28 @@ object SparkEntry {
         |         AS score,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_sql_udtf: the table function's body replayed as a LATERAL
+    // union over the same compact per-priority cents-exact totals; band
+    // amounts are single LEAST/subtractions of the identical cents-
+    // derived double (bit-stable both engines, no rounding)
+    "q_sql_udtf" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * CAST(100.0 AS DOUBLE))
+        |              AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT priority, t.tier, t.amount
+        |FROM p, LATERAL (
+        |  SELECT u.tier, u.amount FROM (
+        |    SELECT 'low' AS tier,
+        |           LEAST(total, CAST(10000000.0 AS DOUBLE)) AS amount
+        |    UNION ALL
+        |    SELECT 'mid', LEAST(total - CAST(10000000.0 AS DOUBLE),
+        |                        CAST(40000000.0 AS DOUBLE))
+        |    UNION ALL
+        |    SELECT 'high', total - CAST(50000000.0 AS DOUBLE)) u
+        |  WHERE u.amount > CAST(0.0 AS DOUBLE)) t
+        |ORDER BY priority, tier""".stripMargin,
     "q_dpp_join" ->
       """WITH dim(dim_day, campaign) AS (VALUES
         |  ('2024-01-05', 'promo'), ('2024-01-15', 'promo'),
@@ -8359,6 +8495,32 @@ object SparkEntry {
         |FROM customer c LEFT JOIN fin f ON c.c_custkey = f.k
         |WHERE f.op IS NULL OR f.op = 'U'
         |ORDER BY k""".stripMargin,
+    // q_cdc_scd2: SCD2 history replayed via a per-key lag window, CDC
+    // state via join-on-max-seq (unique seq -> same row as max_by);
+    // consistent pinned TRUE per key via null-safe equality
+    "q_cdc_scd2" ->
+      """WITH log AS (
+        |  SELECT o_custkey AS k, o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS v
+        |  FROM orders),
+        |h AS (SELECT k, op, v,
+        |             lag(op) OVER w AS prev_op, lag(v) OVER w AS prev_v
+        |      FROM log WINDOW w AS (PARTITION BY k ORDER BY seq)),
+        |nv AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_versions FROM h
+        |       WHERE op = 'U' AND (prev_op IS NULL OR prev_op = 'D'
+        |             OR prev_v <> v)
+        |       GROUP BY k),
+        |last AS (SELECT k, MAX(seq) AS mseq FROM log GROUP BY k),
+        |fin AS (SELECT log.k, log.op, log.v
+        |        FROM log JOIN last ON log.k = last.k AND log.seq = last.mseq),
+        |o AS (SELECT k, CASE WHEN op = 'U' THEN v END AS open_v FROM fin),
+        |c AS (SELECT k, CASE WHEN op = 'U' THEN v END AS cdc_v FROM fin)
+        |SELECT o.k, CAST(COALESCE(nv.n_versions, 0) AS BIGINT) AS n_versions,
+        |       o.open_v, c.cdc_v,
+        |       o.open_v IS NOT DISTINCT FROM c.cdc_v AS consistent
+        |FROM o LEFT JOIN nv ON o.k = nv.k LEFT JOIN c ON o.k = c.k
+        |ORDER BY o.k""".stripMargin,
     // q_mix_shift: weights/rates as guarded single divisions of exact
     // bigint counts; contribution products mirrored operand-for-operand
     "q_mix_shift" ->
@@ -9510,6 +9672,37 @@ object SparkEntry {
         |       FROM edges e JOIN deg d ON e.src = d.src JOIN r4 r ON e.src = r.id, nn
         |       GROUP BY e.dst)
         |SELECT id, ROUND(rank, 8) AS rank FROM r5 ORDER BY id""".stripMargin,
+    // q_label_prop: the same 3 synchronous plurality rounds unrolled as
+    // chained CTEs; the argmax is replayed as a row_number window with
+    // the operator's exact order (cnt DESC, lbl ASC). Same symmetrized-
+    // edges caveat as q_pagerank: each round groups by e.dst.
+    "q_label_prop" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |edges AS (SELECT cust AS src, supp AS dst FROM cs
+        |          UNION ALL SELECT supp, cust FROM cs),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+        |t1 AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS cnt
+        |       FROM edges e JOIN l0 l ON e.src = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT id, lbl FROM (
+        |         SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+        |           ORDER BY cnt DESC, lbl ASC) AS rn FROM t1) z
+        |       WHERE rn = 1),
+        |t2 AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS cnt
+        |       FROM edges e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, lbl FROM (
+        |         SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+        |           ORDER BY cnt DESC, lbl ASC) AS rn FROM t2) z
+        |       WHERE rn = 1),
+        |t3 AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS cnt
+        |       FROM edges e JOIN l2 l ON e.src = l.id GROUP BY 1, 2),
+        |l3 AS (SELECT id, lbl FROM (
+        |         SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+        |           ORDER BY cnt DESC, lbl ASC) AS rn FROM t3) z
+        |       WHERE rn = 1)
+        |SELECT id, lbl AS community FROM l3 ORDER BY id""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 6000.0) AS INT) AS bucket,
         |       CAST(COUNT(*) AS BIGINT) AS n,

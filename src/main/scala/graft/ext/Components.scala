@@ -180,4 +180,48 @@ object Components {
     connectedComponents(pairs, idACol, idBCol)
       .groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** Synchronous label propagation (community detection) over an
+    * already-SYMMETRIZED edge list: every node starts as its own
+    * community; each round every node adopts the PLURALITY label among
+    * its neighbors, ties broken toward the smallest label — the
+    * fully-deterministic variant of Raghavan et al.'s LPA (the classic
+    * asynchronous/random-tie form is irreproducible across engines, so
+    * this row fixes both the schedule and the tie rule; bipartite
+    * oscillation is why the round count is a FIXED parameter, not a
+    * convergence probe — same design as [[PageRank]], and what makes the
+    * operator expressible as unrolled SQL for a full DuckDB oracle).
+    *
+    * Scale shape: votes are PUSHED along edges — `edges ⋈ labels ON src`
+    * then tallied per `dst` — so an edge list staged bucketed-on-src
+    * (the [[PageRank.prepare]] artifact this operator shares in the
+    * catalog) keeps the edge side of every round's join exchange-free;
+    * only the 2-column label table shuffles. For symmetric edges the
+    * src-side push equals the dst-side pull, vote tallies are map-side
+    * combinable, and the plurality argmax is one `min(struct(-cnt,
+    * lbl))` aggregate — no window over the tally.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "labelPropagation: iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    var i = 0
+    while (i < iterations) {
+      labels = e
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+          .as("best"))
+        .select(col("id"), col("best.l").as("lbl"))
+      i += 1
+    }
+    labels
+  }
 }

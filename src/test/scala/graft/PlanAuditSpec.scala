@@ -702,6 +702,38 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_sql_udtf: table function inlines to Generate; decorrelation reuses the fact exchange") {
+    // two properties of the SQL UDTF execution shape: (a) the body is
+    // INLINED as a codegen'd Generate(inline(...)) — no black-box UDTF
+    // node — and (b) Spark's lateral decorrelation (dedup the correlation
+    // key, join back) REUSES the compact aggregate's exchange at runtime,
+    // so the fact is scanned exactly once. (b) is only visible in the
+    // final adaptive plan, so the df is collected first.
+    val df = SparkEntry.queries("q_sql_udtf")(spark, sf0001)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Generate inline"),
+      s"UDTF body not inlined as Generate:\n${plan.take(1500)}")
+    assert(!plan.toLowerCase.contains("udtf"),
+      s"black-box UDTF node in plan:\n${plan.take(1500)}")
+    assert(plan.contains("ReusedExchange"),
+      s"decorrelation re-scanned the fact instead of reusing its exchange:\n${plan.take(2000)}")
+  }
+
+  test("q_label_prop rides the staged bucketed edge table, not a re-derivation") {
+    // the LPA row shares qPagerank's staged bucketed-on-src co-purchase
+    // graph: every round's vote join must read the graft_pr_ed table —
+    // never rebuild the orders⋈lineitem edge list
+    val df = SparkEntry.queries("q_label_prop")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pr_ed"),
+      s"label prop does not read the staged edge table:\n${plan.take(1500)}")
+    assert(!plan.contains("lineitem.parquet"),
+      "label prop re-derives the edge list from raw lineitem")
+    assert(df.count() > 0)
+  }
+
   test("q_cbo_reorder: ANALYZE stats drive the star join smallest-first") {
     // syntactic order is ((lineitem JOIN orders) JOIN customer) — the two
     // BIG tables first. With column stats + CBO join reorder the optimizer
