@@ -851,6 +851,74 @@ object SparkEntry {
           <= col("exact_users") * 0.08).as("hll_bound_ok"))
   }
 
+  /** MULTIPLE DISTINCT aggregates in one pass — the query shape Catalyst
+    * executes via EXPAND: each input row is replicated once per distinct
+    * group (×3 here: partkey-distinct, suppkey-distinct, plain), then a
+    * two-level aggregate dedups and combines. The row exists to PIN that
+    * shape and its 100 TB implication (PlanAuditSpec asserts the Expand):
+    * shuffle input multiplies by the distinct-aggregate count, so at
+    * scale the alternatives are `approx_count_distinct` (the
+    * [[qHllMerge]] family — no Expand, mergeable KB sketches) or
+    * separate per-column rollups joined on the group key; exact
+    * multi-distinct is the AUDIT, not the steady-state dashboard query.
+    * The non-distinct aggregates ride the same pass unchanged (Expand
+    * routes them through the null-extended branch).
+    */
+  private def qMultiDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch SET ALGEBRA — audience overlap by inclusion-exclusion
+    * (|A∩B| ≈ est(A) + est(B) − est(A∪B)), the estimator every
+    * overlap/reach dashboard runs because HLL has union but NO native
+    * intersection: purchase-audience ∩ click-audience from three
+    * KB-scale sketches built in ONE conditional-aggregation pass (never
+    * a per-pair user-set join). The exact sides ride the same single
+    * scan (per-user bool_or flags → one compact distinct-user aggregate)
+    * as the audit, and the verdict pins the known caveat — inclusion-
+    * exclusion COMPOUNDS the per-sketch error (3 sketches ⇒ ~3× the
+    * 1.6% lgK=12 bound, and the RELATIVE error blows up as the true
+    * intersection shrinks vs the union) — with a bound scaled to the
+    * union size, the estimator's actual error scale. At 100 TB: three
+    * mergeable sketches vs a full user_id shuffle per audience pair.
+    */
+  private def qHllIntersect(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+    val sk = e.agg(
+      hll_sketch_estimate(
+        hll_sketch_agg(when(col("event_type") === "purchase",
+          col("user_id")), lit(12))).as("est_a"),
+      hll_sketch_estimate(
+        hll_sketch_agg(when(col("event_type") === "click",
+          col("user_id")), lit(12))).as("est_b"),
+      hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("est_u"))
+    val exact = e.groupBy(col("user_id"))
+      .agg(
+        max(col("event_type") === "purchase").as("a"),
+        max(col("event_type") === "click").as("b"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("exact_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("exact_inter"))
+    exact.withColumn("one", lit(1))
+      .join(broadcast(sk.withColumn("one", lit(1))), "one")
+      .select(
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_inter"),
+        (abs(col("est_a") + col("est_b") - col("est_u")
+          - col("exact_inter")) <= col("exact_union") * 0.10 + 1.0)
+          .as("inter_bound_ok"))
+  }
+
   /** Count-min-sketch frequency estimates beside the exact counts: one
     * pass builds the sketch (mergeable, fixed KB-scale memory); the probe
     * is a native expression over the serialized sketch
@@ -7930,6 +7998,8 @@ object SparkEntry {
     "q_dict_encode" -> (qDictEncode _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_cdc_scd2" -> (qCdcScd2 _),
+    "q_hll_intersect" -> (qHllIntersect _),
+    "q_multi_distinct" -> (qMultiDistinct _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -8820,6 +8890,31 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |       TRUE AS hll_bound_ok
         |FROM events""".stripMargin,
+    // q_multi_distinct: integral quantities, exact counts — plain SQL
+    "q_multi_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q_hll_intersect: exact audience sets via per-user conditional flags;
+    // the inclusion-exclusion estimate is engine-internal, so the oracle
+    // pins the exacts and asserts the union-scaled bound as literal TRUE
+    "q_hll_intersect" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         MAX(event_type = 'purchase') AS a,
+        |         MAX(event_type = 'click') AS b
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY user_id)
+        |SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+        |       CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+        |       CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |       CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS exact_inter,
+        |       TRUE AS inter_bound_ok
+        |FROM u""".stripMargin,
     // CMS layout is engine-specific; the oracle checks the exact counts and
     // asserts the (never-undercount, overcount <= ceil(eps*N)) guarantee as
     // literal TRUE — deterministic because the sketch seed is fixed

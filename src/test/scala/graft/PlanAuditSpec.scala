@@ -436,9 +436,12 @@ class PlanAuditSpec extends SparkTestBase {
                           // condition); ANN index is the 100 TB path
       "q_hybrid_fusion", // the q_bm25 1-row corpus-stats attach, feeding
                          // both scorers from one scan
-      "q_negative_sample" // 1-row max-partkey attach onto the customer
-                          // scan (candidate range bound) — size-bounded
-                          // by design, the q_bm25 shape
+      "q_negative_sample", // 1-row max-partkey attach onto the customer
+                           // scan (candidate range bound) — size-bounded
+                           // by design, the q_bm25 shape
+      "q_hll_intersect" // 1-row exact-counts × 1-row sketch-estimates
+                        // broadcast attach (the q_chi2_drift shape); the
+                        // lit-key equi-join constant-folds to BNLJ 1×1
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
@@ -700,6 +703,22 @@ class PlanAuditSpec extends SparkTestBase {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("q_multi_distinct plans the Expand shape (x N distinct groups), fact scanned once") {
+    // the documented cost model of exact multi-distinct: ONE scan, rows
+    // replicated by Expand for the per-column dedup — never one scan per
+    // distinct column. The pin keeps the row honest about which shape
+    // Catalyst picked (a regression to separate scans would double IO at
+    // 100 TB; a missing Expand would mean the semantics changed).
+    val df = SparkEntry.queries("q_multi_distinct")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"),
+      s"multi-distinct lost its Expand shape:\n${plan.take(1500)}")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"fact scanned more than once:\n${plan.take(1500)}")
+    assert(df.count() > 0)
   }
 
   test("q_sql_udtf: table function inlines to Generate; decorrelation reuses the fact exchange") {
