@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.api.Typed
 import graft.ext.{Components, DataQuality, Dedup, IvfIndex, PageRank, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{GraftFunctions, NativeExpressions, TypedAggregates}
 import graft.functions.GraftFunctions._
@@ -849,6 +850,36 @@ object SparkEntry {
         col("exact_users"),
         (abs(col("merged_users") - col("exact_users"))
           <= col("exact_users") * 0.08).as("hll_bound_ok"))
+  }
+
+  /** Typed COGROUP — the `KeyValueGroupedDataset` batch surface
+    * ([[graft.api.Typed]]'s escape hatch): orders and lineitems
+    * co-partitioned on the order key, per-key ITERATORS handed to
+    * arbitrary JVM logic. The reconciliation here (line count + cents
+    * total + empty-order flag per order) folds the lineitem iterator in
+    * a single streaming pass — nothing per-key is materialized except
+    * the ≤1 order row — and orphan line groups (no parent order) emit an
+    * ORPHAN marker the relational LEFT JOIN cannot express without a
+    * second anti-join pass. Scale: one shuffle per side (the same
+    * exchange a join would pay), per-key memory O(1); the cost is that
+    * typed lambdas opaque-box rows — no codegen, no pushdown past the
+    * scan — so cogroup is reserved for logic SQL can't state (sequence
+    * alignment, custom merges). THIS row's logic deliberately can be
+    * stated in SQL (left join + conditional aggregate), which is what
+    * makes it fully oracle-checkable; the compact per-status rollup
+    * rides a normal relational aggregate after the typed seam.
+    */
+  private def qCogroup(s: SparkSession, d: String): DataFrame = {
+    val recon = Typed
+      .reconcileOrders(Typed.orders(s, d), Typed.lineitem(s, d))
+      .toDF("status", "n_lines", "line_cents", "empty")
+    recon.groupBy("status")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("line_cents")).as("line_cents"),
+        sum(col("empty")).as("n_empty_orders"))
+      .orderBy("status")
   }
 
   /** MULTIPLE DISTINCT aggregates in one pass — the query shape Catalyst
@@ -8000,6 +8031,7 @@ object SparkEntry {
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_hll_intersect" -> (qHllIntersect _),
     "q_multi_distinct" -> (qMultiDistinct _),
+    "q_cogroup" -> (qCogroup _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -8890,6 +8922,24 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |       TRUE AS hll_bound_ok
         |FROM events""".stripMargin,
+    // q_cogroup: the typed reconciliation replayed relationally (left
+    // join + conditional aggregate); the fixture has no orphan lines
+    // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and
+    // both engines see the same status domain
+    "q_cogroup" ->
+      """WITH lc AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(COALESCE(lc.n, 0)) AS BIGINT) AS n_lines,
+        |       CAST(SUM(COALESCE(lc.cents, 0)) AS BIGINT) AS line_cents,
+        |       CAST(SUM(CASE WHEN lc.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_empty_orders
+        |FROM orders LEFT JOIN lc ON o_orderkey = lc.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_multi_distinct: integral quantities, exact counts — plain SQL
     "q_multi_distinct" ->
       """SELECT l_returnflag,

@@ -99,4 +99,37 @@ object Typed {
     import li.sparkSession.implicits._
     li.groupByKey(_.l_returnflag).agg(Revenue.toColumn.name("revenue"))
   }
+
+  /** Typed COGROUP reconciliation (the `KeyValueGroupedDataset` batch
+    * seam): per order key, fold the lineitem iterator in one streaming
+    * pass (count + integer-cents total; per-key memory O(1) — only the
+    * ≤1 order row is buffered) and emit
+    * `(status, n_lines, line_cents, empty_flag)`. Line groups with NO
+    * parent order emit an `ORPHAN` marker — the case a relational LEFT
+    * JOIN from orders silently drops (it needs a second anti-join pass);
+    * the fixture's FK guarantees none, so the catalog row's oracle stays
+    * exact, and the orphan branch is pinned by `TypedApiSpec` on a
+    * synthetic feed instead. Scale: one co-partitioned shuffle per side,
+    * the same exchanges a join would pay; the lambda opaque-boxes rows
+    * (no codegen/pushdown past the scan), which is why cogroup is
+    * reserved for per-key logic SQL cannot state.
+    */
+  def reconcileOrders(
+      orders: Dataset[Order],
+      lines: Dataset[Lineitem]): Dataset[(String, Long, Long, Long)] = {
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_.o_orderkey)
+      .cogroup(lines.groupByKey(_.l_orderkey)) { (_, os, ls) =>
+        var n = 0L
+        var cents = 0L
+        ls.foreach { l =>
+          n += 1L
+          cents += math.round(l.l_extendedprice * 100.0)
+        }
+        val ords = os.toList // ≤ 1 per PK
+        if (ords.isEmpty) Iterator(("ORPHAN", n, cents, 0L))
+        else ords.iterator.map(o =>
+          (o.o_orderstatus, n, cents, if (n == 0L) 1L else 0L))
+      }
+  }
 }

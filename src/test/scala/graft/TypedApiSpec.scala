@@ -54,4 +54,22 @@ class TypedApiSpec extends SparkTestBase {
     }
     assert(typed.size == 3)
   }
+
+  test("cogroup reconciliation: streamed fold, empty orders, ORPHAN lines") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    def order(k: Long, st: String) =
+      Typed.Order(k, 1L, st, 100.0, ts, "1-URGENT")
+    def line(k: Long, price: Double) =
+      Typed.Lineitem(k, 1L, 1L, 1, 1.0, price, 0.0, 0.0, "N", "O", ts)
+    val orders = Seq(order(1L, "O"), order(2L, "F")).toDS()
+    // order 1: two lines; order 2: EMPTY; key 9: orphan lines, no order
+    val lines = Seq(line(1L, 10.10), line(1L, 0.05), line(9L, 7.00)).toDS()
+    val got = Typed.reconcileOrders(orders, lines).collect().toSet
+    assert(got == Set(
+      ("O", 2L, 1015L, 0L),      // 10.10 + 0.05 → 1015 cents
+      ("F", 0L, 0L, 1L),         // empty order flagged
+      ("ORPHAN", 1L, 700L, 0L)), // lines with no parent order surface
+      s"unexpected reconciliation: $got")
+  }
 }
