@@ -206,6 +206,31 @@ class PropertyCheckSpec extends SparkTestBase {
     }
   }
 
+  test("property: label propagation on a clique converges to the min id by round 2") {
+    // K_n, synchronous plurality with min-label ties: round 1 gives every
+    // node its min NEIGHBOR (all-distinct tie), i.e. the global min m for
+    // everyone except m itself (which takes the second-smallest); round 2
+    // every non-m node sees m from n−2 of its n−1 neighbors (plurality),
+    // and m's neighbors all carry m — so rounds ≥2 are the fixed point.
+    // Exercises plurality counting, the tie rule, AND stability.
+    val nGen: Gen[Int] = Gen.chooseNum(3, 8)
+    samples(nGen, 3).foreach { n =>
+      val ids = (0 until n).map(i => 10L + 3L * i) // non-contiguous ids
+      val half = for {
+        i <- ids; j <- ids if i < j
+      } yield (i, j)
+      val edges = (half ++ half.map(_.swap)).toList.toDF("a", "b")
+      val m = ids.min
+      Seq(2, 3).foreach { rounds =>
+        val got = graft.ext.Components
+          .labelPropagation(edges, "a", "b", rounds)
+          .as[(Long, Long)].collect().toMap
+        assert(got == ids.map(_ -> m).toMap,
+          s"K_$n after $rounds rounds: $got")
+      }
+    }
+  }
+
   test("property: hopDistance matches a local BFS from the component minima") {
     val edgeGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)).suchThat(p => p._1 != p._2))
