@@ -80,7 +80,8 @@ object SparkEntry {
   // code writes under dirTag(d), or the stale-tag reaper leaks that tree
   // across data regenerations (found missing csvrt/orcrt/pairs in r10)
   private val artifactRoots = Seq(
-    "graft_ann", "graft_bucketed", "graft_compact", "graft_csvrt",
+    "graft_ann", "graft_bin", "graft_bucketed", "graft_compact",
+    "graft_csvrt",
     "graft_evo", "graft_incagg", "graft_json", "graft_knn", "graft_orcrt",
     "graft_pairs",
     "graft_dppdim",
@@ -6586,6 +6587,56 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** `binaryFile` SOURCE — the multimodal INGESTION path the
+    * [[qMediaHeaders]]/[[qMultimodal]] rows assume upstream of them: a
+    * directory of opaque media files becomes one row per file (path +
+    * length metadata + the raw bytes as a `binary` column), which is how
+    * an image/audio corpus enters Spark at 100 TB (one file = one row;
+    * parallelism = files-per-task via `maxPartitionBytes`;
+    * `pathGlobFilter`/`recursiveFileLookup` are the production intake
+    * knobs). The staged fixture is 16 deterministic PNG-header blobs
+    * derived by the SAME codegen'd serializer the parse row uses —
+    * written once per corpus dir by a driver loop over the collected
+    * 16-row, 33-bytes-each result (KB-scale by construction, the
+    * IvfIndex collect-contract); the read side parses width/height back
+    * out of the `content` bytes with the native byte-slice expressions
+    * (no UDF) and recovers the shard id from the file PATH — the
+    * metadata-join every file-addressed corpus does. The oracle
+    * recomputes the expected table purely arithmetically (the blob
+    * dimensions are formulas of the shard id), so the round-trip
+    * through real files on disk is value-checked end to end.
+    */
+  private def qBinarySource(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_bin/${dirTag(d)}/shards"
+    stagedOnceGuarded(dir)(
+      new java.io.File(dir, "shard_15.png").exists()) {
+      val blobs = s.range(16).select(
+        col("id"),
+        Multimodal.pngHeader(
+          lit(1L) + col("id") * 40L,
+          lit(1L) + col("id") * 30L).as("media"))
+        .collect() // 16 rows × 33 bytes — driver-side file write is the point
+      val base = new java.io.File(dir)
+      base.mkdirs()
+      blobs.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"shard_${r.getLong(0)}%d.png"),
+          r.getAs[Array[Byte]](1))
+      }
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "shard_(\\d+)\\.png$", 1)
+          .cast("long").as("shard"),
+        Multimodal.pngSigOk(col("content")).as("sig_ok"),
+        Multimodal.pngWidth(col("content")).as("width"),
+        Multimodal.pngHeight(col("content")).as("height"),
+        col("length").as("n_bytes"))
+      .orderBy("shard")
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -8037,6 +8088,7 @@ object SparkEntry {
     "q_hll_intersect" -> (qHllIntersect _),
     "q_multi_distinct" -> (qMultiDistinct _),
     "q_cogroup" -> (qCogroup _),
+    "q_binary_source" -> (qBinarySource _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -8927,6 +8979,17 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |       TRUE AS hll_bound_ok
         |FROM events""".stripMargin,
+    // q_binary_source: the staged blobs' dimensions are pure formulas of
+    // the shard id and the IHDR-header blob is a fixed 29 bytes, so the
+    // oracle recomputes the expected table arithmetically — the Spark
+    // side must recover the identical values from REAL file bytes
+    "q_binary_source" ->
+      """SELECT CAST(range AS BIGINT) AS shard,
+        |       TRUE AS sig_ok,
+        |       CAST(1 + 40 * range AS BIGINT) AS width,
+        |       CAST(1 + 30 * range AS BIGINT) AS height,
+        |       CAST(29 AS BIGINT) AS n_bytes
+        |FROM range(16) ORDER BY shard""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and
