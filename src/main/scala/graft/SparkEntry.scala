@@ -4256,19 +4256,31 @@ object SparkEntry {
     * is, and the merge runs over two compact day-keyed aggregates. The
     * oracle recomputes the rollup from scratch, pinning merge == rebuild.
     */
+  private def incrementalPartial(
+      s: SparkSession, d: String, parity: Int): DataFrame = Tables.orders(s, d)
+    .filter(pmod(col("o_orderkey"), lit(2)) === parity)
+    .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+    .agg(
+      sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+      count(lit(1)).as("n_orders"))
+
+  /** [[qIncrementalAgg]]'s base-partial staging plan, exposed for the
+    * PlanAuditSpec pin (the [[partsuppStaging]] pattern): the corpus-wide
+    * partial aggregate must reduce on a parallel exchange; only the
+    * KB-scale day-keyed artifact write serializes — via a post-agg
+    * `repartition(1)`, never `coalesce(1)` (which propagates into the
+    * reduce stage and runs the aggregation on one task).
+    */
+  private[graft] def incrementalAggBase(s: SparkSession, d: String): DataFrame =
+    incrementalPartial(s, d, 0).repartition(1)
+
   private def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
-    def partial(parity: Int) = Tables.orders(s, d)
-      .filter(pmod(col("o_orderkey"), lit(2)) === parity)
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
-      .agg(
-        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
-        count(lit(1)).as("n_orders"))
     val baseDir = s"/tmp/graft_incagg/${dirTag(d)}/base"
     stagedOnce(baseDir) {
-      partial(0).coalesce(1).write.mode("overwrite").parquet(baseDir)
+      incrementalAggBase(s, d).write.mode("overwrite").parquet(baseDir)
     }
     s.read.parquet(baseDir)
-      .unionAll(partial(1))
+      .unionAll(incrementalPartial(s, d, 1))
       .groupBy("day")
       .agg(sum(col("sum_cents")).as("sum_cents"),
         sum(col("n_orders")).as("n_orders"))
@@ -6597,7 +6609,7 @@ object SparkEntry {
     * knobs). The staged fixture is 16 deterministic PNG-header blobs
     * derived by the SAME codegen'd serializer the parse row uses —
     * written once per corpus dir by a driver loop over the collected
-    * 16-row, 33-bytes-each result (KB-scale by construction, the
+    * 16-row, 29-bytes-each result (KB-scale by construction, the
     * IvfIndex collect-contract); the read side parses width/height back
     * out of the `content` bytes with the native byte-slice expressions
     * (no UDF) and recovers the shard id from the file PATH — the
@@ -6608,21 +6620,31 @@ object SparkEntry {
     */
   private def qBinarySource(s: SparkSession, d: String): DataFrame = {
     val dir = s"/tmp/graft_bin/${dirTag(d)}/shards"
-    stagedOnceGuarded(dir)(
-      new java.io.File(dir, "shard_15.png").exists()) {
+    // guard on ALL 16 shards, not a sentinel: a crash mid-staging must
+    // make the next run re-stage, not serve a partial corpus forever
+    def allShards = (0 until 16).forall(i =>
+      new java.io.File(dir, s"shard_$i.png").exists())
+    stagedOnceGuarded(dir)(allShards) {
       val blobs = s.range(16).select(
         col("id"),
         Multimodal.pngHeader(
           lit(1L) + col("id") * 40L,
           lit(1L) + col("id") * 30L).as("media"))
-        .collect() // 16 rows × 33 bytes — driver-side file write is the point
-      val base = new java.io.File(dir)
-      base.mkdirs()
+        .collect() // 16 rows × 29 bytes — driver-side file write is the point
+      // write into a sibling temp dir, then rename into place: readers
+      // never observe a half-written corpus, and a crash leaves only the
+      // temp dir (which the next stage attempt clears)
+      val tmp = new java.io.File(s"$dir.tmp")
+      graft.engine.Fs.deleteRecursively(tmp)
+      tmp.mkdirs()
       blobs.foreach { r =>
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, f"shard_${r.getLong(0)}%d.png"),
+          java.nio.file.Paths.get(tmp.getPath, f"shard_${r.getLong(0)}%d.png"),
           r.getAs[Array[Byte]](1))
       }
+      graft.engine.Fs.deleteRecursively(new java.io.File(dir))
+      if (!tmp.renameTo(new java.io.File(dir)))
+        throw new IllegalStateException(s"rename $tmp -> $dir failed")
     }
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.png")
@@ -7989,6 +8011,14 @@ object SparkEntry {
            |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
       df.queryExecution.executedPlan // force planning inside the CBO window
+      // Verify/Bench materialize via a NEW QueryExecution (.coalesce(1)
+      // .write) built AFTER the finally-restore — without a cache they
+      // would execute a non-CBO replan. Cache the (2-row) result and
+      // populate it HERE, so every downstream action reads the plan this
+      // row exists to exercise. cache() after the force above keeps THIS
+      // df's optimizedPlan the raw CBO join tree (what PlanAuditSpec pins).
+      df.cache()
+      df.count()
       df
     } finally saved.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
@@ -8000,7 +8030,10 @@ object SparkEntry {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         (length(col("text")).cast("long") + 1L).as("n_chars"))
-    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+    // max() over an empty corpus is SQL NULL — fall back to width 1
+    // rather than NPE (the probe itself stays one columnar-stats scalar job)
+    val maxId = Option(docs.agg(max(col("doc_id"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val width = math.max(1L, maxId / 1024L)
     PrefixSum.exclusive(docs, expr(s"doc_id div ${width}L"),
         Seq(col("doc_id")), col("n_chars"), "offset")

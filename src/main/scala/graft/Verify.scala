@@ -16,9 +16,16 @@ object Verify {
       if (args.length > 2) args(2).split(",").toSet else Set.empty
     val spark = GraftSession.getOrCreate()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    // Manifest of every query this run WILL attempt, written before any
+    // query executes: the checker's fail-closed expected set. Without it,
+    // a crashed rows-only query (no oracle_sql entry) leaves no dump AND
+    // no expectation, and the gate would read green on a silent skip.
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.keys.toSeq.sorted
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -181,10 +181,13 @@ object Components {
       .groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
 
-  /** Synchronous label propagation (community detection) over an
-    * already-SYMMETRIZED edge list: every node starts as its own
-    * community; each round every node adopts the PLURALITY label among
-    * its neighbors, ties broken toward the smallest label — the
+  /** Synchronous label propagation (community detection): every node
+    * (src ∪ dst) starts as its own community; each round every node
+    * adopts the PLURALITY label among its in-neighbors (nodes with no
+    * in-edges keep their label), ties broken toward the smallest label
+    * — on a symmetrized edge list (the intended input, and what the
+    * catalog feeds it) in-neighbors == neighbors and this is classic
+    * undirected LPA — the
     * fully-deterministic variant of Raghavan et al.'s LPA (the classic
     * asynchronous/random-tie form is irreproducible across engines, so
     * this row fixes both the schedule and the tie rule; bipartite
@@ -208,18 +211,30 @@ object Components {
       iterations: Int): DataFrame = {
     require(iterations >= 1, "labelPropagation: iterations must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    var labels = e.select(col("src").as("id")).distinct()
+    // node universe = src ∪ dst: on a symmetric edge list the union is a
+    // no-op, but on non-symmetric input it keeps dst-only nodes from
+    // voting labelless and src-only nodes from vanishing (they hold their
+    // own label below) — wrong-communities-not-error was the failure mode
+    var labels = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
       .select(col("id"), col("id").as("lbl"))
     var i = 0
     while (i < iterations) {
-      labels = e
+      val voted = e
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy("id")
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
           .as("best"))
-        .select(col("id"), col("best.l").as("lbl"))
+        .select(col("id"), col("best.l").as("voted_lbl"))
+      // nodes with no in-edges receive no votes: they KEEP their current
+      // label (a left join + coalesce) — on symmetric input every node
+      // has in-edges, the coalesce never fires, and the plan/values for
+      // the catalog row are unchanged
+      labels = labels.join(voted, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("voted_lbl"), col("lbl")).as("lbl"))
       i += 1
     }
     labels

@@ -760,6 +760,11 @@ class PlanAuditSpec extends SparkTestBase {
     // bottom and the fact table last; the builder forces planning inside
     // its conf window, so the materialized optimizedPlan is the CBO one.
     import org.apache.spark.sql.catalyst.plans.logical.Join
+    // the builder caches its (2-row) result so Verify/Bench's fresh
+    // QueryExecutions execute the CBO plan; a PRIOR build in this session
+    // (the catalog-wide audits) would make this df resolve to the
+    // InMemoryRelation — clear it so the pin sees the raw CBO join tree
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("q_cbo_reorder")(spark, sf0001)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
     assert(joins.size == 2, s"expected a 2-join star, got ${joins.size}")
@@ -792,5 +797,60 @@ class PlanAuditSpec extends SparkTestBase {
       plan.contains("SinglePartition"),
       s"no post-agg single-file repartition found:\n${plan.take(1500)}")
     assert(df.count() > 0)
+  }
+
+  test("incremental-agg base staging keeps the partial aggregate parallel") {
+    // same law as the partsupp pin: the corpus-wide partial aggregate
+    // must reduce on a multi-partition exchange; only the KB-scale
+    // day-keyed artifact write serializes, via post-agg repartition(1)
+    val df = SparkEntry.incrementalAggBase(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Coalesce"),
+      s"staging plan collapses via Coalesce:\n${plan.take(1500)}")
+    val hashEx = "hashpartitioning\\([^)]*?(\\d+)\\)".r.findFirstMatchIn(plan)
+    assert(hashEx.isDefined,
+      s"partial agg lost its hashpartitioning exchange:\n${plan.take(1500)}")
+    assert(hashEx.get.group(1).toInt > 1,
+      s"partial agg reduces on a single partition: ${hashEx.get.matched}")
+    assert(plan.contains("RoundRobinPartitioning(1)") ||
+      plan.contains("SinglePartition"),
+      s"no post-agg single-file repartition found:\n${plan.take(1500)}")
+    assert(df.count() > 0)
+  }
+
+  test("no catalog query plans a Coalesce(1) directly above an aggregate") {
+    // CoalesceExec(1) collapses its WHOLE stage — every operator down to
+    // the previous shuffle boundary runs as one task. Above a scan or a
+    // union that only serializes a file write; above an aggregate's
+    // reduce side it runs the corpus-wide aggregation single-threaded
+    // (the partsupp r12 choke). This audit generalizes that pin to every
+    // catalog row: no Coalesce-to-1 whose exchange-free subtree contains
+    // an aggregate, anywhere in the catalog.
+    import org.apache.spark.sql.execution.{CoalesceExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.{
+      BaseAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def aggInStage(p: SparkPlan): Boolean = p match {
+      case _: Exchange => false // next stage — coalesce no longer applies
+      case _: BaseAggregateExec | _: SortAggregateExec => true
+      case other => other.children.exists(aggInStage)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        // sparkPlan (pre-AQE) keeps Exchange nodes visible and unwrapped;
+        // plain collect, not collectWithSubqueries — pre-preparation
+        // subquery expressions still hold LOGICAL plans (coalesce can't
+        // appear inside a scalar subquery anyway: it returns one row)
+        val chokes = SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.sparkPlan.collect {
+            case c: CoalesceExec
+              if c.numPartitions == 1 && c.children.exists(aggInStage) => c
+          }
+        if (chokes.isEmpty) None else Some(name)
+      } catch { case e: Throwable => Some(s"$name (PLAN FAILED: $e)") }
+    }
+    assert(offenders.isEmpty,
+      s"Coalesce(1) chokes an aggregate stage in: ${offenders.mkString(", ")}")
   }
 }

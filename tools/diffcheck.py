@@ -5,9 +5,10 @@ DuckDB over views named after the testdata tables, and compare (schema,
 row count, exact value hash with columns sorted by name).
 
 Fails CLOSED: every query expected in OUTDIR (the optional comma-separated
-QUERY list if given, else the full oracle_sql.json key set) with no output
-dir — i.e. its Verify run crashed — counts as a failure instead of being
-silently skipped.
+QUERY list if given, else Verify's attempted.json manifest — the full set
+of queries the Verify run tried, including rows-only ones with no oracle —
+else the oracle_sql.json key set) with no output dir — i.e. its Verify run
+crashed — counts as a failure instead of being silently skipped.
 
 Usage: diffcheck.py SFDIR OUTDIR [QUERY[,QUERY...]]
 """
@@ -49,7 +50,13 @@ def main(sfdir: str, outdir: str, only=None) -> int:
     failures = 0
     present = set(n for n in os.listdir(outdir)
                   if os.path.isdir(os.path.join(outdir, n)))
-    expected = set(only) if only else set(oracles)
+    manifest = os.path.join(outdir, "attempted.json")
+    if only:
+        expected = set(only)
+    elif os.path.exists(manifest):
+        expected = set(json.load(open(manifest)))
+    else:
+        expected = set(oracles)
     for name in sorted(expected - present):
         print(f"{name:22s} MISSING (no output dir — Verify crashed?)")
         failures += 1
