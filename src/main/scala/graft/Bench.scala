@@ -120,19 +120,67 @@ object Bench {
       "q_filter", "q_sum", "q_take", "q_partition", "q_join",
       "q_window", "q_tfidf", "q_sessionize", "q_topk_per_key",
       "q_minhash_pairs")).filter(SparkEntry.queries.contains)
-    def anchorPass(): String = anchorNames
+    def anchorPass(): Seq[(String, Double)] = anchorNames
       .flatMap { n =>
         val ts = (1 to 3)
           .map(_ => materialize(n, report = false)._1).filter(_ >= 0)
-        if (ts.isEmpty) None else Some(s""""$n":${num(ts.min, 3)}""")
+        if (ts.isEmpty) None else Some(n -> ts.min)
       }
-      .mkString("{", ",", "}")
     val anchorA = anchorPass()
     val anchorB = anchorPass()
+    def anchorJson(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s""""$k":${num(v, 3)}""" }
+        .mkString("{", ",", "}")
+    // WEATHER DISCRIMINATION (r13 verdict #1): round-over-round totals on
+    // this box have moved ±15-20% with ZERO plan changes, so the bench
+    // must carry its own weather signal instead of leaving the judge to
+    // guess regression-vs-noise.
+    //  - anchor_drift: geomean over anchors of (pass-b / pass-a) — the
+    //    within-run instability of THIS JVM (1.0 = calm; r13 saw
+    //    per-anchor excursions to 1.9x). The close-out chain re-runs the
+    //    bench once when |log(drift)| exceeds log(1.25).
+    //  - weather_factor: geomean of (this run's per-anchor min ÷ the
+    //    RECORDED reference anchor), comparing this box-session against
+    //    the floor recorded at the r13 close-out (sf0.1, calm run). >1 =
+    //    this session is running slow across the board.
+    //  - total_normalized_sec: total ÷ weather_factor — the
+    //    weather-corrected number round-over-round comparisons should
+    //    read (BASELINE.md "Weather normalization" documents the
+    //    criterion). Reference anchors are sf0.1-only; at other SFs (and
+    //    on subset runs, which skip anchors) weather_factor stays 1.0 and
+    //    the normalized total equals the raw one.
+    val refAnchorsSf01 = Map(
+      "q_filter" -> 0.369, "q_sum" -> 0.125, "q_take" -> 0.253,
+      "q_partition" -> 0.419, "q_join" -> 1.148, "q_window" -> 0.978,
+      "q_tfidf" -> 1.007, "q_sessionize" -> 0.516,
+      "q_topk_per_key" -> 0.605, "q_minhash_pairs" -> 1.133)
+    val aMap = anchorA.toMap
+    val bMap = anchorB.toMap
+    def geomean(ratios: Seq[Double]): Double =
+      if (ratios.isEmpty) 1.0
+      else math.exp(ratios.map(math.log).sum / ratios.size)
+    val driftPairs = anchorNames
+      .filter(k => aMap.get(k).exists(_ > 0) && bMap.get(k).exists(_ > 0))
+    val anchorDrift = geomean(driftPairs.map(k => bMap(k) / aMap(k)))
+    val isRefSf = sfDir.stripSuffix("/").endsWith("sf0.1")
+    val weatherFactor =
+      if (!isRefSf) 1.0
+      else geomean(anchorNames.flatMap { k =>
+        val now = math.min(
+          aMap.getOrElse(k, Double.MaxValue), bMap.getOrElse(k, Double.MaxValue))
+        refAnchorsSf01.get(k)
+          .filter(ref => ref > 0 && now != Double.MaxValue && now > 0)
+          .map(ref => now / ref)
+      })
+    val totalRaw = results.map(_._2).filter(_ >= 0).sum
+    val totalNorm = num(totalRaw / weatherFactor, 3)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","rows":$rows,""" +
         s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,""" +
-        s""""anchor_a":$anchorA,"anchor_b":$anchorB,"queries":$qs,""" +
+        s""""anchor_a":${anchorJson(anchorA)},"anchor_b":${anchorJson(anchorB)},""" +
+        s""""anchor_drift":${num(anchorDrift, 4)},""" +
+        s""""weather_factor":${num(weatherFactor, 4)},""" +
+        s""""total_normalized_sec":$totalNorm,"queries":$qs,""" +
         s""""slowest":$slowest,"n_queries":${names.size},"n_failed":$nFailed,""" +
         s""""total_sec":$total,"sf":"$sfDir"}"""
     println(line)
