@@ -23,17 +23,18 @@ object Bench {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
-    // (seconds, input rows, input bytes); rows/bytes are the per-query
-    // listener deltas — the reference's items/bytes-processed counters
-    // (`host/filter/filter_benchmark.cc:65-67`)
-    def materialize(name: String, report: Boolean): (Double, Long, Long) = {
+    // (seconds, per-query listener delta); rows/bytes/shuffle/spill are
+    // the reference's per-phase counters
+    // (`host/filter/filter_benchmark.cc:52-71`) at catalog scale
+    def materialize(
+        name: String, report: Boolean): (Double, listener.Snapshot) = {
       val before = listener.snapshot()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         if (report) System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        return (-1.0, 0L, 0L)
+        return (-1.0, before - before)
       }
       val sec = (System.nanoTime() - t0) / 1e9
       // drain the listener bus BEFORE snapshotting: a fixed sleep cannot
@@ -44,7 +45,7 @@ object Bench {
       val d = listener.snapshot() - before
       if (report)
         System.err.println(f"[bench] $name%-20s ${sec}%8.3f s  ${d.render}")
-      (sec, d.recordsRead, d.bytesRead)
+      (sec, d)
     }
 
     // optional args = subset of query names (focused local iteration);
@@ -68,9 +69,9 @@ object Bench {
       }
       n -> best
     }
+    // counters come from whichever measured pass succeeded
     val counts = names.map { n =>
-      n -> (if (pass1(n)._1 >= 0) (pass1(n)._2, pass1(n)._3)
-            else (pass2(n)._2, pass2(n)._3))
+      n -> (if (pass1(n)._1 >= 0) pass1(n)._2 else pass2(n)._2)
     }.toMap
     def jmap(f: String => String): String =
       names.map(k => s""""$k":${f(k)}""").mkString("{", ",", "}")
@@ -90,11 +91,18 @@ object Bench {
     // per query, and their rates over the best measured pass. Emitted as
     // parallel maps so "queries" stays a plain name->seconds map for
     // existing consumers.
-    val rows = jmap(k => counts(k)._1.toString)
+    val rows = jmap(k => counts(k).recordsRead.toString)
     val rowRate = jmap(k =>
-      if (secs(k) > 0) num(counts(k)._1 / secs(k), 0) else "0")
+      if (secs(k) > 0) num(counts(k).recordsRead / secs(k), 0) else "0")
     val byteRate = jmap(k =>
-      if (secs(k) > 0) num(counts(k)._2 / secs(k), 0) else "0")
+      if (secs(k) > 0) num(counts(k).bytesRead / secs(k), 0) else "0")
+    // per-query shuffle volume (write side — the bytes that actually
+    // crossed an exchange) and spill (memory+disk) — r13 verdict #6:
+    // PlanAuditSpec's spill tripwire reads these from BENCH_LAST.json,
+    // turning "no spills at sf0.1" from a profiling anecdote into a gate
+    val shuffleMb = jmap(k => num(counts(k).shuffleWriteBytes / 1e6, 2))
+    val spillMb = jmap(k => num(
+      (counts(k).memorySpillBytes + counts(k).diskSpillBytes) / 1e6, 2))
     val total = num(results.map(_._2).filter(_ >= 0).sum, 3)
     // the driver's round artifact retains only the LINE TAIL, so the tail
     // must be self-contained: after the per-query seconds map, repeat the
@@ -177,6 +185,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","rows":$rows,""" +
         s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,""" +
+        s""""shuffle_mb":$shuffleMb,"spill_mb":$spillMb,""" +
         s""""anchor_a":${anchorJson(anchorA)},"anchor_b":${anchorJson(anchorB)},""" +
         s""""anchor_drift":${num(anchorDrift, 4)},""" +
         s""""weather_factor":${num(weatherFactor, 4)},""" +

@@ -853,4 +853,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty,
       s"Coalesce(1) chokes an aggregate stage in: ${offenders.mkString(", ")}")
   }
+
+  test("sf0.1 bench artifact records zero spill on every catalog row") {
+    // r13 verdict #6: "no spills" was a profiling anecdote — now it is a
+    // gate. The close-out chain runs the full sf0.1 bench (which writes
+    // per-query spill_mb into BENCH_LAST.json via MetricsListener)
+    // BEFORE `sbt test`, so this tripwire reads the fresh artifact: any
+    // catalog row spilling at sf0.1 under local[32]/128G means its
+    // partition sizing would not survive a 100x scale-up and fails here.
+    // Cancelled (not passed) when the artifact is absent or not sf0.1.
+    val f = new java.io.File("BENCH_LAST.json")
+    assume(f.exists(), "no BENCH_LAST.json — run the bench chain first")
+    val line = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assume(line.contains("sf0.1"), "BENCH_LAST.json is not an sf0.1 run")
+    val spillMap = "\"spill_mb\":\\{([^}]*)\\}".r
+      .findFirstMatchIn(line).map(_.group(1))
+    assume(spillMap.isDefined,
+      "BENCH_LAST.json predates the spill_mb field — re-run the bench")
+    val spills = spillMap.get.split(",").filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.stripPrefix("\"").stripSuffix("\"") -> v.toDouble
+    }
+    assert(spills.nonEmpty, "spill_mb map is empty")
+    val offenders = spills.filter(_._2 > 0.0)
+    assert(offenders.isEmpty,
+      s"catalog rows spilled at sf0.1: ${offenders.map {
+        case (k, v) => s"$k=${v}MB" }.mkString(", ")}")
+  }
 }
