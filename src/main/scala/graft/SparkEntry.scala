@@ -5850,6 +5850,60 @@ object SparkEntry {
       Map("minprice" -> 100000))
   }
 
+  /** Spark 4 `GROUP BY ALL` — group by every non-aggregate SELECT item,
+    * resolved at analysis time (the analyzer expands ALL to the explicit
+    * grouping list, so the plan, exchange, and codegen are IDENTICAL to
+    * the spelled-out `GROUP BY 1, 2`; this is an API-surface row, not a
+    * new physical shape). The production value at 100 TB is
+    * maintenance-shaped: wide rollups whose dimension list evolves can't
+    * silently drift between the SELECT and the GROUP BY. DuckDB
+    * originated the syntax, so the oracle mirrors it verbatim — the one
+    * catalog row whose oracle SQL is character-identical to the Spark
+    * SQL.
+    */
+  private def qGroupByAll(s: SparkSession, d: String): DataFrame = {
+    val ord = tempView(s, d, "graft_orders", Tables.orders(s, d))
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |         AS sum_cents
+         |FROM $ord
+         |GROUP BY ALL
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** PARAMETERIZED QUERY (`spark.sql(text, args)` named-parameter
+    * markers) — the injection-safe surface a production catalog serves
+    * untrusted filters through: values bind as TYPED literals at parse
+    * time (`:seg` a string, `:floor` a double, `:segs` an ARRAY bound
+    * into an IN-style membership test), never via string interpolation,
+    * so a hostile segment name cannot become SQL. Because markers bind
+    * as literals, everything downstream behaves as if the values were
+    * inline: the predicate still pushes to the parquet scan and constant-
+    * folds — parameterization costs nothing at plan time (one text, many
+    * binds also keys the plan cache by the TEXT, not the values). The
+    * oracle is the same query with the literals spelled inline.
+    */
+  private def qParamQuery(s: SparkSession, d: String): DataFrame = {
+    val cust = tempView(s, d, "graft_customer", Tables.customer(s, d))
+    s.sql(
+      s"""SELECT c_mktsegment,
+         |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |       MIN(c_custkey) AS min_key,
+         |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         |         AS sum_bal_cents
+         |FROM $cust
+         |WHERE (array_contains(:segs, c_mktsegment) OR c_mktsegment = :seg)
+         |  AND c_acctbal >= :floor
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+      Map(
+        "segs" -> Array("BUILDING", "MACHINERY"),
+        "seg" -> "AUTOMOBILE",
+        "floor" -> 250.0))
+  }
+
   /** Typed custom aggregate (the reference's `aggregator_fn_t` seam →
     * `Aggregator[IN,BUF,OUT]`, SURVEY §2.3): Welford mean/variance.
     */
@@ -8247,6 +8301,8 @@ object SparkEntry {
     "q_sql_text" -> (qSqlText _),
     "q_sql_pipe" -> (qSqlPipe _),
     "q_sql_script" -> (qSqlScript _),
+    "q_group_by_all" -> (qGroupByAll _),
+    "q_param_query" -> (qParamQuery _),
     "q_collation" -> (qCollation _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -12153,6 +12209,28 @@ object SparkEntry {
         |FROM orders
         |WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q_group_by_all: DuckDB originated GROUP BY ALL — oracle mirrors
+    // the surface verbatim
+    "q_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // q_param_query: the same query with the parameter literals inline
+    "q_param_query" ->
+      """SELECT c_mktsegment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       MIN(c_custkey) AS min_key,
+        |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_bal_cents
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        |  AND c_acctbal >= CAST(250.0 AS DOUBLE)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // q_sql_pipe: the classic-syntax equivalent of the pipe pipeline
     "q_sql_pipe" ->
       """SELECT o_orderpriority,
