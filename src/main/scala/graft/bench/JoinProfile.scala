@@ -36,7 +36,19 @@ object JoinProfile {
     val nJoin = sf.toLong * 2097152
 
     def profile(name: String, df: => DataFrame): Unit = {
-      df.count() // warm-up (codegen, broadcast/exchange materialization)
+      // warm-up (codegen, broadcast/exchange materialization) — also
+      // report which join operator the FINAL adaptive plan chose, so an
+      // A/B section can't silently measure the wrong physical join
+      locally {
+        val w = df
+        w.count()
+        val node = w.queryExecution.executedPlan.toString
+          .linesIterator.map(_.trim)
+          .find(l => l.contains("SortMergeJoin") ||
+            l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
+          .getOrElse("?")
+        println(f"$name%-28s plan-join: ${node.take(110)}")
+      }
       var i = 0
       while (i < iters) {
         val before = listener.snapshot()
@@ -46,6 +58,14 @@ object JoinProfile {
         val d = listener.snapshot() - before
         println(f"$name%-28s iter=$i wall=$sec%.3fs rows=$rows ${d.render}")
         i += 1
+      }
+    }
+    def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+      val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
 
@@ -70,6 +90,28 @@ object JoinProfile {
 
     profile("shj_guarded",
       graft.operators.Relational.boundedHashJoin(left, right, "fk", "pk"))
+
+    // r13 verdict #3: the conf-driven SHJ path — preferSortMergeJoin=false
+    // lets the planner pick ShuffledHashJoin when a side's per-partition
+    // build fits (canBuildLocalHashMap: stats < shuffledHashJoinFactor ×
+    // advisoryPartitionSizeInBytes); the PK-FK shape (unique build keys,
+    // no spill risk at SF=16) is exactly where SHJ skips BOTH sort legs
+    for (factor <- Seq("3", "9")) {
+      withConf(
+        "spark.sql.join.preferSortMergeJoin" -> "false",
+        "spark.sql.shuffledHashJoinFactor" -> factor) {
+        profile(s"shj_conf_f$factor",
+          left.join(right, $"fk" === $"pk", "inner"))
+      }
+    }
+    // bare hint (no guard, no conf): the planner builds the hinted side
+    profile("shj_hint",
+      left.join(right.hint("SHUFFLE_HASH"), $"fk" === $"pk", "inner"))
+    // SMJ re-measured LAST in the same sitting so the A/B brackets it —
+    // if the box drifted during this run, base_smj(start) vs smj_end
+    // exposes it
+    profile("smj_end",
+      left.join(right.hint("MERGE"), $"fk" === $"pk", "inner"))
 
     // pre-sorted cached inputs: exchange-free, sort-free merge
     val rightSorted = spark.range(nJoin).select($"id".as("pk"), u32($"id").as("x"))
