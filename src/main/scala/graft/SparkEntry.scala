@@ -82,7 +82,8 @@ object SparkEntry {
   private val artifactRoots = Seq(
     "graft_ann", "graft_bin", "graft_bucketed", "graft_compact",
     "graft_csvrt",
-    "graft_evo", "graft_incagg", "graft_json", "graft_knn", "graft_orcrt",
+    "graft_evo", "graft_gk", "graft_incagg", "graft_json", "graft_knn",
+    "graft_orcrt",
     "graft_pairs",
     "graft_dppdim",
     "graft_partitioned", "graft_partsupp", "graft_pr", "graft_sigs",
@@ -786,6 +787,76 @@ object SparkEntry {
       .orderBy("l_returnflag", "q")
   }
 
+  /** GK-sketch PARTIAL-MERGE across the storage boundary (the
+    * mergeability contract beside [[qIncrementalAgg]]'s sum-merge and
+    * [[qHllMerge]]'s HLL roll-up, now for QUANTILES): the corpus is split
+    * into two halves; the even-key half's Greenwald–Khanna summary
+    * ([[TypedAggregates.GkBuild]] — Spark's own `QuantileSummaries`
+    * engine, the state inside `percentile_approx`, driven through its
+    * public insert/compress/merge/query surface) is a WRITE-ONCE PARQUET
+    * artifact (the standing daily sketch); the odd-key half's summary is
+    * computed fresh (the delta); [[TypedAggregates.GkMergeQuery]]
+    * re-aggregates the stored states by GK-merge and answers
+    * q ∈ {0.5, 0.9, 0.99} — raw data is never rescanned for the roll-up.
+    * At 100 TB this is the only viable percentile-over-any-window path:
+    * per-shard/per-day KB-scale summaries stored once, merged per query.
+    * The merged picks are sketch-internal, so the row emits the
+    * [[qApproxQuantiles]] rank-interval audit instead: rank(pick) must
+    * lie within 2·ε·n + 1 of q·n (ε = 1/10000; the factor 2 covers the
+    * error growth a two-summary merge is allowed), plus the exact
+    * percentiles and count for the DuckDB differential. A merge that
+    * loses or double-counts rank mass fails the bound.
+    */
+  private def qQuantileMerge(s: SparkSession, d: String): DataFrame = {
+    val qVals = Seq(0.5, 0.9, 0.99)
+    val eps = 1.0 / 10000
+    val build = udaf(new TypedAggregates.GkBuild(eps))
+    val mergeQ = udaf(new TypedAggregates.GkMergeQuery(qVals))
+    val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    def half(parity: Int) = orders
+      .filter(pmod(col("o_orderkey"), lit(2)) === parity)
+      .agg(build(col("o_totalprice")).as("state"))
+    val baseDir = s"/tmp/graft_gk/${dirTag(d)}/base"
+    stagedOnce(baseDir) {
+      // the state is ONE summary row (KB-scale); repartition(1) after the
+      // aggregate per the house law (never coalesce above an agg)
+      half(0).repartition(1).write.mode("overwrite").parquet(baseDir)
+    }
+    val qArr = array(qVals.map(lit): _*)
+    val picks = s.read.parquet(baseDir)
+      .unionAll(half(1))
+      .agg(mergeQ(col("state")).as("picks"))
+      .select(posexplode(col("picks")).as(Seq("pos", "pick")))
+      .select(element_at(qArr, col("pos") + 1).as("q"), col("pick"))
+    // rank-interval audit: one corpus pass against the 3 broadcast picks
+    // (the qApproxQuantiles shape), plus the exact percentiles for the
+    // oracle — the sketch pick itself is engine-internal and never emitted
+    val ranks = orders.join(broadcast(picks))
+      .groupBy("q", "pick")
+      .agg(
+        sum(when(col("o_totalprice") < col("pick"), 1L).otherwise(0L))
+          .as("rank_lo"),
+        sum(when(col("o_totalprice") <= col("pick"), 1L).otherwise(0L))
+          .as("rank_hi"),
+        count(lit(1)).as("n"))
+    val exact = orders
+      .agg(percentile(col("o_totalprice"), qArr).as("exact_arr"))
+      .select(posexplode(col("exact_arr")).as(Seq("pos", "exact_p")))
+      .select(element_at(qArr, col("pos") + 1).as("q"), col("exact_p"))
+    ranks.join(broadcast(exact), "q")
+      .select(
+        col("q"),
+        round(col("exact_p"), 4).as("exact_p"),
+        col("n"),
+        {
+          val band = lit(2.0) * lit(eps) * col("n") + 1.0
+          val target = col("q") * col("n")
+          ((col("rank_lo") + 1 <= target + band) &&
+            (col("rank_hi") >= target - band)).as("gk_merge_bound_ok")
+        })
+      .orderBy("q")
+  }
+
   /** Bloom semi-join reduction — the 100 TB shuffle-cutting pattern made
     * explicit as an operator: build a bloom filter over the selective build
     * side (distributed treeAggregate via `stat.bloomFilter`; the filter
@@ -1419,6 +1490,98 @@ object SparkEntry {
       }
     }
     s.table(name).orderBy("window_start", "event_type")
+  }
+
+  /** KILL-AND-RESUME exactly-once (r13 verdict #7; the recovery property
+    * `StreamingSpec` asserts, promoted to an oracled catalog row): a
+    * RocksDB-checkpointed windowed aggregate is STOPPED MID-FEED and a
+    * brand-new query object resumes from the same checkpoint after more
+    * data arrives. The feed is a private copy of the 6 time-ordered
+    * [[stagedEventsByTime]] files, staged in two installments: phase 1
+    * sees only the first half (Trigger.AvailableNow + maxFilesPerTrigger=1
+    * drains it as per-file micro-batches, commits offsets + RocksDB state,
+    * terminates — the deterministic "kill" point, no polling race);
+    * phase 2 drops in the remaining files and starts a NEW query on the
+    * same checkpoint — the file-source offset log must skip every
+    * already-committed file and the state store must resume, not rebuild.
+    * The emitted complete-mode table equals the batch per-day aggregate
+    * ONLY under exactly-once: a replayed phase-1 file double-counts state,
+    * a dropped file under-counts — either hash-fails the DuckDB
+    * differential. `resumed_ok` additionally pins that phase 2's batch ids
+    * CONTINUED phase 1's (recovery, not a from-scratch restart). Both
+    * phases delete + restage per invocation, so the kill/resume cycle is
+    * exercised on every run — that re-staging (a file copy of the KB-scale
+    * feed) is the row's declared cost. At 100 TB this is the property that
+    * makes streaming ingestion restartable at all: executor/driver loss
+    * costs one micro-batch of recomputation, never a double-count.
+    */
+  private def qStreamRestart(s: SparkSession, d: String): DataFrame = {
+    val srcDir = stagedEventsByTime(s, d)
+    val tag = dirTag(d)
+    val root = s"/tmp/graft_stream/$tag/restart"
+    val feed = s"$root/feed"
+    graft.engine.Fs.deleteRecursively(new java.io.File(root))
+    new java.io.File(feed).mkdirs(): Unit
+    val files = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val (firstHalf, rest) = files.splitAt((files.length + 1) / 2)
+    def copyIn(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(
+        f.toPath, new java.io.File(feed, f.getName).toPath): Unit
+    }
+    val name = s"graft_stream_restart_$tag"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(provKey)
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // one phase = one query lifecycle: AvailableNow drains what is
+    // currently in the feed dir as one micro-batch per file, then
+    // terminates — state + offsets live only in the checkpoint between
+    // phases (complete-mode memory sink supports checkpoint recovery:
+    // the sink table is rebuilt from recovered state)
+    def phase(): Long = {
+      val q = s.readStream
+        .schema(EventsPipeline.eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(
+          unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    }
+    val (lastB1, lastB2) =
+      try {
+        copyIn(firstHalf)
+        val b1 = phase() // the mid-feed kill: offsets+state committed, query gone
+        copyIn(rest)
+        val b2 = phase() // a NEW query resumes the same checkpoint
+        (b1, b2)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevPart)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    s.table(name)
+      .withColumn("resumed_ok", lit(lastB2 > lastB1 && lastB1 >= 0))
+      .orderBy("window_start", "event_type")
   }
 
   /** The stateful-streaming seam as a catalog row: per-user running
@@ -6797,10 +6960,12 @@ object SparkEntry {
     * `PlanAuditSpec` pins `dynamicpruning` in the fact scan's partition
     * filters. Aggregates stay in exact integer space.
     */
-  private def qDppJoin(s: SparkSession, d: String): DataFrame = {
-    // the dim must be a real source with a live Filter node: a local
-    // in-memory relation constant-folds its filter away, and without a
-    // selective dim-side predicate Catalyst (correctly) skips DPP
+  /** The campaign-days dim for [[qDppJoin]]/[[qBloomSemijoin]] — staged as
+    * a real parquet source so its selective filter survives as a live
+    * Filter node (a local relation constant-folds it away, and without a
+    * selective dim-side predicate Catalyst correctly skips DPP).
+    */
+  private def dppDim(s: SparkSession, d: String): DataFrame = {
     val dir = s"/tmp/graft_dppdim/${dirTag(d)}/campaign_days"
     stagedOnce(dir) {
       s.createDataFrame(Seq(
@@ -6810,9 +6975,12 @@ object SparkEntry {
         .select(col("dim_day").cast("date").as("dim_date"), col("campaign"))
         .write.mode("overwrite").parquet(dir)
     }
-    val dim = s.read.parquet(dir)
+    s.read.parquet(dir)
+  }
+
+  private def qDppJoin(s: SparkSession, d: String): DataFrame = {
     eventsByDate(s, d)
-      .join(broadcast(dim.filter(col("campaign") =!= "unused")),
+      .join(broadcast(dppDim(s, d).filter(col("campaign") =!= "unused")),
         col("event_date") === col("dim_date"))
       .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
         col("campaign"))
@@ -6820,6 +6988,61 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("event_id")).as("sum_id"))
       .orderBy("day")
+  }
+
+  /** Bloom SEMI-JOIN PUSHDOWN measured against DPP (r13 verdict #7) —
+    * the same selective dim ⋈ partitioned-fact query as [[qDppJoin]],
+    * answered WITHOUT dynamic partition pruning: the dim's join keys are
+    * collapsed into a KB-scale bloom filter at query build (one
+    * metadata-sized dim job), and the probe on the fact's partition
+    * column is attached as a STATIC scan predicate. Because the probe
+    * references ONLY the partition column, Catalyst classifies it as a
+    * PartitionFilter — directory-level pruning at file-listing time, the
+    * same I/O cut DPP achieves with its runtime subquery, minus the
+    * subquery stage (PlanAuditSpec pins `might_contain` inside
+    * PartitionFilters and the absence of `dynamicpruning`). False
+    * positives pass the bloom but are removed by the exact join, so the
+    * answer is identical to [[qDppJoin]]'s — one oracle, two pruning
+    * strategies. Trade-off this row documents: DPP is automatic and
+    * exact but pays a subquery + broadcast exchange at runtime; the
+    * static bloom costs one dim pass up front, admits ~fpp of extra
+    * partitions, and — the 100 TB reason it exists — also works when the
+    * planner DECLINES DPP (non-broadcastable dims, pruning ratio below
+    * `fallbackFilterRatio`, or a filter the subquery rewrite can't see).
+    * DPP is conf-disabled inside the build window (q_cbo_reorder
+    * discipline: plan forced + result cached inside), so the measured
+    * plan carries exactly one pruning mechanism.
+    */
+  private def qBloomSemijoin(s: SparkSession, d: String): DataFrame = {
+    val active = dppDim(s, d).filter(col("campaign") =!= "unused")
+    // bloom over the dim's join keys as epoch-days (bloomFilter wants
+    // long/string); the fact-side probe applies the SAME derivation
+    val epochDay = (c: Column) =>
+      datediff(c, lit("1970-01-01").cast("date")).cast("long")
+    val bytes = GraftFunctions.buildBloom(
+      active.select(epochDay(col("dim_date")).as("k")), "k")
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    val saved = s.conf.getOption(key)
+    try {
+      s.conf.set(key, "false")
+      val df = eventsByDate(s, d)
+        .filter(NativeExpressions.bloom_might_contain(
+          epochDay(col("event_date")), bytes))
+        .join(broadcast(active), col("event_date") === col("dim_date"))
+        .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+          col("campaign"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("sum_id"))
+        .orderBy("day")
+      df.queryExecution.executedPlan // plan inside the no-DPP window
+      df.cache()
+      df.count()
+      df
+    } finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** Small-file compaction — the lakehouse maintenance op a 100 TB table
@@ -8168,6 +8391,7 @@ object SparkEntry {
     "q_sql_udf" -> (qSqlUdf _),
     "q_sql_udtf" -> (qSqlUdtf _),
     "q_dpp_join" -> (qDppJoin _),
+    "q_bloom_semijoin" -> (qBloomSemijoin _),
     "q_audio_headers" -> (qAudioHeaders _),
     "q_dict_encode" -> (qDictEncode _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -8244,6 +8468,7 @@ object SparkEntry {
     "q_dataset_card" -> (qDatasetCard _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_stream_rocksdb" -> (qStreamRocksdb _),
+    "q_stream_restart" -> (qStreamRestart _),
     "q_stream_stats" -> (qStreamStats _),
     "q_stream_tws" -> (qStreamTws _),
     "q_stream_outer_join" -> (qStreamOuterJoin _),
@@ -8409,6 +8634,7 @@ object SparkEntry {
     "q_tpch_q21" -> (qTpchQ21 _),
     "q_dq_rules" -> (qDqRules _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_quantile_merge" -> (qQuantileMerge _),
     "q_tpch_q2" -> (qTpchQ2 _),
     "q_tpch_q9" -> (qTpchQ9 _),
     "q_tpch_q11" -> (qTpchQ11 _),
@@ -8690,6 +8916,18 @@ object SparkEntry {
         |  WHERE u.amount > CAST(0.0 AS DOUBLE)) t
         |ORDER BY priority, tier""".stripMargin,
     "q_dpp_join" ->
+      """WITH dim(dim_day, campaign) AS (VALUES
+        |  ('2024-01-05', 'promo'), ('2024-01-15', 'promo'),
+        |  ('2024-01-25', 'control'))
+        |SELECT strftime(ts, '%Y-%m-%d') AS day, campaign,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |FROM events JOIN dim ON strftime(ts, '%Y-%m-%d') = dim_day
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q_bloom_semijoin: answer-identical to q_dpp_join — the bloom only
+    // changes which partitions are LISTED, never the result
+    "q_bloom_semijoin" ->
       """WITH dim(dim_day, campaign) AS (VALUES
         |  ('2024-01-05', 'promo'), ('2024-01-15', 'promo'),
         |  ('2024-01-25', 'control'))
@@ -9298,6 +9536,18 @@ object SparkEntry {
         |       event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_stream_restart: exactly-once across a kill/resume — the final
+    // complete-mode table equals the batch per-day aggregate only if no
+    // file was replayed or dropped across the checkpoint recovery; the
+    // batch-id continuation verdict is asserted as literal TRUE
+    "q_stream_restart" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT)
+        |         AS window_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value,
+        |       TRUE AS resumed_ok
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q_stream_stats: finite stream driven to completion — final
     // flatMapGroupsWithState state equals the batch per-user aggregate
@@ -11227,6 +11477,25 @@ object SparkEntry {
         |            AS BIGINT) AS sum_cents,
         |       CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
+    // q_quantile_merge: the merged GK picks are sketch-internal, so the
+    // oracle checks the exact percentiles + count and asserts the merge's
+    // rank bound as literal TRUE (the q_approx_quantiles discipline)
+    "q_quantile_merge" ->
+      """SELECT CAST(0.5 AS DOUBLE) AS q,
+        |       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS exact_p,
+        |       CAST(COUNT(*) AS BIGINT) AS n, TRUE AS gk_merge_bound_ok
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(0.9 AS DOUBLE),
+        |       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4),
+        |       CAST(COUNT(*) AS BIGINT), TRUE
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(0.99 AS DOUBLE),
+        |       ROUND(QUANTILE_CONT(o_totalprice, 0.99), 4),
+        |       CAST(COUNT(*) AS BIGINT), TRUE
+        |FROM orders
+        |ORDER BY q""".stripMargin,
     // q_tpch_q2/9/11/16/20: the oracle derives the IDENTICAL partsupp
     // from the observed lineitem pairs (non-negative keys: % == pmod)
     "q_tpch_q2" ->

@@ -95,4 +95,80 @@ object TypedAggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     def outputEncoder: Encoder[Map[String, Long]] = bufferEncoder
   }
+
+  /** A Greenwald–Khanna quantile summary as a FIRST-CLASS mergeable
+    * STATE (completing the store-partials/merge-later family beside the
+    * HLL daily roll-up and the incremental sum-merge): [[GkBuild]]
+    * aggregates raw values into a serializable `GkState` — the
+    * (value, g, delta) tuple array + count that IS the GK summary,
+    * column-encoded so it can be WRITTEN TO PARQUET as a standing
+    * artifact — and [[GkMergeQuery]] re-aggregates stored states by
+    * GK-merging them and answering quantile queries. The engine is
+    * Spark's own `QuantileSummaries` (what `percentile_approx` runs
+    * internally), driven through the public insert/compress/merge/query
+    * surface — the point of the row is the mergeability CONTRACT at the
+    * storage boundary, not a new sketch.
+    */
+  case class GkState(
+      values: Array[Double], gs: Array[Long], deltas: Array[Long],
+      count: Long, relativeError: Double)
+
+  object GkState {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+    def from(qs0: QuantileSummaries): GkState = {
+      val qs = if (qs0.compressed) qs0 else qs0.compress()
+      GkState(qs.sampled.map(_.value), qs.sampled.map(_.g),
+        qs.sampled.map(_.delta), qs.count, qs.relativeError)
+    }
+    def toSummaries(s: GkState): QuantileSummaries = {
+      val stats = Array.tabulate(s.values.length)(i =>
+        QuantileSummaries.Stats(s.values(i), s.gs(i), s.deltas(i)))
+      new QuantileSummaries(QuantileSummaries.defaultCompressThreshold,
+        s.relativeError, stats, s.count, true)
+    }
+  }
+
+  class GkBuild(relativeError: Double)
+      extends Aggregator[Double,
+        org.apache.spark.sql.catalyst.util.QuantileSummaries, GkState] {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    private def comp(q: QuantileSummaries): QuantileSummaries =
+      if (q.compressed) q else q.compress()
+    def zero: QuantileSummaries = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, relativeError)
+    def reduce(b: QuantileSummaries, x: Double): QuantileSummaries =
+      b.insert(x)
+    def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      comp(a).merge(comp(b))
+    def finish(r: QuantileSummaries): GkState = GkState.from(r)
+    def bufferEncoder: Encoder[QuantileSummaries] =
+      Encoders.kryo[QuantileSummaries]
+    def outputEncoder: Encoder[GkState] = Encoders.product[GkState]
+  }
+
+  /** Re-aggregates STORED [[GkState]]s: GK-merge of the summaries, then
+    * the quantile picks at `quantiles` — the roll-up leg that never
+    * rescans raw data.
+    */
+  class GkMergeQuery(quantiles: Seq[Double])
+      extends Aggregator[GkState,
+        org.apache.spark.sql.catalyst.util.QuantileSummaries, Array[Double]] {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    private def comp(q: QuantileSummaries): QuantileSummaries =
+      if (q.compressed) q else q.compress()
+    def zero: QuantileSummaries = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold,
+      QuantileSummaries.defaultRelativeError)
+    def reduce(b: QuantileSummaries, s: GkState): QuantileSummaries =
+      comp(b).merge(GkState.toSummaries(s))
+    def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      comp(a).merge(comp(b))
+    def finish(r: QuantileSummaries): Array[Double] =
+      r.query(quantiles).map(_.toArray).getOrElse(Array.empty)
+    def bufferEncoder: Encoder[QuantileSummaries] =
+      Encoders.kryo[QuantileSummaries]
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
 }

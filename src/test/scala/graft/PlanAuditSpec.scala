@@ -418,6 +418,9 @@ class PlanAuditSpec extends SparkTestBase {
       "q_bootstrap_ci", // the 32-row replicate axis broadcast against the
                         // purchase scan — the bounded map-side expansion
                         // that IS the distributed bootstrap
+      "q_quantile_merge", // the 3-row merged-pick axis broadcast against
+                          // one orders scan (rank-interval audit) — the
+                          // q_bootstrap_ci bounded-expansion shape
       "q_quantile_normalize", // the 9-row decile axis broadcast against the
                               // compact per-source count table (not the
                               // corpus) — the q_bootstrap_ci shape
@@ -796,6 +799,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("RoundRobinPartitioning(1)") ||
       plan.contains("SinglePartition"),
       s"no post-agg single-file repartition found:\n${plan.take(1500)}")
+    assert(df.count() > 0)
+  }
+
+  test("q_bloom_semijoin prunes partitions via a static bloom, not DPP") {
+    // the contrast row to q_dpp_join: the bloom probe references only the
+    // partition column, so Catalyst must classify it as a PartitionFilter
+    // (directory pruning at listing time) and the no-DPP conf window must
+    // keep the runtime subquery out — exactly one pruning mechanism
+    spark.catalog.clearCache() // builder caches; pin wants the raw plan
+    val df = SparkEntry.queries("q_bloom_semijoin")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.split("PartitionFilters: \\[").drop(1)
+      .map(_.takeWhile(_ != ']')).mkString("; ")
+    assert(pf.contains("might_contain"),
+      s"bloom probe did not become a partition filter: [$pf]")
+    assert(!plan.toLowerCase.contains("dynamicpruning"),
+      s"DPP crept back into the bloom row:\n${plan.take(1200)}")
     assert(df.count() > 0)
   }
 
