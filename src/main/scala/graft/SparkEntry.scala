@@ -811,7 +811,8 @@ object SparkEntry {
     val qVals = Seq(0.5, 0.9, 0.99)
     val eps = 1.0 / 10000
     val build = udaf(new TypedAggregates.GkBuild(eps))
-    val mergeQ = udaf(new TypedAggregates.GkMergeQuery(qVals))
+    val mergeQ = udaf(new TypedAggregates.GkMergeQuery(qVals),
+      org.apache.spark.sql.Encoders.product[TypedAggregates.GkState])
     val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
     def half(parity: Int) = orders
       .filter(pmod(col("o_orderkey"), lit(2)) === parity)
@@ -823,9 +824,11 @@ object SparkEntry {
       half(0).repartition(1).write.mode("overwrite").parquet(baseDir)
     }
     val qArr = array(qVals.map(lit): _*)
+    // a product input encoder is flattened top-level: one arg per field
     val picks = s.read.parquet(baseDir)
       .unionAll(half(1))
-      .agg(mergeQ(col("state")).as("picks"))
+      .agg(mergeQ(col("state.values"), col("state.gs"), col("state.deltas"),
+        col("state.count"), col("state.relativeError")).as("picks"))
       .select(posexplode(col("picks")).as(Seq("pos", "pick")))
       .select(element_at(qArr, col("pos") + 1).as("q"), col("pick"))
     // rank-interval audit: one corpus pass against the 3 broadcast picks

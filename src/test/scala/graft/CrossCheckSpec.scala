@@ -400,6 +400,57 @@ class CrossCheckSpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("labelPropagation on a DIRECTED chain keeps every node (r13 advice)") {
+    import org.apache.spark.sql.functions.col
+    // non-symmetric input 1→2→3: before the fix, node 1 (src-only, no
+    // in-edges) vanished from the result and node 3's round-1 vote came
+    // from a labelless dst-only row. Now: the node universe is src ∪ dst
+    // and vote-less nodes keep their current label.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r1 = graft.ext.Components.labelPropagation(edges, "a", "b", 1)
+      .as[(Long, Long)].collect().toMap
+    // round 1: 2 adopts 1's label, 3 adopts 2's INITIAL label, 1 keeps own
+    assert(r1 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"after 1 round: $r1")
+    val r2 = graft.ext.Components.labelPropagation(edges, "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    // round 2: 3 adopts 2's propagated label — the whole chain converges
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"after 2 rounds: $r2")
+    // symmetric-input results are bit-identical to the pre-fix operator
+    // (the coalesce never fires) — covered by the bridged-triangles test
+  }
+
+  test("GK summary states merge across the serialization boundary (q_quantile_merge engine)") {
+    import graft.functions.TypedAggregates
+    // pure-JVM contract check: K independently-built GkStates, round-
+    // tripped through the column encoding, GK-merged == rank-bounded
+    // against the exact distribution (2·ε·n + 1, the catalog row's band)
+    val eps = 1.0 / 10000
+    val n = 40000
+    // deterministic pseudo-shuffle of 1..n (LCG step, coprime stride)
+    val values = (0 until n).map(i => ((i * 48271L) % n + 1).toDouble)
+    val build = new TypedAggregates.GkBuild(eps)
+    val states = values.grouped(n / 4 + 1).map { part =>
+      val qs = part.foldLeft(build.zero)((b, v) => build.reduce(b, v))
+      build.finish(qs) // GkState — the parquet-encodable form
+    }.toSeq
+    assert(states.size == 4)
+    val mergeQ = new TypedAggregates.GkMergeQuery(Seq(0.5, 0.9, 0.99))
+    val merged = states.foldLeft(mergeQ.zero)((b, s) => mergeQ.reduce(b, s))
+    val picks = mergeQ.finish(merged)
+    assert(picks.length == 3)
+    val sorted = values.sorted
+    Seq(0.5, 0.9, 0.99).zip(picks).foreach { case (q, pick) =>
+      val rankLo = sorted.count(_ < pick)
+      val rankHi = sorted.count(_ <= pick)
+      val band = 2.0 * eps * n + 1
+      val target = q * n
+      assert(rankLo + 1 <= target + band && rankHi >= target - band,
+        s"q=$q pick=$pick ranks [$rankLo,$rankHi] outside $target ± $band")
+    }
+    // the merged count must be exactly the union (no mass lost/duplicated)
+    assert(merged.count == n.toLong)
+  }
+
   test("symmetric-delete edit pairs equal the brute-force same-group set (q_edit_pairs)") {
     import org.apache.spark.sql.functions._
     // exact brute force: full same-nation cross product, bounded levenshtein

@@ -812,7 +812,7 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     val pf = plan.split("PartitionFilters: \\[").drop(1)
       .map(_.takeWhile(_ != ']')).mkString("; ")
-    assert(pf.contains("might_contain"),
+    assert(pf.toLowerCase.replace("_", "").contains("mightcontain"),
       s"bloom probe did not become a partition filter: [$pf]")
     assert(!plan.toLowerCase.contains("dynamicpruning"),
       s"DPP crept back into the bloom row:\n${plan.take(1200)}")
