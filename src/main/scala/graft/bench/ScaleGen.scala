@@ -51,7 +51,6 @@ object ScaleGen {
     val uPart = unit("part", "p_partkey")
     val uOrd = unit("orders", "o_orderkey")
     val uEv = unit("events", "event_id")
-    val uUser = unit("events", "user_id")
     val uDoc = unit("documents", "doc_id")
     val uVec = unit("embeddings", "vec_id")
 
@@ -79,7 +78,10 @@ object ScaleGen {
     replicate("orders", Map("o_orderkey" -> uOrd, "o_custkey" -> uCust))
     replicate("lineitem", Map(
       "l_orderkey" -> uOrd, "l_partkey" -> uPart, "l_suppkey" -> uSupp))
-    replicate("events", Map("event_id" -> uEv, "user_id" -> uUser))
+    // user_id shares the CUSTOMER key domain (q_stream_enrich left-joins
+    // events.user_id = c_custkey), so it shifts by the customer unit —
+    // a per-table unit here would orphan every replica's users
+    replicate("events", Map("event_id" -> uEv, "user_id" -> uCust))
     replicate("documents", Map("doc_id" -> uDoc), (df, i) => {
       val suffix = s" repz$i"
       df.withColumn("text", concat(col("text"), lit(suffix)))
