@@ -1518,6 +1518,65 @@ object SparkEntry {
     * makes streaming ingestion restartable at all: executor/driver loss
     * costs one micro-batch of recomputation, never a double-count.
     */
+  /** STATE-STORE READER (Spark 4 state data source): the state of a
+    * checkpointed streaming aggregate read back as a BATCH DataFrame —
+    * `format("statestore")` over the checkpoint path, no stream replay,
+    * no query restart. At 100 TB this is the operational surface state
+    * debugging lives on: audit what a long-running job has accumulated
+    * (skewed keys, leaked windows, watermark bugs) directly from the
+    * checkpoint, while the query keeps running. The staged fixture is a
+    * write-once per-corpus checkpoint (a 1-day windowed count+sum driven
+    * to completion); the row reads `key.window/key.event_type` and the
+    * raw agg BUFFER (`value.count`, `value.sum`) out of the store and
+    * must reproduce the batch aggregate exactly — state content, not
+    * sink output, is what the oracle checks. `op_ok` additionally pins
+    * the `state-metadata` source (operator name + a committed batch), a
+    * 1-row driver read. HDFS-backed provider here; the RocksDB rows
+    * ([[qStreamRocksdb]]/[[qStreamRestart]]) cover the scale backend —
+    * the reader API is provider-agnostic.
+    */
+  private def qStateReader(s: SparkSession, d: String): DataFrame = {
+    val staged = stagedEvents(s, d)
+    val tag = dirTag(d)
+    val root = s"/tmp/graft_stream/$tag/statesrc"
+    val ckpt = s"$root/ckpt"
+    stagedOnceGuarded(root)(new java.io.File(root, "_STAGED").exists()) {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream
+          .schema(EventsPipeline.eventSchema)
+          .parquet(staged)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(s"graft_statesrc_$tag")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_STAGED"), Array.emptyByteArray): Unit
+    }
+    // 1-row operator-metadata read (driver-side, KB-bounded): the
+    // state-metadata source names the stateful operator and its committed
+    // batch range — the "which stores exist in this checkpoint" probe an
+    // operator audit starts from
+    val md = s.read.format("state-metadata").load(ckpt)
+      .select("operatorName", "maxBatchId").head()
+    val opOk = md.getString(0) == "stateStoreSave" && md.getLong(1) >= 0L
+    s.read.format("statestore").load(ckpt)
+      .select(
+        unix_timestamp(col("key.window.start")).as("window_start"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n_events"),
+        round(col("value.sum"), 4).as("sum_value"),
+        lit(opOk).as("op_ok"))
+      .orderBy("window_start", "event_type")
+  }
+
   private def qStreamRestart(s: SparkSession, d: String): DataFrame = {
     val srcDir = stagedEventsByTime(s, d)
     val tag = dirTag(d)
@@ -6070,6 +6129,29 @@ object SparkEntry {
         "floor" -> 250.0))
   }
 
+  /** `IDENTIFIER(:param)` — the injection-safe surface for dynamic NAMES
+    * (the piece [[qParamQuery]]'s value binds cannot cover: a parameter
+    * marker binds a literal, never a table or column reference, so
+    * templated object names historically meant string concatenation —
+    * the classic injection hole in multi-tenant catalogs where the
+    * tenant picks the table). `IDENTIFIER(:t)` parses the bound STRING
+    * as a name at analysis time: it resolves or fails as an identifier,
+    * and can never smuggle a predicate or an extra statement. Same
+    * grouped scan as any static query once resolved — pure parse-time
+    * surface, zero plan cost.
+    */
+  private def qIdentifierParam(s: SparkSession, d: String): DataFrame = {
+    val ord = tempView(s, d, "graft_orders", Tables.orders(s, d))
+    s.sql(
+      s"""SELECT o_orderpriority,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       MAX(IDENTIFIER(:c)) AS max_price
+         |FROM IDENTIFIER(:t)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+      Map("t" -> ord, "c" -> "o_totalprice"))
+  }
+
   /** Typed custom aggregate (the reference's `aggregator_fn_t` seam →
     * `Aggregator[IN,BUF,OUT]`, SURVEY §2.3): Welford mean/variance.
     */
@@ -8531,6 +8613,8 @@ object SparkEntry {
     "q_sql_script" -> (qSqlScript _),
     "q_group_by_all" -> (qGroupByAll _),
     "q_param_query" -> (qParamQuery _),
+    "q_identifier_param" -> (qIdentifierParam _),
+    "q_state_reader" -> (qStateReader _),
     "q_collation" -> (qCollation _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -12503,6 +12587,24 @@ object SparkEntry {
         |  AND c_acctbal >= CAST(250.0 AS DOUBLE)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // q_identifier_param: the same grouped scan with the names inline
+    "q_identifier_param" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       MAX(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q_state_reader: state content == the batch aggregate; the
+    // state-metadata probe asserted as literal TRUE
+    "q_state_reader" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT)
+        |         AS window_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS sum_value,
+        |       TRUE AS op_ok
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q_sql_pipe: the classic-syntax equivalent of the pipe pipeline
     "q_sql_pipe" ->
       """SELECT o_orderpriority,
