@@ -72,7 +72,13 @@ object ScaleGen {
 
     rd("region").write.mode("overwrite").parquet(s"$out/region.parquet")
     rd("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
-    replicate("customer", Map("c_custkey" -> uCust))
+    // c_name feeds the edit-distance near-dup family: a verbatim replica
+    // would put 10 IDENTICAL copies of every name in each (nation, name)
+    // bucket — candidate pairs AND true pairs grow ×N² instead of ×N, a
+    // fixture artifact, not a workload property. The suffix (> maxDist
+    // chars) keeps near-dup structure per-replica, like documents.text.
+    replicate("customer", Map("c_custkey" -> uCust), (df, i) =>
+      df.withColumn("c_name", concat(col("c_name"), lit(s" rz$i"))))
     replicate("supplier", Map("s_suppkey" -> uSupp))
     replicate("part", Map("p_partkey" -> uPart))
     replicate("orders", Map("o_orderkey" -> uOrd, "o_custkey" -> uCust))
