@@ -6961,6 +6961,30 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** Custom DataSourceV2 READ path as a catalog row
+    * ([[graft.sources.v2.SeqSource]] — the connector seam itself): a
+    * range predicate on `id` and a 2-column projection run against the
+    * synthetic source, and the SOURCE must do the work — the id filters
+    * fold into the generated range (no residual FilterExec re-checks
+    * them, no out-of-range row is ever materialized), the projection
+    * prunes to the requested columns, post-pushdown statistics feed the
+    * planner, and the surviving range splits into 8 input partitions.
+    * PlanAuditSpec pins the folded range + pruned column list in the
+    * scan description. The mod7 predicate is deliberately NOT consumable
+    * by the source — it must survive as the plan's only row-level
+    * filter, pinning the residual-filter contract. The oracle recomputes
+    * the row formula arithmetically over generate_series.
+    */
+  private def qDsv2Source(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.v2.SeqSource")
+      .option("n", 1000000L).option("slices", 8).load()
+      .filter(col("id") >= 250000L && col("id") < 750000L &&
+        col("mod7") =!= 3L)
+      .groupBy(col("mod7"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("mod7")
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -8485,6 +8509,7 @@ object SparkEntry {
     "q_multi_distinct" -> (qMultiDistinct _),
     "q_cogroup" -> (qCogroup _),
     "q_binary_source" -> (qBinarySource _),
+    "q_dsv2_source" -> (qDsv2Source _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -9404,6 +9429,15 @@ object SparkEntry {
         |       CAST(1 + 30 * range AS BIGINT) AS height,
         |       CAST(29 AS BIGINT) AS n_bytes
         |FROM range(16) ORDER BY shard""".stripMargin,
+    // q_dsv2_source: the synthetic source's row formula replayed
+    // arithmetically over the same pushed-down range
+    "q_dsv2_source" ->
+      """SELECT CAST(id % 7 AS BIGINT) AS mod7,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM((id * 37) % 10000) AS BIGINT) AS sum_cents
+        |FROM (SELECT range AS id FROM range(250000, 750000))
+        |WHERE id % 7 <> 3
+        |GROUP BY 1 ORDER BY mod7""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

@@ -819,6 +819,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("q_dsv2_source: pushdown reaches the custom connector") {
+    // the DataSourceV2 contract, pinned in the scan description the
+    // source emits: id range FOLDED into the generated range, the id
+    // column PRUNED away (nothing above the scan needs it once the
+    // filters are consumed), and the non-consumable mod7 predicate
+    // surviving as the plan's only residual row filter
+    val df = SparkEntry.queries("q_dsv2_source")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SeqScan(range=[250000,750000)"),
+      s"id filters not folded into the source range:\n${plan.take(1200)}")
+    val cols = "cols=([a-z0-9,]+)".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(cols.contains("mod7,cents"),
+      s"column pruning did not reach the source: cols=$cols")
+    val filters = plan.linesIterator.count(_.trim.startsWith("+- Filter"))
+    assert(filters <= 1,
+      s"consumed id filters re-checked as residual FilterExec:\n${plan.take(1200)}")
+    assert(df.count() == 6)
+  }
+
   test("incremental-agg base staging keeps the partial aggregate parallel") {
     // same law as the partsupp pin: the corpus-wide partial aggregate
     // must reduce on a multi-partition exchange; only the KB-scale
