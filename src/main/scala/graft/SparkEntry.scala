@@ -6985,6 +6985,27 @@ object SparkEntry {
         sum(col("cents")).as("sum_cents"))
       .orderBy("mod7")
 
+  /** DSv2 AGGREGATE pushdown ([[graft.sources.v2.SeqSource]] again, one
+    * seam deeper than [[qDsv2Source]]): COUNT(*)/SUM/MIN/MAX over the id
+    * range push INTO the source, which answers them in closed form —
+    * count = hi−lo, the arithmetic series for sum, the range ends for
+    * min/max — without generating a single data row. Complete pushdown:
+    * the plan contains NO aggregate operator, just a project over the
+    * 1-row scan (PlanAuditSpec pins the `SeqAggScan` description and the
+    * absence of HashAggregate). This is what a 100 TB source does with
+    * its zone-map/footer statistics: a full-table COUNT/MIN/MAX is a
+    * metadata read, not a scan. Aggregates the source has no closed form
+    * for (mod7, cents) are DECLINED and fall back to the row path — the
+    * decline leg of the contract. The oracle replays the same aggregates
+    * over generate_series.
+    */
+  private def qDsv2AggPushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.v2.SeqSource")
+      .option("n", 1000000L).option("slices", 8).load()
+      .filter(col("id") >= 100000L && col("id") < 900000L)
+      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -8510,6 +8531,7 @@ object SparkEntry {
     "q_cogroup" -> (qCogroup _),
     "q_binary_source" -> (qBinarySource _),
     "q_dsv2_source" -> (qDsv2Source _),
+    "q_dsv2_agg_pushdown" -> (qDsv2AggPushdown _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -9438,6 +9460,13 @@ object SparkEntry {
         |FROM (SELECT range AS id FROM range(250000, 750000))
         |WHERE id % 7 <> 3
         |GROUP BY 1 ORDER BY mod7""".stripMargin,
+    // q_dsv2_agg_pushdown: the closed forms replayed by brute force
+    "q_dsv2_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(id) AS BIGINT) AS sum_id,
+        |       CAST(MIN(id) AS BIGINT) AS min_id,
+        |       CAST(MAX(id) AS BIGINT) AS max_id
+        |FROM (SELECT range AS id FROM range(100000, 900000))""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

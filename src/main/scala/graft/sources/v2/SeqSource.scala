@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,11 +79,13 @@ class SeqTable(n: Long, slices: Int) extends Table with SupportsRead {
 class SeqScanBuilder(n: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = n // exclusive
   private var consumed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.schema
+  private var aggFns: Option[Array[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (taken, residual) = filters.partition {
@@ -101,8 +104,86 @@ class SeqScanBuilder(n: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = consumed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    SeqScan(math.max(lo, 0L), math.min(hi, n), slices, required)
+
+  // ---- AGGREGATE pushdown: COUNT(*) / SUM / MIN / MAX over `id` have
+  // CLOSED FORMS on a range — the source answers them in O(1) without
+  // generating a single row (what a 100 TB source does with its own
+  // zone-map/footer statistics). Complete pushdown: Spark plans NO
+  // aggregate operator at all, just a project over the 1-row scan.
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+    case _ => false
+  }
+  private def fnOf(f: AggregateFunc): Option[String] = f match {
+    case _: CountStar => Some("count")
+    case s: Sum if !s.isDistinct && isId(s.column) => Some("sum")
+    case m: Min if isId(m.column) => Some("min")
+    case m: Max if isId(m.column) => Some("max")
+    case _ => None // mod7/cents aggregates have no closed form — declined
+  }
+  private def handled(agg: Aggregation): Option[Array[String]] =
+    if (agg.groupByExpressions.nonEmpty) None
+    else {
+      val fns = agg.aggregateExpressions.map(fnOf)
+      if (fns.nonEmpty && fns.forall(_.isDefined)) Some(fns.map(_.get))
+      else None
+    }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    handled(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    handled(agg) match {
+      case Some(fns) => aggFns = Some(fns); true
+      case None => false
+    }
+
+  override def build(): Scan = {
+    val (l, h) = (math.max(lo, 0L), math.min(hi, n))
+    aggFns match {
+      case Some(fns) => SeqAggScan(l, h, fns)
+      case None => SeqScan(l, h, slices, required)
+    }
+  }
+}
+
+/** The aggregate-pushdown scan: one partition, one row, closed-form
+  * answers over `[lo, hi)` — `count = hi−lo`, `sum(id)` by the arithmetic
+  * series, `min/max` the range ends (SQL-null on an empty range).
+  */
+case class SeqAggScan(lo: Long, hi: Long, fns: Array[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    fns.zipWithIndex.map { case (f, i) =>
+      StructField(s"${f}_$i", LongType, nullable = f != "count")
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SeqAggScan(range=[$lo,$hi), aggs=${fns.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private val localFns = fns
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val r = p.asInstanceOf[SeqRange]
+          private var emitted = false
+          override def next(): Boolean = { val f = !emitted; emitted = true; f }
+          override def get(): InternalRow = {
+            val cnt = math.max(r.until - r.from, 0L)
+            def closed(f: String): Any = f match {
+              case "count" => cnt
+              case _ if cnt == 0 => null // SQL aggregate over empty input
+              case "sum" => (r.from + r.until - 1) * cnt / 2
+              case "min" => r.from
+              case "max" => r.until - 1
+            }
+            new GenericInternalRow(localFns.map(closed))
+          }
+          override def close(): Unit = ()
+        }
+    }
 }
 
 case class SeqRange(from: Long, until: Long) extends InputPartition

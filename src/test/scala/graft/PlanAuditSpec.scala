@@ -838,6 +838,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() == 6)
   }
 
+  test("q_dsv2_agg_pushdown: the source answers the aggregates, no agg operator planned") {
+    // complete aggregate pushdown: the plan must be a bare Project over
+    // the 1-row SeqAggScan — any *Aggregate operator means Spark
+    // recomputed what the source already answered in closed form
+    val df = SparkEntry.queries("q_dsv2_agg_pushdown")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SeqAggScan(range=[100000,900000)"),
+      s"aggregates not pushed into the source:\n${plan.take(1200)}")
+    assert(!plan.contains("Aggregate"),
+      s"an aggregate operator survived complete pushdown:\n${plan.take(1200)}")
+    // the decline leg: grouped/mod7 aggregates must fall back to the row
+    // path (SeqScan), never a wrong closed form
+    val declined = SparkEntry.queries("q_dsv2_source")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(declined.contains("SeqScan(") && !declined.contains("SeqAggScan"),
+      s"grouped aggregate wrongly claimed by the source:\n${declined.take(800)}")
+    assert(df.count() == 1)
+  }
+
   test("incremental-agg base staging keeps the partial aggregate parallel") {
     // same law as the partsupp pin: the corpus-wide partial aggregate
     // must reduce on a multi-partition exchange; only the KB-scale
