@@ -1560,6 +1560,14 @@ object SparkEntry {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(root, "_STAGED"), Array.emptyByteArray): Unit
     }
+    // The state source's partition readers look up the driver's
+    // StateStoreCoordinator RPC endpoint, which only exists once
+    // something streaming-side created it — true in the JVM that staged
+    // the checkpoint, FALSE in a fresh batch-only session reading the
+    // standing artifact (RpcEndpointNotFoundException from loadMap's
+    // snapshot-upload report). Touch the manager's lazy coordinator so a
+    // checkpoint-only session can read state too.
+    org.apache.spark.sql.graftshim.StateCoordinatorShim.ensure(s)
     // 1-row operator-metadata read (driver-side, KB-bounded): the
     // state-metadata source names the stateful operator and its committed
     // batch range — the "which stores exist in this checkpoint" probe an
