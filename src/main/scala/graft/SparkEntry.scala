@@ -7014,6 +7014,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"),
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
 
+  /** DSv2 TopN pushdown (the third connector leg):
+    * `ORDER BY id DESC LIMIT 5` pushes COMPLETELY into the source — the
+    * sequence is totally ordered by id, so the top-5 is the last 5 of
+    * the filter-folded range, answered by range arithmetic and emitted
+    * in order from one partition. The plan keeps NO Sort, TakeOrdered or
+    * Limit operator (PlanAuditSpec pins the `ordered=desc` 5-row range
+    * in the scan description and the operators' absence); TopN on a
+    * non-monotone column (mod7/cents) is DECLINED and falls back to
+    * Spark's TakeOrdered — the decline leg. At 100 TB this is "give me
+    * the newest k records" answered from source order metadata instead
+    * of a full scan + global top-k. LIMIT/OFFSET pushdown ride the same
+    * range arithmetic ([[graft.sources.v2.SeqScanBuilder]]).
+    */
+  private def qDsv2TopN(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.v2.SeqSource")
+      .option("n", 1000000L).option("slices", 8).load()
+      .filter(col("id") >= 100000L && col("id") < 900000L)
+      .orderBy(col("id").desc)
+      .limit(5)
+      .select(col("id"), col("cents"))
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -8540,6 +8561,7 @@ object SparkEntry {
     "q_binary_source" -> (qBinarySource _),
     "q_dsv2_source" -> (qDsv2Source _),
     "q_dsv2_agg_pushdown" -> (qDsv2AggPushdown _),
+    "q_dsv2_topn" -> (qDsv2TopN _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -9475,6 +9497,12 @@ object SparkEntry {
         |       CAST(MIN(id) AS BIGINT) AS min_id,
         |       CAST(MAX(id) AS BIGINT) AS max_id
         |FROM (SELECT range AS id FROM range(100000, 900000))""".stripMargin,
+    // q_dsv2_topn: the pushed top-5 replayed by brute force
+    "q_dsv2_topn" ->
+      """SELECT CAST(id AS BIGINT) AS id,
+        |       CAST((id * 37) % 10000 AS BIGINT) AS cents
+        |FROM (SELECT range AS id FROM range(100000, 900000))
+        |ORDER BY id DESC LIMIT 5""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

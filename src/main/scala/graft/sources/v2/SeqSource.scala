@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,12 +81,16 @@ class SeqScanBuilder(n: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownOffset
+    with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = n // exclusive
   private var consumed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.schema
   private var aggFns: Option[Array[String]] = None
+  private var orderedDesc: Option[Boolean] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (taken, residual) = filters.partition {
@@ -137,11 +142,40 @@ class SeqScanBuilder(n: Long, slices: Int)
       case None => false
     }
 
+  // ---- LIMIT / OFFSET / TopN pushdown: the generated sequence is
+  // totally ordered by id, so all three are RANGE ARITHMETIC — limit
+  // truncates the range end, offset advances the start, and an
+  // ORDER BY id [DESC] LIMIT k is the first/last k of the (already
+  // filter-folded) range. All COMPLETE (isPartiallyPushed = false): no
+  // Limit, Offset, Sort or TakeOrdered operator survives in the plan.
+  // TopN on any other ordering key (mod7/cents are not monotone in id)
+  // is DECLINED and Spark keeps its own TakeOrdered.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit); true
+  }
+  override def pushOffset(offset: Int): Boolean = {
+    lo = math.min(lo + offset, hi); true
+  }
+  override def isPartiallyPushed(): Boolean = false
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o) if isId(o.expression) =>
+        if (o.direction == SortDirection.ASCENDING) {
+          hi = math.min(hi, lo + limit)
+          orderedDesc = Some(false)
+        } else {
+          lo = math.max(lo, hi - limit)
+          orderedDesc = Some(true)
+        }
+        true
+      case _ => false
+    }
+
   override def build(): Scan = {
     val (l, h) = (math.max(lo, 0L), math.min(hi, n))
     aggFns match {
       case Some(fns) => SeqAggScan(l, h, fns)
-      case None => SeqScan(l, h, slices, required)
+      case None => SeqScan(l, h, slices, required, orderedDesc)
     }
   }
 }
@@ -188,14 +222,19 @@ case class SeqAggScan(lo: Long, hi: Long, fns: Array[String])
 
 case class SeqRange(from: Long, until: Long) extends InputPartition
 
-case class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
+case class SeqScan(
+    lo: Long, hi: Long, slices: Int, required: StructType,
+    orderedDesc: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // the plan string carries the folded range + surviving columns — what
   // PlanAuditSpec pins to prove the pushdown reached the source
-  override def description(): String =
-    s"SeqScan(range=[$lo,$hi), cols=${required.fieldNames.mkString(",")})"
+  override def description(): String = {
+    val ord = orderedDesc.map(d =>
+      s", ordered=${if (d) "desc" else "asc"}").getOrElse("")
+    s"SeqScan(range=[$lo,$hi), cols=${required.fieldNames.mkString(",")}$ord)"
+  }
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = math.max(hi - lo, 0L)
     override def sizeInBytes(): util.OptionalLong =
@@ -205,22 +244,28 @@ case class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val total = math.max(hi - lo, 0L)
     if (total == 0) return Array.empty
-    val per = (total + slices - 1) / slices
-    (0 until slices).iterator
+    // a completely-pushed TopN must emit its rows IN ORDER — one
+    // partition (the surviving range is at most the TopN limit anyway)
+    val effSlices = if (orderedDesc.isDefined) 1 else slices
+    val per = (total + effSlices - 1) / effSlices
+    (0 until effSlices).iterator
       .map(i => SeqRange(lo + i * per, math.min(lo + (i + 1) * per, hi)))
       .filter(r => r.until > r.from) // out-of-range slices never planned
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required.fieldNames)
+    new SeqReaderFactory(required.fieldNames, orderedDesc.contains(true))
 }
 
-class SeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+class SeqReaderFactory(cols: Array[String], desc: Boolean)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[SeqRange]
     new PartitionReader[InternalRow] {
-      private var cur = r.from - 1
-      override def next(): Boolean = { cur += 1; cur < r.until }
+      private var cur = if (desc) r.until else r.from - 1
+      override def next(): Boolean =
+        if (desc) { cur -= 1; cur >= r.from }
+        else { cur += 1; cur < r.until }
       override def get(): InternalRow =
         new GenericInternalRow(
           cols.map(c => SeqSource.colValue(c, cur): Any))

@@ -857,6 +857,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() == 1)
   }
 
+  test("q_dsv2_topn: ORDER BY id DESC LIMIT 5 answered by source range arithmetic") {
+    val df = SparkEntry.queries("q_dsv2_topn")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SeqScan(range=[899995,900000)") &&
+      plan.contains("ordered=desc"),
+      s"TopN not folded into the source range:\n${plan.take(1200)}")
+    assert(!plan.contains("Sort") && !plan.contains("TakeOrdered") &&
+      !plan.contains("Limit"),
+      s"a sort/limit operator survived complete TopN pushdown:\n${plan.take(1200)}")
+    // rows arrive in the pushed order from the single ordered partition
+    val ids = df.collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(899999L, 899998L, 899997L, 899996L, 899995L), ids.toString)
+  }
+
   test("incremental-agg base staging keeps the partial aggregate parallel") {
     // same law as the partsupp pin: the corpus-wide partial aggregate
     // must reduce on a multi-partition exchange; only the KB-scale
