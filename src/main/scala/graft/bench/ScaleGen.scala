@@ -75,10 +75,15 @@ object ScaleGen {
     // c_name feeds the edit-distance near-dup family: a verbatim replica
     // would put 10 IDENTICAL copies of every name in each (nation, name)
     // bucket — candidate pairs AND true pairs grow ×N² instead of ×N, a
-    // fixture artifact, not a workload property. The suffix (> maxDist
-    // chars) keeps near-dup structure per-replica, like documents.text.
+    // fixture artifact, not a workload property. The replica tags must be
+    // PAIRWISE > maxDist apart, not merely non-empty: the r14 single-digit
+    // tag (" rz$i") left any two replicas of one name at lev=1 — every
+    // 10-replica family became 45 true pairs, ×N² output growth measured
+    // as a phantom 4× wall slope. The repeated-digit tag ("000" vs "111" =
+    // lev 3 > 2) keeps cross-replica distance above the q_edit_pairs
+    // maxDist while preserving within-replica near-dup structure.
     replicate("customer", Map("c_custkey" -> uCust), (df, i) =>
-      df.withColumn("c_name", concat(col("c_name"), lit(s" rz$i"))))
+      df.withColumn("c_name", concat(col("c_name"), lit(s" rz$i$i$i"))))
     replicate("supplier", Map("s_suppkey" -> uSupp))
     replicate("part", Map("p_partkey" -> uPart))
     replicate("orders", Map("o_orderkey" -> uOrd, "o_custkey" -> uCust))
@@ -86,7 +91,16 @@ object ScaleGen {
       "l_orderkey" -> uOrd, "l_partkey" -> uPart, "l_suppkey" -> uSupp))
     // user_id shares the CUSTOMER key domain (q_stream_enrich left-joins
     // events.user_id = c_custkey), so it shifts by the customer unit —
-    // a per-table unit here would orphan every replica's users
+    // a per-table unit here would orphan every replica's users. That only
+    // holds if every user_id actually lies inside [0, max(c_custkey)]:
+    // an out-of-domain id would collide with another replica's shifted
+    // range, silently MERGING users across replicas (distorting
+    // distinct-user counts and join fan-out) — fail loudly instead
+    // (ADVICE r14).
+    val maxUser = rd("events").agg(max(col("user_id"))).first().getLong(0)
+    require(maxUser < uCust,
+      s"events.user_id domain ($maxUser) exceeds customer key unit ($uCust): " +
+        "replica shift by uCust would collide user ids across replicas")
     replicate("events", Map("event_id" -> uEv, "user_id" -> uCust))
     replicate("documents", Map("doc_id" -> uDoc), (df, i) => {
       val suffix = s" repz$i"

@@ -44,6 +44,12 @@ object GraftSession {
       // it misestimates as small. Enable per-run when the workload has the
       // selective-dim pattern.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", sys.env.getOrElse("SPARK_GRAFT_BLOOM", "false"))
+      // spark.sql.objectHashAggregate.sortBased.fallbackThreshold stays at
+      // its 128-group default: measured on the edit-pairs bucket gather
+      // (millions of mostly-singleton collect_list groups), hash-mode
+      // object aggregation was 2× MORE task time than the sort-based
+      // fallback (per-group ArrayBuffer churn beats one radix sort), and
+      // the sort path is the spill-safe one anyway.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -95,15 +95,19 @@ object Dedup {
     */
   private val capSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
-    // Opt-in HARD failure for the under-sized-key-space mode: with
-    // `graft.capAudit.failFraction` set (e.g. 0.5), the drop fraction is
-    // checked EAGERLY — one extra aggregation job over the bucketed frame
-    // per capped query — and a breach throws at query-build time instead of
-    // only warning after the fact. (The observe-based stderr warning below
-    // is free and always on, but a QueryExecutionListener cannot fail a
-    // query that already succeeded; pipelines that must not silently lose
-    // candidate mass pay the audit job for the guarantee.)
+  /** Opt-in HARD failure for the under-sized-key-space mode: with
+    * `graft.capAudit.failFraction` set (e.g. 0.5), the drop fraction is
+    * checked EAGERLY — one extra aggregation job over the bucketed frame
+    * per capped query — and a breach throws at query-build time instead of
+    * only warning after the fact. (The observe-based stderr warning in
+    * [[capBuckets]] is free and always on, but a QueryExecutionListener
+    * cannot fail a query that already succeeded; pipelines that must not
+    * silently lose candidate mass pay the audit job for the guarantee.)
+    * Shared by the window-shaped [[capBuckets]] and the aggregate-shaped
+    * ceiling inside [[editDistancePairs]].
+    */
+  private def capAuditEager(
+      bucketed: DataFrame, keyCol: String, maxBucket: Int): Unit = {
     bucketed.sparkSession.conf.getOption("graft.capAudit.failFraction")
       .map { raw =>
         // fail at the conf, not three jobs later with a bare
@@ -132,6 +136,10 @@ object Dedup {
             "under-sized for this corpus; raise planes/bands or maxBucket " +
             "(see Dedup.bucketStats for the full audit)")
     }
+  }
+
+  private def capBuckets(bucketed: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
+    capAuditEager(bucketed, keyCol, maxBucket)
     val sized = bucketed
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col(keyCol))))
       // denominator = CANDIDATE rows (bucket size ≥ 2): in a real corpus
@@ -602,10 +610,24 @@ object Dedup {
     * (SymSpell's candidate scheme): every row emits the 64-bit hashes of
     * all ≤`maxDist`-deletion variants of `strCol`
     * ([[graft.functions.NativeExpressions.DeletionHashes]] — complete for
-    * lev ≤ maxDist by the alignment argument in its doc), candidates are an
-    * id-only equi-join per (group, variant) bucket, and every candidate is
-    * verified with the exact banded levenshtein. Output: (id_a, id_b,
-    * dist), id_a < id_b, restricted to pairs agreeing on `groupCols`.
+    * lev ≤ maxDist by the alignment argument in its doc), each (group,
+    * variant) bucket is gathered by ONE aggregation, pairs are enumerated
+    * inside the bucket, and every candidate is verified with the exact
+    * banded levenshtein. Output: (id_a, id_b, dist), id_a < id_b,
+    * restricted to pairs agreeing on `groupCols`.
+    *
+    * Plan shape (r14 verdict: this row's old self-join pipeline was the
+    * bench's one perf-weak row): the posting table crosses exactly ONE
+    * exchange — the `groupBy(bucket)` shuffle that gathers each bucket's
+    * members into an array — and pair enumeration + verify run as two
+    * stacked `explode`s and a codegen'd filter over that aggregate's
+    * output, all in one whole-stage-codegen span. The old shape paid the
+    * same posting shuffle and then sorted + windowed the full posting
+    * table TWICE (once per self-join side above the reused exchange)
+    * before a sort-merge join re-enumerated the same per-bucket cross
+    * product; the aggregate does strictly less work for the same pairs.
+    * Total exchanges: posting groupBy + the final pair `distinct` (tiny:
+    * surviving pairs only) = 2 (a caller's orderBy adds the third).
     *
     * Scale contract — the reason this replaces coarse attribute blocking
     * (e.g. a 25-value nation key): the block key space GROWS with the
@@ -613,11 +635,25 @@ object Dedup {
     * size), so block sizes stay bounded and the quadratic verify
     * parallelizes over as many buckets as there are near-duplicate
     * families, not over a fixed attribute cardinality. Degenerate hot
-    * buckets (mass-duplicated strings) hit the same [[capBuckets]] ceiling
-    * + `graft_cap_bucket` drop audit as the LSH families. `groupCols`
-    * equality is enforced at verify time (the group hash is folded into the
-    * bucket key only as a discriminator, so a 64-bit collision can never
-    * leak a cross-group pair into the output).
+    * buckets (mass-duplicated strings) hit the same `maxBucket` ceiling
+    * + `graft_cap_bucket` drop audit as the LSH families.
+    *
+    * PRECONDITION at scale — run EXACT dedup first ([[exact]] /
+    * [[normalized]]): a corpus dense in verbatim duplicates densifies
+    * every deletion-hash bucket quadratically (measured on the r14 ×10
+    * fixture: verbatim-replicated names inflated the wall slope from
+    * 3.5× to 12.8×), and here the hot bucket's member array is built by
+    * `collect_list`, whose per-group state — unlike the old window's
+    * spillable buffer — must fit in executor memory. With exact dups
+    * removed, bucket mass is bounded by true near-dup family sizes, the
+    * `maxBucket` ceiling (post-aggregation recall trade) stays a recall
+    * knob rather than a memory guard, and the eager
+    * `graft.capAudit.failFraction` audit catches violations loudly.
+    *
+    * `groupCols` equality is enforced at verify time on the ACTUAL group
+    * columns (the group hash is folded into the bucket key only as a
+    * discriminator, so a 64-bit collision can never leak a cross-group
+    * pair into the output — it merely adds candidates the verify drops).
     */
   def editDistancePairs(
       df: DataFrame,
@@ -629,58 +665,48 @@ object Dedup {
     import graft.functions.NativeExpressions
     val grpKey =
       if (groupCols.isEmpty) lit(0L) else xxhash64(groupCols.map(col): _*)
-    // the verify carries the ACTUAL group columns, not their 64-bit hash:
-    // comparing hashes would let a hash collision leak a cross-group pair,
-    // which the contract forbids (the hash is only the bucket
-    // discriminator, where a collision merely adds candidates)
     val grpStruct =
       if (groupCols.isEmpty) struct(lit(0L).as("g0"))
       else struct(groupCols.map(col): _*)
     val base = df.select(
       col(idCol).as("id"), col(strCol).as("s"),
       grpKey.as("g"), grpStruct.as("grp"))
-    // The string and group columns ride THROUGH the candidate shuffle (the
-    // simhash family's precedent: a small fixed payload beside the id):
-    // the verify then runs inline on the self-join's own output, with no
-    // re-keyed joins to re-attach payloads. For candidate-heavy corpora
-    // (every near-dup family shares many variant buckets) the per-posting
-    // payload (~string length + group bytes) is far cheaper than pushing
-    // the much larger candidate-pair set through two extra joins — and it
-    // keeps the whole verify inside the join's codegen stage.
+    // The string and group columns ride THROUGH the posting shuffle (the
+    // simhash family's precedent: a small fixed payload beside the id), so
+    // the verify runs inline on the aggregate's own output with no keyed
+    // joins to re-attach payloads afterwards.
     val keyed = base
       .select(col("id"), col("s"), col("grp"), col("g"),
         explode(NativeExpressions.deletion_hashes(col("s"), maxDist)).as("del_h"))
       .select(col("id"), col("s"), col("grp"),
         xxhash64(col("g"), col("del_h")).as("bucket"))
-    val bucketed = capBuckets(keyed, "bucket", maxBucket)
-    // MERGE hint on the self-join: at small inputs AQE would BROADCAST one
-    // side, which re-evaluates the whole explode+window subtree for the
-    // build (ReuseExchange cannot fire across a BroadcastExchange) —
-    // measured slower than the merge join even at sf0.1. The hinted join
-    // consumes the posting shuffle on both sides (AQE's stage cache
-    // serves the second side as a ReusedExchange below the window; the
-    // window/cap subtree above it is re-evaluated per side — forcing it
-    // to run once via an extra same-key repartition was measured SLOWER
-    // at sf0.1, the second shuffle costing more than the window saves),
-    // and sort-merge is the shape a 100 TB self-join takes anyway.
-    // id_a < id_b folded INTO the join condition: the merge join applies it
-    // while emitting, so the unordered duplicate half of each bucket's
-    // cross product is never materialized into a downstream projection
+    capAuditEager(keyed, "bucket", maxBucket)
+    // ONE pass over the posting table: gather each bucket's members. The
+    // observed cap metrics keep [[capBuckets]]' exact semantics (candidate
+    // rows = members of buckets with ≥2 rows; dropped rows = members of
+    // over-ceiling buckets) so the GraftSession listener's drop warning
+    // fires identically.
+    val grouped = keyed
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("id"), col("s"), col("grp"))).as("items"))
+      .withColumn("__bsz", size(col("items")).cast("long"))
+      .observe(
+        s"graft_cap_bucket_${capSeq.incrementAndGet()}",
+        coalesce(sum(when(col("__bsz") >= 2, col("__bsz"))), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__bsz") > maxBucket, col("__bsz"))), lit(0L))
+          .as("n_dropped_rows"))
+      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+    // Pair enumeration: two stacked explodes emit each bucket's ordered
+    // cross product; `id_a < id_b` keeps each unordered pair once. Both
+    // Generates and the verify filter fuse into one codegen stage — the
+    // member array is never materialized per intermediate row.
     // The cross-group guard (null-safe equality on the ACTUAL group
-    // columns, so a 64-bit bucket collision can never leak a cross-group
-    // pair) hides INSIDE the levenshtein's argument: a mismatched group
+    // columns) hides INSIDE the levenshtein's argument: a mismatched group
     // nulls the input, nulls the distance, and the `<= maxDist` conjunct
-    // drops the pair. Two per-pair performance traps shape this
-    // expression, both measured at sf0.1:
-    //  - a top-level `a.grp <=> b.grp` conjunct would be lifted by
-    //    ExtractEquiJoinKeys into the join keys, whose clustering no
-    //    longer matches the window's bucket-only exchange — forcing a
-    //    SECOND full shuffle and sort of the posting table on both sides;
-    //  - comparing the grp STRUCTS directly keeps the key shape but
-    //    generates an interpreted ordering call per candidate pair
-    //    (codegen cannot inline complex-type equality) — ~4x slower than
-    //    the whole fast plan. Comparing the struct's FIELDS pairwise
-    //    stays in generated code.
+    // drops the pair. Comparing the grp struct's FIELDS pairwise (not the
+    // structs) stays in generated code — complex-type equality falls back
+    // to an interpreted ordering call per candidate pair, measured ~4×
+    // slower on the old shape.
     val fieldNames = if (groupCols.isEmpty) Seq("g0") else groupCols
     val sameGrp = fieldNames
       .map(f => col("a.grp").getField(f) <=> col("b.grp").getField(f))
@@ -689,16 +715,13 @@ object Dedup {
       .bounded_levenshtein(when(sameGrp, col("a.s")), col("b.s"), maxDist)
     // Dedup AFTER the verify, not before: near-dup pairs share several
     // variant buckets (measured dup factor ~1.8 at sf0.1), but the banded
-    // levenshtein is ~100 ns/pair while a pre-verify `distinct` is a full
-    // extra hash-agg exchange of the larger candidate set — verifying the
-    // duplicates and deduplicating the (much smaller) surviving pair set is
-    // strictly less shuffle for the same answer. The verify rides in the
-    // join condition AFTER `id_a < id_b`, so the levenshtein runs on each
-    // unordered pair once, not on both orientations.
-    bucketed.as("a")
-      .join(bucketed.as("b").hint("MERGE"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
-          dist <= maxDist)
+    // levenshtein is ~100 ns/pair while a pre-verify dedup would shuffle
+    // the larger candidate set — deduplicating the (much smaller)
+    // surviving pair set is strictly less shuffle for the same answer.
+    grouped
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id") && dist <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         dist.cast("long").as("dist"))
       .distinct()
