@@ -49,9 +49,28 @@ object Bench {
     }
 
     // optional args = subset of query names (focused local iteration);
-    // no args (the driver's invocation) = full catalog
+    // no args (the driver's invocation) = full catalog.
+    // SPARK_GRAFT_BENCH_TIER=headline (r14 verdict #7): at ~290 rows the
+    // per-job floor (~0.5-0.8 s × rows) IS the full-catalog total, so the
+    // close-out chain's intermediate gates run a fixed representative
+    // tier — the 10 weather anchors + the r14 slowest-8 — instead of the
+    // whole catalog. The env var only narrows the NAME LIST; warm-up,
+    // min-of-two passes, anchors and the JSON contract are unchanged, and
+    // the driver (which sets no env) still gets full-catalog runs.
+    val headlineTier = Seq(
+      // the 10 variance anchors
+      "q_filter", "q_sum", "q_take", "q_partition", "q_join",
+      "q_window", "q_tfidf", "q_sessionize", "q_topk_per_key",
+      "q_minhash_pairs",
+      // the r14 slowest-8
+      "q_edit_pairs", "q_stream_restart", "q_corpus_pipeline",
+      "q_stream_evict", "q_label_prop", "q_stream_outer_join",
+      "q_stream_sessionize", "q_rfm")
+    val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER")
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
+      else if (tier.contains("headline"))
+        headlineTier.filter(SparkEntry.queries.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => materialize(n, report = false)) // warm-up, unmeasured
     // two measured passes, min per query — damps scheduler/GC noise the
@@ -157,11 +176,35 @@ object Bench {
     //    criterion). Reference anchors are sf0.1-only; at other SFs (and
     //    on subset runs, which skip anchors) weather_factor stays 1.0 and
     //    the normalized total equals the raw one.
+    // Reference anchors RE-RECORDED at the r14 close (r14 verdict #2): the
+    // r13 anchors were captured in a slow session, so calm runs read
+    // weather_factor 0.66-0.89 and total_normalized_sec overstated calm
+    // totals by ~12-34%. These are the per-anchor MIN across the two calm
+    // r14 close-out runs (BENCH_LAST.json at 6aac556 and 525626a) — the
+    // repeatable floor of this box — so a calm run now reads ≈ 1.0.
     val refAnchorsSf01 = Map(
-      "q_filter" -> 0.369, "q_sum" -> 0.125, "q_take" -> 0.253,
-      "q_partition" -> 0.419, "q_join" -> 1.148, "q_window" -> 0.978,
-      "q_tfidf" -> 1.007, "q_sessionize" -> 0.516,
-      "q_topk_per_key" -> 0.605, "q_minhash_pairs" -> 1.133)
+      "q_filter" -> 0.240, "q_sum" -> 0.078, "q_take" -> 0.155,
+      "q_partition" -> 0.281, "q_join" -> 0.685, "q_window" -> 0.627,
+      "q_tfidf" -> 0.668, "q_sessionize" -> 0.340,
+      "q_topk_per_key" -> 0.391, "q_minhash_pairs" -> 0.751)
+    // The anchors are only meaningful against the box+corpus they were
+    // recorded on (ADVICE r14): on a different machine, or after the
+    // sf0.1 corpus is regenerated, normalizing against them silently
+    // mis-scales the total. A cheap corpus fingerprint (file count +
+    // total bytes of the sf0.1 dir as recorded at anchor time) gates the
+    // normalization — on mismatch weather_factor stays 1.0 and the JSON
+    // carries weather_ref_match:false so the drift is loud, not silent.
+    val refAnchorFiles = 10L
+    val refAnchorBytes = 17504410L
+    def corpusFingerprintMatches(dir: String): Boolean =
+      try {
+        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        var n = 0L; var bytes = 0L
+        while (files.hasNext) { val f = files.next(); n += 1; bytes += java.nio.file.Files.size(f) }
+        n == refAnchorFiles && bytes == refAnchorBytes
+      } catch { case _: Exception => false }
     val aMap = anchorA.toMap
     val bMap = anchorB.toMap
     def geomean(ratios: Seq[Double]): Double =
@@ -170,7 +213,8 @@ object Bench {
     val driftPairs = anchorNames
       .filter(k => aMap.get(k).exists(_ > 0) && bMap.get(k).exists(_ > 0))
     val anchorDrift = geomean(driftPairs.map(k => bMap(k) / aMap(k)))
-    val isRefSf = sfDir.stripSuffix("/").endsWith("sf0.1")
+    val isRefSf = sfDir.stripSuffix("/").endsWith("sf0.1") &&
+      corpusFingerprintMatches(sfDir)
     val weatherFactor =
       if (!isRefSf) 1.0
       else geomean(anchorNames.flatMap { k =>
@@ -188,6 +232,7 @@ object Bench {
         s""""shuffle_mb":$shuffleMb,"spill_mb":$spillMb,""" +
         s""""anchor_a":${anchorJson(anchorA)},"anchor_b":${anchorJson(anchorB)},""" +
         s""""anchor_drift":${num(anchorDrift, 4)},""" +
+        s""""weather_ref_match":$isRefSf,""" +
         s""""weather_factor":${num(weatherFactor, 4)},""" +
         s""""total_normalized_sec":$totalNorm,"queries":$qs,""" +
         s""""slowest":$slowest,"n_queries":${names.size},"n_failed":$nFailed,""" +
