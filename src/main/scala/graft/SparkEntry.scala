@@ -1541,6 +1541,12 @@ object SparkEntry {
     val root = s"/tmp/graft_stream/$tag/statesrc"
     val ckpt = s"$root/ckpt"
     stagedOnceGuarded(root)(new java.io.File(root, "_STAGED").exists()) {
+      // a root WITHOUT the sentinel is a torn previous staging (the JVM
+      // died mid-stream); restart the checkpoint from scratch rather than
+      // relying on Spark's recovery over an arbitrarily torn ckpt dir —
+      // the delete-and-restage discipline qStreamRestart's fixture uses
+      // (ADVICE r14)
+      graft.engine.Fs.deleteRecursively(new java.io.File(root))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {

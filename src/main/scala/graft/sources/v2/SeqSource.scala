@@ -46,6 +46,15 @@ class SeqSource extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val n = Option(properties.get("n")).map(_.toLong).getOrElse(1000000L)
+    // n is capped where the closed-form SUM(id) pushdown stays exact in
+    // Long (ADVICE r14: above this the arithmetic-series product silently
+    // overflowed instead of declining). sum([0, 2^32)) = 2^31 × (2^32 − 1)
+    // is the largest any sub-range sum can reach, and it fits; a larger
+    // domain fails HERE, loudly, not three operators later with a wrong
+    // aggregate.
+    require(n >= 0 && n <= (1L << 32),
+      s"SeqSource n=$n out of [0, 2^32]: the closed-form SUM(id) pushdown " +
+        "is only exact in Long up to that domain")
     val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8)
     new SeqTable(n, slices)
   }
@@ -209,7 +218,12 @@ case class SeqAggScan(lo: Long, hi: Long, fns: Array[String])
             def closed(f: String): Any = f match {
               case "count" => cnt
               case _ if cnt == 0 => null // SQL aggregate over empty input
-              case "sum" => (r.from + r.until - 1) * cnt / 2
+              case "sum" =>
+                // halve the EVEN factor first: with n ≤ 2^32 the result
+                // always fits in Long, but the naive (ends × cnt) / 2
+                // intermediate product can reach 2^65
+                val ends = r.from + r.until - 1
+                if (cnt % 2 == 0) ends * (cnt / 2) else (ends / 2) * cnt
               case "min" => r.from
               case "max" => r.until - 1
             }

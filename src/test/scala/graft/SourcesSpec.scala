@@ -153,4 +153,32 @@ class SourcesSpec extends SparkTestBase {
       s"oversized shard: ${perFile.filter(_._2 > 150L).mkString(",")}")
     assert(perFile.length >= 8) // 1000 rows / 150 cap needs >= 7 shards
   }
+  test("SeqSource closed-form SUM stays exact at the domain cap; beyond it the table fails loudly") {
+    // ADVICE r14: the arithmetic-series pushdown used (ends × cnt) / 2,
+    // whose intermediate product overflows Long for ranges near the top
+    // of the domain — a silently wrong aggregate where the declined row
+    // path would have been right. The fix halves the even factor first
+    // and caps n at 2^32 (the largest domain whose every sub-range sum
+    // fits in Long). Exactness is checked against BigInt at the worst
+    // case: the full top half of the maximal domain.
+    val top = 1L << 32
+    val df = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", top).option("slices", 8).load()
+      .filter(col("id") >= top / 2)
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("c"))
+    val row = df.head()
+    val expected = (BigInt(top / 2) + BigInt(top - 1)) * BigInt(top / 2) / 2
+    assert(expected.isValidLong, "test premise: worst-case sum fits in Long")
+    assert(row.getLong(0) == expected.toLong,
+      s"closed-form sum ${row.getLong(0)} != $expected")
+    assert(row.getLong(1) == top / 2)
+    // a domain the closed form cannot serve exactly is rejected at table
+    // construction, not answered wrong
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.v2.SeqSource")
+        .option("n", top + 1).load().count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("2^32"),
+      s"unexpected failure mode: $e")
+  }
 }
