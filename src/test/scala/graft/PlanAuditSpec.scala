@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions.col
 
 /** Plan-shape assertions for write-layout catalog queries: the property
@@ -865,6 +867,45 @@ class PlanAuditSpec extends SparkTestBase {
     // rows arrive in the pushed order from the single ordered partition
     val ids = df.collect().map(_.getLong(0)).toSeq
     assert(ids == Seq(899999L, 899998L, 899997L, 899996L, 899995L), ids.toString)
+  }
+
+  test("q_dsv2_write: the connector write plans a V2 write node and commits atomically") {
+    // capture the save command's EXECUTED plan via a listener — the V1
+    // DataFrameWriter.save path exposes no QueryExecution to the caller
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString): Unit
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val df = SparkEntry.queries("q_dsv2_write")(spark, sf0001)
+      assert(df.count() == 3)
+      org.apache.spark.graftshim.ListenerBusShim.drain(
+        spark.sparkContext, timeoutMillis = 10000)
+      // SaveMode.Overwrite through a TRUNCATE-capable V2 table plans
+      // OverwriteByExpression, not a V1 InsertIntoHadoopFsRelation
+      assert(plans.asScala.exists(p =>
+        p.contains("OverwriteByExpression") || p.contains("AppendData")),
+        s"no V2 write node in any executed plan:\n${plans.asScala.map(_.take(200)).mkString("\n---\n")}")
+      // the read-back goes through the connector scan, not parquet
+      val readPlan = df.queryExecution.executedPlan.toString
+      assert(readPlan.contains("StageScan(path="), readPlan.take(800))
+      // commit layout: only committed part files + schema + marker are
+      // visible; no temp file leaked out of .staging
+      val dirs = new java.io.File("/tmp/graft_dsv2w").listFiles()
+      assert(dirs != null && dirs.nonEmpty)
+      val table = dirs.flatMap(d =>
+        Option(new java.io.File(d, "flagstats").listFiles())
+          .getOrElse(Array.empty)).map(_.getName)
+      assert(table.contains("_SUCCESS") && table.contains("_schema.ddl"),
+        s"commit layout incomplete: ${table.mkString(",")}")
+      assert(table.exists(_.startsWith("part-")))
+      assert(!table.exists(_.endsWith(".tmp")), s"leaked temp: ${table.mkString(",")}")
+    } finally spark.listenerManager.unregister(l)
   }
 
   test("incremental-agg base staging keeps the partial aggregate parallel") {

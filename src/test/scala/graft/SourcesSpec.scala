@@ -153,6 +153,39 @@ class SourcesSpec extends SparkTestBase {
       s"oversized shard: ${perFile.filter(_._2 > 150L).mkString(",")}")
     assert(perFile.length >= 8) // 1000 rows / 150 cap needs >= 7 shards
   }
+  test("StageSource connector write: append accumulates, overwrite replaces, nulls round-trip, pruning reads back") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_spec").toString + "/t"
+    val fmt = "graft.sources.v2.StageSource"
+    val a = Seq((1L, Some("x"), 1.5), (2L, None, -0.25))
+      .toDF("k", "s", "v")
+    a.write.format(fmt).option("path", dir).mode("overwrite").save()
+    // append: second snapshot adds rows, first write's rows survive
+    Seq((3L, Some("z"), 0.0)).toDF("k", "s", "v")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.schema.fieldNames.toSeq == Seq("k", "s", "v"))
+    val rows = back.as[(Long, Option[String], Double)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, Some("x"), 1.5), (2L, None, -0.25), (3L, Some("z"), 0.0)),
+      rows.toString)
+    // column pruning: a projection reads back just that column
+    val pruned = spark.read.format(fmt).option("path", dir).load()
+      .select("s").as[Option[String]].collect().toSet
+    assert(pruned == Set(Some("x"), None, Some("z")))
+    // overwrite: truncate-at-commit replaces the whole snapshot
+    Seq((9L, Some("w"), 9.0)).toDF("k", "s", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val after = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, Option[String], Double)].collect().toSeq
+    assert(after == Seq((9L, Some("w"), 9.0)), after.toString)
+    // an unsupported column type is rejected at the table, not mid-write
+    val e = intercept[Exception] {
+      Seq((1L, Array(1.toByte))).toDF("k", "b")
+        .write.format(fmt).option("path", dir + "2").mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("does not support"), e.getMessage)
+  }
+
   test("SeqSource closed-form SUM stays exact at the domain cap; beyond it the table fails loudly") {
     // ADVICE r14: the arithmetic-series pushdown used (ends × cnt) / 2,
     // whose intermediate product overflows Long for ranges near the top
