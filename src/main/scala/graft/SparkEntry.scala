@@ -7041,6 +7041,42 @@ object SparkEntry {
       .limit(5)
       .select(col("id"), col("cents"))
 
+  /** RUNTIME filtering into the custom source (r14 verdict #4 —
+    * [[graft.sources.v2.SeqScan]]'s [[
+    * org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+    * leg, the connector analog of the parquet path's DPP row): the fact
+    * side is the synthetic source's FULL million-row domain, the dim side
+    * is a selectively-filtered orders slice, and at runtime Spark
+    * evaluates the dim's join keys first and hands them to the scan as an
+    * IN predicate — the scan narrows its id range and PRUNES the grid
+    * cells outside it before generating a single fact row (32 static
+    * slices → 1 surviving, pinned via the scan description's
+    * `runtime=`/`parts=` fields in PlanAuditSpec). The join still
+    * verifies every surviving row, so min/max narrowing (the zone-map
+    * discipline) is sufficient, never wrong. At 100 TB this is "the dim
+    * filter decides which fact files are opened".
+    *
+    * The dim's selective predicate is deliberately NOT on the join key:
+    * a key predicate (`o_orderkey < 500`) is propagated onto the fact
+    * side STATICALLY by constraint inference and folds into the scan
+    * range at plan time — real work for the pushdown leg, but it leaves
+    * the runtime filter trivially true. A non-key predicate (priority)
+    * cannot be inferred across the join, so the id bound exists only in
+    * the dim's runtime key set — exactly the case runtime filtering is
+    * for.
+    */
+  private def qDsv2RuntimeFilter(s: SparkSession, d: String): DataFrame = {
+    val fact = s.read.format("graft.sources.v2.SeqSource")
+      .option("n", 1000000L).option("slices", 32).load()
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("id"), col("o_totalprice"))
+    fact.join(dim, "id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("mod7")).as("sum_mod7"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+  }
+
   /** DSv2 WRITE path ([[graft.sources.v2.StageSource]] — r14 verdict #3,
     * the connector seam's other half, the reference's first-class sink
     * node `host/filter/filter_native.cc:64-66`): an aggregate is written
@@ -8635,6 +8671,7 @@ object SparkEntry {
     "q_dsv2_topn" -> (qDsv2TopN _),
     "q_dsv2_write" -> (qDsv2Write _),
     "q_dsv2_upsert" -> (qDsv2Upsert _),
+    "q_dsv2_runtime_filter" -> (qDsv2RuntimeFilter _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -9584,6 +9621,16 @@ object SparkEntry {
         |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
         |            AS BIGINT) AS price_cents
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+    // q_dsv2_runtime_filter: the fact side's row formula (mod7 = id % 7)
+    // replayed over the dim keys alone — if runtime narrowing ever
+    // DROPPED a matching row, the counts would split
+    "q_dsv2_runtime_filter" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(o_orderkey % 7) AS BIGINT) AS sum_mod7,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     // q_dsv2_upsert: the delta-wins merge replayed as a full join over
     // the same base/delta slices of orders
     "q_dsv2_upsert" ->

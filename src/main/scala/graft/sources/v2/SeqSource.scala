@@ -10,7 +10,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -239,7 +241,36 @@ case class SeqRange(from: Long, until: Long) extends InputPartition
 case class SeqScan(
     lo: Long, hi: Long, slices: Int, required: StructType,
     orderedDesc: Option[Boolean] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+  // RUNTIME narrowing ([[SupportsRuntimeV2Filtering]], r14 verdict #4 —
+  // the connector analog of the parquet path's DPP/bloom-semijoin rows):
+  // when this scan is the fact side of a join whose dim side carries a
+  // selective filter, Spark evaluates the dim's join keys FIRST and hands
+  // them here as an IN predicate; the id range narrows and whole grid
+  // cells below fall away before a single fact row is generated. The join
+  // itself still verifies every surviving row, so range (min..max)
+  // narrowing — the zone-map discipline — is sufficient, never wrong.
+  @transient private var rlo = lo
+  @transient private var rhi = hi
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      val longs: Array[Long] = p.children().collect {
+        case l: Literal[_] if l.value().isInstanceOf[java.lang.Long] =>
+          l.value().asInstanceOf[java.lang.Long].longValue()
+      }
+      p.name() match {
+        case "IN" | "=" if longs.nonEmpty =>
+          rlo = math.max(rlo, longs.min)
+          rhi = math.min(rhi, longs.max + 1)
+        case _ => () // unrecognized runtime predicate: prune nothing
+      }
+    }
+  // partition count as actually planned — rendered into the description
+  // so the executed plan string carries the pruning evidence
+  @transient private var plannedParts = -1
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // the plan string carries the folded range + surviving columns — what
@@ -247,7 +278,9 @@ case class SeqScan(
   override def description(): String = {
     val ord = orderedDesc.map(d =>
       s", ordered=${if (d) "desc" else "asc"}").getOrElse("")
-    s"SeqScan(range=[$lo,$hi), cols=${required.fieldNames.mkString(",")}$ord)"
+    val rt = if (rlo > lo || rhi < hi) s", runtime=[$rlo,$rhi)" else ""
+    val parts = if (plannedParts >= 0) s", parts=$plannedParts" else ""
+    s"SeqScan(range=[$lo,$hi)$rt$parts, cols=${required.fieldNames.mkString(",")}$ord)"
   }
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = math.max(hi - lo, 0L)
@@ -257,15 +290,22 @@ case class SeqScan(
   }
   override def planInputPartitions(): Array[InputPartition] = {
     val total = math.max(hi - lo, 0L)
-    if (total == 0) return Array.empty
+    if (total == 0) { plannedParts = 0; return Array.empty }
     // a completely-pushed TopN must emit its rows IN ORDER — one
     // partition (the surviving range is at most the TopN limit anyway)
     val effSlices = if (orderedDesc.isDefined) 1 else slices
     val per = (total + effSlices - 1) / effSlices
-    (0 until effSlices).iterator
-      .map(i => SeqRange(lo + i * per, math.min(lo + (i + 1) * per, hi)))
+    // the grid is laid over the STATIC range and cells are clipped to the
+    // runtime range — cells wholly outside are PRUNED (fewer partitions =
+    // fewer tasks), exactly how a partitioned table prunes directories
+    val parts = (0 until effSlices).iterator
+      .map(i => SeqRange(
+        math.max(lo + i * per, rlo),
+        math.min(math.min(lo + (i + 1) * per, hi), rhi)))
       .filter(r => r.until > r.from) // out-of-range slices never planned
-      .toArray
+      .toArray[InputPartition]
+    plannedParts = parts.length
+    parts
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames, orderedDesc.contains(true))

@@ -869,6 +869,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(ids == Seq(899999L, 899998L, 899997L, 899996L, 899995L), ids.toString)
   }
 
+  test("q_dsv2_runtime_filter: dim keys prune the custom source's partitions at runtime") {
+    val df = SparkEntry.queries("q_dsv2_runtime_filter")(spark, sf0001)
+    // the runtime narrowing only exists in the EXECUTED plan (the dim's
+    // key set is a runtime artifact)
+    df.queryExecution.toRdd.count(): Unit
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // a real (non-constant-folded) dynamic pruning expression reached the
+    // custom scan
+    assert(plan.contains("RuntimeFilters: [dynamicpruningexpression(id#"),
+      s"no runtime filter on the custom scan:\n${plan.take(1500)}")
+    // the scan narrowed its range at runtime (the static range stays the
+    // full domain — nothing was statically inferable) …
+    assert(plan.contains("SeqScan(range=[0,1000000), runtime=["),
+      s"scan did not narrow at runtime:\n${plan.take(1500)}")
+    // … and PRUNED grid cells: 32 static slices, at most a couple survive
+    // (sf0.001 order keys span ~1.5k of the 1M domain)
+    val parts = ", parts=(\\d+)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(parts.exists(p => p >= 1 && p <= 2),
+      s"runtime filter pruned nothing: parts=$parts\n${plan.take(1500)}")
+    assert(df.count() == 1)
+  }
+
   test("q_dsv2_write: the connector write plans a V2 write node and commits atomically") {
     // capture the save command's EXECUTED plan via a listener — the V1
     // DataFrameWriter.save path exposes no QueryExecution to the caller
