@@ -74,11 +74,21 @@ object RefBench {
 
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_REF_SF", "4").toInt
+    // SPARK_GRAFT_REF_SECTIONS=take,join — run a subset of sections (the
+    // SF=64 sweeps target one section; dragging 134M-row join iterations
+    // behind a take measurement wastes an hour per data point). Default:
+    // all sections, unchanged.
+    val sections = sys.env.get("SPARK_GRAFT_REF_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("filter", "sum", "take", "partition", "join"))
+    def section(name: String)(body: => Unit): Unit =
+      if (sections.contains(name)) body
     val spark = GraftSession.getOrCreate()
     import spark.implicits._
 
     def u32(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(4294967296L))
 
+    section("filter") {
     // ---- filter: SF·128 batches × 65,536 rows (BM_FilterNative shape)
     val nFilter = sf.toLong * 128 * 65536
     val filterIn = spark.range(nFilter).select(u32($"id").as("v")).cache()
@@ -86,15 +96,19 @@ object RefBench {
     val (fSec, fRows) = timed(filterIn.filter($"v" < (1L << 30)).count())
     report("filter", sf, nFilter, fSec, fRows)
     filterIn.unpersist(blocking = true)
+    }
 
-    // ---- sum: SF × 2Mi rows (BM_SumNative shape)
     val nSum = sf.toLong * 2097152
+    section("sum") {
+    // ---- sum: SF × 2Mi rows (BM_SumNative shape)
     val sumIn = spark.range(nSum).select(u32($"id").as("v")).cache()
     sumIn.count()
     val (sSec, _) = timed { sumIn.agg(sum($"v")).collect(); 1L }
     report("sum", sf, nSum, sSec, 1L)
     sumIn.unpersist(blocking = true)
+    }
 
+    section("take") {
     // ---- take: SF × 4Mi values, 1/8 indices (BM_TakeNative shape)
     val nTake = sf.toLong * 4194304
     val takeValues = spark.range(nTake)
@@ -124,16 +138,29 @@ object RefBench {
     val takeRdd = takeValues.join(broadcast(takeIdx), "idx").queryExecution.toRdd
     val (tjSec, tjRows) = timed(takeRdd.count())
     report("take_join", sf, nTake, tjSec, tjRows)
+    // third row: the DISTRIBUTED merge gather — range-shuffles only the
+    // index list to the values partitions' own boundaries, merges
+    // per-partition (no broadcast build, no hash probe). The alternative
+    // that keeps scaling past take_join's broadcast knee (SF=64: a
+    // 33.5M-key hashed relation per executor; this ships nothing).
+    val distRdd = graft.operators.PositionalTake
+      .mergeTakeDist(takeValues, takeIdx, "idx").queryExecution.toRdd
+    val (tdSec, tdRows) = timed(distRdd.count())
+    report("take_merge_dist", sf, nTake, tdSec, tdRows)
     takeValues.unpersist(blocking = true)
     takeIdx.unpersist(blocking = true)
+    }
 
+    section("partition") {
     // ---- partition: SF × 2Mi rows → 32 partitions (DISABLED_BM_Partition shape)
     val partIn = spark.range(nSum).select(u32($"id").as("v")).cache()
     partIn.count()
     val (pSec, pRows) = timed(partIn.repartition(32, $"v").count())
     report("partition", sf, nSum, pSec, pRows)
     partIn.unpersist(blocking = true)
+    }
 
+    section("join") {
     // ---- join: SF × 2Mi per side, PK-FK inner (BM_JoinDpu shape)
     val nJoin = sf.toLong * 2097152
     val right = spark.range(nJoin).select($"id".as("pk"), u32($"id").as("x")).cache()
@@ -179,6 +206,7 @@ object RefBench {
     report("join_colocated", sf, nJoin, jCoSec, jCoRows)
     rightCo.unpersist(blocking = true)
     leftCo.unpersist(blocking = true)
+    }
 
     spark.stop()
   }

@@ -227,6 +227,31 @@ object SparkEntry {
     PositionalTake.take(indexed, indices, "idx").orderBy("idx")
   }
 
+  /** The DISTRIBUTED merge gather ([[PositionalTake.mergeTakeDist]] — r14
+    * verdict #5): same take semantics as [[qTake]], but the gather is a
+    * range-partitioned co-sorted merge — the values side never shuffles
+    * and nothing is broadcast or hashed, the plan that survives when the
+    * index side outgrows the broadcast build (the SF=64 knee in the
+    * RefBench sweep: a 33.5M-key hashed relation per executor). The only
+    * exchange is the index list's range shuffle to the values partitions'
+    * own boundaries. Oracle identical to q_take's (same result set).
+    */
+  private def qTakeMergeDist(s: SparkSession, d: String): DataFrame = {
+    val indexed = takeIndexMemo.synchronized {
+      takeIndexMemo.computeIfAbsent(
+        s"${System.identityHashCode(s)}:$d",
+        _ => {
+          val values = Tables.lineitem(s, d).select(liKey.map(col): _*)
+          PositionalTake
+            .withGlobalIndex(values, liKey)
+            .select(col("idx"), col("l_extendedprice").as("v"))
+            .cache()
+        })
+    }
+    val indices = indexed.filter(col("idx") % 8 === 0).select("idx")
+    PositionalTake.mergeTakeDist(indexed, indices, "idx").orderBy("idx")
+  }
+
   /** Hash partition conservation (ref `host/partition/partition_dpu.cc:49-131`):
     * repartition on the key, then prove the row multiset survived (the
     * reference's own — disabled — invariants, `partition_test.cc:40-56`).
@@ -8684,6 +8709,7 @@ object SparkEntry {
     "q_filter" -> (qFilter _),
     "q_sum" -> (qSum _),
     "q_take" -> (qTake _),
+    "q_take_merge_dist" -> (qTakeMergeDist _),
     "q_partition" -> (qPartition _),
     "q_join" -> (qJoin _),
     "q_filter_agg" -> (qFilterAgg _),
@@ -9450,6 +9476,16 @@ object SparkEntry {
     "q_sum" ->
       "SELECT CAST(SUM(l_quantity) AS DOUBLE) AS sum_v FROM lineitem",
     "q_take" ->
+      """WITH v AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey,
+        |                                     l_suppkey, l_quantity, l_extendedprice)
+        |           - 1 AS idx,
+        |         l_extendedprice AS v
+        |  FROM lineitem)
+        |SELECT idx, v FROM v WHERE idx % 8 = 0 ORDER BY idx""".stripMargin,
+    // q_take_merge_dist: identical semantics to q_take — only the gather's
+    // physical strategy differs (range-partitioned merge, no broadcast)
+    "q_take_merge_dist" ->
       """WITH v AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey,
         |                                     l_suppkey, l_quantity, l_extendedprice)

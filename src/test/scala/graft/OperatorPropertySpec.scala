@@ -121,6 +121,21 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(PositionalTake.mergeTake(indexed, Array.empty[Long]).count() == 0)
     val far = PositionalTake.mergeTake(indexed, Array(-5L, Long.MaxValue))
     assert(far.count() == 0)
+    // the DISTRIBUTED merge gather (no broadcast, index side shuffled to
+    // the values partitions' boundaries) returns the identical multiset
+    val viaDist = PositionalTake.mergeTakeDist(indexed, indices)
+      .select("idx", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaDist == viaJoin)
+    // gather-with-repetition: a duplicated index emits one row per
+    // occurrence (cp::Take semantics), same as the join gather
+    val dupIdx = indices.union(indices.limit(3))
+    val viaDistDup = PositionalTake.mergeTakeDist(indexed, dupIdx)
+    val viaJoinDup = PositionalTake.take(indexed, dupIdx, "idx")
+    assert(viaDistDup.count() == viaJoinDup.count())
+    assert(viaDistDup.count() == indices.count() + 3)
+    // out-of-domain indices are consumed without emitting
+    val farDf = Seq(-5L, Long.MaxValue).toDF("idx")
+    assert(PositionalTake.mergeTakeDist(indexed, farDf).count() == 0)
   }
 
   test("sample-to-mix hits the target ratio and keeps the scarcest source whole") {
