@@ -1616,6 +1616,84 @@ object SparkEntry {
       .orderBy("window_start", "event_type")
   }
 
+  /** Streaming state REWRITE — checkpoint repartitioning through the
+    * state data source (r14 verdict #8: the operational task the Spark 4
+    * state source exists for; builds on [[qStateReader]]). An 8-partition
+    * stateful query drains the first half of the feed and stops; its
+    * state is read back through `format("statestore")`, converted to a
+    * typed initial-state Dataset, and handed to a NEW query over the
+    * second half running at 16 shuffle partitions — the new query's own
+    * hash partitioning redistributes every carried key (the rewrite).
+    * Both phases are staged write-once; the catalog row then reads the
+    * NEW checkpoint's state (state-in, state-out: the totals come from
+    * the 16-partition store, not from a sink) and verifies via
+    * `state-metadata` that the partition counts really were 8 → 16.
+    * Totals are exact integers (count, Σ cents), oracled against the
+    * whole events table — if the carry, the repartition, or the resumed
+    * arithmetic dropped anything, the totals split.
+    */
+  private def qStateRewrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val srcDir = stagedEventsByTime(s, d)
+    val tag = dirTag(d)
+    val root = s"/tmp/graft_stream/$tag/staterw"
+    val ckptA = s"$root/ckpt8"
+    val ckptB = s"$root/ckpt16"
+    stagedOnceGuarded(root)(new java.io.File(root, "_STAGED").exists()) {
+      // torn previous staging: restart from scratch (qStateReader's
+      // delete-and-restage discipline)
+      graft.engine.Fs.deleteRecursively(new java.io.File(root))
+      val files = new java.io.File(srcDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val (firstHalf, secondHalf) = files.splitAt((files.length + 1) / 2)
+      def stage(fs: Array[java.io.File], feed: String): Unit = {
+        new java.io.File(feed).mkdirs(): Unit
+        fs.foreach(f => java.nio.file.Files.copy(
+          f.toPath, new java.io.File(feed, f.getName).toPath): Unit)
+      }
+      stage(firstHalf, s"$root/feedA")
+      stage(secondHalf, s"$root/feedB")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        EventsPipeline.typeTotalsLifecycle(
+          s, s"$root/feedA", ckptA, s"graft_staterw_a_$tag")
+        // the REWRITE: old state out of the 8-partition checkpoint …
+        org.apache.spark.sql.graftshim.StateCoordinatorShim.ensure(s)
+        // mapGroupsWithState's state rides nested under value.groupState
+        // (the value row also carries the operator's timeout slot)
+        val old = s.read.format("statestore").load(ckptA)
+        val keyField = old.select("key.*").schema.fieldNames.head
+        val init = old
+          .select(col(s"key.$keyField").as("k"),
+            col("value.groupState.count").as("count"),
+            col("value.groupState.cents").as("cents"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => EventsPipeline.TypeAgg(r._2, r._3))
+        // … carried into a fresh 16-partition query over the rest
+        s.conf.set("spark.sql.shuffle.partitions", "16")
+        EventsPipeline.typeTotalsLifecycle(
+          s, s"$root/feedB", ckptB, s"graft_staterw_b_$tag", Some(init))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_STAGED"), Array.emptyByteArray): Unit
+    }
+    org.apache.spark.sql.graftshim.StateCoordinatorShim.ensure(s)
+    def parts(ckpt: String): Long =
+      s.read.format("state-metadata").load(ckpt)
+        .select(col("numPartitions").cast("long")).head().getLong(0)
+    val repartitionedOk = parts(ckptA) == 8L && parts(ckptB) == 16L
+    val st = s.read.format("statestore").load(ckptB)
+    val keyField = st.select("key.*").schema.fieldNames.head
+    st.select(
+        col(s"key.$keyField").as("event_type"),
+        col("value.groupState.count").as("n_events"),
+        col("value.groupState.cents").as("cents"),
+        lit(repartitionedOk).as("repartitioned_ok"))
+      .orderBy("event_type")
+  }
+
   private def qStreamRestart(s: SparkSession, d: String): DataFrame = {
     val srcDir = stagedEventsByTime(s, d)
     val tag = dirTag(d)
@@ -8828,6 +8906,7 @@ object SparkEntry {
     "q_param_query" -> (qParamQuery _),
     "q_identifier_param" -> (qIdentifierParam _),
     "q_state_reader" -> (qStateReader _),
+    "q_state_rewrite" -> (qStateRewrite _),
     "q_collation" -> (qCollation _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -12884,6 +12963,16 @@ object SparkEntry {
         |       ROUND(SUM(value), 4) AS sum_value,
         |       TRUE AS op_ok
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_state_rewrite: totals read from the REPARTITIONED checkpoint's
+    // state must equal the whole table's per-type totals — first half
+    // carried as initial state, second half processed at 16 partitions
+    "q_state_rewrite" ->
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       TRUE AS repartitioned_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // q_sql_pipe: the classic-syntax equivalent of the pipe pipeline
     "q_sql_pipe" ->
       """SELECT o_orderpriority,

@@ -451,4 +451,60 @@ object EventsPipeline {
       .start()
     (sink, q)
   }
+
+  /** Per-event-type running totals as EXACT integers (count, Σ cents) —
+    * the state carried across the q_state_rewrite repartition. Integral
+    * cents keep the cross-engine oracle exact where a running double sum
+    * would drift.
+    */
+  case class TypeAgg(count: Long, cents: Long)
+
+  /** One stateful-query lifecycle for the state-REWRITE row (r14 verdict
+    * #8): per-event-type running totals via `mapGroupsWithState`, with an
+    * optional `initialState` — the seam Spark 4 provides for carrying
+    * state INTO a new query, which is what makes a checkpoint
+    * repartition possible at all: state written by an 8-partition query
+    * is read back through the state data source, handed here as initial
+    * state, and the new query's OWN shuffle partitioning (e.g. 16)
+    * redistributes it. Drains `inputDir` (AvailableNow), checkpoints at
+    * `ckpt`, blocks until done.
+    */
+  def typeTotalsLifecycle(
+      spark: SparkSession,
+      inputDir: String,
+      ckpt: String,
+      queryName: String,
+      initialState: Option[org.apache.spark.sql.KeyValueGroupedDataset[String, TypeAgg]] = None): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val typed = spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+    def fn(k: String, rows: Iterator[(String, Long)], st: GroupState[TypeAgg])
+        : (String, Long, Long) = {
+      val prev = st.getOption.getOrElse(TypeAgg(0L, 0L))
+      var n = prev.count
+      var c = prev.cents
+      rows.foreach { e => n += 1; c += e._2 }
+      st.update(TypeAgg(n, c))
+      (k, n, c)
+    }
+    val out = initialState match {
+      case Some(init) =>
+        typed.mapGroupsWithState(GroupStateTimeout.NoTimeout, init)(fn)
+      case None =>
+        typed.mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+    }
+    val q = out.toDF("event_type", "n_events", "cents").writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }
