@@ -168,11 +168,11 @@ class RobustnessSpec extends SparkTestBase {
     val srcs = scalaFiles(new java.io.File("src/main/scala/graft"))
     assert(srcs.nonEmpty)
     val used = srcs.flatMap(f =>
-      "\"/tmp/(graft_[a-z_]+)".r.findAllMatchIn(read(f)).map(_.group(1)))
+      "\"/tmp/(graft_[a-z0-9_]+)".r.findAllMatchIn(read(f)).map(_.group(1)))
       .toSet - "graft_tags"
     val entry = read(new java.io.File("src/main/scala/graft/SparkEntry.scala"))
     val decl = entry.split("artifactRoots = Seq\\(")(1).split("\\)")(0)
-    val registered = "\"(graft_[a-z_]+)\"".r
+    val registered = "\"(graft_[a-z0-9_]+)\"".r
       .findAllMatchIn(decl).map(_.group(1)).toSet
     val missing = used -- registered
     assert(missing.isEmpty,
