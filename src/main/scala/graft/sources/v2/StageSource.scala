@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,6 +79,31 @@ class StageSource extends TableProvider {
 object StageSource {
   val SchemaFile = "_schema.ddl"
   val SuccessFile = "_SUCCESS"
+  val StatsFile = "_stats.tsv"
+
+  /** Per-file, per-numeric-column [min,max] zone maps, recorded by each
+    * writer task and persisted at job commit — the connector analog of
+    * parquet row-group statistics. Line format:
+    * `file \t col \t min \t max` (doubles via Double.toString for an
+    * exact round-trip); a `file \t __rows \t n \t n` line carries the
+    * row count. String columns record no stats (no pruning).
+    */
+  final case class ColRange(min: Double, max: Double)
+
+  def readStats(path: String): Map[String, Map[String, ColRange]] = {
+    val f = new File(path, StatsFile)
+    if (!f.exists()) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+      .map { l =>
+        val Array(file, colName, mn, mx) = l.split('\t')
+        (file, colName, ColRange(mn.toDouble, mx.toDouble))
+      }
+      .groupBy(_._1)
+      .map { case (file, rows) =>
+        file -> rows.map(r => r._2 -> r._3).toMap
+      }
+  }
 
   def pathOf(properties: util.Map[String, String]): String = {
     val p = properties.get("path")
@@ -124,7 +150,10 @@ class StageWriteBuilder(
   }
 }
 
-case class StageCommit(tmpPath: String, rows: Long) extends WriterCommitMessage
+case class StageCommit(
+    tmpPath: String, rows: Long,
+    // (col, min, max) for numeric columns with at least one non-null row
+    stats: Array[(String, Double, Double)]) extends WriterCommitMessage
 
 class StageBatchWrite(
     path: String, schema: StructType, queryId: String, truncate: Boolean)
@@ -142,13 +171,29 @@ class StageBatchWrite(
       StageSource.dataFiles(path).foreach(f => f.delete(): Unit)
       new File(root, StageSource.SuccessFile).delete(): Unit
     }
+    val statLines = new StringBuilder
+    // append mode keeps the surviving files' zone maps; truncate starts
+    // fresh (their files were just deleted)
+    if (!truncate) {
+      val f = new File(root, StageSource.StatsFile)
+      if (f.exists())
+        statLines.append(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+    }
     messages.zipWithIndex.foreach { case (m, i) =>
       val c = m.asInstanceOf[StageCommit]
       val src = new File(c.tmpPath)
-      val dst = new File(root, s"part-$queryId-$i.bin")
+      val name = s"part-$queryId-$i.bin"
+      val dst = new File(root, name)
       java.nio.file.Files.move(src.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      c.stats.foreach { case (colName, mn, mx) =>
+        statLines.append(s"$name\t$colName\t$mn\t$mx\n")
+      }
     }
+    java.nio.file.Files.write(
+      new File(root, StageSource.StatsFile).toPath,
+      statLines.toString.getBytes(StandardCharsets.UTF_8)): Unit
     java.nio.file.Files.write(
       new File(root, StageSource.SchemaFile).toPath,
       schema.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
@@ -190,6 +235,13 @@ class StageDataWriter(
     new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
   private var rows = 0L
   private val types = schema.fields.map(_.dataType)
+  // running zone map per numeric column (NaN until a non-null value seen)
+  private val mins = Array.fill(types.length)(Double.NaN)
+  private val maxs = Array.fill(types.length)(Double.NaN)
+  private def observe(i: Int, v: Double): Unit = {
+    if (mins(i).isNaN || v < mins(i)) mins(i) = v
+    if (maxs(i).isNaN || v > maxs(i)) maxs(i) = v
+  }
 
   override def write(row: InternalRow): Unit = {
     var i = 0
@@ -198,9 +250,13 @@ class StageDataWriter(
       else {
         out.writeByte(0)
         types(i) match {
-          case LongType => out.writeLong(row.getLong(i))
-          case IntegerType => out.writeInt(row.getInt(i))
-          case DoubleType => out.writeDouble(row.getDouble(i))
+          case LongType =>
+            val v = row.getLong(i); out.writeLong(v); observe(i, v.toDouble)
+          case IntegerType =>
+            val v = row.getInt(i); out.writeInt(v); observe(i, v.toDouble)
+          case DoubleType =>
+            val v = row.getDouble(i); out.writeDouble(v)
+            if (!v.isNaN) observe(i, v)
           case StringType =>
             val b = row.getUTF8String(i).getBytes
             out.writeInt(b.length); out.write(b)
@@ -214,7 +270,11 @@ class StageDataWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    StageCommit(tmp.getAbsolutePath, rows)
+    val stats = types.indices.iterator
+      .filter(i => !mins(i).isNaN)
+      .map(i => (schema.fields(i).name, mins(i), maxs(i)))
+      .toArray
+    StageCommit(tmp.getAbsolutePath, rows, stats)
   }
 
   override def abort(): Unit = {
@@ -228,34 +288,95 @@ class StageDataWriter(
 // ----------------------------------------------------------------- read
 
 class StageScanBuilder(path: String, tableSchema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = tableSchema
+  private var skipFilters: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = StageScan(path, tableSchema, required)
+  // Zone-map file skipping: comparison predicates on numeric columns are
+  // REMEMBERED for partition pruning but returned as residuals — the
+  // stats can only prove a whole file irrelevant, never filter rows, so
+  // Spark must keep re-checking row-level (exactly parquet's row-group
+  // stats contract).
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipFilters = filters.filter {
+      case EqualTo(c, _: Number) => numeric(c)
+      case GreaterThan(c, _: Number) => numeric(c)
+      case GreaterThanOrEqual(c, _: Number) => numeric(c)
+      case LessThan(c, _: Number) => numeric(c)
+      case LessThanOrEqual(c, _: Number) => numeric(c)
+      case _ => false
+    }
+    filters // all residual: skipping is pruning, not evaluation
+  }
+  private def numeric(c: String): Boolean =
+    tableSchema.fields.find(_.name == c).exists(f => f.dataType match {
+      case LongType | IntegerType | DoubleType => true
+      case _ => false
+    })
+  override def pushedFilters(): Array[Filter] = skipFilters
+  override def build(): Scan = StageScan(path, tableSchema, required, skipFilters)
 }
 
 case class StageFilePartition(file: String) extends InputPartition
 
 /** One input partition per committed data file — file-grain parallelism,
   * the same unit the two-phase commit produced (one file per writer task).
+  * Comparison predicates prune whole files against the commit-time zone
+  * maps before any byte is read; a file with no recorded stats for a
+  * column is never skipped on that column (nulls-only or legacy files
+  * stay safe).
   */
-case class StageScan(path: String, tableSchema: StructType, required: StructType)
+case class StageScan(
+    path: String, tableSchema: StructType, required: StructType,
+    skipFilters: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
+  @transient private var plannedFiles = -1
+  @transient private var totalFiles = -1
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"StageScan(path=$path, cols=${required.fieldNames.mkString(",")})"
+  override def description(): String = {
+    val skipped =
+      if (plannedFiles >= 0) s", files=$plannedFiles/$totalFiles" else ""
+    val sk = if (skipFilters.nonEmpty)
+      s", skipBy=${skipFilters.mkString(";")}" else ""
+    s"StageScan(path=$path$skipped$sk, cols=${required.fieldNames.mkString(",")})"
+  }
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = StageSource.dataFiles(path).map(_.length).sum
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
+  // can a file whose column spans [min,max] possibly satisfy the filter?
+  // Long→double zone maps round to nearest, so bounds are widened by one
+  // ulp before disproving — a rounded-up min must never skip a file that
+  // holds a slightly smaller true value.
+  private def mightMatch(stats: Map[String, StageSource.ColRange], f: Filter): Boolean = {
+    def rng(c: String): Option[(Double, Double)] =
+      stats.get(c).map(r => (Math.nextDown(r.min), Math.nextUp(r.max)))
+    f match {
+      case EqualTo(c, v: Number) =>
+        rng(c).forall { case (mn, mx) => v.doubleValue >= mn && v.doubleValue <= mx }
+      case GreaterThan(c, v: Number) => rng(c).forall(_._2 > v.doubleValue)
+      case GreaterThanOrEqual(c, v: Number) => rng(c).forall(_._2 >= v.doubleValue)
+      case LessThan(c, v: Number) => rng(c).forall(_._1 < v.doubleValue)
+      case LessThanOrEqual(c, v: Number) => rng(c).forall(_._1 <= v.doubleValue)
+      case _ => true
+    }
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     require(new File(path, StageSource.SuccessFile).exists(),
       s"StageSource table at $path has no _SUCCESS marker — incomplete snapshot")
-    StageSource.dataFiles(path)
-      .map(f => StageFilePartition(f.getAbsolutePath): InputPartition)
+    val stats = StageSource.readStats(path)
+    val all = StageSource.dataFiles(path)
+    totalFiles = all.length
+    val kept = all.filter { f =>
+      val fileStats = stats.getOrElse(f.getName, Map.empty)
+      skipFilters.forall(mightMatch(fileStats, _))
+    }
+    plannedFiles = kept.length
+    kept.map(f => StageFilePartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new StageReaderFactory(tableSchema, required)

@@ -186,6 +186,44 @@ class SourcesSpec extends SparkTestBase {
     assert(e.getMessage.contains("does not support"), e.getMessage)
   }
 
+  test("StageSource zone maps skip whole files on comparison predicates") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_zm").toString + "/t"
+    val fmt = "graft.sources.v2.StageSource"
+    // range-partition on k so the committed files carry disjoint k ranges
+    // (the layout a pay-at-write pipeline produces)
+    spark.range(10000).select(col("id").as("k"),
+        (col("id") % 97).cast("double").as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .filter(col("k") < 1000)
+    val got = back.agg(count(lit(1)), sum(col("k"))).head()
+    assert(got.getLong(0) == 1000 && got.getLong(1) == 999L * 1000 / 2)
+    // the executed scan read a strict subset of the 8 files …
+    val plan = back.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no file-skip evidence in scan description:\n$plan")
+    assert(m.get.group(2).toInt == 8, plan)
+    assert(m.get.group(1).toInt < 8 && m.get.group(1).toInt >= 1, plan)
+    // … and the skipping filters stay residual (a FilterExec survives):
+    // zone maps prune files, they never filter rows
+    assert(plan.contains("Filter"), plan)
+    // a filter matching nothing prunes everything, returns empty not error
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .filter(col("k") > 1000000).count() == 0)
+    // append keeps old zone maps valid: new snapshot's rows still found
+    Seq((20000L, 1.0)).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val hit = spark.read.format(fmt).option("path", dir).load()
+      .filter(col("k") === 20000L)
+    assert(hit.count() == 1)
+    val plan2 = hit.queryExecution.executedPlan.toString
+    val m2 = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan2)
+    assert(m2.isDefined && m2.get.group(2).toInt == 9 &&
+      m2.get.group(1).toInt == 1, plan2)
+  }
+
   test("SeqSource closed-form SUM stays exact at the domain cap; beyond it the table fails loudly") {
     // ADVICE r14: the arithmetic-series pushdown used (ends × cnt) / 2,
     // whose intermediate product overflows Long for ranges near the top
