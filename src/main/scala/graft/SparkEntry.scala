@@ -7245,6 +7245,48 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  /** STORAGE-PARTITIONED join through the DSv2 connector
+    * ([[graft.sources.v2.SeqSource]] `keyed` mode — the connector
+    * generalization of [[qBucketedJoin]]'s co-located story, the
+    * reference's partitioned-join mode `host/join/join_native.cc:94-111`
+    * expressed as a connector LAYOUT contract): both sides declare
+    * `KeyGroupedPartitioning(identity(mod7))` with [[
+    * org.apache.spark.sql.connector.read.HasPartitionKey]] partitions, so
+    * with `spark.sql.sources.v2.bucketing.enabled` the per-side GROUP BY
+    * mod7 aggregates AND the join between them plan with ZERO shuffle
+    * exchanges — Spark lines the residue-class partitions up
+    * one-to-one (PlanAuditSpec pins no-ShuffleExchange and the
+    * `keyed=mod7` scan descriptions). This is how Iceberg/Delta
+    * bucket-partitioned tables join at 100 TB: the layout is written
+    * once, declared by the connector, and every downstream join/agg on
+    * the partition key rides it for free. The merge-join hint keeps the
+    * tiny post-aggregate sides from broadcasting so the row exercises
+    * the partition-aligned path end to end.
+    */
+  private def qDsv2Spj(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "true")
+    try {
+      def keyedSeq(n: Long) = s.read.format("graft.sources.v2.SeqSource")
+        .option("n", n).option("keyed", true).load()
+      val left = keyedSeq(1000000L)
+        .filter(col("id") < 700000L)
+        .groupBy(col("mod7"))
+        .agg(count(lit(1)).as("l_rows"), sum(col("cents")).as("l_cents"))
+      val right = keyedSeq(500000L)
+        .groupBy(col("mod7"))
+        .agg(count(lit(1)).as("r_rows"))
+      val out = left.hint("merge").join(right, "mod7")
+        .select(col("mod7"), col("l_rows"), col("l_cents"), col("r_rows"))
+        .orderBy("mod7")
+      // planning is lazy and reads SQLConf at plan time — force it while
+      // the conf override is live (QueryExecution caches the result)
+      out.queryExecution.executedPlan
+      out
+    } finally s.conf.set(key, prev)
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -8775,6 +8817,7 @@ object SparkEntry {
     "q_dsv2_write" -> (qDsv2Write _),
     "q_dsv2_upsert" -> (qDsv2Upsert _),
     "q_dsv2_runtime_filter" -> (qDsv2RuntimeFilter _),
+    "q_dsv2_spj" -> (qDsv2Spj _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -9762,6 +9805,21 @@ object SparkEntry {
         |       COALESCE(d.cents, b.cents) AS cents
         |FROM base b FULL JOIN delta d ON b.k = d.k
         |ORDER BY k""".stripMargin,
+    // q_dsv2_spj: the storage-partitioned join's content replayed
+    // arithmetically — both keyed sides aggregated over generate_series
+    // and joined on the residue class
+    "q_dsv2_spj" ->
+      """WITH l AS (
+        |  SELECT id % 7 AS mod7,
+        |         CAST(COUNT(*) AS BIGINT) AS l_rows,
+        |         CAST(SUM((id * 37) % 10000) AS BIGINT) AS l_cents
+        |  FROM (SELECT range AS id FROM range(0, 700000)) GROUP BY 1),
+        |r AS (
+        |  SELECT id % 7 AS mod7, CAST(COUNT(*) AS BIGINT) AS r_rows
+        |  FROM (SELECT range AS id FROM range(0, 500000)) GROUP BY 1)
+        |SELECT CAST(l.mod7 AS BIGINT) AS mod7, l_rows, l_cents, r_rows
+        |FROM l JOIN r ON l.mod7 = r.mod7
+        |ORDER BY mod7""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

@@ -12,7 +12,8 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,7 +59,12 @@ class SeqSource extends TableProvider {
       s"SeqSource n=$n out of [0, 2^32]: the closed-form SUM(id) pushdown " +
         "is only exact in Long up to that domain")
     val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8)
-    new SeqTable(n, slices)
+    // keyed=true lays the table out KEY-GROUPED on mod7 (one partition per
+    // residue class, reported as KeyGroupedPartitioning) — the connector
+    // declares its physical layout and Spark's storage-partitioned join
+    // machinery exploits it (see SeqScan.outputPartitioning)
+    val keyed = Option(properties.get("keyed")).exists(_.toBoolean)
+    new SeqTable(n, slices, keyed)
   }
 }
 
@@ -79,16 +85,17 @@ object SeqSource {
   }
 }
 
-class SeqTable(n: Long, slices: Int) extends Table with SupportsRead {
+class SeqTable(n: Long, slices: Int, keyed: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_seq(n=$n)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, slices)
+    new SeqScanBuilder(n, slices, keyed)
 }
 
-class SeqScanBuilder(n: Long, slices: Int)
+class SeqScanBuilder(n: Long, slices: Int, keyed: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -161,16 +168,22 @@ class SeqScanBuilder(n: Long, slices: Int)
   // Limit, Offset, Sort or TakeOrdered operator survives in the plan.
   // TopN on any other ordering key (mod7/cents are not monotone in id)
   // is DECLINED and Spark keeps its own TakeOrdered.
+  // In keyed mode the partitions are residue classes, not contiguous id
+  // ranges — "first/last k of the range" arithmetic no longer describes
+  // any single partition's emission order, so limit/offset/TopN are
+  // DECLINED and Spark keeps its own operators (the decline leg).
   override def pushLimit(limit: Int): Boolean = {
+    if (keyed) return false
     hi = math.min(hi, lo + limit); true
   }
   override def pushOffset(offset: Int): Boolean = {
+    if (keyed) return false
     lo = math.min(lo + offset, hi); true
   }
   override def isPartiallyPushed(): Boolean = false
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
     orders match {
-      case Array(o) if isId(o.expression) =>
+      case Array(o) if isId(o.expression) && !keyed =>
         if (o.direction == SortDirection.ASCENDING) {
           hi = math.min(hi, lo + limit)
           orderedDesc = Some(false)
@@ -186,7 +199,7 @@ class SeqScanBuilder(n: Long, slices: Int)
     val (l, h) = (math.max(lo, 0L), math.min(hi, n))
     aggFns match {
       case Some(fns) => SeqAggScan(l, h, fns)
-      case None => SeqScan(l, h, slices, required, orderedDesc)
+      case None => SeqScan(l, h, slices, required, orderedDesc, keyed)
     }
   }
 }
@@ -238,11 +251,24 @@ case class SeqAggScan(lo: Long, hi: Long, fns: Array[String])
 
 case class SeqRange(from: Long, until: Long) extends InputPartition
 
+/** A residue-class partition of the keyed layout: every id in `[from,
+  * until)` with `id % 7 == k`. [[HasPartitionKey]] is the half of the
+  * storage-partitioned-join contract the PARTITION carries — Spark groups
+  * input partitions by this key row and lines them up against the other
+  * side's groups, so two keyed tables join partition-to-partition with no
+  * exchange (what co-partitioned Iceberg/Delta buckets do at 100 TB).
+  */
+case class SeqKeyRange(from: Long, until: Long, k: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](k.toLong))
+}
+
 case class SeqScan(
     lo: Long, hi: Long, slices: Int, required: StructType,
-    orderedDesc: Option[Boolean] = None)
+    orderedDesc: Option[Boolean] = None, keyed: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
   // RUNTIME narrowing ([[SupportsRuntimeV2Filtering]], r14 verdict #4 —
   // the connector analog of the parquet path's DPP/bloom-semijoin rows):
   // when this scan is the fact side of a join whose dim side carries a
@@ -253,8 +279,14 @@ case class SeqScan(
   // narrowing — the zone-map discipline — is sufficient, never wrong.
   @transient private var rlo = lo
   @transient private var rhi = hi
+  // Only advertise `id` while it survives column pruning: Spark resolves
+  // these references against the scan OUTPUT (PartitionPruning /
+  // RowLevelOperationRuntimeGroupFiltering call V2ExpressionUtils
+  // .resolveRefs on readSchema), so advertising a pruned-away column is
+  // an analysis error, not a declined filter.
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("id"))
+    if (required.fieldNames.contains("id")) Array(Expressions.column("id"))
+    else Array.empty
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
       val longs: Array[Long] = p.children().collect {
@@ -280,8 +312,23 @@ case class SeqScan(
       s", ordered=${if (d) "desc" else "asc"}").getOrElse("")
     val rt = if (rlo > lo || rhi < hi) s", runtime=[$rlo,$rhi)" else ""
     val parts = if (plannedParts >= 0) s", parts=$plannedParts" else ""
-    s"SeqScan(range=[$lo,$hi)$rt$parts, cols=${required.fieldNames.mkString(",")}$ord)"
+    val kd = if (keyed) ", keyed=mod7" else ""
+    s"SeqScan(range=[$lo,$hi)$rt$parts$kd, cols=${required.fieldNames.mkString(",")}$ord)"
   }
+
+  // The other half of the storage-partitioned-join contract, the SCAN's
+  // declaration: the data is clustered by identity(mod7) across 7
+  // partitions. Spark (with spark.sql.sources.v2.bucketing.enabled)
+  // converts this to a catalyst KeyGroupedPartitioning, which satisfies
+  // the aggregate's and join's ClusteredDistribution directly — no
+  // shuffle is planned above the scan. Only reported when the pruned
+  // schema still carries mod7 (the clustering column must be resolvable
+  // against the scan output); otherwise the layout is opaque.
+  override def outputPartitioning(): Partitioning =
+    if (keyed && required.fieldNames.contains("mod7"))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("mod7")), SeqScan.Residues)
+    else new UnknownPartitioning(math.max(slices, 1))
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = math.max(hi - lo, 0L)
     override def sizeInBytes(): util.OptionalLong =
@@ -289,6 +336,16 @@ case class SeqScan(
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
   }
   override def planInputPartitions(): Array[InputPartition] = {
+    if (keyed) {
+      // one partition per residue class, ALWAYS all 7 (an empty class
+      // still plans its partition so both sides of a storage-partitioned
+      // join expose identical key groups regardless of their ranges)
+      val parts = (0 until SeqScan.Residues)
+        .map(k => SeqKeyRange(math.max(lo, rlo), math.min(hi, rhi), k))
+        .toArray[InputPartition]
+      plannedParts = parts.length
+      return parts
+    }
     val total = math.max(hi - lo, 0L)
     if (total == 0) { plannedParts = 0; return Array.empty }
     // a completely-pushed TopN must emit its rows IN ORDER — one
@@ -311,19 +368,46 @@ case class SeqScan(
     new SeqReaderFactory(required.fieldNames, orderedDesc.contains(true))
 }
 
+object SeqScan {
+  /** The keyed layout's cluster count: identity(mod7) has exactly 7
+    * residue classes.
+    */
+  val Residues = 7
+}
+
 class SeqReaderFactory(cols: Array[String], desc: Boolean)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val r = p.asInstanceOf[SeqRange]
-    new PartitionReader[InternalRow] {
-      private var cur = if (desc) r.until else r.from - 1
-      override def next(): Boolean =
-        if (desc) { cur -= 1; cur >= r.from }
-        else { cur += 1; cur < r.until }
-      override def get(): InternalRow =
-        new GenericInternalRow(
-          cols.map(c => SeqSource.colValue(c, cur): Any))
-      override def close(): Unit = ()
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case kr: SeqKeyRange =>
+        new PartitionReader[InternalRow] {
+          // stride-7 over [from, until): exactly the ids with id%7 == k.
+          // start = smallest id >= max(from, 0) in the residue class;
+          // cur trails it by one stride so the first next() lands on it
+          private var cur = {
+            val base = math.max(kr.from, 0L)
+            val rem = ((kr.k - base) % SeqScan.Residues + SeqScan.Residues) %
+              SeqScan.Residues
+            base + rem - SeqScan.Residues
+          }
+          override def next(): Boolean = {
+            cur += SeqScan.Residues; cur < kr.until
+          }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              cols.map(c => SeqSource.colValue(c, cur): Any))
+          override def close(): Unit = ()
+        }
+      case r: SeqRange =>
+        new PartitionReader[InternalRow] {
+          private var cur = if (desc) r.until else r.from - 1
+          override def next(): Boolean =
+            if (desc) { cur -= 1; cur >= r.from }
+            else { cur += 1; cur < r.until }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              cols.map(c => SeqSource.colValue(c, cur): Any))
+          override def close(): Unit = ()
+        }
     }
-  }
 }

@@ -892,6 +892,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() == 1)
   }
 
+  test("q_dsv2_spj: storage-partitioned join plans with zero shuffles") {
+    val df = SparkEntry.queries("q_dsv2_spj")(spark, sf0001)
+    df.queryExecution.toRdd.count(): Unit
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // both sides declare the keyed layout and plan all 7 residue classes
+    assert("keyed=mod7".r.findAllIn(plan).size == 2,
+      s"keyed scans missing:\n${plan.take(1500)}")
+    assert("parts=7".r.findAllIn(plan).size == 2,
+      s"residue partitions not planned:\n${plan.take(1500)}")
+    // the join itself is partition-aligned sort-merge
+    assert(plan.contains("SortMergeJoin"),
+      s"SPJ did not plan a merge join:\n${plan.take(1500)}")
+    // ZERO clustering shuffles: the per-side GROUP BY mod7 and the join
+    // both ride KeyGroupedPartitioning — a hashpartitioning exchange
+    // anywhere means the layout declaration was ignored
+    assert(!plan.contains("hashpartitioning"),
+      s"a clustering shuffle crept above the keyed scans:\n${plan.take(2000)}")
+    // the only exchange allowed is the presentational orderBy's range
+    // partitioning
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"exchanges=$exchanges:\n${plan.take(2000)}")
+    assert(df.count() == 7)
+  }
+
   test("q_dsv2_write: the connector write plans a V2 write node and commits atomically") {
     // capture the save command's EXECUTED plan via a listener — the V1
     // DataFrameWriter.save path exposes no QueryExecution to the caller
