@@ -10,15 +10,24 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/v16_1" > /tmp/r16_ver
 # Weather-gated bench (BASELINE.md "Weather normalization"): if the run's
 # own anchor_drift says the box was unstable (>25% in either direction),
 # re-run ONCE and keep the calmer run's artifact.
+CHAIN_START=$(date +%s)
 run_bench() {
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=/root/repo/BENCH_LAST.json \
     sbt -batch "runMain graft.Bench" > "$1" 2>&1
 }
 drift_bad() {  # exit 0 when drift is OUTSIDE [1/1.25, 1.25]
-  python3 - <<'EOF'
-import json, math, sys
-d = json.load(open('/root/repo/BENCH_LAST.json')).get('anchor_drift', 1.0)
-sys.exit(0 if abs(math.log(d)) > math.log(1.25) else 1)
+  # fail CLOSED: a missing/corrupt artifact (bench crashed) must read as
+  # "bad run", never as calm-with-a-stale-artifact (ADVICE r15)
+  python3 - "$CHAIN_START" <<'EOF'
+import json, math, os, sys
+try:
+    path = '/root/repo/BENCH_LAST.json'
+    if os.path.getmtime(path) < float(sys.argv[1]):
+        sys.exit(0)  # artifact predates this chain: the bench never wrote
+    d = json.load(open(path)).get('anchor_drift', 1.0)
+    sys.exit(0 if abs(math.log(d)) > math.log(1.25) else 1)
+except Exception:
+    sys.exit(0)  # unreadable artifact = bad run
 EOF
 }
 run_bench /tmp/r16_bench.log
