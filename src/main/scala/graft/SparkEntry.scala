@@ -7287,6 +7287,113 @@ object SparkEntry {
     } finally s.conf.set(key, prev)
   }
 
+  /** Row LINEAGE through the connector's metadata column
+    * ([[graft.sources.v2.StageTable]]'s `SupportsMetadataColumns` — the
+    * `_metadata.file_path` analog): lineitem is written through the
+    * staging connector IDENTITY-PARTITIONED by return flag (the write
+    * declares clustered distribution via `RequiresDistributionAndOrdering`
+    * — Spark plans the shuffle, each flag lands wholly in one task, the
+    * writer routes one committed shard per flag value), read back with
+    * the hidden `_file` column, and the audit proves the layout from
+    * lineage alone: every flag's rows live in exactly ONE shard
+    * (`n_files` = 1) and the three flags live in THREE distinct shards
+    * (`total_files`, attached via a broadcast 1-row aggregate). `_file`
+    * is absent from `SELECT *` (pinned in ConnectorSpec) — lineage is
+    * materialized only when asked for. At 100 TB this is the shard audit
+    * a takedown/dedup pipeline runs before acting file-wise: which files
+    * hold which cohort, without a provenance column baked into every row.
+    */
+  private def qDsv2Lineage(s: SparkSession, d: String): DataFrame = {
+    val root = s"/tmp/graft_dsv2w/${dirTag(d)}/lineage"
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .write.format("graft.sources.v2.StageSource")
+      .option("path", root).option("partition_by", "flag")
+      .mode("overwrite").save()
+    val back = s.read.format("graft.sources.v2.StageSource")
+      .option("path", root).load()
+      .select(col("flag"), col("cents"), col("_file"))
+    val perFlag = back.groupBy("flag")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+        countDistinct(col("_file")).as("n_files"))
+    val total = back.agg(countDistinct(col("_file")).as("total_files"))
+    perFlag.withColumn("one", lit(1))
+      .join(broadcast(total.withColumn("one", lit(1))), "one")
+      .drop("one")
+      .select("flag", "n_rows", "sum_cents", "n_files", "total_files")
+      .orderBy("flag")
+  }
+
+  /** Register the staging catalog once per session (idempotent): SQL
+    * DDL/DML address the connector's tables as `stage_<tag>.default.<t>`.
+    */
+  private def stageCatalog(s: SparkSession, d: String): String = {
+    val tag = dirTag(d)
+    val cat = s"stage_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.StageCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_dsv2cat/$tag")
+    cat
+  }
+
+  /** SQL DDL/DML THROUGH the custom catalog ([[graft.sources.v2
+    * .StageCatalog]] — the seam that turns the path-based connector into
+    * addressable tables, the surface a table format exposes): CREATE
+    * TABLE … PARTITIONED BY (status) declares the identity layout, INSERT
+    * INTO routes every status to its own committed shard (the write's
+    * required clustering plans the shuffle), and the read-back GROUP BY
+    * runs over the catalog identifier, not a path. The oracle replays the
+    * content straight from orders — the catalog must be a pure naming
+    * seam, never a data transformation.
+    */
+  private def qDsv2Catalog(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_part"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) " +
+      "PARTITIONED BY (status)")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v""")
+    s.sql(s"""SELECT status, COUNT(*) AS n_orders, SUM(cents) AS sum_cents,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM $t GROUP BY status ORDER BY status""")
+  }
+
+  /** Partition-predicate DELETE — the TAKEDOWN path ([[graft.sources.v2
+    * .StageTable]]'s `SupportsDeleteV2`, Iceberg's metadata-delete
+    * contract): `DELETE FROM … WHERE status IN (…)` on an
+    * identity-partitioned table resolves to dropping whole committed
+    * files from the snapshot — every file carries exactly one partition
+    * value, so the predicate is decidable per-file and NO row is read or
+    * rewritten. A predicate the layout cannot decide (a non-partition
+    * column) is DECLINED loudly (canDeleteWhere=false → Spark raises;
+    * the decline leg is pinned in SourcesSpec) — at 100 TB a takedown
+    * that silently rewrote petabytes row-wise would be a bug. The
+    * read-back after the delete is oracled against orders minus the
+    * deleted statuses, and the scan's `files=` evidence (pinned in
+    * PlanAuditSpec) proves the surviving partitions were never touched.
+    */
+  private def qDsv2Delete(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_takedown"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) " +
+      "PARTITIONED BY (status)")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v""")
+    s.sql(s"DELETE FROM $t WHERE status IN ('P', 'F')")
+    s.sql(s"""SELECT status, COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM $t GROUP BY status ORDER BY status""")
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -8818,6 +8925,9 @@ object SparkEntry {
     "q_dsv2_upsert" -> (qDsv2Upsert _),
     "q_dsv2_runtime_filter" -> (qDsv2RuntimeFilter _),
     "q_dsv2_spj" -> (qDsv2Spj _),
+    "q_dsv2_lineage" -> (qDsv2Lineage _),
+    "q_dsv2_catalog" -> (qDsv2Catalog _),
+    "q_dsv2_delete" -> (qDsv2Delete _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -9820,6 +9930,36 @@ object SparkEntry {
         |SELECT CAST(l.mod7 AS BIGINT) AS mod7, l_rows, l_cents, r_rows
         |FROM l JOIN r ON l.mod7 = r.mod7
         |ORDER BY mod7""".stripMargin,
+    // q_dsv2_lineage: the per-flag content straight from lineitem; the
+    // lineage claims (one shard per flag, three shards total) replayed
+    // as the constants the co-located layout guarantees
+    "q_dsv2_lineage" ->
+      """SELECT l_returnflag AS flag,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       CAST(1 AS BIGINT) AS n_files,
+        |       CAST(3 AS BIGINT) AS total_files
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+    // q_dsv2_catalog: the catalog is a naming seam — the content through
+    // CREATE/INSERT/SELECT must be exactly orders
+    "q_dsv2_catalog" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    // q_dsv2_delete: the takedown replayed as a NOT IN — the partition
+    // delete must remove exactly the two statuses' rows, nothing else
+    "q_dsv2_delete" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus NOT IN ('P', 'F')
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

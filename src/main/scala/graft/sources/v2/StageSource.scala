@@ -8,11 +8,16 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, Predicate}
+import org.apache.spark.sql.graftshim.V2ExprShim
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,7 +77,22 @@ class StageSource extends TableProvider {
     schema.fields.foreach(f => require(
       StageSource.supported(f.dataType),
       s"StageSource does not support column type ${f.dataType} (${f.name})"))
-    new StageTable(StageSource.pathOf(properties), schema)
+    val path = StageSource.pathOf(properties)
+    // identity partition columns, in precedence order: declared
+    // transforms (catalog DDL) → the `partition_by` option (path-based
+    // writes) → the table's persisted layout (reads of an existing
+    // partitioned table)
+    val partCols: Array[String] =
+      if (partitioning.nonEmpty) partitioning.map { t =>
+        V2ExprShim.identityColumn(t).getOrElse(throw new IllegalArgumentException(
+          s"StageSource supports only identity partitioning, got $t"))
+      }
+      else Option(properties.get("partition_by"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty))
+        .getOrElse(StageSource.readPartCols(path))
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema ${schema.simpleString}"))
+    new StageTable(path, schema, partCols)
   }
 }
 
@@ -80,6 +100,74 @@ object StageSource {
   val SchemaFile = "_schema.ddl"
   val SuccessFile = "_SUCCESS"
   val StatsFile = "_stats.tsv"
+  /** Metadata column: committed file name (row lineage). */
+  val FileCol = "_file"
+  /** Persisted identity-partition column list (one name per line). */
+  val PartColsFile = "_partcols.txt"
+  /** Per-file partition value map: `file \t url-encoded-value[/value…]`. */
+  val PartsFile = "_parts.tsv"
+
+  def readPartCols(path: String): Array[String] = {
+    val f = new File(path, PartColsFile)
+    if (!f.exists()) Array.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty).toArray
+  }
+
+  /** file name → partition-value rendering (decoded, one entry per
+    * partition column, aligned with the persisted column order).
+    */
+  def readParts(path: String): Map[String, Array[String]] = {
+    val f = new File(path, PartsFile)
+    if (!f.exists()) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(file, pv) = l.split('\t')
+        file -> pv.split('/').map(
+          java.net.URLDecoder.decode(_, StandardCharsets.UTF_8))
+      }.toMap
+  }
+
+  /** Reserved rendering for a NULL partition value (no legal string
+    * column value can equal it — it carries a NUL byte).
+    */
+  val NullPart = "\u0000null"
+
+  /** Render one partition value for routing/pruning: canonical string per
+    * type (Long/Int exact decimal, Double via toString round-trip,
+    * String as-is), nulls as a reserved marker.
+    */
+  def renderPart(dt: DataType, row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) NullPart
+    else dt match {
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case StringType => row.getUTF8String(i).toString
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+
+  /** Does a rendered partition value satisfy a literal comparison? Typed:
+    * numeric partition columns compare numerically, strings lexically.
+    */
+  def partMatches(dt: DataType, rendered: String, op: String, lit: Any): Boolean = {
+    if (rendered == NullPart) return false // comparisons never match null
+    def cmp: Int = dt match {
+      case LongType | IntegerType | DoubleType =>
+        java.lang.Double.compare(rendered.toDouble,
+          lit.asInstanceOf[Number].doubleValue)
+      case StringType => rendered.compareTo(String.valueOf(lit))
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+    op match {
+      case "=" => cmp == 0
+      case "<" => cmp < 0
+      case "<=" => cmp <= 0
+      case ">" => cmp > 0
+      case ">=" => cmp >= 0
+      case _ => true
+    }
+  }
 
   /** Per-file, per-numeric-column [min,max] zone maps, recorded by each
     * writer task and persisted at job commit — the connector analog of
@@ -123,44 +211,168 @@ object StageSource {
   }
 }
 
-class StageTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+class StageTable(
+    path: String, tableSchema: StructType,
+    partCols: Array[String] = Array.empty)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns with SupportsDeleteV2 {
   override def name(): String = s"graft_stage($path)"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => Expressions.identity(c))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  // ------------------------------------------------- partition-level DELETE
+  // The takedown path ([[SupportsDeleteV2]], Iceberg's metadata-delete
+  // contract): a DELETE whose predicates touch ONLY identity-partition
+  // columns is a pure file-list operation — every committed file carries
+  // exactly one partition value, so each file is provably all-match or
+  // none-match and matching files are simply dropped from the snapshot
+  // (no row is read, no data rewritten). Anything finer-grained is
+  // DECLINED loudly (canDeleteWhere=false → Spark raises) rather than
+  // half-applied: at 100 TB a takedown that silently rewrote petabytes
+  // row-wise is a bug, not a feature — the caller either aligns the
+  // predicate with the layout or runs an explicit rewrite job.
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    partCols.nonEmpty && predicates.forall(StageTable.decidable(_, partCols))
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(canDeleteWhere(predicates), "undecidable partition delete")
+    val parts = StageSource.readParts(path)
+    val colType = partCols.map(c =>
+      tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
+    val doomed = StageSource.dataFiles(path).filter { f =>
+      val pv = parts.getOrElse(f.getName, Array.empty[String])
+      pv.length == partCols.length && predicates.forall(p =>
+        StageTable.matches(p, partCols, colType, pv))
+    }.map(_.getName).toSet
+    doomed.foreach(n => new File(path, n).delete(): Unit)
+    // drop the dead files' stats + partition lines (snapshot metadata
+    // stays exactly the surviving file set)
+    def rewrite(file: String): Unit = {
+      val f = new File(path, file)
+      if (f.exists()) {
+        val kept = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .linesIterator.filter(l => l.nonEmpty && !doomed(l.split('\t')(0)))
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.write(f.toPath,
+          kept.getBytes(StandardCharsets.UTF_8)): Unit
+      }
+    }
+    rewrite(StageSource.StatsFile)
+    rewrite(StageSource.PartsFile)
+  }
+
+  // Row LINEAGE ([[SupportsMetadataColumns]], the `_metadata.file_path`
+  // analog): `_file` names the committed data file each row lives in —
+  // hidden from `SELECT *`, materialized only when referenced, and the
+  // unit every file-level operation (zone-map skip, takedown delete,
+  // shard audit) acts on. At 100 TB this is how a pipeline answers
+  // "which shard did this document come from" without carrying a
+  // provenance column through every write.
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = StageSource.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "name of the committed data file holding this row"
+    })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StageScanBuilder(path, tableSchema)
+    new StageScanBuilder(path, tableSchema, partCols)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new StageWriteBuilder(path, info.schema(), info.queryId(), truncate = false)
+    new StageWriteBuilder(path, info.schema(), info.queryId(),
+      truncate = false, partCols)
+}
+
+object StageTable {
+  /** Is a DELETE predicate decidable per-file from partition values alone?
+    * Comparisons and IN on a partition column are; everything else —
+    * non-partition columns, expressions, OR trees — is not.
+    */
+  def decidable(p: Predicate, partCols: Array[String]): Boolean = p match {
+    case _: AlwaysTrue => true
+    case _ =>
+      p.name() match {
+        case "=" | "<" | "<=" | ">" | ">=" | "IN" =>
+          val refs = p.references()
+          refs.length == 1 &&
+            partCols.contains(refs(0).fieldNames.mkString(".")) &&
+            p.children().count(c =>
+              V2ExprShim.literalValue(c).isDefined) == p.children().length - 1
+        case _ => false
+      }
+  }
+
+  /** Does a file's partition value satisfy a (decidable) predicate? */
+  def matches(
+      p: Predicate, partCols: Array[String], colType: Array[DataType],
+      pv: Array[String]): Boolean = p match {
+    case _: AlwaysTrue => true
+    case _ =>
+      val col = p.references()(0).fieldNames.mkString(".")
+      val i = partCols.indexOf(col)
+      val lits = p.children().flatMap(c =>
+        V2ExprShim.literalValue(c).map {
+          case s: UTF8String => s.toString
+          case v => v
+        })
+      p.name() match {
+        case "IN" => lits.exists(v =>
+          StageSource.partMatches(colType(i), pv(i), "=", v))
+        case op => StageSource.partMatches(colType(i), pv(i), op, lits.head)
+      }
+  }
 }
 
 // ---------------------------------------------------------------- write
 
 class StageWriteBuilder(
-    path: String, schema: StructType, queryId: String, truncate: Boolean)
+    path: String, schema: StructType, queryId: String, truncate: Boolean,
+    partCols: Array[String] = Array.empty)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new StageWriteBuilder(path, schema, queryId, truncate = true)
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new StageBatchWrite(path, schema, queryId, truncate)
+    new StageWriteBuilder(path, schema, queryId, truncate = true, partCols)
+  // The write DECLARES its required clustering ([[
+  // RequiresDistributionAndOrdering]]): rows must arrive grouped by the
+  // partition columns, so Spark plans the shuffle (or reuses an existing
+  // one) and each partition VALUE lands wholly in one task → exactly one
+  // committed file per value. This is the V2-native dynamic-partition
+  // write: the connector states the layout law, the planner pays for it
+  // once, and no task ever holds more than its own values' streams open.
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): Distribution =
+      if (partCols.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(
+        partCols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression))
+    override def requiredOrdering(): Array[V2SortOrder] = Array.empty
+    override def toBatch: BatchWrite =
+      new StageBatchWrite(path, schema, queryId, truncate, partCols)
   }
 }
 
-case class StageCommit(
-    tmpPath: String, rows: Long,
-    // (col, min, max) for numeric columns with at least one non-null row
-    stats: Array[(String, Double, Double)]) extends WriterCommitMessage
+/** One sealed temp file: its staging path, rendered partition value
+  * (url-encoded, "" when unpartitioned), row count and zone maps.
+  */
+case class StageFileCommit(
+    tmpPath: String, pv: String, rows: Long,
+    stats: Array[(String, Double, Double)])
+
+case class StageCommit(files: Array[StageFileCommit])
+    extends WriterCommitMessage
 
 class StageBatchWrite(
-    path: String, schema: StructType, queryId: String, truncate: Boolean)
+    path: String, schema: StructType, queryId: String, truncate: Boolean,
+    partCols: Array[String] = Array.empty)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new StageWriterFactory(path, schema, queryId)
+    new StageWriterFactory(path, schema, queryId, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new File(path)
@@ -180,20 +392,40 @@ class StageBatchWrite(
         statLines.append(new String(
           java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
     }
+    val partLines = new StringBuilder
+    if (!truncate && partCols.nonEmpty) {
+      val f = new File(root, StageSource.PartsFile)
+      if (f.exists())
+        partLines.append(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+    }
+    // empty writer partitions (rows=0) reported no files — committing
+    // them would litter the table with zero-row shards that every scan,
+    // zone-map pass and lineage audit then has to touch
     messages.zipWithIndex.foreach { case (m, i) =>
-      val c = m.asInstanceOf[StageCommit]
-      val src = new File(c.tmpPath)
-      val name = s"part-$queryId-$i.bin"
-      val dst = new File(root, name)
-      java.nio.file.Files.move(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-      c.stats.foreach { case (colName, mn, mx) =>
-        statLines.append(s"$name\t$colName\t$mn\t$mx\n")
+      m.asInstanceOf[StageCommit].files.zipWithIndex.foreach { case (c, j) =>
+        val src = new File(c.tmpPath)
+        val name = s"part-$queryId-$i-$j.bin"
+        val dst = new File(root, name)
+        java.nio.file.Files.move(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        c.stats.foreach { case (colName, mn, mx) =>
+          statLines.append(s"$name\t$colName\t$mn\t$mx\n")
+        }
+        if (partCols.nonEmpty) partLines.append(s"$name\t${c.pv}\n")
       }
     }
     java.nio.file.Files.write(
       new File(root, StageSource.StatsFile).toPath,
       statLines.toString.getBytes(StandardCharsets.UTF_8)): Unit
+    if (partCols.nonEmpty) {
+      java.nio.file.Files.write(
+        new File(root, StageSource.PartsFile).toPath,
+        partLines.toString.getBytes(StandardCharsets.UTF_8)): Unit
+      java.nio.file.Files.write(
+        new File(root, StageSource.PartColsFile).toPath,
+        partCols.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
     java.nio.file.Files.write(
       new File(root, StageSource.SchemaFile).toPath,
       schema.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
@@ -214,36 +446,58 @@ class StageBatchWrite(
   }
 }
 
-class StageWriterFactory(path: String, schema: StructType, queryId: String)
+class StageWriterFactory(
+    path: String, schema: StructType, queryId: String,
+    partCols: Array[String] = Array.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StageDataWriter(path, schema, queryId, partitionId, taskId)
+    new StageDataWriter(path, schema, queryId, partitionId, taskId, partCols)
 }
 
 class StageDataWriter(
     path: String, schema: StructType, queryId: String,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, partCols: Array[String])
     extends DataWriter[InternalRow] {
-  // unique per task ATTEMPT (taskId is attempt-unique): retries and
-  // speculative copies write disjoint temp files
-  private val tmp = {
-    val st = new File(path, ".staging")
-    st.mkdirs()
-    new File(st, s"tmp-$queryId-$partitionId-$taskId.bin")
-  }
-  private val out = new DataOutputStream(
-    new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
-  private var rows = 0L
   private val types = schema.fields.map(_.dataType)
-  // running zone map per numeric column (NaN until a non-null value seen)
-  private val mins = Array.fill(types.length)(Double.NaN)
-  private val maxs = Array.fill(types.length)(Double.NaN)
-  private def observe(i: Int, v: Double): Unit = {
-    if (mins(i).isNaN || v < mins(i)) mins(i) = v
-    if (maxs(i).isNaN || v > maxs(i)) maxs(i) = v
+  private val partIdx = partCols.map(schema.fieldIndex)
+
+  /** One open temp file: unpartitioned tasks hold exactly one; a
+    * partitioned task holds one per partition VALUE it receives (the
+    * write's required clustering bounds this to the task's own values).
+    */
+  private final class Sink(val pv: String) {
+    // unique per task ATTEMPT (taskId is attempt-unique): retries and
+    // speculative copies write disjoint temp files
+    val tmp = {
+      val st = new File(path, ".staging")
+      st.mkdirs()
+      new File(st, s"tmp-$queryId-$partitionId-$taskId-${sinks.size}.bin")
+    }
+    val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+    var rows = 0L
+    // running zone map per numeric column (NaN until a non-null value seen)
+    val mins = Array.fill(types.length)(Double.NaN)
+    val maxs = Array.fill(types.length)(Double.NaN)
+    def observe(i: Int, v: Double): Unit = {
+      if (mins(i).isNaN || v < mins(i)) mins(i) = v
+      if (maxs(i).isNaN || v > maxs(i)) maxs(i) = v
+    }
+  }
+  private val sinks = scala.collection.mutable.LinkedHashMap.empty[String, Sink]
+
+  private def sinkFor(row: InternalRow): Sink = {
+    val pv =
+      if (partIdx.isEmpty) ""
+      else partIdx.map(i => java.net.URLEncoder.encode(
+        StageSource.renderPart(types(i), row, i), StandardCharsets.UTF_8))
+        .mkString("/")
+    sinks.getOrElseUpdate(pv, new Sink(pv))
   }
 
   override def write(row: InternalRow): Unit = {
+    val s = sinkFor(row)
+    val out = s.out
     var i = 0
     while (i < types.length) {
       if (row.isNullAt(i)) out.writeByte(1)
@@ -251,12 +505,12 @@ class StageDataWriter(
         out.writeByte(0)
         types(i) match {
           case LongType =>
-            val v = row.getLong(i); out.writeLong(v); observe(i, v.toDouble)
+            val v = row.getLong(i); out.writeLong(v); s.observe(i, v.toDouble)
           case IntegerType =>
-            val v = row.getInt(i); out.writeInt(v); observe(i, v.toDouble)
+            val v = row.getInt(i); out.writeInt(v); s.observe(i, v.toDouble)
           case DoubleType =>
             val v = row.getDouble(i); out.writeDouble(v)
-            if (!v.isNaN) observe(i, v)
+            if (!v.isNaN) s.observe(i, v)
           case StringType =>
             val b = row.getUTF8String(i).getBytes
             out.writeInt(b.length); out.write(b)
@@ -265,21 +519,27 @@ class StageDataWriter(
       }
       i += 1
     }
-    rows += 1
+    s.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    val stats = types.indices.iterator
-      .filter(i => !mins(i).isNaN)
-      .map(i => (schema.fields(i).name, mins(i), maxs(i)))
-      .toArray
-    StageCommit(tmp.getAbsolutePath, rows, stats)
+    val files = sinks.values.iterator.map { s =>
+      s.out.close()
+      val stats = types.indices.iterator
+        .filter(i => !s.mins(i).isNaN)
+        .map(i => (schema.fields(i).name, s.mins(i), s.maxs(i)))
+        .toArray
+      StageFileCommit(s.tmp.getAbsolutePath, s.pv, s.rows, stats)
+    }.toArray
+    // an empty task (rows=0 in every sink is impossible — sinks are
+    // created on first row — but a task with NO rows has no sinks)
+    // reports no files; job commit sees an empty list
+    StageCommit(files)
   }
 
-  override def abort(): Unit = {
-    out.close()
-    tmp.delete(): Unit
+  override def abort(): Unit = sinks.values.foreach { s =>
+    s.out.close()
+    s.tmp.delete(): Unit
   }
 
   override def close(): Unit = ()
@@ -287,11 +547,14 @@ class StageDataWriter(
 
 // ----------------------------------------------------------------- read
 
-class StageScanBuilder(path: String, tableSchema: StructType)
+class StageScanBuilder(
+    path: String, tableSchema: StructType,
+    partCols: Array[String] = Array.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var skipFilters: Array[Filter] = Array.empty
+  private var partFilters: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   // Zone-map file skipping: comparison predicates on numeric columns are
@@ -308,6 +571,17 @@ class StageScanBuilder(path: String, tableSchema: StructType)
       case LessThanOrEqual(c, _: Number) => numeric(c)
       case _ => false
     }
+    // partition pruning is EXACT (each file carries one partition value),
+    // so it also covers string equality/IN — the layout's point-query leg
+    partFilters = filters.filter {
+      case EqualTo(c, _) => partCols.contains(c)
+      case In(c, _) => partCols.contains(c)
+      case GreaterThan(c, _) => partCols.contains(c)
+      case GreaterThanOrEqual(c, _) => partCols.contains(c)
+      case LessThan(c, _) => partCols.contains(c)
+      case LessThanOrEqual(c, _) => partCols.contains(c)
+      case _ => false
+    }
     filters // all residual: skipping is pruning, not evaluation
   }
   private def numeric(c: String): Boolean =
@@ -315,8 +589,10 @@ class StageScanBuilder(path: String, tableSchema: StructType)
       case LongType | IntegerType | DoubleType => true
       case _ => false
     })
-  override def pushedFilters(): Array[Filter] = skipFilters
-  override def build(): Scan = StageScan(path, tableSchema, required, skipFilters)
+  override def pushedFilters(): Array[Filter] =
+    (skipFilters ++ partFilters).distinct
+  override def build(): Scan =
+    StageScan(path, tableSchema, required, skipFilters, partCols, partFilters)
 }
 
 case class StageFilePartition(file: String) extends InputPartition
@@ -330,7 +606,9 @@ case class StageFilePartition(file: String) extends InputPartition
   */
 case class StageScan(
     path: String, tableSchema: StructType, required: StructType,
-    skipFilters: Array[Filter] = Array.empty)
+    skipFilters: Array[Filter] = Array.empty,
+    partCols: Array[String] = Array.empty,
+    partFilters: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
   @transient private var plannedFiles = -1
   @transient private var totalFiles = -1
@@ -341,7 +619,9 @@ case class StageScan(
       if (plannedFiles >= 0) s", files=$plannedFiles/$totalFiles" else ""
     val sk = if (skipFilters.nonEmpty)
       s", skipBy=${skipFilters.mkString(";")}" else ""
-    s"StageScan(path=$path$skipped$sk, cols=${required.fieldNames.mkString(",")})"
+    val pf = if (partFilters.nonEmpty)
+      s", partBy=${partFilters.mkString(";")}" else ""
+    s"StageScan(path=$path$skipped$sk$pf, cols=${required.fieldNames.mkString(",")})"
   }
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = StageSource.dataFiles(path).map(_.length).sum
@@ -369,11 +649,42 @@ case class StageScan(
     require(new File(path, StageSource.SuccessFile).exists(),
       s"StageSource table at $path has no _SUCCESS marker — incomplete snapshot")
     val stats = StageSource.readStats(path)
+    val parts = StageSource.readParts(path)
+    val colType = partCols.map(c =>
+      tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
+    // exact per-file partition pruning: a file with no recorded value
+    // (unpartitioned/legacy) is never pruned on partition predicates
+    def partKeep(name: String): Boolean =
+      parts.get(name) match {
+        case Some(pv) if pv.length == partCols.length =>
+          partFilters.forall {
+            case EqualTo(c, v) =>
+              val i = partCols.indexOf(c)
+              StageSource.partMatches(colType(i), pv(i), "=", v)
+            case In(c, vs) =>
+              val i = partCols.indexOf(c)
+              vs.exists(StageSource.partMatches(colType(i), pv(i), "=", _))
+            case GreaterThan(c, v) =>
+              val i = partCols.indexOf(c)
+              StageSource.partMatches(colType(i), pv(i), ">", v)
+            case GreaterThanOrEqual(c, v) =>
+              val i = partCols.indexOf(c)
+              StageSource.partMatches(colType(i), pv(i), ">=", v)
+            case LessThan(c, v) =>
+              val i = partCols.indexOf(c)
+              StageSource.partMatches(colType(i), pv(i), "<", v)
+            case LessThanOrEqual(c, v) =>
+              val i = partCols.indexOf(c)
+              StageSource.partMatches(colType(i), pv(i), "<=", v)
+            case _ => true
+          }
+        case _ => true
+      }
     val all = StageSource.dataFiles(path)
     totalFiles = all.length
     val kept = all.filter { f =>
       val fileStats = stats.getOrElse(f.getName, Map.empty)
-      skipFilters.forall(mightMatch(fileStats, _))
+      skipFilters.forall(mightMatch(fileStats, _)) && partKeep(f.getName)
     }
     plannedFiles = kept.length
     kept.map(f => StageFilePartition(f.getAbsolutePath): InputPartition)
@@ -392,7 +703,10 @@ class StageReaderFactory(tableSchema: StructType, required: StructType)
       private val types = tableSchema.fields.map(_.dataType)
       // column pruning happens HERE: every stored column is decoded (the
       // framing is row-major), but only required ones are materialized
-      // into the produced row
+      // into the produced row. Metadata columns (`_file`) are not in the
+      // stored framing at all — they come from the partition itself, one
+      // constant per file, and the analyzer appends them AFTER the data
+      // columns in the required schema.
       private val keep = tableSchema.fields.map(f => required.fieldNames.contains(f.name))
       private val outIdx = {
         var j = -1
@@ -400,6 +714,9 @@ class StageReaderFactory(tableSchema: StructType, required: StructType)
           if (required.fieldNames.contains(f.name)) { j += 1; j } else -1
         }
       }
+      private val fileIdx = required.fieldNames.indexOf(StageSource.FileCol)
+      private val fileName =
+        UTF8String.fromString(new File(file).getName)
       // local-file streams: available() is the exact remaining byte count
       // (FileInputStream tracks the fd position; the buffer adds its
       // unread window), so row framing needs no length prefix or footer
@@ -426,6 +743,7 @@ class StageReaderFactory(tableSchema: StructType, required: StructType)
           }
           i += 1
         }
+        if (fileIdx >= 0) r.update(fileIdx, fileName)
         r
       }
       override def close(): Unit = in.close()

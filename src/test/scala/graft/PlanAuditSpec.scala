@@ -917,6 +917,55 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() == 7)
   }
 
+  test("q_dsv2_lineage: the partitioned write shuffles by flag once; lineage rides the scan") {
+    val df = SparkEntry.queries("q_dsv2_lineage")(spark, sf0001)
+    assert(df.count() == 3)
+    // the read-back half: `_file` reached the scan as a required column
+    // (no join, no extra pass — lineage is a per-partition constant)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("_file"), plan.take(1200))
+    assert(plan.contains("StageScan(path="), plan.take(1200))
+    // the committed layout: exactly one shard per flag, recorded in the
+    // partition map the connector persisted (tag dir discovered by glob —
+    // dirTag is a content hash)
+    val roots = Option(new java.io.File("/tmp/graft_dsv2w").listFiles())
+      .getOrElse(Array.empty)
+      .map(d => new java.io.File(d, "lineage")).filter(_.isDirectory)
+    assert(roots.nonEmpty, "no staged lineage table found")
+    val parts = roots.map(r =>
+      graft.sources.v2.StageSource.readParts(r.getAbsolutePath))
+      .maxBy(_.size)
+    assert(parts.size == 3, parts.toString)
+    assert(parts.values.map(_.mkString("/")).toSet == Set("A", "N", "R"),
+      parts.toString)
+  }
+
+  test("q_dsv2_catalog/q_dsv2_delete: partition pruning + takedown leave survivors untouched") {
+    assert(SparkEntry.queries("q_dsv2_catalog")(spark, sf0001).count() == 3)
+    val cat = spark.sessionState.conf.getAllConfs.keys
+      .filter(_.matches("spark\\.sql\\.catalog\\.stage_[0-9a-f]+"))
+      .map(_.stripPrefix("spark.sql.catalog."))
+      .headOption.getOrElse(fail("stage catalog not registered"))
+    // equality on the partition column opens ONE of the three shards —
+    // exact pruning from the partition map, visible in the scan
+    val probe = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.default.ord_part WHERE status = 'O'")
+    probe.collect(): Unit
+    val plan = probe.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.exists(x => x.group(1).toInt == 1 && x.group(2).toInt == 3),
+      s"partition pruning missing: ${plan.take(1200)}")
+    assert(plan.contains("partBy="), plan.take(1200))
+    // the takedown drops exactly the P/F shards; O's file survives with
+    // its stats intact
+    assert(SparkEntry.queries("q_dsv2_delete")(spark, sf0001).count() == 1)
+    val root = new java.io.File(
+      s"/tmp/graft_dsv2cat/${cat.stripPrefix("stage_")}/default/ord_takedown")
+    val parts = graft.sources.v2.StageSource.readParts(root.getAbsolutePath)
+    assert(parts.values.map(_.mkString("/")).toSet == Set("O"), parts.toString)
+    assert(graft.sources.v2.StageSource.dataFiles(root.getAbsolutePath).length == 1)
+  }
+
   test("q_dsv2_write: the connector write plans a V2 write node and commits atomically") {
     // capture the save command's EXECUTED plan via a listener — the V1
     // DataFrameWriter.save path exposes no QueryExecution to the caller

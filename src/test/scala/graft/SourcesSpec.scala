@@ -224,6 +224,81 @@ class SourcesSpec extends SparkTestBase {
       m2.get.group(1).toInt == 1, plan2)
   }
 
+  test("StageSource partitioned table: one shard per value, pruning, lineage, decidable delete") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_part").toString + "/t"
+    val fmt = "graft.sources.v2.StageSource"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "c", 4.0))
+      .toDF("k", "g", "v")
+      .write.format(fmt).option("path", dir).option("partition_by", "g")
+      .mode("overwrite").save()
+    // the write's required clustering routed one committed file per value
+    val files = graft.sources.v2.StageSource.dataFiles(dir)
+    assert(files.length == 3, files.map(_.getName).mkString(","))
+    // partition pruning: equality on the partition column reads 1/3 files
+    val back = spark.read.format(fmt).option("path", dir).load()
+    val one = back.filter(col("g") === "a")
+    assert(one.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.0), (3L, "a", 3.0)))
+    val plan = one.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.exists(x => x.group(1).toInt == 1 && x.group(2).toInt == 3), plan)
+    // lineage: `_file` is hidden from * but materializes when referenced,
+    // and each partition value reports exactly one distinct file
+    assert(!back.schema.fieldNames.contains("_file"))
+    val lin = back.select(col("g"), col("_file"))
+      .groupBy("g").agg(countDistinct(col("_file")).as("nf"))
+      .as[(String, Long)].collect().toMap
+    assert(lin == Map("a" -> 1L, "b" -> 1L, "c" -> 1L), lin.toString)
+    // decidable DELETE drops whole files; the survivors are untouched
+    val table = new graft.sources.v2.StageTable(dir,
+      back.schema, Array("g"))
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def eq(c: String, v: String): Predicate =
+      new Predicate("=", Array(Expressions.column(c),
+        org.apache.spark.sql.graftshim.V2ExprShim.utf8Literal(v)))
+    assert(table.canDeleteWhere(Array(eq("g", "a"))))
+    // a non-partition column is NOT decidable from the layout — declined
+    assert(!table.canDeleteWhere(Array(eq("k", "1"))))
+    table.deleteWhere(Array(eq("g", "a")))
+    val after = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String, Double)].collect().toSet
+    assert(after == Set((2L, "b", 2.0), (4L, "c", 4.0)), after.toString)
+    assert(graft.sources.v2.StageSource.dataFiles(dir).length == 2)
+  }
+
+  test("StageCatalog lifecycle: create/list/exists/drop, double-create and ALTER fail loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_cat").toString
+    spark.conf.set("spark.sql.catalog.stagespec", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagespec.root", root)
+    spark.sql("CREATE TABLE stagespec.default.t1 (k BIGINT, g STRING) PARTITIONED BY (g)")
+    // empty table is a complete zero-file snapshot: readable immediately
+    assert(spark.sql("SELECT * FROM stagespec.default.t1").count() == 0)
+    spark.sql("INSERT INTO stagespec.default.t1 VALUES (1, 'x'), (2, 'y')")
+    assert(spark.sql("SELECT sum(k) FROM stagespec.default.t1").head().getLong(0) == 3L)
+    // second INSERT appends (snapshot accumulates)
+    spark.sql("INSERT INTO stagespec.default.t1 VALUES (10, 'x')")
+    assert(spark.sql("SELECT count(*) FROM stagespec.default.t1 WHERE g = 'x'")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SHOW TABLES IN stagespec.default").collect()
+      .map(_.getString(1)).contains("t1"))
+    intercept[Exception] {
+      spark.sql("CREATE TABLE stagespec.default.t1 (k BIGINT) ")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE stagespec.default.t1 ADD COLUMN z BIGINT")
+    }
+    // DELETE on a non-partition predicate is declined loudly, not half-run
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM stagespec.default.t1 WHERE k = 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    spark.sql("DROP TABLE stagespec.default.t1")
+    assert(spark.sql("SHOW TABLES IN stagespec.default").isEmpty)
+  }
+
   test("SeqSource closed-form SUM stays exact at the domain cap; beyond it the table fails loudly") {
     // ADVICE r14: the arithmetic-series pushdown used (ends × cnt) / 2,
     // whose intermediate product overflows Long for ranges near the top
