@@ -7394,6 +7394,38 @@ object SparkEntry {
       FROM $t GROUP BY status ORDER BY status""")
   }
 
+  /** STREAMING read through the custom connector ([[graft.sources.v2
+    * .SeqMicroBatchStream]] — the connector's MICRO_BATCH_READ half, with
+    * real offset bookkeeping and admission control): the same
+    * deterministic domain is consumed as a sequence of bounded
+    * micro-batches (`maxRowsPerBatch` = 50k over 210k rows → ≥5 batches,
+    * the Kafka `maxOffsetsPerTrigger` back-pressure contract),
+    * aggregated in complete mode, drained by Trigger.AvailableNow. The
+    * final aggregate must equal the batch answer over the whole domain —
+    * streaming-in-bounded-pieces is an execution strategy, never a
+    * semantics change. The multi-batch lifecycle is pinned in
+    * StreamingSpec (progress count ≥ 5, offsets strictly increasing).
+    */
+  private def qDsv2Stream(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.format("graft.sources.v2.SeqSource")
+        .option("n", 210000L).option("slices", 8)
+        .option("maxRowsPerBatch", 50000L)
+        .load()
+        .groupBy(col("mod7"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(s"graft_dsv2_stream_$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(s"graft_dsv2_stream_$tag").orderBy("mod7")
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -8928,6 +8960,7 @@ object SparkEntry {
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
     "q_dsv2_delete" -> (qDsv2Delete _),
+    "q_dsv2_stream" -> (qDsv2Stream _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -9960,6 +9993,14 @@ object SparkEntry {
         |            AS BIGINT) AS sum_cents
         |FROM orders WHERE o_orderstatus NOT IN ('P', 'F')
         |GROUP BY 1 ORDER BY status""".stripMargin,
+    // q_dsv2_stream: the streamed-in-bounded-batches aggregate must equal
+    // the whole-domain batch answer
+    "q_dsv2_stream" ->
+      """SELECT CAST(id % 7 AS BIGINT) AS mod7,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM((id * 37) % 10000) AS BIGINT) AS sum_cents
+        |FROM (SELECT range AS id FROM range(0, 210000))
+        |GROUP BY 1 ORDER BY mod7""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

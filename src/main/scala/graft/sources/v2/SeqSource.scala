@@ -64,7 +64,11 @@ class SeqSource extends TableProvider {
     // declares its physical layout and Spark's storage-partitioned join
     // machinery exploits it (see SeqScan.outputPartitioning)
     val keyed = Option(properties.get("keyed")).exists(_.toBoolean)
-    new SeqTable(n, slices, keyed)
+    // streaming admission control: at most this many rows per micro-batch
+    // (0 = all available in one batch)
+    val maxPerBatch =
+      Option(properties.get("maxRowsPerBatch")).map(_.toLong).getOrElse(0L)
+    new SeqTable(n, slices, keyed, maxPerBatch)
   }
 }
 
@@ -85,17 +89,19 @@ object SeqSource {
   }
 }
 
-class SeqTable(n: Long, slices: Int, keyed: Boolean = false)
+class SeqTable(
+    n: Long, slices: Int, keyed: Boolean = false, maxPerBatch: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"graft_seq(n=$n)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, slices, keyed)
+    new SeqScanBuilder(n, slices, keyed, maxPerBatch)
 }
 
-class SeqScanBuilder(n: Long, slices: Int, keyed: Boolean = false)
+class SeqScanBuilder(
+    n: Long, slices: Int, keyed: Boolean = false, maxPerBatch: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -199,7 +205,8 @@ class SeqScanBuilder(n: Long, slices: Int, keyed: Boolean = false)
     val (l, h) = (math.max(lo, 0L), math.min(hi, n))
     aggFns match {
       case Some(fns) => SeqAggScan(l, h, fns)
-      case None => SeqScan(l, h, slices, required, orderedDesc, keyed)
+      case None =>
+        SeqScan(l, h, slices, required, orderedDesc, keyed, maxPerBatch)
     }
   }
 }
@@ -266,9 +273,15 @@ case class SeqKeyRange(from: Long, until: Long, k: Int)
 
 case class SeqScan(
     lo: Long, hi: Long, slices: Int, required: StructType,
-    orderedDesc: Option[Boolean] = None, keyed: Boolean = false)
+    orderedDesc: Option[Boolean] = None, keyed: Boolean = false,
+    maxPerBatch: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+  // STREAMING read half ([[TableCapability.MICRO_BATCH_READ]]): the same
+  // pushed-down range, consumed as a sequence of micro-batches
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, slices, required, maxPerBatch)
   // RUNTIME narrowing ([[SupportsRuntimeV2Filtering]], r14 verdict #4 —
   // the connector analog of the parquet path's DPP/bloom-semijoin rows):
   // when this scan is the fact side of a join whose dim side carries a
@@ -373,6 +386,81 @@ object SeqScan {
     * residue classes.
     */
   val Residues = 7
+}
+
+/** The position in the sequence: rows `[lo, pos)` have been emitted. */
+case class SeqStreamOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"pos":$pos}"""
+}
+
+/** The connector's STREAMING read half — a [[MicroBatchStream]] over the
+  * same deterministic sequence, with real offset bookkeeping (offsets are
+  * positions in the sequence, serialized to the checkpoint's offset log)
+  * and ADMISSION CONTROL ([[SupportsAdmissionControl]]): `maxRowsPerBatch`
+  * bounds each micro-batch, so a catch-up from position 0 against a large
+  * domain is a sequence of bounded batches instead of one giant one — the
+  * same back-pressure contract Kafka's `maxOffsetsPerTrigger` implements,
+  * and what keeps state-store update spikes bounded on a 1000-executor
+  * streaming job. Trigger.AvailableNow drains the domain through that
+  * limit and terminates.
+  *
+  * The batch/stream SPLIT point: the pushed-down range `[lo, hi)` (filter
+  * pushdown happens at the ScanBuilder, shared with the batch path), so a
+  * filtered readStream streams only the surviving range.
+  */
+class SeqMicroBatchStream(
+    lo: Long, hi: Long, slices: Int, required: StructType, maxPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // Trigger.AvailableNow contract (without this the engine degrades to
+  // Trigger.Once and IGNORES the read limit): fix the drain target when
+  // the trigger starts. The domain is static, so the target is always hi.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = SeqStreamOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    SeqStreamOffset(""""pos":(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset $json")))
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerBatch > 0) ReadLimit.maxRows(maxPerBatch)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[SeqStreamOffset].pos
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        from + r.maxRows()
+      case _ => hi
+    }
+    SeqStreamOffset(math.min(hi, cap))
+  }
+  override def reportLatestOffset(): Offset = SeqStreamOffset(hi)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqStreamOffset].pos
+    val e = end.asInstanceOf[SeqStreamOffset].pos
+    val total = math.max(e - s, 0L)
+    if (total == 0) return Array.empty
+    val parts = math.min(slices.toLong, total).toInt
+    val step = (total + parts - 1) / parts
+    (0 until parts).iterator
+      .map(i => SeqRange(s + i * step, math.min(s + (i + 1) * step, e)))
+      .filter(r => r.until > r.from)
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames, desc = false)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class SeqReaderFactory(cols: Array[String], desc: Boolean)

@@ -296,6 +296,43 @@ class StreamingSpec extends SparkTestBase {
       "final upserted n_events diverges from the batch day counts")
   }
 
+  test("q_dsv2_stream: admission control bounds every micro-batch, offsets advance monotonically") {
+    import org.apache.spark.sql.functions._
+    // the connector's MICRO_BATCH_READ half, driven directly so the
+    // lifecycle is observable: 210k rows through a 50k-row admission
+    // limit must take >= 5 batches, each within the limit, with strictly
+    // increasing checkpointed positions
+    val q = spark.readStream.format("graft.sources.v2.SeqSource")
+      .option("n", 210000L).option("slices", 8)
+      .option("maxRowsPerBatch", 50000L)
+      .load()
+      .groupBy(col("mod7"))
+      .agg(count(lit(1)).as("n_rows"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_dsv2_stream_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    assert(prog.length >= 5, s"expected >=5 micro-batches, got ${prog.length}")
+    assert(prog.forall(_.numInputRows <= 50000L),
+      prog.map(_.numInputRows).mkString(","))
+    val positions = q.recentProgress.toSeq.flatMap(p =>
+      p.sources.headOption.flatMap(s => Option(s.endOffset)).map(o =>
+        """"pos":(\d+)""".r.findFirstMatchIn(o).get.group(1).toLong))
+    assert(positions == positions.sorted && positions.distinct == positions,
+      positions.mkString(","))
+    assert(positions.lastOption.contains(210000L), positions.mkString(","))
+    // the streamed aggregate equals the batch answer over the same domain
+    val streamed = spark.table("graft_dsv2_stream_spec")
+      .as[(Long, Long)].collect().toMap
+    val batch = spark.read.format("graft.sources.v2.SeqSource")
+      .option("n", 210000L).load()
+      .groupBy(col("mod7")).agg(count(lit(1)).as("n_rows"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("sessionization: session count bounded by event count, monotone seq") {
     val s = EventsPipeline.sessionize(Tables.events(spark, sf0001))
     val bad = s.filter($"session_seq" < 1).count()
