@@ -81,7 +81,7 @@ object SparkEntry {
   // across data regenerations (found missing csvrt/orcrt/pairs in r10)
   private val artifactRoots = Seq(
     "graft_ann", "graft_bin", "graft_bucketed", "graft_compact",
-    "graft_csvrt", "graft_dsv2w",
+    "graft_csvrt", "graft_dsv2cat", "graft_dsv2w",
     "graft_evo", "graft_gk", "graft_incagg", "graft_json", "graft_knn",
     "graft_orcrt",
     "graft_pairs",
@@ -7426,6 +7426,43 @@ object SparkEntry {
     s.table(s"graft_dsv2_stream_$tag").orderBy("mod7")
   }
 
+  /** STREAMING sink THROUGH the custom connector ([[graft.sources.v2
+    * .StageStreamingWrite]] — the last quadrant of the connector matrix:
+    * batch read/write and streaming read are already rows): the
+    * connector-streamed sequence (3 bounded micro-batches via admission
+    * control) is appended epoch-by-epoch through the same two-phase
+    * commit as the batch write, made effectively EXACTLY-ONCE by the
+    * epoch ledger (`_epochs.txt` + epoch-deterministic file names — Spark
+    * re-offers the last epoch after a restart between sink commit and
+    * offset log; the ledger skips it; SourcesSpec pins the re-delivery
+    * no-op). The read-back aggregate over the committed table must equal
+    * the whole-domain batch answer: micro-batched delivery through an
+    * at-least-once channel changes nothing about the content.
+    */
+  private def qDsv2StreamSink(s: SparkSession, d: String): DataFrame = {
+    val root = s"/tmp/graft_dsv2w/${dirTag(d)}/streamsink"
+    graft.engine.Fs.deleteRecursively(new java.io.File(root))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.format("graft.sources.v2.SeqSource")
+        .option("n", 120000L).option("slices", 4)
+        .option("maxRowsPerBatch", 40000L)
+        .load()
+        .writeStream.format("graft.sources.v2.StageSource")
+        .option("path", root)
+        .option("checkpointLocation", s"$root/.ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.format("graft.sources.v2.StageSource").option("path", root).load()
+      .groupBy(col("mod7"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("mod7")
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -8961,6 +8998,7 @@ object SparkEntry {
     "q_dsv2_catalog" -> (qDsv2Catalog _),
     "q_dsv2_delete" -> (qDsv2Delete _),
     "q_dsv2_stream" -> (qDsv2Stream _),
+    "q_dsv2_stream_sink" -> (qDsv2StreamSink _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -10000,6 +10038,14 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       CAST(SUM((id * 37) % 10000) AS BIGINT) AS sum_cents
         |FROM (SELECT range AS id FROM range(0, 210000))
+        |GROUP BY 1 ORDER BY mod7""".stripMargin,
+    // q_dsv2_stream_sink: content through the streaming sink's epoch
+    // commits must be exactly the whole domain, no dups, no gaps
+    "q_dsv2_stream_sink" ->
+      """SELECT CAST(id % 7 AS BIGINT) AS mod7,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM((id * 37) % 10000) AS BIGINT) AS sum_cents
+        |FROM (SELECT range AS id FROM range(0, 120000))
         |GROUP BY 1 ORDER BY mod7""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines

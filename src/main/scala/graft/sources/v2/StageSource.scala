@@ -106,6 +106,10 @@ object StageSource {
   val PartColsFile = "_partcols.txt"
   /** Per-file partition value map: `file \t url-encoded-value[/value…]`. */
   val PartsFile = "_parts.tsv"
+  /** Committed streaming epoch ids, one per line (the sink's exactly-once
+    * ledger: a re-delivered epoch found here is skipped).
+    */
+  val EpochsFile = "_epochs.txt"
 
   def readPartCols(path: String): Array[String] = {
     val f = new File(path, PartColsFile)
@@ -222,7 +226,7 @@ class StageTable(
     partCols.map(c => Expressions.identity(c))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   // ------------------------------------------------- partition-level DELETE
   // The takedown path ([[SupportsDeleteV2]], Iceberg's metadata-delete
@@ -353,7 +357,48 @@ class StageWriteBuilder(
     override def requiredOrdering(): Array[V2SortOrder] = Array.empty
     override def toBatch: BatchWrite =
       new StageBatchWrite(path, schema, queryId, truncate, partCols)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new StageStreamingWrite(path, schema, queryId, truncate, partCols)
   }
+}
+
+/** The connector's STREAMING sink half ([[TableCapability
+  * .STREAMING_WRITE]]): each micro-batch arrives as an epoch-tagged job
+  * commit through the same two-phase protocol as the batch write (unique
+  * per-attempt temp files → move-at-commit → `_SUCCESS` last), plus the
+  * exactly-once ledger [[StageSource.EpochsFile]] — Spark delivers epochs
+  * at-least-once (a restart between sink commit and offset-log write
+  * re-offers the last epoch), and the ledger + epoch-deterministic file
+  * names turn that into exactly-once table content. Append mode appends
+  * epochs; complete mode (SupportsTruncate) replaces the snapshot at
+  * every epoch.
+  */
+class StageStreamingWrite(
+    path: String, schema: StructType, queryId: String, truncate: Boolean,
+    partCols: Array[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new StageStreamingWriterFactory(path, schema, queryId, partCols)
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    StageCommitter.commit(path, schema, partCols, queryId, messages,
+      truncate, epoch = Some(epochId))
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    StageCommitter.cleanStaging(path, queryId)
+}
+
+class StageStreamingWriterFactory(
+    path: String, schema: StructType, queryId: String,
+    partCols: Array[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    // taskId is attempt-unique ACROSS epochs too, so the batch writer's
+    // temp naming stays collision-free under epoch re-execution
+    new StageDataWriter(path, schema, queryId, partitionId, taskId, partCols)
 }
 
 /** One sealed temp file: its staging path, rendered partition value
@@ -374,30 +419,73 @@ class StageBatchWrite(
       info: PhysicalWriteInfo): DataWriterFactory =
     new StageWriterFactory(path, schema, queryId, partCols)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    StageCommitter.commit(path, schema, partCols, queryId, messages,
+      truncate, epoch = None)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    StageCommitter.cleanStaging(path, queryId)
+}
+
+/** The shared job-commit protocol — one implementation for the batch and
+  * streaming halves. Streaming commits carry an `epoch`:
+  *  - file names embed it (`part-<queryId>-e<epoch>-<i>-<j>.bin`), so a
+  *    re-executed epoch overwrites its own files instead of duplicating;
+  *  - committed epoch ids are recorded in `_epochs.txt` and a re-offered
+  *    epoch (Spark re-delivers after a restart between sink commit and
+  *    offset-log write) is SKIPPED — this pair is what makes the sink
+  *    effectively exactly-once over at-least-once epoch delivery;
+  *  - before applying, any half-written stats/parts lines from a crashed
+  *    attempt of the SAME epoch are dropped, so the rewrite is idempotent.
+  */
+object StageCommitter {
+  def commit(
+      path: String, schema: StructType, partCols: Array[String],
+      queryId: String, messages: Array[WriterCommitMessage],
+      truncate: Boolean, epoch: Option[Long]): Unit = {
     val root = new File(path)
     root.mkdirs()
+    val epochsFile = new File(root, StageSource.EpochsFile)
+    if (epoch.isDefined && epochsFile.exists()) {
+      val done = new String(
+        java.nio.file.Files.readAllBytes(epochsFile.toPath), StandardCharsets.UTF_8)
+        .linesIterator.toSet
+      if (done(epoch.get.toString)) {
+        // re-delivered epoch: already committed, drop the staged attempt
+        cleanStaging(path, queryId)
+        return
+      }
+    }
     // overwrite = truncate AT JOB COMMIT: the previous snapshot survives
-    // any failure before this point
+    // any failure before this point. A truncating streaming sink
+    // (complete mode) truncates at EVERY epoch — the snapshot is the
+    // latest epoch's result.
     if (truncate) {
       StageSource.dataFiles(path).foreach(f => f.delete(): Unit)
       new File(root, StageSource.SuccessFile).delete(): Unit
     }
+    val epochTag = epoch.map(e => s"e$e-").getOrElse("")
+    // a crashed attempt of THIS epoch may have left stats/parts lines —
+    // drop them (its files are about to be overwritten by name)
+    def keepLine(l: String): Boolean =
+      epoch.isEmpty || !l.startsWith(s"part-$queryId-$epochTag")
     val statLines = new StringBuilder
     // append mode keeps the surviving files' zone maps; truncate starts
     // fresh (their files were just deleted)
     if (!truncate) {
       val f = new File(root, StageSource.StatsFile)
       if (f.exists())
-        statLines.append(new String(
-          java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+        new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .linesIterator.filter(l => l.nonEmpty && keepLine(l))
+          .foreach(l => statLines.append(l).append('\n'))
     }
     val partLines = new StringBuilder
     if (!truncate && partCols.nonEmpty) {
       val f = new File(root, StageSource.PartsFile)
       if (f.exists())
-        partLines.append(new String(
-          java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+        new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .linesIterator.filter(l => l.nonEmpty && keepLine(l))
+          .foreach(l => partLines.append(l).append('\n'))
     }
     // empty writer partitions (rows=0) reported no files — committing
     // them would litter the table with zero-row shards that every scan,
@@ -405,7 +493,7 @@ class StageBatchWrite(
     messages.zipWithIndex.foreach { case (m, i) =>
       m.asInstanceOf[StageCommit].files.zipWithIndex.foreach { case (c, j) =>
         val src = new File(c.tmpPath)
-        val name = s"part-$queryId-$i-$j.bin"
+        val name = s"part-$queryId-$epochTag$i-$j.bin"
         val dst = new File(root, name)
         java.nio.file.Files.move(src.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
@@ -429,17 +517,24 @@ class StageBatchWrite(
     java.nio.file.Files.write(
       new File(root, StageSource.SchemaFile).toPath,
       schema.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
+    // the epoch ledger precedes the marker: a crash in between re-offers
+    // the epoch, which the ledger then skips
+    epoch.foreach { e =>
+      val prev =
+        if (truncate || !epochsFile.exists()) ""
+        else new String(java.nio.file.Files.readAllBytes(epochsFile.toPath),
+          StandardCharsets.UTF_8)
+      java.nio.file.Files.write(epochsFile.toPath,
+        (prev + e + "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
     // marker LAST: its presence means "complete snapshot"
     java.nio.file.Files.write(
       new File(root, StageSource.SuccessFile).toPath,
       Array.emptyByteArray): Unit
-    cleanStaging()
+    cleanStaging(path, queryId)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    cleanStaging()
-
-  private def cleanStaging(): Unit = {
+  def cleanStaging(path: String, queryId: String): Unit = {
     val st = new File(path, ".staging")
     val fs = st.listFiles()
     if (fs != null) fs.filter(_.getName.contains(queryId)).foreach(f => f.delete(): Unit)

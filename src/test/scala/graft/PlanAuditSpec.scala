@@ -440,9 +440,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q_negative_sample", // 1-row max-partkey attach onto the customer
                            // scan (candidate range bound) — size-bounded
                            // by design, the q_bm25 shape
-      "q_hll_intersect" // 1-row exact-counts × 1-row sketch-estimates
-                        // broadcast attach (the q_chi2_drift shape); the
-                        // lit-key equi-join constant-folds to BNLJ 1×1
+      "q_hll_intersect", // 1-row exact-counts × 1-row sketch-estimates
+                         // broadcast attach (the q_chi2_drift shape); the
+                         // lit-key equi-join constant-folds to BNLJ 1×1
+      "q_dsv2_lineage" // 1-row total-files attach onto the 3-row per-flag
+                       // lineage aggregate (the q_hll_intersect shape)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)

@@ -299,6 +299,50 @@ class SourcesSpec extends SparkTestBase {
     assert(spark.sql("SHOW TABLES IN stagespec.default").isEmpty)
   }
 
+  test("StageSource streaming sink: epoch ledger makes at-least-once delivery exactly-once") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_sink").toString + "/t"
+    val q = spark.readStream.format("graft.sources.v2.SeqSource")
+      .option("n", 90000L).option("slices", 4)
+      .option("maxRowsPerBatch", 30000L)
+      .load()
+      .writeStream.format("graft.sources.v2.StageSource")
+      .option("path", dir)
+      .option("checkpointLocation", dir + "/.ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // three bounded epochs committed, each recorded in the ledger and
+    // each file name carrying its epoch tag
+    val ledger = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_epochs.txt").toPath)).linesIterator.toSeq
+    assert(ledger.length == 3, ledger.mkString(","))
+    val files = graft.sources.v2.StageSource.dataFiles(dir).map(_.getName)
+    assert(files.forall(_.matches("part-.*-e\\d+-.*\\.bin")),
+      files.mkString(","))
+    val back = spark.read.format("graft.sources.v2.StageSource")
+      .option("path", dir).load()
+    assert(back.count() == 90000L)
+    assert(back.agg(sum(col("id"))).head().getLong(0) == 89999L * 90000 / 2)
+    // at-least-once → exactly-once: re-offering a committed epoch is a
+    // no-op (the ledger skips it; content and file census are unchanged)
+    val sw = new graft.sources.v2.StageStreamingWrite(
+      dir, back.schema, "respec", truncate = false, Array.empty)
+    val before = graft.sources.v2.StageSource.dataFiles(dir).map(_.getName).toSet
+    // a real staged file rides the re-offered epoch: the ledger must
+    // refuse to move it into the table
+    val st = new java.io.File(dir, ".staging"); st.mkdirs()
+    val ghost = new java.io.File(st, "tmp-respec-0-0-0.bin")
+    java.nio.file.Files.write(ghost.toPath, Array[Byte](0, 1, 2, 3)): Unit
+    sw.commit(2L, Array(graft.sources.v2.StageCommit(Array(
+      graft.sources.v2.StageFileCommit(ghost.getAbsolutePath, "", 1, Array.empty)))))
+    assert(graft.sources.v2.StageSource.dataFiles(dir).map(_.getName).toSet == before)
+    assert(!ghost.exists(), "re-delivered epoch's staging not cleaned")
+    assert(spark.read.format("graft.sources.v2.StageSource")
+      .option("path", dir).load().count() == 90000L)
+  }
+
   test("SeqSource closed-form SUM stays exact at the domain cap; beyond it the table fails loudly") {
     // ADVICE r14: the arithmetic-series pushdown used (ends × cnt) / 2,
     // whose intermediate product overflows Long for ranges near the top
