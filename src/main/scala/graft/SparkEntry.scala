@@ -7463,6 +7463,28 @@ object SparkEntry {
       .orderBy("mod7")
   }
 
+  /** Catalog-scoped SQL FUNCTIONS ([[graft.sources.v2.StageCatalog]]'s
+    * `FunctionCatalog` half — Iceberg's system-function surface): the
+    * query calls `<cat>.default.knuth_bucket(16, k)` (multiplicative-hash
+    * bucketing, Knuth §6.4 — engine-portable by design) and
+    * `<cat>.default.cents(x)` (the catalog's exact-money idiom) resolved
+    * THROUGH the catalog, not the session registry. Both carry a magic
+    * `invoke` over primitives, so the calls codegen via Invoke straight
+    * into the aggregate — no UDF boxing (ExtensionsSpec pins
+    * ApplyFunctionExpression's absence from the executed plan). At 100 TB
+    * this is shared write/query vocabulary: the bucket function that laid
+    * the table out is the same catalog object queries filter with.
+    */
+  private def qDsv2Function(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""SELECT $cat.default.knuth_bucket(16L, o_orderkey) AS b,
+             COUNT(*) AS n_orders,
+             SUM($cat.default.cents(o_totalprice)) AS sum_cents
+      FROM $v GROUP BY b ORDER BY b""")
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -8999,6 +9021,7 @@ object SparkEntry {
     "q_dsv2_delete" -> (qDsv2Delete _),
     "q_dsv2_stream" -> (qDsv2Stream _),
     "q_dsv2_stream_sink" -> (qDsv2StreamSink _),
+    "q_dsv2_function" -> (qDsv2Function _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -10047,6 +10070,14 @@ object SparkEntry {
         |       CAST(SUM((id * 37) % 10000) AS BIGINT) AS sum_cents
         |FROM (SELECT range AS id FROM range(0, 120000))
         |GROUP BY 1 ORDER BY mod7""".stripMargin,
+    // q_dsv2_function: the catalog functions replayed arithmetically —
+    // Fibonacci-hash bucket over the low 32 bits, exact-cents money
+    "q_dsv2_function" ->
+      """SELECT ((o_orderkey * 2654435761) % 4294967296) % 16 AS b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY b""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

@@ -4,11 +4,13 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.graftshim.V2ExprShim
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DataTypes, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A minimal [[TableCatalog]] over [[StageSource]] tables — the seam that
@@ -26,7 +28,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * table-format concern with its own round of invariants) — both throw
   * rather than half-work.
   */
-class StageCatalog extends TableCatalog {
+class StageCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -118,4 +120,84 @@ class StageCatalog extends TableCatalog {
       true
     }
   }
+
+  // ------------------------------------------------------ system functions
+  // The [[FunctionCatalog]] half: catalog-scoped SQL functions
+  // (`SELECT <cat>.default.knuth_bucket(16, k)`) — Iceberg's
+  // system-function surface, the vocabulary DDL and queries share so
+  // "bucket 16 of k" means the SAME thing at write time and query time.
+  // Both functions carry a MAGIC METHOD (`invoke` over primitive types):
+  // Spark binds it via Invoke and the call codegens into the consuming
+  // operator — no row boxing, no UDF tax.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    nsOf(namespace): Unit // validates depth
+    StageCatalog.Functions.keys.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    StageCatalog.Functions.getOrElse(ident.name,
+      throw new NoSuchFunctionException(ident))
+
+  override def functionExists(ident: Identifier): Boolean =
+    StageCatalog.Functions.contains(ident.name)
+}
+
+object StageCatalog {
+  /** `knuth_bucket(width, x)`: multiplicative-hash bucket id in
+    * `[0, width)` — Fibonacci hashing (Knuth §6.4) over the low 32 bits,
+    * so consecutive keys scatter instead of landing in consecutive
+    * buckets (what identity `x % width` would do). Deliberately
+    * engine-portable: the DuckDB oracle replays it as
+    * `((x * 2654435761) % 4294967296) % width`.
+    */
+  object KnuthBucket extends UnboundFunction with ScalarFunction[java.lang.Long] {
+    override def name(): String = "knuth_bucket"
+    override def description(): String =
+      "knuth_bucket(width BIGINT, x BIGINT): multiplicative-hash bucket in [0, width)"
+    override def bind(inputType: StructType): BoundFunction = {
+      // integral inputs accepted — Spark coerces them to inputTypes()
+      // (BIGINT, BIGINT) after binding
+      require(inputType.length == 2 && inputType.fields.forall(f =>
+        f.dataType == LongType || f.dataType == DataTypes.IntegerType),
+        s"knuth_bucket(BIGINT, BIGINT), got ${inputType.simpleString}")
+      this
+    }
+    override def inputTypes(): Array[DataType] = Array(LongType, LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def canonicalName(): String = "graft.knuth_bucket"
+    // the magic method — codegen'd via Invoke
+    def invoke(width: Long, x: Long): Long =
+      ((x * 2654435761L) & 0xFFFFFFFFL) % width
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getLong(0), input.getLong(1))
+  }
+
+  /** `cents(x)`: the catalog's money idiom — `CAST(ROUND(x * 100) AS
+    * BIGINT)`, the exact-integer form every oracled row uses so sums are
+    * engine-portable (no double accumulation drift).
+    */
+  object Cents extends UnboundFunction with ScalarFunction[java.lang.Long] {
+    override def name(): String = "cents"
+    override def description(): String =
+      "cents(x DOUBLE): ROUND(x * 100) as BIGINT (exact money arithmetic)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1 &&
+        inputType.fields(0).dataType == DataTypes.DoubleType,
+        s"cents(DOUBLE), got ${inputType.simpleString}")
+      this
+    }
+    override def inputTypes(): Array[DataType] = Array(DataTypes.DoubleType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def canonicalName(): String = "graft.cents"
+    def invoke(x: Double): Long = Math.round(x * 100)
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getDouble(0))
+  }
+
+  val Functions: Map[String, UnboundFunction] =
+    Map("knuth_bucket" -> KnuthBucket, "cents" -> Cents)
 }

@@ -431,6 +431,27 @@ class ExtensionsSpec extends SparkTestBase {
       .select(Multimodal.wavRiffOk($"media")).as[Boolean].head())
   }
 
+  test("catalog V2 functions bind their magic methods: Invoke in-plan, no ApplyFunctionExpression") {
+    val df = SparkEntry.queries("q_dsv2_function")(spark, sf0001)
+    assert(df.count() == 16)
+    val plan = df.queryExecution.executedPlan.toString
+    // the magic-method path: both calls appear as codegen'd Invoke
+    // expressions inside the aggregate...
+    assert(plan.contains("KnuthBucket") && plan.contains("Cents"),
+      plan.take(1200))
+    assert(plan.contains("invoke("), plan.take(1200))
+    // ...never as the row-boxing fallback
+    assert(!plan.contains("ApplyFunctionExpression"), plan.take(1200))
+    // the scalar semantics themselves, spot-checked against the formula
+    assert(graft.sources.v2.StageCatalog.KnuthBucket.invoke(16L, 1L) ==
+      ((1L * 2654435761L) & 0xFFFFFFFFL) % 16)
+    assert(graft.sources.v2.StageCatalog.Cents.invoke(12.345) == 1235L)
+    // unknown functions fail loudly through the catalog
+    intercept[Exception] {
+      spark.sql("SELECT stage_x.default.nope(1)").collect()
+    }
+  }
+
   test("data-quality rules: one-pass counters match per-rule truth; empty rules rejected") {
     import graft.ext.DataQuality
     val df = Seq(
