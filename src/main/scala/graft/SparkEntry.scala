@@ -7485,6 +7485,45 @@ object SparkEntry {
       FROM $v GROUP BY b ORDER BY b""")
   }
 
+  /** SNAPSHOT versioning + TIME TRAVEL through the staging connector
+    * (every commit writes a `_v<N>.manifest` naming its exact file set;
+    * overwrite is LOGICAL — the old snapshot's files stay on disk until
+    * a vacuum expires them — so crash safety and time travel are the
+    * same mechanism): three commits (overwrite, append, overwrite) build
+    * versions 1..3, and the row reads all three via `version_as_of` plus
+    * the default (latest) read, which must equal v3 — a reproducible
+    * training run pins `version_as_of` and gets the same corpus next
+    * month regardless of later appends/overwrites, Iceberg/Delta's
+    * snapshot-isolation contract. Vacuum semantics (history expired,
+    * pre-vacuum versions fail loudly, takedown-deleted files make older
+    * versions unreconstructible BY DESIGN) are pinned in SourcesSpec.
+    */
+  private def qDsv2TimeTravel(s: SparkSession, d: String): DataFrame = {
+    val root = s"/tmp/graft_dsv2w/${dirTag(d)}/timetravel"
+    graft.engine.Fs.deleteRecursively(new java.io.File(root))
+    val fmt = "graft.sources.v2.StageSource"
+    val orders = Tables.orders(s, d)
+    def slice(lo: Long, hi: Long) = orders
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    slice(0, 200).write.format(fmt).option("path", root)
+      .mode("overwrite").save() // v1
+    slice(200, 500).write.format(fmt).option("path", root)
+      .mode("append").save() // v2 = v1 + [200,500)
+    slice(500, 600).write.format(fmt).option("path", root)
+      .mode("overwrite").save() // v3: logical truncate — only [500,600)
+    def agg(df: DataFrame, v: Long) = df
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+    def at(v: Int) = s.read.format(fmt).option("path", root)
+      .option("version_as_of", v).load()
+    val latest = s.read.format(fmt).option("path", root).load()
+    agg(at(1), 1).unionAll(agg(at(2), 2)).unionAll(agg(at(3), 3))
+      .unionAll(agg(latest, 4)) // 4 = the default read: must equal v3
+      .orderBy("version")
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -9022,6 +9061,7 @@ object SparkEntry {
     "q_dsv2_stream" -> (qDsv2Stream _),
     "q_dsv2_stream_sink" -> (qDsv2StreamSink _),
     "q_dsv2_function" -> (qDsv2Function _),
+    "q_dsv2_time_travel" -> (qDsv2TimeTravel _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -10078,6 +10118,25 @@ object SparkEntry {
         |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
         |            AS BIGINT) AS sum_cents
         |FROM orders GROUP BY 1 ORDER BY b""".stripMargin,
+    // q_dsv2_time_travel: each snapshot replayed from orders — v1 is the
+    // first slice, v2 accumulates, v3 (logical overwrite) replaces, and
+    // the default read (4) must equal v3
+    "q_dsv2_time_travel" ->
+      """WITH s AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM s WHERE k < 200
+        |UNION ALL SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(cents) AS BIGINT) FROM s WHERE k < 500
+        |UNION ALL SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(cents) AS BIGINT) FROM s WHERE k >= 500 AND k < 600
+        |UNION ALL SELECT CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(cents) AS BIGINT) FROM s WHERE k >= 500 AND k < 600
+        |ORDER BY version""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

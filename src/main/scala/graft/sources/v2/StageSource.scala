@@ -111,6 +111,81 @@ object StageSource {
     */
   val EpochsFile = "_epochs.txt"
 
+  /** Snapshot manifest name for version N: the exact file list of that
+    * snapshot, one name per line. Every commit writes the next version;
+    * readers resolve a version's manifest instead of listing the
+    * directory, which is what makes overwrite LOGICAL (the old snapshot's
+    * files stay on disk, still readable via `version_as_of`) and reads
+    * immune to concurrent commits.
+    */
+  def manifestName(v: Int): String = s"_v$v.manifest"
+  private val ManifestRe = "_v(\\d+)\\.manifest".r
+
+  /** All manifest versions present, ascending. */
+  def manifestVersions(path: String): Seq[Int] = {
+    val fs = new File(path).listFiles()
+    if (fs == null) Seq.empty
+    else fs.flatMap(f => ManifestRe.findFirstMatchIn(f.getName)
+      .map(_.group(1).toInt)).toSeq.sorted
+  }
+
+  def latestVersion(path: String): Option[Int] =
+    manifestVersions(path).lastOption
+
+  /** The file list of snapshot `v` (or the latest when None). Legacy
+    * tables without manifests fall back to the directory listing. A
+    * version whose files were physically removed (takedown delete,
+    * vacuum) fails loudly rather than returning a partial snapshot.
+    */
+  def snapshotFiles(path: String, v: Option[Int]): Array[File] = {
+    val version = v.orElse(latestVersion(path)) match {
+      case None => return dataFiles(path) // legacy: no manifests yet
+      case Some(x) => x
+    }
+    val mf = new File(path, manifestName(version))
+    require(mf.exists(),
+      s"StageSource table at $path has no snapshot version $version " +
+        s"(available: ${manifestVersions(path).mkString(",")})")
+    val names = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toArray
+    names.map { n =>
+      val f = new File(path, n)
+      require(f.exists(),
+        s"snapshot version $version of $path references $n, which was " +
+          "physically removed (takedown delete or vacuum) — this version " +
+          "is no longer reconstructible")
+      f
+    }
+  }
+
+  /** Expire history: keep only the latest snapshot's files + manifest,
+    * delete everything else, and prune dead names from the stats/parts
+    * sidecars. The Iceberg `expire_snapshots` analog — time travel before
+    * the vacuum point is gone afterwards, by design.
+    */
+  def vacuum(path: String): Unit = {
+    val latest = latestVersion(path).getOrElse(return)
+    val keep = snapshotFiles(path, Some(latest)).map(_.getName).toSet
+    dataFiles(path).filterNot(f => keep(f.getName))
+      .foreach(f => f.delete(): Unit)
+    manifestVersions(path).dropRight(1)
+      .foreach(v => new File(path, manifestName(v)).delete(): Unit)
+    def prune(name: String): Unit = {
+      val f = new File(path, name)
+      if (f.exists()) {
+        val kept = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .linesIterator.filter(l => l.nonEmpty && keep(l.split('\t')(0)))
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.write(f.toPath,
+          kept.getBytes(StandardCharsets.UTF_8)): Unit
+      }
+    }
+    prune(StatsFile)
+    prune(PartsFile)
+  }
+
   def readPartCols(path: String): Array[String] = {
     val f = new File(path, PartColsFile)
     if (!f.exists()) Array.empty
@@ -247,11 +322,21 @@ class StageTable(
     val parts = StageSource.readParts(path)
     val colType = partCols.map(c =>
       tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
-    val doomed = StageSource.dataFiles(path).filter { f =>
+    val current = StageSource.snapshotFiles(path, None)
+    val doomed = current.filter { f =>
       val pv = parts.getOrElse(f.getName, Array.empty[String])
       pv.length == partCols.length && predicates.forall(p =>
         StageTable.matches(p, partCols, colType, pv))
     }.map(_.getName).toSet
+    // the post-takedown snapshot FIRST (readers switch atomically), then
+    // the physical removal — a takedown is the one operation that must
+    // destroy bytes, so older snapshot versions referencing these files
+    // intentionally stop being reconstructible (and say so loudly)
+    val survivors = current.map(_.getName).filterNot(doomed)
+    val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
+    java.nio.file.Files.write(
+      new File(path, StageSource.manifestName(nextV)).toPath,
+      survivors.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
     doomed.foreach(n => new File(path, n).delete(): Unit)
     // drop the dead files' stats + partition lines (snapshot metadata
     // stays exactly the surviving file set)
@@ -287,7 +372,8 @@ class StageTable(
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StageScanBuilder(path, tableSchema, partCols)
+    new StageScanBuilder(path, tableSchema, partCols,
+      Option(options.get("version_as_of")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new StageWriteBuilder(path, info.schema(), info.queryId(),
@@ -456,23 +542,22 @@ object StageCommitter {
         return
       }
     }
-    // overwrite = truncate AT JOB COMMIT: the previous snapshot survives
-    // any failure before this point. A truncating streaming sink
-    // (complete mode) truncates at EVERY epoch — the snapshot is the
-    // latest epoch's result.
-    if (truncate) {
-      StageSource.dataFiles(path).foreach(f => f.delete(): Unit)
-      new File(root, StageSource.SuccessFile).delete(): Unit
-    }
+    // overwrite = truncate AT JOB COMMIT, and it is LOGICAL: the next
+    // manifest simply lists only the new files. The previous snapshot's
+    // files stay on disk, readable via `version_as_of`, until a vacuum
+    // expires them — so a failed overwrite can never destroy anything,
+    // and time travel is the same mechanism as crash safety. A
+    // truncating streaming sink (complete mode) rolls the snapshot at
+    // EVERY epoch.
     val epochTag = epoch.map(e => s"e$e-").getOrElse("")
     // a crashed attempt of THIS epoch may have left stats/parts lines —
-    // drop them (its files are about to be overwritten by name)
+    // drop them (its files are about to be overwritten by name); all
+    // other files' sidecar lines are kept, their files remain readable
+    // in older snapshots
     def keepLine(l: String): Boolean =
       epoch.isEmpty || !l.startsWith(s"part-$queryId-$epochTag")
     val statLines = new StringBuilder
-    // append mode keeps the surviving files' zone maps; truncate starts
-    // fresh (their files were just deleted)
-    if (!truncate) {
+    locally {
       val f = new File(root, StageSource.StatsFile)
       if (f.exists())
         new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
@@ -480,13 +565,19 @@ object StageCommitter {
           .foreach(l => statLines.append(l).append('\n'))
     }
     val partLines = new StringBuilder
-    if (!truncate && partCols.nonEmpty) {
+    if (partCols.nonEmpty) {
       val f = new File(root, StageSource.PartsFile)
       if (f.exists())
         new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
           .linesIterator.filter(l => l.nonEmpty && keepLine(l))
           .foreach(l => partLines.append(l).append('\n'))
     }
+    // the new snapshot's file list: overwrite starts empty, append starts
+    // from the previous snapshot (manifest if present, directory listing
+    // for a legacy table)
+    val snapshot = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (!truncate)
+      snapshot ++= StageSource.snapshotFiles(path, None).map(_.getName)
     // empty writer partitions (rows=0) reported no files — committing
     // them would litter the table with zero-row shards that every scan,
     // zone-map pass and lineage audit then has to touch
@@ -501,6 +592,7 @@ object StageCommitter {
           statLines.append(s"$name\t$colName\t$mn\t$mx\n")
         }
         if (partCols.nonEmpty) partLines.append(s"$name\t${c.pv}\n")
+        snapshot += name
       }
     }
     java.nio.file.Files.write(
@@ -517,6 +609,12 @@ object StageCommitter {
     java.nio.file.Files.write(
       new File(root, StageSource.SchemaFile).toPath,
       schema.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
+    // the new snapshot version: its manifest is the commit point for
+    // readers (written after the files, before the marker)
+    val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
+    java.nio.file.Files.write(
+      new File(root, StageSource.manifestName(nextV)).toPath,
+      snapshot.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
     // the epoch ledger precedes the marker: a crash in between re-offers
     // the epoch, which the ledger then skips
     epoch.foreach { e =>
@@ -644,7 +742,8 @@ class StageDataWriter(
 
 class StageScanBuilder(
     path: String, tableSchema: StructType,
-    partCols: Array[String] = Array.empty)
+    partCols: Array[String] = Array.empty,
+    versionAsOf: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
@@ -687,7 +786,8 @@ class StageScanBuilder(
   override def pushedFilters(): Array[Filter] =
     (skipFilters ++ partFilters).distinct
   override def build(): Scan =
-    StageScan(path, tableSchema, required, skipFilters, partCols, partFilters)
+    StageScan(path, tableSchema, required, skipFilters, partCols,
+      partFilters, versionAsOf)
 }
 
 case class StageFilePartition(file: String) extends InputPartition
@@ -703,7 +803,8 @@ case class StageScan(
     path: String, tableSchema: StructType, required: StructType,
     skipFilters: Array[Filter] = Array.empty,
     partCols: Array[String] = Array.empty,
-    partFilters: Array[Filter] = Array.empty)
+    partFilters: Array[Filter] = Array.empty,
+    versionAsOf: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   @transient private var plannedFiles = -1
   @transient private var totalFiles = -1
@@ -716,10 +817,12 @@ case class StageScan(
       s", skipBy=${skipFilters.mkString(";")}" else ""
     val pf = if (partFilters.nonEmpty)
       s", partBy=${partFilters.mkString(";")}" else ""
-    s"StageScan(path=$path$skipped$sk$pf, cols=${required.fieldNames.mkString(",")})"
+    val vs = versionAsOf.map(v => s", version=$v").getOrElse("")
+    s"StageScan(path=$path$skipped$sk$pf$vs, cols=${required.fieldNames.mkString(",")})"
   }
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = StageSource.dataFiles(path).map(_.length).sum
+    private val bytes =
+      StageSource.snapshotFiles(path, versionAsOf).map(_.length).sum
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
@@ -775,7 +878,7 @@ case class StageScan(
           }
         case _ => true
       }
-    val all = StageSource.dataFiles(path)
+    val all = StageSource.snapshotFiles(path, versionAsOf)
     totalFiles = all.length
     val kept = all.filter { f =>
       val fileStats = stats.getOrElse(f.getName, Map.empty)

@@ -934,9 +934,14 @@ class PlanAuditSpec extends SparkTestBase {
       .getOrElse(Array.empty)
       .map(d => new java.io.File(d, "lineage")).filter(_.isDirectory)
     assert(roots.nonEmpty, "no staged lineage table found")
-    val parts = roots.map(r =>
-      graft.sources.v2.StageSource.readParts(r.getAbsolutePath))
-      .maxBy(_.size)
+    // the LATEST snapshot's shards (readParts retains older snapshots'
+    // lines — their files stay readable via version_as_of)
+    val parts = roots.map { r =>
+      val live = graft.sources.v2.StageSource
+        .snapshotFiles(r.getAbsolutePath, None).map(_.getName).toSet
+      graft.sources.v2.StageSource.readParts(r.getAbsolutePath)
+        .filter(kv => live(kv._1))
+    }.maxBy(_.size)
     assert(parts.size == 3, parts.toString)
     assert(parts.values.map(_.mkString("/")).toSet == Set("A", "N", "R"),
       parts.toString)

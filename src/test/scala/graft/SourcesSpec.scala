@@ -343,6 +343,45 @@ class SourcesSpec extends SparkTestBase {
       .option("path", dir).load().count() == 90000L)
   }
 
+  test("StageSource time travel: snapshots pin file sets; vacuum expires history loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_tt").toString + "/t"
+    val fmt = "graft.sources.v2.StageSource"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save() // v1
+    Seq((3L, 30.0)).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("append").save() // v2
+    Seq((9L, 90.0)).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save() // v3
+    def at(v: Int) = spark.read.format(fmt).option("path", dir)
+      .option("version_as_of", v).load().as[(Long, Double)].collect().toSet
+    assert(at(1) == Set((1L, 10.0), (2L, 20.0)))
+    assert(at(2) == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(at(3) == Set((9L, 90.0)))
+    // the default read is the latest snapshot — the logical overwrite
+    // REPLACED content without deleting v1/v2's bytes
+    val latest = spark.read.format(fmt).option("path", dir).load()
+    assert(latest.as[(Long, Double)].collect().toSet == Set((9L, 90.0)))
+    assert(graft.sources.v2.StageSource.dataFiles(dir).length >= 2,
+      "logical overwrite must retain prior snapshots' files")
+    // the pinned version is visible in the scan description
+    val plan = spark.read.format(fmt).option("path", dir)
+      .option("version_as_of", 1).load()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("version=1"), plan.take(600))
+    // a nonexistent version fails loudly, listing what exists
+    val e = intercept[Exception] { at(7) }
+    assert(e.getMessage.contains("no snapshot version 7"), e.getMessage)
+    // vacuum expires history: only v3's files + manifest survive,
+    // pre-vacuum versions fail loudly, the latest read is untouched
+    graft.sources.v2.StageSource.vacuum(dir)
+    assert(graft.sources.v2.StageSource.dataFiles(dir).length == 1)
+    assert(graft.sources.v2.StageSource.manifestVersions(dir) == Seq(3))
+    intercept[Exception] { at(1) }
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, Double)].collect().toSet == Set((9L, 90.0)))
+  }
+
   test("SeqSource closed-form SUM stays exact at the domain cap; beyond it the table fails loudly") {
     // ADVICE r14: the arithmetic-series pushdown used (ends × cnt) / 2,
     // whose intermediate product overflows Long for ranges near the top
