@@ -7524,6 +7524,58 @@ object SparkEntry {
       .orderBy("version")
   }
 
+  /** Partition-scoped INSERT OVERWRITE ([[graft.sources.v2
+    * .StageWriteBuilder]]'s `SupportsOverwrite` — the daily-pipeline
+    * idiom): `INSERT INTO … REPLACE WHERE status = 'O'` recomputes ONE
+    * partition (corrected cents) while every other partition's files are
+    * carried into the new snapshot untouched — no read, no rewrite, just
+    * manifest surgery plus the one new shard. The predicate must be
+    * decidable from the partition layout; anything finer throws at plan
+    * time (pinned in SourcesSpec) instead of half-replacing data. The
+    * read-back is oracled against orders with the recompute applied to
+    * 'O' only.
+    */
+  private def qDsv2ReplaceWhere(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_daily"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) " +
+      "PARTITIONED BY (status)")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v""")
+    // the daily recompute: partition 'O' replaced with corrected cents
+    s.sql(s"""INSERT INTO $t REPLACE WHERE status = 'O'
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 5
+      FROM $v WHERE o_orderstatus = 'O'""")
+    s.sql(s"""SELECT status, COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM $t GROUP BY status ORDER BY status""")
+  }
+
+  /** CREATE TABLE AS SELECT through the custom catalog (the other DDL
+    * entry point: schema inferred from the query, partitioning declared,
+    * creation + first snapshot in one statement). Content must again be
+    * exactly orders — CTAS is naming + the write path, nothing more.
+    */
+  private def qDsv2Ctas(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_ctas"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t PARTITIONED BY (status) AS
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM $v""")
+    s.sql(s"""SELECT status, COUNT(*) AS n_orders, SUM(cents) AS sum_cents,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM $t GROUP BY status ORDER BY status""")
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -9062,6 +9114,8 @@ object SparkEntry {
     "q_dsv2_stream_sink" -> (qDsv2StreamSink _),
     "q_dsv2_function" -> (qDsv2Function _),
     "q_dsv2_time_travel" -> (qDsv2TimeTravel _),
+    "q_dsv2_replace_where" -> (qDsv2ReplaceWhere _),
+    "q_dsv2_ctas" -> (qDsv2Ctas _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -10137,6 +10191,25 @@ object SparkEntry {
         |UNION ALL SELECT CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
         |  CAST(SUM(cents) AS BIGINT) FROM s WHERE k >= 500 AND k < 600
         |ORDER BY version""".stripMargin,
+    // q_dsv2_replace_where: the one-partition recompute replayed — 'O'
+    // rows carry the +5 correction, every other status is untouched
+    "q_dsv2_replace_where" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |             + CASE WHEN o_orderstatus = 'O' THEN 5 ELSE 0 END)
+        |            AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    // q_dsv2_ctas: CTAS is naming + the write path — content straight
+    // from orders
+    "q_dsv2_ctas" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

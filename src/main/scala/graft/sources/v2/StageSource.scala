@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder => V2S
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, Predicate}
 import org.apache.spark.sql.graftshim.V2ExprShim
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.catalog.SupportsDeleteV2
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
@@ -301,7 +301,8 @@ class StageTable(
     partCols.map(c => Expressions.identity(c))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE).asJava
 
   // ------------------------------------------------- partition-level DELETE
   // The takedown path ([[SupportsDeleteV2]], Iceberg's metadata-delete
@@ -399,6 +400,41 @@ object StageTable {
       }
   }
 
+  /** [[decidable]] for V1 filters (the SupportsOverwrite surface). */
+  def decidableV1(f: Filter, partCols: Array[String]): Boolean = f match {
+    case _: org.apache.spark.sql.sources.AlwaysTrue => true
+    case EqualTo(c, _) => partCols.contains(c)
+    case In(c, _) => partCols.contains(c)
+    case GreaterThan(c, _) => partCols.contains(c)
+    case GreaterThanOrEqual(c, _) => partCols.contains(c)
+    case LessThan(c, _) => partCols.contains(c)
+    case LessThanOrEqual(c, _) => partCols.contains(c)
+    case _ => false
+  }
+
+  /** Does a file's partition value satisfy a (decidable) V1 filter? */
+  def matchesV1(
+      f: Filter, partCols: Array[String], colType: Array[DataType],
+      pv: Array[String]): Boolean = {
+    def at(c: String)(test: (DataType, String) => Boolean): Boolean = {
+      val i = partCols.indexOf(c)
+      test(colType(i), pv(i))
+    }
+    f match {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case EqualTo(c, v) => at(c)(StageSource.partMatches(_, _, "=", v))
+      case In(c, vs) => at(c)((t, r) =>
+        vs.exists(StageSource.partMatches(t, r, "=", _)))
+      case GreaterThan(c, v) => at(c)(StageSource.partMatches(_, _, ">", v))
+      case GreaterThanOrEqual(c, v) =>
+        at(c)(StageSource.partMatches(_, _, ">=", v))
+      case LessThan(c, v) => at(c)(StageSource.partMatches(_, _, "<", v))
+      case LessThanOrEqual(c, v) =>
+        at(c)(StageSource.partMatches(_, _, "<=", v))
+      case _ => false
+    }
+  }
+
   /** Does a file's partition value satisfy a (decidable) predicate? */
   def matches(
       p: Predicate, partCols: Array[String], colType: Array[DataType],
@@ -424,10 +460,28 @@ object StageTable {
 
 class StageWriteBuilder(
     path: String, schema: StructType, queryId: String, truncate: Boolean,
-    partCols: Array[String] = Array.empty)
-    extends WriteBuilder with SupportsTruncate {
+    partCols: Array[String] = Array.empty,
+    replaceWhere: Array[Filter] = Array.empty)
+    extends WriteBuilder with SupportsOverwrite {
   override def truncate(): WriteBuilder =
     new StageWriteBuilder(path, schema, queryId, truncate = true, partCols)
+  // Partition-scoped overwrite (`INSERT OVERWRITE … PARTITION (…)` /
+  // `REPLACE WHERE`): the daily-pipeline idiom — recompute ONE
+  // partition's shard, leave every other file untouched. Accepted only
+  // when each filter is decidable per-file from partition values (every
+  // committed file carries exactly one value); anything finer throws
+  // here, at plan time, instead of half-replacing data.
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.forall(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      return truncate()
+    filters.foreach(f => require(StageTable.decidableV1(f, partCols),
+      s"REPLACE WHERE predicate $f is not decidable from the " +
+        s"partition layout (${partCols.mkString(",")}) — align it with " +
+        "the partition columns or overwrite the whole table"))
+    new StageWriteBuilder(path, schema, queryId, truncate = false,
+      partCols, filters)
+  }
   // The write DECLARES its required clustering ([[
   // RequiresDistributionAndOrdering]]): rows must arrive grouped by the
   // partition columns, so Spark plans the shuffle (or reuses an existing
@@ -442,7 +496,8 @@ class StageWriteBuilder(
         partCols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression))
     override def requiredOrdering(): Array[V2SortOrder] = Array.empty
     override def toBatch: BatchWrite =
-      new StageBatchWrite(path, schema, queryId, truncate, partCols)
+      new StageBatchWrite(path, schema, queryId, truncate, partCols,
+        replaceWhere)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new StageStreamingWrite(path, schema, queryId, truncate, partCols)
   }
@@ -499,7 +554,8 @@ case class StageCommit(files: Array[StageFileCommit])
 
 class StageBatchWrite(
     path: String, schema: StructType, queryId: String, truncate: Boolean,
-    partCols: Array[String] = Array.empty)
+    partCols: Array[String] = Array.empty,
+    replaceWhere: Array[Filter] = Array.empty)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -507,7 +563,7 @@ class StageBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     StageCommitter.commit(path, schema, partCols, queryId, messages,
-      truncate, epoch = None)
+      truncate, epoch = None, replaceWhere)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     StageCommitter.cleanStaging(path, queryId)
@@ -528,7 +584,8 @@ object StageCommitter {
   def commit(
       path: String, schema: StructType, partCols: Array[String],
       queryId: String, messages: Array[WriterCommitMessage],
-      truncate: Boolean, epoch: Option[Long]): Unit = {
+      truncate: Boolean, epoch: Option[Long],
+      replaceWhere: Array[Filter] = Array.empty): Unit = {
     val root = new File(path)
     root.mkdirs()
     val epochsFile = new File(root, StageSource.EpochsFile)
@@ -572,12 +629,27 @@ object StageCommitter {
           .linesIterator.filter(l => l.nonEmpty && keepLine(l))
           .foreach(l => partLines.append(l).append('\n'))
     }
-    // the new snapshot's file list: overwrite starts empty, append starts
-    // from the previous snapshot (manifest if present, directory listing
-    // for a legacy table)
+    // the new snapshot's file list: overwrite starts empty; a
+    // partition-scoped REPLACE WHERE starts from the previous snapshot
+    // MINUS the files its partition predicates doom (each file carries
+    // one partition value, so the predicate is exact); plain append
+    // starts from the whole previous snapshot (manifest if present,
+    // directory listing for a legacy table)
     val snapshot = scala.collection.mutable.LinkedHashSet.empty[String]
-    if (!truncate)
-      snapshot ++= StageSource.snapshotFiles(path, None).map(_.getName)
+    if (!truncate) {
+      val prev = StageSource.snapshotFiles(path, None).map(_.getName)
+      if (replaceWhere.isEmpty) snapshot ++= prev
+      else {
+        val parts = StageSource.readParts(path)
+        val colType = partCols.map(c =>
+          schema.fields(schema.fieldIndex(c)).dataType)
+        snapshot ++= prev.filterNot { n =>
+          val pv = parts.getOrElse(n, Array.empty[String])
+          pv.length == partCols.length && replaceWhere.forall(
+            StageTable.matchesV1(_, partCols, colType, pv))
+        }
+      }
+    }
     // empty writer partitions (rows=0) reported no files — committing
     // them would litter the table with zero-row shards that every scan,
     // zone-map pass and lineage audit then has to touch

@@ -343,6 +343,34 @@ class SourcesSpec extends SparkTestBase {
       .option("path", dir).load().count() == 90000L)
   }
 
+  test("REPLACE WHERE: one partition recomputed, survivors carried; finer predicates decline") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_rw").toString
+    spark.conf.set("spark.sql.catalog.stagerw", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagerw.root", root)
+    spark.sql("CREATE TABLE stagerw.default.t (k BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.sql("INSERT INTO stagerw.default.t VALUES (1,'a'), (2,'b'), (3,'a')")
+    val dir = new java.io.File(new java.io.File(root, "default"), "t")
+    val beforeB = graft.sources.v2.StageSource
+      .readParts(dir.getAbsolutePath).collectFirst {
+        case (f, pv) if pv.sameElements(Array("b")) => f
+      }.get
+    spark.sql("INSERT INTO stagerw.default.t REPLACE WHERE g = 'a' VALUES (10,'a')")
+    // content: partition a replaced, partition b untouched
+    assert(spark.sql("SELECT k, g FROM stagerw.default.t")
+      .as[(Long, String)].collect().toSet == Set((10L, "a"), (2L, "b")))
+    // and b's file is the SAME committed file, carried by manifest surgery
+    val live = graft.sources.v2.StageSource
+      .snapshotFiles(dir.getAbsolutePath, None).map(_.getName).toSet
+    assert(live.contains(beforeB), s"b's shard was rewritten: $live")
+    // a non-partition predicate declines at plan time, nothing replaced
+    intercept[Exception] {
+      spark.sql("INSERT INTO stagerw.default.t REPLACE WHERE k = 2 VALUES (99,'z')")
+    }
+    assert(spark.sql("SELECT count(*) FROM stagerw.default.t").head().getLong(0) == 2)
+    spark.sql("DROP TABLE stagerw.default.t")
+  }
+
   test("StageSource time travel: snapshots pin file sets; vacuum expires history loudly") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stage_tt").toString + "/t"
