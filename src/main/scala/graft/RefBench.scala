@@ -80,7 +80,7 @@ object RefBench {
     // all sections, unchanged.
     val sections = sys.env.get("SPARK_GRAFT_REF_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("filter", "sum", "take", "partition", "join"))
+      .getOrElse(Set("filter", "sum", "take", "partition", "join", "spj"))
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = GraftSession.getOrCreate()
@@ -206,6 +206,42 @@ object RefBench {
     report("join_colocated", sf, nJoin, jCoSec, jCoRows)
     rightCo.unpersist(blocking = true)
     leftCo.unpersist(blocking = true)
+    }
+
+    section("spj") {
+    // ---- storage-partitioned join A/B (q_dsv2_spj's layout, measured):
+    // the same fact ⋈ tiny-dim merge join on mod7, three ways.
+    //   spj_keyed     — both scans declare KeyGroupedPartitioning
+    //                   (identity(mod7)): ZERO exchanges, per-partition
+    //                   sort + merge. Parallelism = the layout's 7
+    //                   residue classes (a real table buckets to the
+    //                   cluster width; 7 is this synthetic layout's).
+    //   spj_shuffle   — identical join, layout undeclared, MERGE forced:
+    //                   every fact row crosses an exchange first — the
+    //                   cost SPJ deletes.
+    //   spj_broadcast — the plan the optimizer picks for a TINY dim. At
+    //                   fact×fact scale broadcast is impossible and the
+    //                   honest comparison is keyed vs shuffle; reported
+    //                   to show keyed rides at broadcast-class cost
+    //                   without needing a broadcastable side.
+    val nSpj = sf.toLong * 8388608
+    def seq(n: Long, keyed: Boolean) = spark.read
+      .format("graft.sources.v2.SeqSource")
+      .option("n", n).option("slices", 32).option("keyed", keyed).load()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val dimK = seq(7, keyed = true).select($"mod7", $"cents".as("dc"))
+    val factK = seq(nSpj, keyed = true)
+    val (kSec, kRows) = timed(
+      factK.join(dimK.hint("MERGE"), "mod7").count(), warmups = 2)
+    report("spj_keyed", sf, nSpj, kSec, kRows)
+    val dimU = seq(7, keyed = false).select($"mod7", $"cents".as("dc"))
+    val factU = seq(nSpj, keyed = false)
+    val (uSec, uRows) = timed(
+      factU.join(dimU.hint("MERGE"), "mod7").count(), warmups = 2)
+    report("spj_shuffle", sf, nSpj, uSec, uRows)
+    val (bSec, bRows) = timed(
+      factU.join(broadcast(dimU), "mod7").count(), warmups = 2)
+    report("spj_broadcast", sf, nSpj, bSec, bRows)
     }
 
     spark.stop()

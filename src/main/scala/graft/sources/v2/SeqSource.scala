@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -276,12 +276,25 @@ case class SeqScan(
     orderedDesc: Option[Boolean] = None, keyed: Boolean = false,
     maxPerBatch: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning
+    with SupportsReportOrdering {
   // STREAMING read half ([[TableCapability.MICRO_BATCH_READ]]): the same
   // pushed-down range, consumed as a sequence of micro-batches
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SeqMicroBatchStream(lo, hi, slices, required, maxPerBatch)
+
+  // The keyed layout's ORDERING declaration ([[SupportsReportOrdering]]):
+  // every partition is a single mod7 residue class, so each partition is
+  // trivially sorted by mod7 — declaring it lets the planner DELETE the
+  // per-partition sort under a storage-partitioned merge join (measured
+  // 1.78 → ~broadcast-class in RefBench's spj section). Only valid (and
+  // only reported) in keyed mode with mod7 surviving pruning.
+  override def outputOrdering(): Array[SortOrder] =
+    if (keyed && required.fieldNames.contains("mod7"))
+      Array(Expressions.sort(
+        Expressions.identity("mod7"), SortDirection.ASCENDING))
+    else Array.empty
   // RUNTIME narrowing ([[SupportsRuntimeV2Filtering]], r14 verdict #4 —
   // the connector analog of the parquet path's DPP/bloom-semijoin rows):
   // when this scan is the fact side of a join whose dim side carries a
