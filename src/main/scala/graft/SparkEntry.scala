@@ -7576,6 +7576,25 @@ object SparkEntry {
       FROM $t GROUP BY status ORDER BY status""")
   }
 
+  /** Catalog-scoped AGGREGATE function ([[graft.sources.v2.StageCatalog
+    * .GMean]] — the V2 `AggregateFunction` contract: per-partition
+    * `update`, associative `merge` of partials, one final
+    * `produceResult` — the reference's partial/final aggregate seam
+    * (`aggregator_fn_t`) expressed at the connector function layer, so
+    * SQL calls it like a builtin and Spark plans the same two-phase
+    * hash aggregate it plans for SUM). Geometric mean per order status,
+    * oracled against DuckDB's `EXP(AVG(LN(x)))` at 4 decimals.
+    */
+  private def qDsv2AggFunction(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""SELECT o_orderstatus AS status,
+             ROUND($cat.default.gmean(o_totalprice), 4) AS gm,
+             COUNT(*) AS n_orders
+      FROM $v GROUP BY 1 ORDER BY status""")
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -9116,6 +9135,7 @@ object SparkEntry {
     "q_dsv2_time_travel" -> (qDsv2TimeTravel _),
     "q_dsv2_replace_where" -> (qDsv2ReplaceWhere _),
     "q_dsv2_ctas" -> (qDsv2Ctas _),
+    "q_dsv2_agg_function" -> (qDsv2AggFunction _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -10209,6 +10229,13 @@ object SparkEntry {
         |            AS BIGINT) AS sum_cents,
         |       CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
         |       CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    // q_dsv2_agg_function: the mergeable geometric mean replayed as
+    // EXP(AVG(LN(x))) — associative log-sum, engine-portable at 4dp
+    "q_dsv2_agg_function" ->
+      """SELECT o_orderstatus AS status,
+        |       ROUND(EXP(AVG(LN(o_totalprice))), 4) AS gm,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines

@@ -7,7 +7,7 @@ import java.util
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.graftshim.V2ExprShim
 import org.apache.spark.sql.types.{DataType, DataTypes, LongType, StructType}
@@ -198,6 +198,53 @@ object StageCatalog {
       invoke(input.getDouble(0))
   }
 
+  /** Mergeable geometric-mean state: a sum of logs and a count — the
+    * partial/final aggregate contract (the reference's `aggregator_fn_t`
+    * seam) expressed at the V2 function layer: partitions `update`
+    * locally, partials `merge` associatively, the final state produces
+    * once. Non-positive inputs are ignored (ln undefined), mirroring
+    * `EXP(AVG(LN(x)))` over the positive subset.
+    */
+  final class GMeanState extends java.io.Serializable {
+    var sumLog: Double = 0.0
+    var n: Long = 0L
+  }
+
+  /** `gmean(x DOUBLE)`: catalog-scoped AGGREGATE function — SQL calls it
+    * like any builtin (`SELECT <cat>.default.gmean(price) … GROUP BY`),
+    * Spark plans it partial→merge→final like any hash aggregate. The
+    * oracle replays it as `EXP(AVG(LN(x)))`.
+    */
+  object GMean extends UnboundFunction
+      with AggregateFunction[GMeanState, java.lang.Double] {
+    override def name(): String = "gmean"
+    override def description(): String =
+      "gmean(x DOUBLE): geometric mean of the positive values"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1 &&
+        inputType.fields(0).dataType == DataTypes.DoubleType,
+        s"gmean(DOUBLE), got ${inputType.simpleString}")
+      this
+    }
+    override def inputTypes(): Array[DataType] = Array(DataTypes.DoubleType)
+    override def resultType(): DataType = DataTypes.DoubleType
+    override def isDeterministic: Boolean = true
+    override def canonicalName(): String = "graft.gmean"
+    override def newAggregationState(): GMeanState = new GMeanState
+    override def update(s: GMeanState, input: InternalRow): GMeanState = {
+      if (!input.isNullAt(0)) {
+        val v = input.getDouble(0)
+        if (v > 0) { s.sumLog += math.log(v); s.n += 1 }
+      }
+      s
+    }
+    override def merge(a: GMeanState, b: GMeanState): GMeanState = {
+      a.sumLog += b.sumLog; a.n += b.n; a
+    }
+    override def produceResult(s: GMeanState): java.lang.Double =
+      if (s.n == 0) null else math.exp(s.sumLog / s.n)
+  }
+
   val Functions: Map[String, UnboundFunction] =
-    Map("knuth_bucket" -> KnuthBucket, "cents" -> Cents)
+    Map("knuth_bucket" -> KnuthBucket, "cents" -> Cents, "gmean" -> GMean)
 }

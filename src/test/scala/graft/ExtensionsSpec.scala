@@ -452,6 +452,25 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("catalog V2 aggregate plans the partial/final contract; merge is associative") {
+    val df = SparkEntry.queries("q_dsv2_agg_function")(spark, sf0001)
+    assert(df.count() == 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // the two-phase shape: per-partition partial update, merged final —
+    // the same lifecycle SUM gets, driven by the V2 AggregateFunction
+    assert(plan.contains("partial_v2aggregator"), plan.take(1200))
+    assert("(?<!partial_)v2aggregator".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+    // merge associativity + null-on-empty, unit-level
+    import graft.sources.v2.StageCatalog.GMean
+    val a = GMean.newAggregationState()
+    a.sumLog = math.log(2.0); a.n = 1
+    val b = GMean.newAggregationState()
+    b.sumLog = math.log(8.0); b.n = 1
+    assert(math.abs(GMean.produceResult(GMean.merge(a, b)) - 4.0) < 1e-12)
+    assert(GMean.produceResult(GMean.newAggregationState()) == null)
+  }
+
   test("data-quality rules: one-pass counters match per-rule truth; empty rules rejected") {
     import graft.ext.DataQuality
     val df = Seq(
