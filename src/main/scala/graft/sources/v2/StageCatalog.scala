@@ -73,6 +73,27 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
       StageSource.readPartCols(dir.getAbsolutePath))
   }
 
+  /** SQL time travel (`SELECT … FROM <cat>.ns.t VERSION AS OF n`): the
+    * loaded table is PINNED to snapshot n — every scan of it reads that
+    * manifest's file set, the same mechanism as the read option
+    * `version_as_of` on the path API. Timestamp travel is not supported
+    * (snapshots carry no commit timestamps) and fails loudly.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"StageCatalog versions are integers, got '$version'")
+    }
+    val dir = dirOf(ident)
+    require(StageSource.manifestVersions(dir.getAbsolutePath).contains(v),
+      s"table ${ident.name} has no snapshot version $v " +
+        s"(available: ${StageSource.manifestVersions(dir.getAbsolutePath).mkString(",")})")
+    loadTable(ident) match {
+      case t: StageTable => new StageTable(dir.getAbsolutePath, t.schema(),
+        StageSource.readPartCols(dir.getAbsolutePath), Some(v))
+    }
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -292,7 +292,10 @@ object StageSource {
 
 class StageTable(
     path: String, tableSchema: StructType,
-    partCols: Array[String] = Array.empty)
+    partCols: Array[String] = Array.empty,
+    // a table loaded via SQL time travel (`VERSION AS OF n`) is PINNED:
+    // every scan reads snapshot n unless a read option overrides it
+    pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns with SupportsDeleteV2 {
   override def name(): String = s"graft_stage($path)"
@@ -374,7 +377,8 @@ class StageTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StageScanBuilder(path, tableSchema, partCols,
-      Option(options.get("version_as_of")).map(_.toInt))
+      Option(options.get("version_as_of")).map(_.toInt)
+        .orElse(pinnedVersion))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new StageWriteBuilder(path, info.schema(), info.queryId(),

@@ -371,6 +371,33 @@ class SourcesSpec extends SparkTestBase {
     spark.sql("DROP TABLE stagerw.default.t")
   }
 
+  test("SQL VERSION AS OF pins a snapshot through the catalog") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_vao").toString
+    spark.conf.set("spark.sql.catalog.stagevao", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagevao.root", root)
+    spark.sql("CREATE TABLE stagevao.default.t (k BIGINT)")
+    spark.sql("INSERT INTO stagevao.default.t VALUES (1), (2)") // v1
+    spark.sql("INSERT INTO stagevao.default.t VALUES (3)") // v2
+    def q(sql: String) = spark.sql(sql).as[Long].collect().toSet
+    assert(q("SELECT k FROM stagevao.default.t VERSION AS OF 1") == Set(1L, 2L))
+    assert(q("SELECT k FROM stagevao.default.t VERSION AS OF 2") == Set(1L, 2L, 3L))
+    assert(q("SELECT k FROM stagevao.default.t") == Set(1L, 2L, 3L))
+    // the pinned version is visible in the scan description
+    val plan = spark.sql("SELECT k FROM stagevao.default.t VERSION AS OF 1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("version=1"), plan.take(600))
+    // a missing version and timestamp travel both fail loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT k FROM stagevao.default.t VERSION AS OF 9").collect()
+    }
+    assert(e.getMessage.contains("no snapshot version 9"), e.getMessage)
+    intercept[Exception] {
+      spark.sql("SELECT k FROM stagevao.default.t TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    spark.sql("DROP TABLE stagevao.default.t")
+  }
+
   test("StageSource time travel: snapshots pin file sets; vacuum expires history loudly") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stage_tt").toString + "/t"
