@@ -7595,6 +7595,29 @@ object SparkEntry {
       FROM $v GROUP BY 1 ORDER BY status""")
   }
 
+  /** Aggregate pushdown into the STAGING connector ([[graft.sources.v2
+    * .StageScanBuilder]]'s `SupportsPushDownAggregates` — the parquet
+    * footer-statistics story on the connector's own format): COUNT(*) /
+    * MIN / MAX over the staged table are answered ENTIRELY from the
+    * commit-time sidecar statistics (`__rows` counts + per-file zone
+    * maps) — the plan is a bare project over a 1-row `StageAggScan`, no
+    * data file opened, no aggregate operator (pinned in PlanAuditSpec
+    * with the decline legs: filters, GROUP BY, SUM and double columns
+    * all fall back to the row path). At 100 TB a full-table count/key
+    * range is a metadata read, not a scan.
+    */
+  private def qDsv2StatsAgg(s: SparkSession, d: String): DataFrame = {
+    val root = s"/tmp/graft_dsv2w/${dirTag(d)}/statsagg"
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.format("graft.sources.v2.StageSource")
+      .option("path", root).mode("overwrite").save()
+    s.read.format("graft.sources.v2.StageSource").option("path", root).load()
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -9136,6 +9159,7 @@ object SparkEntry {
     "q_dsv2_replace_where" -> (qDsv2ReplaceWhere _),
     "q_dsv2_ctas" -> (qDsv2Ctas _),
     "q_dsv2_agg_function" -> (qDsv2AggFunction _),
+    "q_dsv2_stats_agg" -> (qDsv2StatsAgg _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -10237,6 +10261,13 @@ object SparkEntry {
         |       ROUND(EXP(AVG(LN(o_totalprice))), 4) AS gm,
         |       CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    // q_dsv2_stats_agg: the sidecar-answered aggregates replayed by
+    // brute force over orders
+    "q_dsv2_stats_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+        |FROM orders""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and

@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.catalog.SupportsDeleteV2
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -77,6 +77,8 @@ class StageSource extends TableProvider {
     schema.fields.foreach(f => require(
       StageSource.supported(f.dataType),
       s"StageSource does not support column type ${f.dataType} (${f.name})"))
+    require(!schema.fieldNames.contains("__rows"),
+      "__rows is reserved for the connector's row-count statistics")
     val path = StageSource.pathOf(properties)
     // identity partition columns, in precedence order: declared
     // transforms (catalog DDL) → the `partition_by` option (path-based
@@ -667,6 +669,9 @@ object StageCommitter {
         c.stats.foreach { case (colName, mn, mx) =>
           statLines.append(s"$name\t$colName\t$mn\t$mx\n")
         }
+        // the per-file row count (the docstring's `__rows` pseudo-column)
+        // — what COUNT(*) pushdown answers from without opening the file
+        statLines.append(s"$name\t__rows\t${c.rows}\t${c.rows}\n")
         if (partCols.nonEmpty) partLines.append(s"$name\t${c.pv}\n")
         snapshot += name
       }
@@ -821,7 +826,8 @@ class StageScanBuilder(
     partCols: Array[String] = Array.empty,
     versionAsOf: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var skipFilters: Array[Filter] = Array.empty
   private var partFilters: Array[Filter] = Array.empty
@@ -861,9 +867,115 @@ class StageScanBuilder(
     })
   override def pushedFilters(): Array[Filter] =
     (skipFilters ++ partFilters).distinct
-  override def build(): Scan =
-    StageScan(path, tableSchema, required, skipFilters, partCols,
-      partFilters, versionAsOf)
+
+  // ------------------------------------------- aggregate pushdown (stats)
+  // COUNT(*)/MIN/MAX answered ENTIRELY from the commit-time sidecars —
+  // the parquet footer-statistics story on the connector's own format: a
+  // full-table count or key range is a metadata read, zero data bytes.
+  // Declined (→ Spark's row-path aggregate) whenever the answer could be
+  // wrong: any filter present (stats are per-file, residual filters
+  // can't be applied to them), GROUP BY, a file missing its stat line
+  // (all-null or legacy), DOUBLE min/max (NaN ordering differs between
+  // engines), or a long value the double-typed zone map can't represent
+  // exactly (|v| > 2^53).
+  private var aggAnswer: Option[(StructType, Array[Any])] = None
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answer(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answer(agg) match {
+      case Some(a) => aggAnswer = Some(a); true
+      case None => false
+    }
+  private def answer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (skipFilters.nonEmpty || partFilters.nonEmpty) return None
+    val stats = StageSource.readStats(path)
+    val files = StageSource.snapshotFiles(path, versionAsOf).map(_.getName)
+    // every snapshot file must carry a row count (legacy files decline)
+    val counts = files.map(f => stats.get(f).flatMap(_.get("__rows")))
+    if (counts.exists(_.isEmpty)) return None
+    val total = counts.map(_.get.min.toLong).sum
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def exactLong(v: Double): Option[Long] =
+      if (v == math.rint(v) && math.abs(v) <= (1L << 53)) Some(v.toLong)
+      else None
+    // min/max from the per-file zone maps, typed by the column (long/int
+    // only); None = decline the whole aggregation
+    def minMax(e: org.apache.spark.sql.connector.expressions.Expression,
+        wantMin: Boolean): Option[(StructField, Any)] = {
+      val c = colName(e).getOrElse(return None)
+      val f = tableSchema.fields.find(_.name == c).getOrElse(return None)
+      val isInt = f.dataType == IntegerType
+      if (f.dataType != LongType && !isInt) return None
+      if (total == 0)
+        return Some((StructField(c, f.dataType, nullable = true), null))
+      val ranges = files.map(n => stats.get(n).flatMap(_.get(c)))
+      if (ranges.exists(_.isEmpty)) return None // all-null file: can't tell
+      val v = if (wantMin) ranges.map(_.get.min).min else ranges.map(_.get.max).max
+      exactLong(v).map { l =>
+        (StructField(c, f.dataType, nullable = true),
+          if (isInt) l.toInt else l)
+      }
+    }
+    val answered = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        Some((StructField("count", LongType, nullable = false), total: Any))
+      case m: Min => minMax(m.column, wantMin = true)
+      case m: Max => minMax(m.column, wantMin = false)
+      case _ => None // SUM/AVG/distinct: not derivable from zone maps
+    }
+    if (answered.exists(_.isEmpty)) return None
+    val fields = answered.map(_.get._1)
+    val values = answered.map(_.get._2)
+    Some((StructType(fields.zipWithIndex.map { case (f, i) =>
+      f.copy(name = s"${f.name}_$i")
+    }), values))
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, values)) => StageAggScan(path, schema, values)
+    case None =>
+      StageScan(path, tableSchema, required, skipFilters, partCols,
+        partFilters, versionAsOf)
+  }
+}
+
+/** The 1-row scan a completely-pushed aggregate resolves to: the values
+  * were computed from the snapshot's sidecar statistics at plan time —
+  * no data file is opened (PlanAuditSpec pins the absence of any
+  * aggregate operator above it).
+  */
+case class StageAggScan(path: String, schema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"StageAggScan(path=$path, aggs=${schema.fieldNames.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(StageFilePartition("")) // one empty partition: values are inline
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private val vs = values
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val f = !emitted; emitted = true; f }
+          override def get(): InternalRow = new GenericInternalRow(vs)
+          override def close(): Unit = ()
+        }
+    }
 }
 
 case class StageFilePartition(file: String) extends InputPartition

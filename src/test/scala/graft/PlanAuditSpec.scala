@@ -973,6 +973,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(graft.sources.v2.StageSource.dataFiles(root.getAbsolutePath).length == 1)
   }
 
+  test("q_dsv2_stats_agg: the staging sidecars answer COUNT/MIN/MAX; unsafe shapes decline") {
+    val df = SparkEntry.queries("q_dsv2_stats_agg")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("StageAggScan("),
+      s"aggregates not answered from the sidecars:\n${plan.take(1200)}")
+    assert(!plan.contains("Aggregate"),
+      s"an aggregate operator survived complete pushdown:\n${plan.take(1200)}")
+    assert(df.count() == 1)
+    // decline legs: a filter, a SUM, and a double column must each fall
+    // back to the row path (StageScan + a real aggregate)
+    val root = Option(new java.io.File("/tmp/graft_dsv2w").listFiles())
+      .getOrElse(Array.empty)
+      .map(d => new java.io.File(d, "statsagg")).filter(_.isDirectory)
+      .maxBy(_.lastModified).getAbsolutePath
+    def back = spark.read.format("graft.sources.v2.StageSource")
+      .option("path", root).load()
+    import org.apache.spark.sql.functions.{count => cnt, lit, max => mx, sum => sm}
+    for (declined <- Seq(
+      back.filter(org.apache.spark.sql.functions.col("k") > 100L)
+        .agg(cnt(lit(1))),
+      back.agg(sm(org.apache.spark.sql.functions.col("k"))),
+      back.agg(mx(org.apache.spark.sql.functions.col("k") * 1.0)))) {
+      val p = declined.queryExecution.executedPlan.toString
+      assert(!p.contains("StageAggScan") && p.contains("Aggregate"),
+        s"unsafe aggregate wrongly claimed by the sidecars:\n${p.take(800)}")
+    }
+  }
+
   test("q_dsv2_write: the connector write plans a V2 write node and commits atomically") {
     // capture the save command's EXECUTED plan via a listener — the V1
     // DataFrameWriter.save path exposes no QueryExecution to the caller
