@@ -7618,6 +7618,51 @@ object SparkEntry {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
   }
 
+  /** Snapshot-history EXPIRY ([[graft.sources.v2.StageSource.vacuum]] —
+    * Iceberg's `expire_snapshots`): three commits build versions 1..3,
+    * vacuum expires everything but the latest — pre-vacuum versions
+    * fail loudly afterwards (`history_expired`, asserted in-plan as a
+    * literal the oracle checks as TRUE), the physical file set shrinks
+    * to exactly the latest manifest (`files_pruned`), and the surviving
+    * content is oracled against the v3 slice of orders. This is the
+    * retention half of the time-travel contract: storage is reclaimed
+    * on an explicit, auditable boundary, never implicitly.
+    */
+  private def qDsv2Vacuum(s: SparkSession, d: String): DataFrame = {
+    val root = s"/tmp/graft_dsv2w/${dirTag(d)}/vacuum"
+    graft.engine.Fs.deleteRecursively(new java.io.File(root))
+    val fmt = "graft.sources.v2.StageSource"
+    val orders = Tables.orders(s, d)
+    def slice(lo: Long, hi: Long) = orders
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    slice(0, 300).write.format(fmt).option("path", root)
+      .mode("overwrite").save() // v1
+    slice(300, 500).write.format(fmt).option("path", root)
+      .mode("append").save() // v2
+    slice(500, 700).write.format(fmt).option("path", root)
+      .mode("overwrite").save() // v3
+    graft.sources.v2.StageSource.vacuum(root)
+    val historyExpired =
+      try {
+        s.read.format(fmt).option("path", root)
+          .option("version_as_of", 1).load().count()
+        false
+      } catch { case _: Exception => true }
+    val physical = graft.sources.v2.StageSource
+      .dataFiles(root).map(_.getName).toSet
+    val manifest = graft.sources.v2.StageSource
+      .snapshotFiles(root, None).map(_.getName).toSet
+    val nVersions = graft.sources.v2.StageSource.manifestVersions(root).length
+    s.read.format(fmt).option("path", root).load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(nVersions.toLong).as("n_versions"),
+        lit(historyExpired).as("history_expired"),
+        lit(physical == manifest).as("files_pruned"))
+  }
+
   /** Misra-Gries heavy hitters (the reference's `aggregator_fn_t` seam,
     * `dpu/shared/kernels/aggr.c:16`, as a mergeable sketch): one pass, k
     * counters per partition, merged map-side — no shuffle of raw items.
@@ -9160,6 +9205,7 @@ object SparkEntry {
     "q_dsv2_ctas" -> (qDsv2Ctas _),
     "q_dsv2_agg_function" -> (qDsv2AggFunction _),
     "q_dsv2_stats_agg" -> (qDsv2StatsAgg _),
+    "q_dsv2_vacuum" -> (qDsv2Vacuum _),
     "q_mix_shift" -> (qMixShift _),
     "q_partition_stats" -> (qPartitionStats _),
     "q_diff_in_diff" -> (qDiffInDiff _),
@@ -10268,6 +10314,16 @@ object SparkEntry {
         |       CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
         |       CAST(MAX(o_orderkey) AS BIGINT) AS max_k
         |FROM orders""".stripMargin,
+    // q_dsv2_vacuum: the post-expiry survivor content (v3's slice) plus
+    // the expiry verdicts asserted as literal truths
+    "q_dsv2_vacuum" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       CAST(1 AS BIGINT) AS n_versions,
+        |       TRUE AS history_expired,
+        |       TRUE AS files_pruned
+        |FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 700""".stripMargin,
     // q_cogroup: the typed reconciliation replayed relationally (left
     // join + conditional aggregate); the fixture has no orphan lines
     // (lineitem FK), so the cogroup's ORPHAN branch emits nothing and
