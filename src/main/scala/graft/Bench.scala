@@ -176,35 +176,48 @@ object Bench {
     //    criterion). Reference anchors are sf0.1-only; at other SFs (and
     //    on subset runs, which skip anchors) weather_factor stays 1.0 and
     //    the normalized total equals the raw one.
-    // Reference anchors RE-RECORDED at the r14 close (r14 verdict #2): the
-    // r13 anchors were captured in a slow session, so calm runs read
-    // weather_factor 0.66-0.89 and total_normalized_sec overstated calm
-    // totals by ~12-34%. These are the per-anchor MIN across the two calm
-    // r14 close-out runs (BENCH_LAST.json at 6aac556 and 525626a) — the
-    // repeatable floor of this box — so a calm run now reads ≈ 1.0.
-    val refAnchorsSf01 = Map(
-      "q_filter" -> 0.240, "q_sum" -> 0.078, "q_take" -> 0.155,
-      "q_partition" -> 0.281, "q_join" -> 0.685, "q_window" -> 0.627,
-      "q_tfidf" -> 0.668, "q_sessionize" -> 0.340,
-      "q_topk_per_key" -> 0.391, "q_minhash_pairs" -> 0.751)
-    // The anchors are only meaningful against the box+corpus they were
-    // recorded on (ADVICE r14): on a different machine, or after the
-    // sf0.1 corpus is regenerated, normalizing against them silently
-    // mis-scales the total. A cheap corpus fingerprint (file count +
-    // total bytes of the sf0.1 dir as recorded at anchor time) gates the
-    // normalization — on mismatch weather_factor stays 1.0 and the JSON
-    // carries weather_ref_match:false so the drift is loud, not silent.
-    val refAnchorFiles = 10L
-    val refAnchorBytes = 17504410L
-    def corpusFingerprintMatches(dir: String): Boolean =
+    // Reference anchors live in a FINGERPRINTED ARTIFACT
+    // (tools/bench_anchors.tsv), not in code (ADVICE r15: hardcoded
+    // box-specific floors keyed on a dir suffix mis-normalize on any
+    // other box or corpus). The artifact records the per-anchor MIN
+    // seconds of a calm close-out run TOGETHER WITH the corpus
+    // fingerprint (file count + total bytes of the sf0.1 dir) it was
+    // measured against; normalization only engages when the current
+    // corpus matches that fingerprint. Missing/unreadable artifact, or a
+    // fingerprint mismatch → weather_factor pins 1.0 and the JSON carries
+    // weather_ref_match:false, so drift is loud, never silently
+    // mis-scaled. Re-anchoring = re-recording the artifact (history: r13
+    // anchors captured in a slow session overstated calm totals 12-34%;
+    // re-recorded at the r14 close from BENCH_LAST at 6aac556/525626a).
+    val anchorArtifact: Option[(Long, Long, Map[String, Double])] =
       try {
-        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-        var n = 0L; var bytes = 0L
-        while (files.hasNext) { val f = files.next(); n += 1; bytes += java.nio.file.Files.size(f) }
-        n == refAnchorFiles && bytes == refAnchorBytes
-      } catch { case _: Exception => false }
+        val lines = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("tools/bench_anchors.tsv")),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        val fp = lines.find(_.startsWith("#fingerprint")).get.split('\t')
+        val files = fp.collectFirst { case s if s.startsWith("files=") =>
+          s.stripPrefix("files=").toLong }.get
+        val bytes = fp.collectFirst { case s if s.startsWith("bytes=") =>
+          s.stripPrefix("bytes=").toLong }.get
+        val anchors = lines.filterNot(_.startsWith("#")).map { l =>
+          val Array(k, v) = l.split('\t'); k -> v.toDouble
+        }.toMap
+        Some((files, bytes, anchors))
+      } catch { case _: Exception => None }
+    val refAnchorsSf01: Map[String, Double] =
+      anchorArtifact.map(_._3).getOrElse(Map.empty)
+    def corpusFingerprintMatches(dir: String): Boolean =
+      anchorArtifact.exists { case (refFiles, refBytes, _) =>
+        try {
+          val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+          var n = 0L; var bytes = 0L
+          while (files.hasNext) { val f = files.next(); n += 1; bytes += java.nio.file.Files.size(f) }
+          n == refFiles && bytes == refBytes
+        } catch { case _: Exception => false }
+      }
     val aMap = anchorA.toMap
     val bMap = anchorB.toMap
     def geomean(ratios: Seq[Double]): Double =

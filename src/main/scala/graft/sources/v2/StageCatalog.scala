@@ -69,6 +69,10 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
     val schema = StructType.fromDDL(new String(
       java.nio.file.Files.readAllBytes(
         new File(dir, StageSource.SchemaFile).toPath), StandardCharsets.UTF_8))
+    // defense in depth: a hand-edited schema file must not smuggle in the
+    // reserved sidecar name either
+    require(!schema.fieldNames.contains("__rows"),
+      "__rows is reserved for the connector's row-count statistics")
     new StageTable(dir.getAbsolutePath, schema,
       StageSource.readPartCols(dir.getAbsolutePath))
   }
@@ -76,8 +80,7 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
   /** SQL time travel (`SELECT … FROM <cat>.ns.t VERSION AS OF n`): the
     * loaded table is PINNED to snapshot n — every scan of it reads that
     * manifest's file set, the same mechanism as the read option
-    * `version_as_of` on the path API. Timestamp travel is not supported
-    * (snapshots carry no commit timestamps) and fails loudly.
+    * `version_as_of` on the path API.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toInt catch {
@@ -94,6 +97,25 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
     }
   }
 
+  /** SQL `TIMESTAMP AS OF t`: Spark hands the instant in MICROseconds;
+    * it resolves through the commit-time ledger ([[StageSource
+    * .CommitsFile]], one line per manifest claim) to the snapshot that
+    * was current then — Iceberg's snapshot-timestamp contract. Tables
+    * with any pre-ledger live snapshot decline loudly (resolving around
+    * an untimed version could silently travel to the wrong snapshot).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!new File(dir, StageSource.SchemaFile).exists())
+      throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    // floor to millis: the ledger records millis, and an instant inside
+    // the recorded millisecond is "at or after" that commit
+    val v = StageSource.versionAsOfMillis(
+      dir.getAbsolutePath, Math.floorDiv(timestampMicros, 1000L))
+    loadTable(ident, v.toString)
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -102,6 +124,11 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
         (ident.namespace() :+ ident.name()).toSeq)
     schema.fields.foreach(f => require(StageSource.supported(f.dataType),
       s"StageSource does not support column type ${f.dataType} (${f.name})"))
+    // same guard as the path API's getTable: a real __rows column would
+    // write zone-map lines that collide with the row-count sidecar lines,
+    // corrupting readStats and the COUNT/MIN/MAX pushdown answers
+    require(!schema.fieldNames.contains("__rows"),
+      "__rows is reserved for the connector's row-count statistics")
     val partCols = partitions.map { t =>
       V2ExprShim.identityColumn(t).getOrElse(throw new IllegalArgumentException(
         s"StageCatalog supports only identity partitioning, got $t"))

@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.catalog.SupportsDeleteV2
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -54,7 +54,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Usage: `df.write.format("graft.sources.v2.StageSource")
   *   .option("path", dir).mode("append"|"overwrite").save()`, read back
   * with the same format+path. Supported column types: long, int, double,
-  * string.
+  * string, timestamp (epoch micros), decimal (exact unscaled bytes).
   */
 class StageSource extends TableProvider {
   // writes hand the DataFrame's schema straight to getTable (no files to
@@ -123,6 +123,55 @@ object StageSource {
   def manifestName(v: Int): String = s"_v$v.manifest"
   private val ManifestRe = "_v(\\d+)\\.manifest".r
 
+  /** Commit-time ledger: `version \t epochMillis`, one line per snapshot,
+    * appended when the version's manifest is claimed — what `TIMESTAMP AS
+    * OF` resolves against (Iceberg's snapshot-timestamp contract).
+    * Pre-feature manifests have no line and timestamp travel to them is
+    * DECLINED loudly, never guessed.
+    */
+  val CommitsFile = "_commits.tsv"
+
+  def recordCommitTime(path: String, v: Int): Unit =
+    java.nio.file.Files.write(
+      new File(path, CommitsFile).toPath,
+      s"$v\t${System.currentTimeMillis()}\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+
+  /** version → commit epoch millis (absent for pre-feature versions). */
+  def readCommitTimes(path: String): Map[Int, Long] = {
+    val f = new File(path, CommitsFile)
+    if (!f.exists()) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(v, t) = l.split('\t'); v.toInt -> t.toLong
+      }.toMap
+  }
+
+  /** Resolve `TIMESTAMP AS OF` to a snapshot version: the LATEST version
+    * whose commit time is ≤ the asked instant (the snapshot that was
+    * current then). Fails loudly when the instant predates the first
+    * recorded commit, and when any live version carries no commit time
+    * (a pre-feature manifest makes the answer ambiguous — resolving
+    * around it could silently time-travel to the wrong snapshot).
+    */
+  def versionAsOfMillis(path: String, millis: Long): Int = {
+    val versions = manifestVersions(path)
+    require(versions.nonEmpty, s"StageSource table at $path has no snapshots")
+    val times = readCommitTimes(path)
+    val untimed = versions.filterNot(times.contains)
+    require(untimed.isEmpty,
+      s"snapshot version(s) ${untimed.mkString(",")} of $path predate " +
+        "commit-time recording — TIMESTAMP AS OF is only decidable on " +
+        "tables whose every live snapshot carries a commit time; use " +
+        "VERSION AS OF instead")
+    val at = versions.filter(v => times(v) <= millis)
+    require(at.nonEmpty,
+      s"no snapshot of $path existed at epoch-millis $millis " +
+        s"(first commit: ${times(versions.head)})")
+    at.max
+  }
+
   /** All manifest versions present, ascending. */
   def manifestVersions(path: String): Seq[Int] = {
     val fs = new File(path).listFiles()
@@ -173,6 +222,19 @@ object StageSource {
       .foreach(f => f.delete(): Unit)
     manifestVersions(path).dropRight(1)
       .foreach(v => new File(path, manifestName(v)).delete(): Unit)
+    // expired versions lose their commit-time lines too (TIMESTAMP AS OF
+    // to an expired instant must fail as "no such snapshot", not resolve
+    // to a dangling version)
+    locally {
+      val f = new File(path, CommitsFile)
+      if (f.exists()) {
+        val keptTimes = readCommitTimes(path)
+          .filter { case (v, _) => v == latest }
+          .map { case (v, t) => s"$v\t$t" }
+        java.nio.file.Files.write(f.toPath,
+          keptTimes.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+      }
+    }
     def prune(name: String): Unit = {
       val f = new File(path, name)
       if (f.exists()) {
@@ -225,19 +287,41 @@ object StageSource {
       case IntegerType => row.getInt(i).toString
       case DoubleType => row.getDouble(i).toString
       case StringType => row.getUTF8String(i).toString
+      case TimestampType => row.getLong(i).toString // epoch micros, exact
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
       case other => throw new IllegalStateException(s"unsupported $other")
     }
 
   /** Does a rendered partition value satisfy a literal comparison? Typed:
     * numeric partition columns compare numerically, strings lexically.
+    * Integral columns with integral literals compare through Long — the
+    * rendering is exact decimal, and a Double detour would collapse
+    * distinct keys with |v| > 2^53 (pruning / REPLACE WHERE / partition
+    * DELETE are documented as EXACT per-file decisions, so a collapsed
+    * compare would match or drop the wrong files).
     */
   def partMatches(dt: DataType, rendered: String, op: String, lit: Any): Boolean = {
     if (rendered == NullPart) return false // comparisons never match null
+    def integral(v: Any): Boolean = v match {
+      case _: java.lang.Long | _: java.lang.Integer |
+           _: java.lang.Short | _: java.lang.Byte => true
+      case _ => false
+    }
     def cmp: Int = dt match {
+      case LongType | IntegerType if integral(lit) =>
+        java.lang.Long.compare(rendered.toLong,
+          lit.asInstanceOf[Number].longValue)
       case LongType | IntegerType | DoubleType =>
         java.lang.Double.compare(rendered.toDouble,
           lit.asInstanceOf[Number].doubleValue)
       case StringType => rendered.compareTo(String.valueOf(lit))
+      case TimestampType =>
+        java.lang.Long.compare(rendered.toLong, toMicros(lit).getOrElse(
+          throw new IllegalStateException(s"not a timestamp literal: $lit")))
+      case _: DecimalType =>
+        new java.math.BigDecimal(rendered).compareTo(toBigDec(lit).getOrElse(
+          throw new IllegalStateException(s"not a decimal literal: $lit")))
       case other => throw new IllegalStateException(s"unsupported $other")
     }
     op match {
@@ -282,7 +366,37 @@ object StageSource {
 
   def supported(t: DataType): Boolean = t match {
     case LongType | IntegerType | DoubleType | StringType => true
+    // TimestampType rides the framing as epoch micros (a long);
+    // DecimalType as scale-stripped unscaled bytes — both round-trip
+    // exactly (the events schema needs the former, the TPC-H
+    // exact-currency discipline the latter)
+    case TimestampType => true
+    case _: DecimalType => true
     case _ => false
+  }
+
+  /** Epoch micros of a filter/partition literal for a timestamp column:
+    * V1 filters carry java.sql.Timestamp (or Instant under the Java 8
+    * API), V2 literals the Catalyst-internal Long.
+    */
+  def toMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
+        (t.getNanos / 1000L) % 1000000L))
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case l: java.lang.Long => Some(l)
+    case _ => None
+  }
+
+  /** Exact BigDecimal view of a decimal filter/partition literal. */
+  def toBigDec(v: Any): Option[java.math.BigDecimal] = v match {
+    case d: java.math.BigDecimal => Some(d)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    case n: Number => Some(new java.math.BigDecimal(n.toString))
+    case _ => None
   }
 
   def dataFiles(path: String): Array[File] = {
@@ -343,6 +457,7 @@ class StageTable(
     java.nio.file.Files.write(
       new File(path, StageSource.manifestName(nextV)).toPath,
       survivors.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    StageSource.recordCommitTime(path, nextV)
     doomed.foreach(n => new File(path, n).delete(): Unit)
     // drop the dead files' stats + partition lines (snapshot metadata
     // stays exactly the surviving file set)
@@ -441,7 +556,13 @@ object StageTable {
     }
   }
 
-  /** Does a file's partition value satisfy a (decidable) predicate? */
+  /** Does a file's partition value satisfy a (decidable) predicate?
+    * V2ExpressionBuilder preserves the SQL's operand order, so
+    * `DELETE … WHERE 5 < part` arrives literal-first: the comparison is
+    * flipped (`<` ↔ `>`, `<=` ↔ `>=`) so it is evaluated as the
+    * equivalent column-first `part > 5` — without the flip the inequality
+    * inverts and the WRONG partition files are physically deleted.
+    */
   def matches(
       p: Predicate, partCols: Array[String], colType: Array[DataType],
       pv: Array[String]): Boolean = p match {
@@ -457,7 +578,19 @@ object StageTable {
       p.name() match {
         case "IN" => lits.exists(v =>
           StageSource.partMatches(colType(i), pv(i), "=", v))
-        case op => StageSource.partMatches(colType(i), pv(i), op, lits.head)
+        case op =>
+          val litFirst =
+            V2ExprShim.literalValue(p.children()(0)).isDefined
+          val colFirstOp =
+            if (!litFirst) op
+            else op match {
+              case "<" => ">"
+              case "<=" => ">="
+              case ">" => "<"
+              case ">=" => "<="
+              case o => o // "=" is symmetric
+            }
+          StageSource.partMatches(colType(i), pv(i), colFirstOp, lits.head)
       }
   }
 }
@@ -587,19 +720,35 @@ class StageBatchWrite(
   *    attempt of the SAME epoch are dropped, so the rewrite is idempotent.
   */
 object StageCommitter {
+  // same-process commits to one table serialize on this (local mode, or
+  // several queries in one driver); CROSS-process safety is the manifest
+  // CREATE_NEW claim below
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
+
   def commit(
       path: String, schema: StructType, partCols: Array[String],
       queryId: String, messages: Array[WriterCommitMessage],
       truncate: Boolean, epoch: Option[Long],
-      replaceWhere: Array[Filter] = Array.empty): Unit = {
+      replaceWhere: Array[Filter] = Array.empty): Unit =
+    lockFor(path).synchronized {
     val root = new File(path)
     root.mkdirs()
     val epochsFile = new File(root, StageSource.EpochsFile)
-    if (epoch.isDefined && epochsFile.exists()) {
+    // the exactly-once ledger is keyed by (queryId, epoch), NOT epoch
+    // alone: a second streaming query (or a restart with a FRESH
+    // checkpoint) starts again at epoch 0, and an epoch-only key would
+    // silently discard its first batches as "re-delivered". The
+    // streaming queryId is the checkpoint-persistent id, so dedup still
+    // covers re-deliveries across restarts of the SAME run.
+    val ledgerKey = epoch.map(e => s"$queryId:$e")
+    if (ledgerKey.isDefined && epochsFile.exists()) {
       val done = new String(
         java.nio.file.Files.readAllBytes(epochsFile.toPath), StandardCharsets.UTF_8)
         .linesIterator.toSet
-      if (done(epoch.get.toString)) {
+      if (done(ledgerKey.get)) {
         // re-delivered epoch: already committed, drop the staged attempt
         cleanStaging(path, queryId)
         return
@@ -613,10 +762,77 @@ object StageCommitter {
     // truncating streaming sink (complete mode) rolls the snapshot at
     // EVERY epoch.
     val epochTag = epoch.map(e => s"e$e-").getOrElse("")
-    // a crashed attempt of THIS epoch may have left stats/parts lines —
-    // drop them (its files are about to be overwritten by name); all
-    // other files' sidecar lines are kept, their files remain readable
-    // in older snapshots
+    // data files first: their names embed (queryId, epoch, task index),
+    // so commits of different queries can never collide on a name and a
+    // re-executed epoch overwrites its own files instead of duplicating.
+    // Nothing is visible until a manifest references them.
+    // Empty writer partitions (rows=0) reported no files — committing
+    // them would litter the table with zero-row shards that every scan,
+    // zone-map pass and lineage audit then has to touch.
+    val newFiles = scala.collection.mutable.ArrayBuffer.empty[(String, StageFileCommit)]
+    messages.zipWithIndex.foreach { case (m, i) =>
+      m.asInstanceOf[StageCommit].files.zipWithIndex.foreach { case (c, j) =>
+        val src = new File(c.tmpPath)
+        val name = s"part-$queryId-$epochTag$i-$j.bin"
+        java.nio.file.Files.move(src.toPath, new File(root, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        newFiles += name -> c
+      }
+    }
+    // CLAIM the next snapshot version atomically (CREATE_NEW): two
+    // concurrent committers both compute latest+1, but only one creation
+    // succeeds — the loser re-reads the winner's manifest as its base
+    // snapshot and claims the version after it, so neither commit's rows
+    // vanish (the pre-fix clobber lost the first commit silently).
+    var committed = false
+    while (!committed) {
+      // the new snapshot's file list: overwrite starts empty; a
+      // partition-scoped REPLACE WHERE starts from the previous snapshot
+      // MINUS the files its partition predicates doom (each file carries
+      // one partition value, so the predicate is exact); plain append
+      // starts from the whole previous snapshot (manifest if present,
+      // directory listing for a legacy table)
+      val snapshot = scala.collection.mutable.LinkedHashSet.empty[String]
+      if (!truncate) {
+        val prev = StageSource.snapshotFiles(path, None).map(_.getName)
+          // legacy tables resolve via directory listing, which already
+          // sees the just-moved new files — they are re-added below
+          .filterNot(n => n.startsWith(s"part-$queryId-$epochTag"))
+        if (replaceWhere.isEmpty) snapshot ++= prev
+        else {
+          val parts = StageSource.readParts(path)
+          val colType = partCols.map(c =>
+            schema.fields(schema.fieldIndex(c)).dataType)
+          snapshot ++= prev.filterNot { n =>
+            val pv = parts.getOrElse(n, Array.empty[String])
+            pv.length == partCols.length && replaceWhere.forall(
+              StageTable.matchesV1(_, partCols, colType, pv))
+          }
+        }
+      }
+      newFiles.foreach { case (name, _) => snapshot += name }
+      val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
+      try {
+        java.nio.file.Files.write(
+          new File(root, StageSource.manifestName(nextV)).toPath,
+          snapshot.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+        StageSource.recordCommitTime(path, nextV) // TIMESTAMP AS OF anchor
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race: retry on the new base
+      }
+    }
+    // sidecars AFTER the manifest claim, merged against a fresh read so a
+    // concurrent winner's lines survive. (A cross-process interleaving can
+    // still drop the OTHER commit's newest lines — degradation is safe by
+    // construction: a file with no stats line is never zone-map-skipped
+    // and aggregate pushdown declines; same-process commits are fully
+    // serialized by the lock above.)
+    // A crashed attempt of THIS epoch may have left stats/parts lines —
+    // drop them (its files were just overwritten by name); all other
+    // files' lines are kept, their files remain readable in older
+    // snapshots.
     def keepLine(l: String): Boolean =
       epoch.isEmpty || !l.startsWith(s"part-$queryId-$epochTag")
     val statLines = new StringBuilder
@@ -635,46 +851,14 @@ object StageCommitter {
           .linesIterator.filter(l => l.nonEmpty && keepLine(l))
           .foreach(l => partLines.append(l).append('\n'))
     }
-    // the new snapshot's file list: overwrite starts empty; a
-    // partition-scoped REPLACE WHERE starts from the previous snapshot
-    // MINUS the files its partition predicates doom (each file carries
-    // one partition value, so the predicate is exact); plain append
-    // starts from the whole previous snapshot (manifest if present,
-    // directory listing for a legacy table)
-    val snapshot = scala.collection.mutable.LinkedHashSet.empty[String]
-    if (!truncate) {
-      val prev = StageSource.snapshotFiles(path, None).map(_.getName)
-      if (replaceWhere.isEmpty) snapshot ++= prev
-      else {
-        val parts = StageSource.readParts(path)
-        val colType = partCols.map(c =>
-          schema.fields(schema.fieldIndex(c)).dataType)
-        snapshot ++= prev.filterNot { n =>
-          val pv = parts.getOrElse(n, Array.empty[String])
-          pv.length == partCols.length && replaceWhere.forall(
-            StageTable.matchesV1(_, partCols, colType, pv))
-        }
+    newFiles.foreach { case (name, c) =>
+      c.stats.foreach { case (colName, mn, mx) =>
+        statLines.append(s"$name\t$colName\t$mn\t$mx\n")
       }
-    }
-    // empty writer partitions (rows=0) reported no files — committing
-    // them would litter the table with zero-row shards that every scan,
-    // zone-map pass and lineage audit then has to touch
-    messages.zipWithIndex.foreach { case (m, i) =>
-      m.asInstanceOf[StageCommit].files.zipWithIndex.foreach { case (c, j) =>
-        val src = new File(c.tmpPath)
-        val name = s"part-$queryId-$epochTag$i-$j.bin"
-        val dst = new File(root, name)
-        java.nio.file.Files.move(src.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-        c.stats.foreach { case (colName, mn, mx) =>
-          statLines.append(s"$name\t$colName\t$mn\t$mx\n")
-        }
-        // the per-file row count (the docstring's `__rows` pseudo-column)
-        // — what COUNT(*) pushdown answers from without opening the file
-        statLines.append(s"$name\t__rows\t${c.rows}\t${c.rows}\n")
-        if (partCols.nonEmpty) partLines.append(s"$name\t${c.pv}\n")
-        snapshot += name
-      }
+      // the per-file row count (the docstring's `__rows` pseudo-column)
+      // — what COUNT(*) pushdown answers from without opening the file
+      statLines.append(s"$name\t__rows\t${c.rows}\t${c.rows}\n")
+      if (partCols.nonEmpty) partLines.append(s"$name\t${c.pv}\n")
     }
     java.nio.file.Files.write(
       new File(root, StageSource.StatsFile).toPath,
@@ -690,21 +874,15 @@ object StageCommitter {
     java.nio.file.Files.write(
       new File(root, StageSource.SchemaFile).toPath,
       schema.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
-    // the new snapshot version: its manifest is the commit point for
-    // readers (written after the files, before the marker)
-    val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
-    java.nio.file.Files.write(
-      new File(root, StageSource.manifestName(nextV)).toPath,
-      snapshot.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
     // the epoch ledger precedes the marker: a crash in between re-offers
     // the epoch, which the ledger then skips
-    epoch.foreach { e =>
+    ledgerKey.foreach { k =>
       val prev =
         if (truncate || !epochsFile.exists()) ""
         else new String(java.nio.file.Files.readAllBytes(epochsFile.toPath),
           StandardCharsets.UTF_8)
       java.nio.file.Files.write(epochsFile.toPath,
-        (prev + e + "\n").getBytes(StandardCharsets.UTF_8)): Unit
+        (prev + k + "\n").getBytes(StandardCharsets.UTF_8)): Unit
     }
     // marker LAST: its presence means "complete snapshot"
     java.nio.file.Files.write(
@@ -788,6 +966,16 @@ class StageDataWriter(
           case StringType =>
             val b = row.getUTF8String(i).getBytes
             out.writeInt(b.length); out.write(b)
+          case TimestampType =>
+            // epoch micros: exact on disk; the zone map's double view is
+            // lossy above 2^53 µs but mightMatch widens by one ulp, so a
+            // rounded bound can never wrongly skip a file
+            val v = row.getLong(i); out.writeLong(v); s.observe(i, v.toDouble)
+          case d: DecimalType =>
+            val v = row.getDecimal(i, d.precision, d.scale)
+            val unscaled = v.toJavaBigDecimal.unscaledValue.toByteArray
+            out.writeInt(unscaled.length); out.write(unscaled)
+            s.observe(i, v.toDouble)
           case other => throw new IllegalStateException(s"unsupported $other")
         }
       }
@@ -839,12 +1027,14 @@ class StageScanBuilder(
   // Spark must keep re-checking row-level (exactly parquet's row-group
   // stats contract).
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def zonable(c: String, v: Any): Boolean =
+      numeric(c) && StageScan.zoneValue(v).isDefined
     skipFilters = filters.filter {
-      case EqualTo(c, _: Number) => numeric(c)
-      case GreaterThan(c, _: Number) => numeric(c)
-      case GreaterThanOrEqual(c, _: Number) => numeric(c)
-      case LessThan(c, _: Number) => numeric(c)
-      case LessThanOrEqual(c, _: Number) => numeric(c)
+      case EqualTo(c, v) => zonable(c, v)
+      case GreaterThan(c, v) => zonable(c, v)
+      case GreaterThanOrEqual(c, v) => zonable(c, v)
+      case LessThan(c, v) => zonable(c, v)
+      case LessThanOrEqual(c, v) => zonable(c, v)
       case _ => false
     }
     // partition pruning is EXACT (each file carries one partition value),
@@ -862,7 +1052,8 @@ class StageScanBuilder(
   }
   private def numeric(c: String): Boolean =
     tableSchema.fields.find(_.name == c).exists(f => f.dataType match {
-      case LongType | IntegerType | DoubleType => true
+      case LongType | IntegerType | DoubleType | TimestampType => true
+      case _: DecimalType => true
       case _ => false
     })
   override def pushedFilters(): Array[Filter] =
@@ -980,6 +1171,19 @@ case class StageAggScan(path: String, schema: StructType, values: Array[Any])
 
 case class StageFilePartition(file: String) extends InputPartition
 
+object StageScan {
+  /** The zone-map double view of a pushed filter literal: numbers
+    * directly (java BigDecimal included — it is a Number), timestamp
+    * literals as epoch micros. None = the literal can't be zone-checked
+    * (the filter is then not remembered for skipping at all).
+    */
+  def zoneValue(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue)
+    case d: scala.math.BigDecimal => Some(d.doubleValue)
+    case _ => StageSource.toMicros(v).map(_.toDouble)
+  }
+}
+
 /** One input partition per committed data file — file-grain parallelism,
   * the same unit the two-phase commit produced (one file per writer task).
   * Comparison predicates prune whole files against the commit-time zone
@@ -1015,19 +1219,21 @@ case class StageScan(
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
   // can a file whose column spans [min,max] possibly satisfy the filter?
-  // Long→double zone maps round to nearest, so bounds are widened by one
-  // ulp before disproving — a rounded-up min must never skip a file that
-  // holds a slightly smaller true value.
+  // Long/micros/decimal→double zone maps round to nearest, so bounds are
+  // widened by one ulp before disproving — a rounded-up min must never
+  // skip a file that holds a slightly smaller true value.
   private def mightMatch(stats: Map[String, StageSource.ColRange], f: Filter): Boolean = {
     def rng(c: String): Option[(Double, Double)] =
       stats.get(c).map(r => (Math.nextDown(r.min), Math.nextUp(r.max)))
+    def zv(v: Any): Double = StageScan.zoneValue(v).getOrElse(
+      throw new IllegalStateException(s"unzonable pushed literal: $v"))
     f match {
-      case EqualTo(c, v: Number) =>
-        rng(c).forall { case (mn, mx) => v.doubleValue >= mn && v.doubleValue <= mx }
-      case GreaterThan(c, v: Number) => rng(c).forall(_._2 > v.doubleValue)
-      case GreaterThanOrEqual(c, v: Number) => rng(c).forall(_._2 >= v.doubleValue)
-      case LessThan(c, v: Number) => rng(c).forall(_._1 < v.doubleValue)
-      case LessThanOrEqual(c, v: Number) => rng(c).forall(_._1 <= v.doubleValue)
+      case EqualTo(c, v) =>
+        rng(c).forall { case (mn, mx) => zv(v) >= mn && zv(v) <= mx }
+      case GreaterThan(c, v) => rng(c).forall(_._2 > zv(v))
+      case GreaterThanOrEqual(c, v) => rng(c).forall(_._2 >= zv(v))
+      case LessThan(c, v) => rng(c).forall(_._1 < zv(v))
+      case LessThanOrEqual(c, v) => rng(c).forall(_._1 <= zv(v))
       case _ => true
     }
   }
@@ -1125,6 +1331,16 @@ class StageReaderFactory(tableSchema: StructType, required: StructType)
               val n = in.readInt(); val b = new Array[Byte](n)
               in.readFully(b)
               if (keep(i)) r.update(outIdx(i), UTF8String.fromBytes(b))
+            case TimestampType =>
+              val v = in.readLong(); if (keep(i)) r.setLong(outIdx(i), v)
+            case d: DecimalType =>
+              val n = in.readInt(); val b = new Array[Byte](n)
+              in.readFully(b)
+              if (keep(i)) r.update(outIdx(i),
+                org.apache.spark.sql.types.Decimal(
+                  new java.math.BigDecimal(
+                    new java.math.BigInteger(b), d.scale),
+                  d.precision, d.scale))
             case other => throw new IllegalStateException(s"unsupported $other")
           }
           i += 1

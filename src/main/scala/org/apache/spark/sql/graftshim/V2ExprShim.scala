@@ -27,4 +27,8 @@ object V2ExprShim {
   def utf8Literal(s: String): Expression =
     LiteralValue(org.apache.spark.unsafe.types.UTF8String.fromString(s),
       org.apache.spark.sql.types.StringType)
+
+  /** A V2 long literal (test/helper constructor). */
+  def longLiteral(v: Long): Expression =
+    LiteralValue(v, org.apache.spark.sql.types.LongType)
 }

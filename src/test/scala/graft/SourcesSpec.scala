@@ -325,15 +325,20 @@ class SourcesSpec extends SparkTestBase {
       .option("path", dir).load()
     assert(back.count() == 90000L)
     assert(back.agg(sum(col("id"))).head().getLong(0) == 89999L * 90000 / 2)
-    // at-least-once → exactly-once: re-offering a committed epoch is a
-    // no-op (the ledger skips it; content and file census are unchanged)
+    // at-least-once → exactly-once: re-offering a committed epoch OF THE
+    // SAME QUERY is a no-op (the ledger skips it; content and file census
+    // are unchanged). The ledger is keyed `<queryId>:<epoch>`, so the
+    // re-offer must carry the original query's id.
+    val origQueryId = ledger.head.split(':')(0)
+    assert(ledger.toSet == (0 to 2).map(e => s"$origQueryId:$e").toSet,
+      ledger.mkString(","))
     val sw = new graft.sources.v2.StageStreamingWrite(
-      dir, back.schema, "respec", truncate = false, Array.empty)
+      dir, back.schema, origQueryId, truncate = false, Array.empty)
     val before = graft.sources.v2.StageSource.dataFiles(dir).map(_.getName).toSet
     // a real staged file rides the re-offered epoch: the ledger must
     // refuse to move it into the table
     val st = new java.io.File(dir, ".staging"); st.mkdirs()
-    val ghost = new java.io.File(st, "tmp-respec-0-0-0.bin")
+    val ghost = new java.io.File(st, s"tmp-$origQueryId-0-0-0.bin")
     java.nio.file.Files.write(ghost.toPath, Array[Byte](0, 1, 2, 3)): Unit
     sw.commit(2L, Array(graft.sources.v2.StageCommit(Array(
       graft.sources.v2.StageFileCommit(ghost.getAbsolutePath, "", 1, Array.empty)))))
@@ -341,6 +346,22 @@ class SourcesSpec extends SparkTestBase {
     assert(!ghost.exists(), "re-delivered epoch's staging not cleaned")
     assert(spark.read.format("graft.sources.v2.StageSource")
       .option("path", dir).load().count() == 90000L)
+    // a SECOND streaming query (fresh checkpoint → it starts again at
+    // epoch 0) must NOT be deduplicated against the first query's epochs
+    // — the pre-fix epoch-only ledger silently discarded its batches
+    val q2 = spark.readStream.format("graft.sources.v2.SeqSource")
+      .option("n", 1000L).option("slices", 2)
+      .load()
+      .writeStream.format("graft.sources.v2.StageSource")
+      .option("path", dir)
+      .option("checkpointLocation", dir + "/.ckpt2")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.format("graft.sources.v2.StageSource")
+      .option("path", dir).load().count() == 91000L,
+      "second query's epoch-0 batch was wrongly deduplicated")
   }
 
   test("REPLACE WHERE: one partition recomputed, survivors carried; finer predicates decline") {
@@ -464,5 +485,183 @@ class SourcesSpec extends SparkTestBase {
     }
     assert(e.getMessage != null && e.getMessage.contains("2^32"),
       s"unexpected failure mode: $e")
+  }
+
+  test("partition DELETE with a literal-first predicate deletes the right side") {
+    // ADVICE r15: V2ExpressionBuilder preserves SQL operand order, so
+    // `WHERE 5 < part` arrives literal-first; an order-blind evaluation
+    // read it as `part < 5` — inverted — and physically deleted the
+    // WRONG partition files (silent data loss on the takedown path).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_litfirst").toString
+    spark.conf.set("spark.sql.catalog.stagelf", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagelf.root", root)
+    spark.sql("CREATE TABLE stagelf.default.t (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO stagelf.default.t VALUES (1, 1), (2, 2), (3, 3), (4, 4)")
+    // literal-first through SQL: keep p <= 3, delete p > 3
+    spark.sql("DELETE FROM stagelf.default.t WHERE 3 < p")
+    val left = spark.sql("SELECT p FROM stagelf.default.t")
+      .as[Long].collect().toSet
+    assert(left == Set(1L, 2L, 3L),
+      s"literal-first DELETE removed the wrong partitions: kept $left")
+    // and unit-level, both orders of the same predicate agree
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.graftshim.V2ExprShim
+    val colFirst = new Predicate("<", Array(
+      Expressions.column("p"), V2ExprShim.longLiteral(3L)))
+    val litFirst = new Predicate(">", Array(
+      V2ExprShim.longLiteral(3L), Expressions.column("p")))
+    val types = Array[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType)
+    for (pv <- Seq("2", "3", "4")) {
+      val a = graft.sources.v2.StageTable.matches(
+        colFirst, Array("p"), types, Array(pv))
+      val b = graft.sources.v2.StageTable.matches(
+        litFirst, Array("p"), types, Array(pv))
+      assert(a == b && a == (pv.toLong < 3L), s"pv=$pv col=$a lit=$b")
+    }
+  }
+
+  test("integral partition keys compare exactly beyond 2^53") {
+    // ADVICE r15: a Double detour collapsed distinct longs with
+    // |v| > 2^53, so pruning / REPLACE WHERE / partition DELETE could
+    // match or drop the wrong files. Adjacent keys at 2^53 must stay
+    // distinct under the exact long compare.
+    import org.apache.spark.sql.types.LongType
+    val big = (1L << 53) + 1
+    val rendered = big.toString
+    assert(!graft.sources.v2.StageSource.partMatches(
+      LongType, rendered, "=", java.lang.Long.valueOf(1L << 53)),
+      "adjacent longs above 2^53 compared equal")
+    assert(graft.sources.v2.StageSource.partMatches(
+      LongType, rendered, ">", java.lang.Long.valueOf(1L << 53)))
+    assert(graft.sources.v2.StageSource.partMatches(
+      LongType, rendered, "=", java.lang.Long.valueOf(big)))
+  }
+
+  test("__rows is reserved: catalog DDL rejects it like the path API") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_rows").toString
+    spark.conf.set("spark.sql.catalog.stagerows", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagerows.root", root)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE stagerows.default.bad (k BIGINT, __rows BIGINT)")
+    }
+    assert(e.getMessage.contains("__rows"), e.getMessage)
+  }
+
+  test("concurrent appends to one table: both commits' rows survive") {
+    // ADVICE r15: two committers both computed latest+1 and the second
+    // manifest write clobbered the first — its rows vanished from every
+    // snapshot. The manifest claim is now atomic (CREATE_NEW + retry on
+    // a re-read base), and same-process commits serialize on a lock.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_conc").toString + "/t"
+    val fmt = "graft.sources.v2.StageSource"
+    Seq((0L, 0.0)).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            Seq((i.toLong, i.toDouble)).toDF("k", "v")
+              .write.format(fmt).option("path", dir).mode("append").save()
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, Double)].collect().toSet
+    assert(back == (0 to 4).map(i => (i.toLong, i.toDouble)).toSet,
+      s"a concurrent commit's rows vanished: $back")
+    // five commits → five distinct snapshot versions, none clobbered
+    assert(graft.sources.v2.StageSource.manifestVersions(dir) == (1 to 5),
+      graft.sources.v2.StageSource.manifestVersions(dir).toString)
+  }
+
+  test("timestamp and decimal columns round-trip with zone maps and partition pruning") {
+    // r15 verdict #5: a real staging table needs TimestampType (the
+    // events schema) and DecimalType (the exact-currency discipline).
+    // Timestamps ride the framing as epoch micros, decimals as unscaled
+    // bytes — both exact; zone maps skip files on both.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_typed").toString + "/t"
+    val fmt = "graft.sources.v2.StageSource"
+    val base = 1709251200L // 2024-03-01T00:00:00Z, epoch seconds
+    val df = spark.sql(
+      s"""SELECT id AS k,
+         |       timestamp_micros((${base}L + id) * 1000000 + 7) AS ts,
+         |       CAST(id * 1.01 AS DECIMAL(12,2)) AS price,
+         |       CAST(id % 3 AS BIGINT) AS day
+         |FROM range(0, 300)""".stripMargin)
+    df.write.format(fmt).option("path", dir)
+      .option("partition_by", "day").mode("overwrite").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    // exact round-trip (timestamps to the microsecond, decimals to the
+    // last digit): multiset difference both ways is empty
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // partition pruning on the long day column still works alongside
+    assert(back.filter(col("day") === 1L).count() == 100)
+    // zone maps: a timestamp range predicate and a decimal predicate are
+    // both remembered as skip filters (values interleave mod 3 across the
+    // 3 partition files, so ranges overlap — assert the plan carries the
+    // pushed skip filter and the answers stay exact)
+    val plan = back.filter(col("price") > new java.math.BigDecimal("250"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("skipBy="), plan.take(800))
+    assert(back.filter(col("price") > new java.math.BigDecimal("250"))
+      .count() === df.filter(col("price") > lit(new java.math.BigDecimal("250"))).count())
+    val cut = java.time.Instant.ofEpochSecond(base + 120)
+    val tsPlan = back.filter(col("ts") >= lit(cut))
+      .queryExecution.executedPlan.toString
+    assert(tsPlan.contains("skipBy="), tsPlan.take(800))
+    assert(back.filter(col("ts") >= lit(cut)).count() === 180)
+  }
+
+  test("TIMESTAMP AS OF resolves through recorded commit times; pre-feature tables decline") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_tt").toString
+    spark.conf.set("spark.sql.catalog.stagett", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagett.root", root)
+    spark.sql("CREATE TABLE stagett.default.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO stagett.default.t VALUES (1, 1.0)")
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO stagett.default.t VALUES (2, 2.0)")
+    // an instant between the commits resolves to snapshot 1
+    val asOf1 = spark.sql(
+      s"SELECT k FROM stagett.default.t TIMESTAMP AS OF " +
+        s"timestamp_millis($afterV1)").as[Long].collect().toSet
+    assert(asOf1 == Set(1L), asOf1.toString)
+    // an instant after the last commit sees the full table
+    val asOfNow = spark.sql(
+      s"SELECT k FROM stagett.default.t TIMESTAMP AS OF " +
+        s"timestamp_millis(${System.currentTimeMillis()})")
+      .as[Long].collect().toSet
+    assert(asOfNow == Set(1L, 2L))
+    // an instant before the first commit fails loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM stagett.default.t TIMESTAMP AS OF " +
+        "timestamp'2000-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    // a table with a pre-feature (untimed) live snapshot declines loudly
+    val dir = new java.io.File(new java.io.File(root, "default"), "t")
+    val commits = new java.io.File(dir, graft.sources.v2.StageSource.CommitsFile)
+    val saved = java.nio.file.Files.readAllBytes(commits.toPath)
+    java.nio.file.Files.write(commits.toPath,
+      new String(saved).linesIterator.drop(1)
+        .mkString("", "\n", "\n").getBytes): Unit
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM stagett.default.t TIMESTAMP AS OF " +
+        s"timestamp_millis(${System.currentTimeMillis()})").collect()
+    }
+    assert(e2.getMessage.contains("VERSION AS OF"), e2.getMessage)
   }
 }
