@@ -7245,6 +7245,41 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  /** SQL `MERGE INTO` through the connector's row-level-operation seam
+    * ([[graft.sources.v2.StageRowLevelOperation]], Spark's GROUP-BASED
+    * copy-on-write contract — the statement [[qDsv2Upsert]] spells as an
+    * explicit full-outer join, now planned by Spark's
+    * RewriteMergeIntoTable): the operation's scan plans the affected
+    * files (zone maps prune provably-clean groups, which are carried
+    * over without rewrite), the rewrite computes those groups'
+    * post-image, and job commit swaps `previous − scanned + rewritten`
+    * as one new snapshot. All three MERGE legs run: matched-update,
+    * not-matched-insert, and not-matched-by-source delete (the sync
+    * idiom). At 100 TB this is THE daily upsert surface — one statement,
+    * snapshot-isolated, file-grain rewrite cost.
+    */
+  private def qDsv2Merge(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_merge"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t AS
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM $v WHERE o_orderkey < 400""")
+    val src = s"graft_merge_src_${dirTag(d)}"
+    s.sql(s"""SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 7 AS cents
+      FROM $v WHERE o_orderkey >= 200 AND o_orderkey < 600""")
+      .createOrReplaceTempView(src)
+    s.sql(s"""MERGE INTO $t t USING $src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET status = 'U', cents = s.cents
+      WHEN NOT MATCHED THEN INSERT (k, status, cents) VALUES (s.k, 'N', s.cents)
+      WHEN NOT MATCHED BY SOURCE AND t.k < 100 THEN DELETE""")
+    s.sql(s"SELECT k, status, cents FROM $t ORDER BY k")
+  }
+
   /** STORAGE-PARTITIONED join through the DSv2 connector
     * ([[graft.sources.v2.SeqSource]] `keyed` mode — the connector
     * generalization of [[qBucketedJoin]]'s co-located story, the
@@ -9243,6 +9278,7 @@ object SparkEntry {
     "q_dsv2_topn" -> (qDsv2TopN _),
     "q_dsv2_write" -> (qDsv2Write _),
     "q_dsv2_upsert" -> (qDsv2Upsert _),
+    "q_dsv2_merge" -> (qDsv2Merge _),
     "q_dsv2_runtime_filter" -> (qDsv2RuntimeFilter _),
     "q_dsv2_spj" -> (qDsv2Spj _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
@@ -10244,6 +10280,27 @@ object SparkEntry {
         |       COALESCE(d.status, b.status) AS status,
         |       COALESCE(d.cents, b.cents) AS cents
         |FROM base b FULL JOIN delta d ON b.k = d.k
+        |ORDER BY k""".stripMargin,
+    // q_dsv2_merge: the three-leg MERGE replayed as a full-outer join —
+    // matched rows take the source's cents with status 'U', unmatched
+    // source rows insert as 'N', and unmatched target rows below k=100
+    // are deleted (the not-matched-by-source sync leg)
+    "q_dsv2_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey < 400),
+        |src AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 600)
+        |SELECT COALESCE(s.k, b.k) AS k,
+        |       CASE WHEN s.k IS NOT NULL AND b.k IS NOT NULL THEN 'U'
+        |            WHEN s.k IS NOT NULL THEN 'N'
+        |            ELSE b.status END AS status,
+        |       COALESCE(s.cents, b.cents) AS cents
+        |FROM base b FULL JOIN src s ON b.k = s.k
+        |WHERE NOT (s.k IS NULL AND b.k < 100)
         |ORDER BY k""".stripMargin,
     // q_dsv2_spj: the storage-partitioned join's content replayed
     // arithmetically — both keyed sides aggregated over generate_series

@@ -413,7 +413,8 @@ class StageTable(
     // every scan reads snapshot n unless a read option overrides it
     pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns with SupportsDeleteV2 {
+    with SupportsMetadataColumns with SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft_stage($path)"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
@@ -500,6 +501,68 @@ class StageTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new StageWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, partCols)
+
+  // ------------------------------------------- row-level ops (MERGE etc.)
+  // SQL `MERGE INTO` / `UPDATE` / row-level `DELETE` via the GROUP-BASED
+  // (copy-on-write) contract: Spark plans a ReplaceData — the operation's
+  // scan reads the affected groups, the rewrite query computes those
+  // groups' full post-image (carried-over rows ∪ merged/updated rows ∪
+  // inserts), and the operation's write commits it as the next snapshot.
+  // This connector's group is the WHOLE TABLE (the scan declares no
+  // runtime group filtering), so every row-level op is a full-table
+  // rewrite producing one new snapshot — Iceberg's copy-on-write mode at
+  // its coarsest granularity. Partition-decidable DELETEs never get
+  // here: Spark's metadata-only-delete rule still routes them to
+  // [[deleteWhere]] (pure manifest surgery). Snapshot isolation is free:
+  // the rewrite reads one manifest and commits the next, and a failed
+  // MERGE leaves the old snapshot untouched.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new StageRowLevelOperation(path, tableSchema, partCols, info.command)
+}
+
+/** The copy-on-write operation instance. The GROUP is the committed data
+  * file: the operation's scan plans exactly the files that might hold
+  * matching rows (zone maps and partition values prune provably-clean
+  * files — those groups are never rewritten), RECORDS that planned file
+  * set here, and the write's job commit builds the next snapshot as
+  * `previous − scanned files + rewrite output` — Iceberg's
+  * copy-on-write replaced-file contract. Scan planning and job commit
+  * both run on the driver, so the handoff is an in-JVM field, exactly
+  * like the reference formats' scan-task → commit coordination.
+  */
+class StageRowLevelOperation(
+    path: String, tableSchema: StructType, partCols: Array[String],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  private val scanned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[v2] def reportScanned(files: Seq[String]): Unit =
+    files.foreach(scanned.add)
+  private[v2] def scannedFiles: Set[String] = {
+    val b = Set.newBuilder[String]
+    scanned.forEach(f => b += f)
+    b.result()
+  }
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StageScanBuilder(path, tableSchema, partCols, None, cowOp = Some(this))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new StageWriteBuilder(path, info.schema(), info.queryId(),
+      truncate = false, partCols, cowOp = Some(this))
+  // Declaring a required metadata attribute is what routes the rewrite
+  // through Spark's PROJECTING write task (DataAndMetadataWritingSparkTask):
+  // the MERGE rewrite plan's raw output rows carry a leading operation
+  // int plus pass-through metadata columns, and only the projecting task
+  // strips them down to the declared data schema before calling the
+  // writer (without it the raw 4-field rows would be framed as if they
+  // were the 3-column table — silent corruption). `_file` is also the
+  // natural group id a finer-grained copy-on-write would replace by.
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(StageSource.FileCol))
+  override def description(): String = s"graft_stage_cow($cmd)"
 }
 
 object StageTable {
@@ -600,7 +663,8 @@ object StageTable {
 class StageWriteBuilder(
     path: String, schema: StructType, queryId: String, truncate: Boolean,
     partCols: Array[String] = Array.empty,
-    replaceWhere: Array[Filter] = Array.empty)
+    replaceWhere: Array[Filter] = Array.empty,
+    cowOp: Option[StageRowLevelOperation] = None)
     extends WriteBuilder with SupportsOverwrite {
   override def truncate(): WriteBuilder =
     new StageWriteBuilder(path, schema, queryId, truncate = true, partCols)
@@ -636,7 +700,7 @@ class StageWriteBuilder(
     override def requiredOrdering(): Array[V2SortOrder] = Array.empty
     override def toBatch: BatchWrite =
       new StageBatchWrite(path, schema, queryId, truncate, partCols,
-        replaceWhere)
+        replaceWhere, cowOp)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new StageStreamingWrite(path, schema, queryId, truncate, partCols)
   }
@@ -694,7 +758,8 @@ case class StageCommit(files: Array[StageFileCommit])
 class StageBatchWrite(
     path: String, schema: StructType, queryId: String, truncate: Boolean,
     partCols: Array[String] = Array.empty,
-    replaceWhere: Array[Filter] = Array.empty)
+    replaceWhere: Array[Filter] = Array.empty,
+    cowOp: Option[StageRowLevelOperation] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -702,7 +767,10 @@ class StageBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     StageCommitter.commit(path, schema, partCols, queryId, messages,
-      truncate, epoch = None, replaceWhere)
+      truncate, epoch = None, replaceWhere,
+      // resolved AT COMMIT: scan planning has necessarily happened by
+      // the time the rewrite's write job finishes
+      replaceFiles = cowOp.map(_.scannedFiles))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     StageCommitter.cleanStaging(path, queryId)
@@ -732,7 +800,8 @@ object StageCommitter {
       path: String, schema: StructType, partCols: Array[String],
       queryId: String, messages: Array[WriterCommitMessage],
       truncate: Boolean, epoch: Option[Long],
-      replaceWhere: Array[Filter] = Array.empty): Unit =
+      replaceWhere: Array[Filter] = Array.empty,
+      replaceFiles: Option[Set[String]] = None): Unit =
     lockFor(path).synchronized {
     val root = new File(path)
     root.mkdirs()
@@ -798,7 +867,12 @@ object StageCommitter {
           // legacy tables resolve via directory listing, which already
           // sees the just-moved new files — they are re-added below
           .filterNot(n => n.startsWith(s"part-$queryId-$epochTag"))
-        if (replaceWhere.isEmpty) snapshot ++= prev
+        if (replaceFiles.isDefined)
+          // copy-on-write row-level op: drop exactly the files the
+          // operation's scan planned (the rewritten groups); files the
+          // zone maps / partition values proved clean carry over
+          snapshot ++= prev.filterNot(replaceFiles.get)
+        else if (replaceWhere.isEmpty) snapshot ++= prev
         else {
           val parts = StageSource.readParts(path)
           val colType = partCols.map(c =>
@@ -1012,7 +1086,8 @@ class StageDataWriter(
 class StageScanBuilder(
     path: String, tableSchema: StructType,
     partCols: Array[String] = Array.empty,
-    versionAsOf: Option[Int] = None)
+    versionAsOf: Option[Int] = None,
+    cowOp: Option[StageRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1138,7 +1213,7 @@ class StageScanBuilder(
     case Some((schema, values)) => StageAggScan(path, schema, values)
     case None =>
       StageScan(path, tableSchema, required, skipFilters, partCols,
-        partFilters, versionAsOf)
+        partFilters, versionAsOf, cowOp)
   }
 }
 
@@ -1196,7 +1271,10 @@ case class StageScan(
     skipFilters: Array[Filter] = Array.empty,
     partCols: Array[String] = Array.empty,
     partFilters: Array[Filter] = Array.empty,
-    versionAsOf: Option[Int] = None)
+    versionAsOf: Option[Int] = None,
+    // driver-side back-reference for copy-on-write scans: planned files
+    // are reported to the operation so its write replaces exactly them
+    cowOp: Option[StageRowLevelOperation] = None)
     extends Scan with Batch with SupportsReportStatistics {
   @transient private var plannedFiles = -1
   @transient private var totalFiles = -1
@@ -1279,6 +1357,7 @@ case class StageScan(
       skipFilters.forall(mightMatch(fileStats, _)) && partKeep(f.getName)
     }
     plannedFiles = kept.length
+    cowOp.foreach(_.reportScanned(kept.map(_.getName).toSeq))
     kept.map(f => StageFilePartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =

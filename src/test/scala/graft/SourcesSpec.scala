@@ -290,13 +290,53 @@ class SourcesSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("ALTER TABLE stagespec.default.t1 ADD COLUMN z BIGINT")
     }
-    // DELETE on a non-partition predicate is declined loudly, not half-run
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM stagespec.default.t1 WHERE k = 1")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // DELETE on a non-partition predicate routes through the row-level
+    // (copy-on-write) path: a full-group rewrite, correct content, a new
+    // snapshot — not the metadata fast path, not an error
+    val vBefore = graft.sources.v2.StageSource.latestVersion(
+      s"$root/default/t1").get
+    spark.sql("DELETE FROM stagespec.default.t1 WHERE k = 1")
+    assert(spark.sql("SELECT k FROM stagespec.default.t1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 10L))
+    assert(graft.sources.v2.StageSource.latestVersion(
+      s"$root/default/t1").get > vBefore, "rewrite must commit a new snapshot")
     spark.sql("DROP TABLE stagespec.default.t1")
     assert(spark.sql("SHOW TABLES IN stagespec.default").isEmpty)
+  }
+
+  test("MERGE INTO / UPDATE: copy-on-write row-level ops commit correct snapshots") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_merge").toString
+    spark.conf.set("spark.sql.catalog.stagemg", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagemg.root", root)
+    spark.sql("CREATE TABLE stagemg.default.t (k BIGINT, status STRING, cents BIGINT)")
+    spark.sql("INSERT INTO stagemg.default.t VALUES (1,'A',100), (2,'A',200), (3,'B',300)")
+    Seq((2L, 999L), (4L, 400L)).toDF("k", "cents")
+      .createOrReplaceTempView("merge_src")
+    // matched → update, not matched → insert (the canonical upsert)
+    spark.sql("""MERGE INTO stagemg.default.t t USING merge_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET status = 'U', cents = s.cents
+      WHEN NOT MATCHED THEN INSERT (k, status, cents) VALUES (s.k, 'N', s.cents)""")
+    val afterMerge = spark.sql(
+      "SELECT k, status, cents FROM stagemg.default.t ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(afterMerge == Seq((1L, "A", 100L), (2L, "U", 999L),
+      (3L, "B", 300L), (4L, "N", 400L)), afterMerge.toString)
+    // UPDATE through the same copy-on-write path
+    spark.sql("UPDATE stagemg.default.t SET cents = cents + 1 WHERE status = 'A'")
+    assert(spark.sql("SELECT sum(cents) FROM stagemg.default.t")
+      .head().getLong(0) == 100L + 1 + 999 + 300 + 400)
+    // MERGE with not-matched-by-source delete (the sync idiom)
+    spark.sql("""MERGE INTO stagemg.default.t t USING merge_src s ON t.k = s.k
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT k FROM stagemg.default.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 4L))
+    // the old snapshots remain readable: time travel across the merges
+    val dir = s"$root/default/t"
+    val versions = graft.sources.v2.StageSource.manifestVersions(dir)
+    assert(versions.size >= 4, versions.toString)
+    assert(spark.sql(s"SELECT count(*) FROM stagemg.default.t VERSION AS OF ${versions.head}")
+      .head().getLong(0) == 3L)
   }
 
   test("StageSource streaming sink: epoch ledger makes at-least-once delivery exactly-once") {
