@@ -718,6 +718,19 @@ object Dedup {
     // levenshtein is ~100 ns/pair while a pre-verify dedup would shuffle
     // the larger candidate set — deduplicating the (much smaller)
     // surviving pair set is strictly less shuffle for the same answer.
+    // MEASURED REJECTION (r15 verdict #4's map-side-dedup candidate): a
+    // MIN-BUCKET emission rule — emit each pair only from the smallest
+    // bucket hash its two strings share, recomputing both deletion-hash
+    // sets pair-side — removes this exchange entirely (plan drops to 2
+    // exchanges) and matches the oracle exactly, but the recompute is
+    // O(survivors × variants) interpreted work: at sf0.1 it was a wash
+    // (6.4 s vs 6.4 s same-sitting) and at the ×10 fixture it blew the
+    // wall slope from 2.87× to ~7× (47 s vs ~13 s), because survivors
+    // scale ×10 while the removed exchange carries only ~8 B/pair. A
+    // 15k-row distinct() exchange is latency, not volume — the recompute
+    // trades a fixed ~0.3 s latency term for a term that GROWS with the
+    // corpus. The distinct stays; its cost is bounded by the survivor
+    // count, with map-side partial dedup already planned by Spark.
     grouped
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))

@@ -253,8 +253,9 @@ class PlanAuditSpec extends SparkTestBase {
       .split("== Initial Plan ==").head
     // r14 verdict #1: the whole pipeline crosses at most THREE exchanges —
     // the posting groupBy(bucket), the surviving-pair distinct, and the
-    // caller's orderBy. The old self-join shape paid the same posting
-    // shuffle then re-sorted + re-windowed the full posting table per side.
+    // caller's orderBy. (r15 verdict #4's map-side min-bucket dedup was
+    // tried and measured SLOWER at scale — see editDistancePairs' note —
+    // so the distinct exchange is the intended shape.)
     val exchanges = finalPlan.linesIterator.count(l =>
       l.contains("Exchange ") && !l.contains("ReusedExchange"))
     assert(exchanges <= 3, s"$exchanges exchanges (>3):\n$finalPlan")
