@@ -8046,6 +8046,14 @@ object SparkEntry {
     */
   private def qRecursiveCte(s: SparkSession, d: String): DataFrame = {
     val pairs = tempView(s, d, "graft_dup_pairs", stagedDupPairs(s, d))
+    // the recursion's working set scales with the pair graph, and Spark's
+    // default cteRecursionRowLimit (1M rows) is a safety valve, not a
+    // semantic bound — the ×10 fixture tripped it (sf1 bench r16). The
+    // query's own guards (dist < 3, comp < dst) bound the recursion;
+    // raise the valve so the bound that terminates is the DECLARED one.
+    // At 100 TB this conf is sized to the expected frontier, same as any
+    // iterate-to-fixpoint job.
+    s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     s.sql(
       s"""WITH RECURSIVE reach(id, comp, dist) AS (
          |  SELECT DISTINCT src, src, 0 FROM (

@@ -20,7 +20,13 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .master(master)
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", defaultCpus)
+      // shuffle width defaults to the core count but is independently
+      // overridable (SPARK_GRAFT_SHUFFLE): at ×10 data the per-partition
+      // aggregate state of the n-gram posting family outgrows the memory
+      // fraction at 32 partitions and sort-spills — more partitions is
+      // the scale knob (AQE coalesces the other direction for free)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", defaultCpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
