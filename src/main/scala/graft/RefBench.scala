@@ -242,6 +242,24 @@ object RefBench {
     val (bSec, bRows) = timed(
       factU.join(broadcast(dimU), "mod7").count(), warmups = 2)
     report("spj_broadcast", sf, nSpj, bSec, bRows)
+    //   spj_keyed32   — the WIDTH KNOB measured: same zero-shuffle merge
+    //                   join with the layout declared at 32 buckets
+    //                   (`buckets` option) instead of 7. The r16
+    //                   executor-width sweep showed spj_keyed flat past
+    //                   ~7 cores because SPJ parallelism equals the
+    //                   layout's cluster count; this leg demonstrates
+    //                   that re-bucketing the WRITE, not adding cores, is
+    //                   what unlocks the scan — the claim a 1000-executor
+    //                   bucketed table rests on.
+    def seq32(n: Long) = spark.read
+      .format("graft.sources.v2.SeqSource")
+      .option("n", n).option("slices", 32)
+      .option("keyed", true).option("buckets", 32).load()
+    val dim32 = seq32(32).select($"mod32", $"cents".as("dc"))
+    val fact32 = seq32(nSpj)
+    val (k32Sec, k32Rows) = timed(
+      fact32.join(dim32.hint("MERGE"), "mod32").count(), warmups = 2)
+    report("spj_keyed32", sf, nSpj, k32Sec, k32Rows)
     }
 
     spark.stop()

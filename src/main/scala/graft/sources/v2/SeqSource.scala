@@ -64,44 +64,56 @@ class SeqSource extends TableProvider {
     // declares its physical layout and Spark's storage-partitioned join
     // machinery exploits it (see SeqScan.outputPartitioning)
     val keyed = Option(properties.get("keyed")).exists(_.toBoolean)
+    // the keyed layout's CLUSTER COUNT (default 7): the write-time knob a
+    // real bucketed table sizes to its cluster — a storage-partitioned
+    // join's parallelism equals this count, so scaling an SPJ past N
+    // cores means MORE BUCKETS, not more cores (measured in BASELINE.md's
+    // executor-width sweep). The key column is named `mod<buckets>`.
+    val buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(7)
+    require(buckets >= 1 && buckets <= 65536,
+      s"SeqSource buckets=$buckets out of [1, 65536]")
     // streaming admission control: at most this many rows per micro-batch
     // (0 = all available in one batch)
     val maxPerBatch =
       Option(properties.get("maxRowsPerBatch")).map(_.toLong).getOrElse(0L)
-    new SeqTable(n, slices, keyed, maxPerBatch)
+    new SeqTable(n, slices, keyed, maxPerBatch, buckets)
   }
 }
 
 object SeqSource {
-  val schema: StructType = StructType(Seq(
+  def schema(buckets: Int): StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
-    StructField("mod7", LongType, nullable = false),
+    StructField(s"mod$buckets", LongType, nullable = false),
     StructField("cents", LongType, nullable = false)))
+  val schema: StructType = schema(7)
 
   /** The row formula, shared by every reader (and mirrored arithmetically
-    * by the DuckDB oracle).
+    * by the DuckDB oracle). `mod<k>` columns evaluate `id % k` — the name
+    * carries the modulus, so readers stay bucket-count-agnostic.
     */
   def colValue(name: String, id: Long): Long = name match {
     case "id" => id
-    case "mod7" => id % 7
     case "cents" => (id * 37) % 10000
+    case m if m.startsWith("mod") => id % m.stripPrefix("mod").toLong
     case other => throw new IllegalArgumentException(s"no column $other")
   }
 }
 
 class SeqTable(
-    n: Long, slices: Int, keyed: Boolean = false, maxPerBatch: Long = 0L)
+    n: Long, slices: Int, keyed: Boolean = false, maxPerBatch: Long = 0L,
+    buckets: Int = 7)
     extends Table with SupportsRead {
   override def name(): String = s"graft_seq(n=$n)"
-  override def schema(): StructType = SeqSource.schema
+  override def schema(): StructType = SeqSource.schema(buckets)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, slices, keyed, maxPerBatch)
+    new SeqScanBuilder(n, slices, keyed, maxPerBatch, buckets)
 }
 
 class SeqScanBuilder(
-    n: Long, slices: Int, keyed: Boolean = false, maxPerBatch: Long = 0L)
+    n: Long, slices: Int, keyed: Boolean = false, maxPerBatch: Long = 0L,
+    buckets: Int = 7)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -206,7 +218,8 @@ class SeqScanBuilder(
     aggFns match {
       case Some(fns) => SeqAggScan(l, h, fns)
       case None =>
-        SeqScan(l, h, slices, required, orderedDesc, keyed, maxPerBatch)
+        SeqScan(l, h, slices, required, orderedDesc, keyed, maxPerBatch,
+          buckets)
     }
   }
 }
@@ -265,7 +278,7 @@ case class SeqRange(from: Long, until: Long) extends InputPartition
   * side's groups, so two keyed tables join partition-to-partition with no
   * exchange (what co-partitioned Iceberg/Delta buckets do at 100 TB).
   */
-case class SeqKeyRange(from: Long, until: Long, k: Int)
+case class SeqKeyRange(from: Long, until: Long, k: Int, buckets: Int = 7)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](k.toLong))
@@ -274,7 +287,7 @@ case class SeqKeyRange(from: Long, until: Long, k: Int)
 case class SeqScan(
     lo: Long, hi: Long, slices: Int, required: StructType,
     orderedDesc: Option[Boolean] = None, keyed: Boolean = false,
-    maxPerBatch: Long = 0L)
+    maxPerBatch: Long = 0L, buckets: Int = 7)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -290,10 +303,11 @@ case class SeqScan(
   // per-partition sort under a storage-partitioned merge join (measured
   // 1.78 → ~broadcast-class in RefBench's spj section). Only valid (and
   // only reported) in keyed mode with mod7 surviving pruning.
+  private def keyCol = s"mod$buckets"
   override def outputOrdering(): Array[SortOrder] =
-    if (keyed && required.fieldNames.contains("mod7"))
+    if (keyed && required.fieldNames.contains(keyCol))
       Array(Expressions.sort(
-        Expressions.identity("mod7"), SortDirection.ASCENDING))
+        Expressions.identity(keyCol), SortDirection.ASCENDING))
     else Array.empty
   // RUNTIME narrowing ([[SupportsRuntimeV2Filtering]], r14 verdict #4 —
   // the connector analog of the parquet path's DPP/bloom-semijoin rows):
@@ -338,7 +352,7 @@ case class SeqScan(
       s", ordered=${if (d) "desc" else "asc"}").getOrElse("")
     val rt = if (rlo > lo || rhi < hi) s", runtime=[$rlo,$rhi)" else ""
     val parts = if (plannedParts >= 0) s", parts=$plannedParts" else ""
-    val kd = if (keyed) ", keyed=mod7" else ""
+    val kd = if (keyed) s", keyed=$keyCol" else ""
     s"SeqScan(range=[$lo,$hi)$rt$parts$kd, cols=${required.fieldNames.mkString(",")}$ord)"
   }
 
@@ -351,9 +365,9 @@ case class SeqScan(
   // schema still carries mod7 (the clustering column must be resolvable
   // against the scan output); otherwise the layout is opaque.
   override def outputPartitioning(): Partitioning =
-    if (keyed && required.fieldNames.contains("mod7"))
+    if (keyed && required.fieldNames.contains(keyCol))
       new KeyGroupedPartitioning(
-        Array(Expressions.identity("mod7")), SeqScan.Residues)
+        Array(Expressions.identity(keyCol)), buckets)
     else new UnknownPartitioning(math.max(slices, 1))
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = math.max(hi - lo, 0L)
@@ -363,11 +377,13 @@ case class SeqScan(
   }
   override def planInputPartitions(): Array[InputPartition] = {
     if (keyed) {
-      // one partition per residue class, ALWAYS all 7 (an empty class
-      // still plans its partition so both sides of a storage-partitioned
-      // join expose identical key groups regardless of their ranges)
-      val parts = (0 until SeqScan.Residues)
-        .map(k => SeqKeyRange(math.max(lo, rlo), math.min(hi, rhi), k))
+      // one partition per residue class, ALWAYS all `buckets` (an empty
+      // class still plans its partition so both sides of a
+      // storage-partitioned join expose identical key groups regardless
+      // of their ranges)
+      val parts = (0 until buckets)
+        .map(k => SeqKeyRange(
+          math.max(lo, rlo), math.min(hi, rhi), k, buckets))
         .toArray[InputPartition]
       plannedParts = parts.length
       return parts
@@ -395,8 +411,8 @@ case class SeqScan(
 }
 
 object SeqScan {
-  /** The keyed layout's cluster count: identity(mod7) has exactly 7
-    * residue classes.
+  /** The DEFAULT keyed layout's cluster count (the `buckets` option
+    * overrides it per table — the write-time scale knob).
     */
   val Residues = 7
 }
@@ -482,17 +498,18 @@ class SeqReaderFactory(cols: Array[String], desc: Boolean)
     p match {
       case kr: SeqKeyRange =>
         new PartitionReader[InternalRow] {
-          // stride-7 over [from, until): exactly the ids with id%7 == k.
-          // start = smallest id >= max(from, 0) in the residue class;
-          // cur trails it by one stride so the first next() lands on it
+          // stride-`buckets` over [from, until): exactly the ids with
+          // id % buckets == k. start = smallest id >= max(from, 0) in the
+          // residue class; cur trails it by one stride so the first
+          // next() lands on it
+          private val stride = kr.buckets.toLong
           private var cur = {
             val base = math.max(kr.from, 0L)
-            val rem = ((kr.k - base) % SeqScan.Residues + SeqScan.Residues) %
-              SeqScan.Residues
-            base + rem - SeqScan.Residues
+            val rem = ((kr.k - base) % stride + stride) % stride
+            base + rem - stride
           }
           override def next(): Boolean = {
-            cur += SeqScan.Residues; cur < kr.until
+            cur += stride; cur < kr.until
           }
           override def get(): InternalRow =
             new GenericInternalRow(

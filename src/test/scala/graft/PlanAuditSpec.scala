@@ -920,6 +920,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() == 7)
   }
 
+  test("keyed layout width knob: buckets=32 plans 32 aligned partitions, zero shuffle, exact join") {
+    // the r16 executor-width sweep's named cause for spj_keyed's flat
+    // scaling past ~7 cores is that SPJ parallelism equals the layout's
+    // cluster count; this pins the WRITE-SIDE knob that unlocks it — the
+    // same join declared at 32 buckets plans 32 key-aligned partitions
+    // with still zero clustering exchanges, and stays exact
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      def seq32(n: Long) = spark.read.format("graft.sources.v2.SeqSource")
+        .option("n", n).option("keyed", true).option("buckets", 32).load()
+      val fact = seq32(100000L)
+      val dim = seq32(32L)
+        .select(org.apache.spark.sql.functions.col("mod32"),
+          org.apache.spark.sql.functions.col("cents").as("dc"))
+      val joined = fact.join(dim.hint("MERGE"), "mod32")
+      joined.queryExecution.toRdd.count(): Unit
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("keyed=mod32".r.findAllIn(plan).size == 2, plan.take(1500))
+      assert("parts=32".r.findAllIn(plan).size == 2, plan.take(1500))
+      assert(!plan.contains("hashpartitioning"), plan.take(2000))
+      // exactness: every fact row joins exactly one dim row
+      assert(joined.count() == 100000L)
+      import org.apache.spark.sql.functions.{col, countDistinct, sum}
+      val chk = joined
+        .agg(sum(col("id")).as("s"), countDistinct(col("mod32")).as("k"))
+        .head()
+      assert(chk.getLong(0) == 99999L * 100000L / 2 && chk.getLong(1) == 32L)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("q_dsv2_lineage: the partitioned write shuffles by flag once; lineage rides the scan") {
     val df = SparkEntry.queries("q_dsv2_lineage")(spark, sf0001)
     assert(df.count() == 3)
