@@ -7280,6 +7280,32 @@ object SparkEntry {
     s.sql(s"SELECT k, status, cents FROM $t ORDER BY k")
   }
 
+  /** SQL `UPDATE` through the same copy-on-write seam as [[qDsv2Merge]]
+    * (`RewriteUpdateTable` → ReplaceData): a price correction applied to
+    * ONE status class, in place, as one new snapshot — the zone-map-
+    * pruned groups (files provably holding no 'F' rows, when the layout
+    * separates them) carry over without rewrite. Also runs a row-level
+    * DELETE on a NON-partition predicate (the path the takedown's
+    * metadata fast path declines), so all three rewrite commands are
+    * driver-oracled. The readback aggregates per status, replayed in
+    * DuckDB with the correction + deletion applied arithmetically.
+    */
+  private def qDsv2Update(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_upd"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t AS
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM $v WHERE o_orderkey < 2000""")
+    s.sql(s"UPDATE $t SET cents = cents + 9 WHERE status = 'F'")
+    s.sql(s"DELETE FROM $t WHERE k % 10 = 3") // non-partition row-level
+    s.sql(s"""SELECT status, COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM $t GROUP BY status ORDER BY status""")
+  }
+
   /** STORAGE-PARTITIONED join through the DSv2 connector
     * ([[graft.sources.v2.SeqSource]] `keyed` mode — the connector
     * generalization of [[qBucketedJoin]]'s co-located story, the
@@ -9287,6 +9313,7 @@ object SparkEntry {
     "q_dsv2_write" -> (qDsv2Write _),
     "q_dsv2_upsert" -> (qDsv2Upsert _),
     "q_dsv2_merge" -> (qDsv2Merge _),
+    "q_dsv2_update" -> (qDsv2Update _),
     "q_dsv2_runtime_filter" -> (qDsv2RuntimeFilter _),
     "q_dsv2_spj" -> (qDsv2Spj _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
@@ -10310,6 +10337,17 @@ object SparkEntry {
         |FROM base b FULL JOIN src s ON b.k = s.k
         |WHERE NOT (s.k IS NULL AND b.k < 100)
         |ORDER BY k""".stripMargin,
+    // q_dsv2_update: the per-status correction + row-level delete
+    // replayed arithmetically
+    "q_dsv2_update" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |             + CASE WHEN o_orderstatus = 'F' THEN 9 ELSE 0 END)
+        |            AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderkey % 10 <> 3
+        |GROUP BY status ORDER BY status""".stripMargin,
     // q_dsv2_spj: the storage-partitioned join's content replayed
     // arithmetically — both keyed sides aggregated over generate_series
     // and joined on the residue class
