@@ -536,15 +536,19 @@ class StageRowLevelOperation(
     path: String, tableSchema: StructType, partCols: Array[String],
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
-  private val scanned =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // REPLACE, don't accumulate: under runtime group filtering the rewrite
+  // plan holds TWO scans of this operation — the pruning subquery's scan
+  // (plans ALL candidate files, runs FIRST to compute the matching _file
+  // set) and the rewrite scan (plans only the runtime-filtered files,
+  // necessarily LAST — its input partitions depend on the subquery's
+  // result). The files to replace are the rewrite scan's, so the latest
+  // report wins; accumulating would re-inflate every selective rewrite
+  // back to a whole-table replace (observed before this fix: a 1-file
+  // MERGE replaced all shards). SourcesSpec pins the selective behavior.
+  @volatile private var scanned: Set[String] = Set.empty
   private[v2] def reportScanned(files: Seq[String]): Unit =
-    files.foreach(scanned.add)
-  private[v2] def scannedFiles: Set[String] = {
-    val b = Set.newBuilder[String]
-    scanned.forEach(f => b += f)
-    b.result()
-  }
+    scanned = files.toSet
+  private[v2] def scannedFiles: Set[String] = scanned
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StageScanBuilder(path, tableSchema, partCols, None, cowOp = Some(this))
@@ -1275,9 +1279,38 @@ case class StageScan(
     // driver-side back-reference for copy-on-write scans: planned files
     // are reported to the operation so its write replaces exactly them
     cowOp: Option[StageRowLevelOperation] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   @transient private var plannedFiles = -1
   @transient private var totalFiles = -1
+  // RUNTIME GROUP FILTERING (Iceberg's selective copy-on-write): for a
+  // row-level rewrite, Spark's RowLevelOperationRuntimeGroupFiltering
+  // rule first evaluates the command's condition against a lightweight
+  // copy of this scan, collects the DISTINCT `_file` values of matching
+  // rows, and hands them here as an IN predicate — the rewrite scan then
+  // plans ONLY the affected files, and since the operation's write
+  // replaces exactly the planned files, a selective MERGE/UPDATE/DELETE
+  // rewrites one shard instead of the table. Advertised only when the
+  // scan actually outputs `_file` (resolveRefs resolves against the scan
+  // output; advertising a pruned column is an analysis error).
+  @transient private var runtimeFiles: Option[Set[String]] = None
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (required.fieldNames.contains(StageSource.FileCol))
+      Array(Expressions.column(StageSource.FileCol))
+    else Array.empty
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      val isFileCol = p.references().length == 1 &&
+        p.references()(0).fieldNames.mkString(".") == StageSource.FileCol
+      if (isFileCol && (p.name() == "IN" || p.name() == "=")) {
+        val names = p.children().flatMap(c =>
+          V2ExprShim.literalValue(c).collect {
+            case s: UTF8String => s.toString
+          }).toSet
+        if (names.nonEmpty)
+          runtimeFiles = Some(runtimeFiles.fold(names)(_ intersect names))
+      } // unrecognized runtime predicate: prune nothing (never wrong)
+    }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -1288,7 +1321,8 @@ case class StageScan(
     val pf = if (partFilters.nonEmpty)
       s", partBy=${partFilters.mkString(";")}" else ""
     val vs = versionAsOf.map(v => s", version=$v").getOrElse("")
-    s"StageScan(path=$path$skipped$sk$pf$vs, cols=${required.fieldNames.mkString(",")})"
+    val rf = runtimeFiles.map(f => s", runtimeFiles=${f.size}").getOrElse("")
+    s"StageScan(path=$path$skipped$sk$pf$vs$rf, cols=${required.fieldNames.mkString(",")})"
   }
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes =
@@ -1354,7 +1388,8 @@ case class StageScan(
     totalFiles = all.length
     val kept = all.filter { f =>
       val fileStats = stats.getOrElse(f.getName, Map.empty)
-      skipFilters.forall(mightMatch(fileStats, _)) && partKeep(f.getName)
+      skipFilters.forall(mightMatch(fileStats, _)) && partKeep(f.getName) &&
+        runtimeFiles.forall(_.contains(f.getName))
     }
     plannedFiles = kept.length
     cowOp.foreach(_.reportScanned(kept.map(_.getName).toSeq))

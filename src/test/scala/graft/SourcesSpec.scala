@@ -339,6 +339,51 @@ class SourcesSpec extends SparkTestBase {
       .head().getLong(0) == 3L)
   }
 
+  test("runtime group filtering: a selective MERGE rewrites only the affected file") {
+    // Iceberg's selective copy-on-write, through Spark's
+    // RowLevelOperationRuntimeGroupFiltering: the command's condition is
+    // evaluated first to collect the DISTINCT _file values of matching
+    // rows, the rewrite scan prunes to those files, and commit replaces
+    // exactly them — untouched shards carry over into the new snapshot
+    // byte-identical, never rewritten.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_rgf").toString
+    spark.conf.set("spark.sql.catalog.stagergf", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagergf.root", root)
+    spark.sql("CREATE TABLE stagergf.default.t (k BIGINT, v BIGINT)")
+    // three separate commits → three data files with disjoint key ranges
+    spark.sql("INSERT INTO stagergf.default.t VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO stagergf.default.t VALUES (100, 1000), (200, 2000)")
+    spark.sql("INSERT INTO stagergf.default.t VALUES (5000, 9)")
+    val dir = s"$root/default/t"
+    val before = graft.sources.v2.StageSource
+      .snapshotFiles(dir, None).map(_.getName).toSet
+    assert(before.size >= 3, before.toString)
+    // which shards actually hold the keys the source will hit
+    val affected = spark.sql(
+      "SELECT DISTINCT _file FROM stagergf.default.t WHERE k IN (100, 200)")
+      .as[String].collect().toSet
+    assert(affected.nonEmpty && affected.size < before.size,
+      s"fixture must leave untouched shards: affected=$affected of $before")
+    Seq((100L, 7L), (200L, 7L)).toDF("k", "dv")
+      .createOrReplaceTempView("rgf_src")
+    spark.sql("""MERGE INTO stagergf.default.t t USING rgf_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.dv""")
+    val after = graft.sources.v2.StageSource
+      .snapshotFiles(dir, None).map(_.getName).toSet
+    // untouched shards carry over under their ORIGINAL names; exactly
+    // the affected ones were replaced
+    assert((before diff after) == affected,
+      s"rewritten set != affected set: before=$before after=$after affected=$affected")
+    assert((before intersect after) == (before diff affected),
+      s"untouched shards were rewritten: before=$before after=$after")
+    // content is the full post-image
+    val rows = spark.sql("SELECT k, v FROM stagergf.default.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 10L), (2L, 20L), (100L, 7L), (200L, 7L),
+      (5000L, 9L)), rows.toString)
+  }
+
   test("StageSource streaming sink: epoch ledger makes at-least-once delivery exactly-once") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stage_sink").toString + "/t"
