@@ -381,7 +381,13 @@ object StageSource {
     */
   def toMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp =>
-      Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
+      // FLOOR the seconds part (like the Instant branch's getEpochSecond):
+      // plain division truncates toward zero, so a pre-1970 timestamp with
+      // fractional seconds would land a full second late — and this value
+      // feeds EXACT partition matching (REPLACE WHERE / partition DELETE
+      // doom files by it) and zone-map literals
+      Some(Math.addExact(
+        Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
         (t.getNanos / 1000L) % 1000000L))
     case i: java.time.Instant =>
       Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
@@ -440,25 +446,45 @@ class StageTable(
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     require(canDeleteWhere(predicates), "undecidable partition delete")
-    val parts = StageSource.readParts(path)
+    // same commit discipline as StageCommitter.commit (ADVICE r16 #2: a
+    // plain latest+1 write here could compute the same version as a
+    // concurrent append and clobber its snapshot): same-process callers
+    // serialize on the per-path lock, cross-process races lose the
+    // CREATE_NEW claim and retry against the re-read base — the doomed
+    // set is recomputed each attempt, so files a concurrent commit added
+    // to the doomed partitions are seen and handled, never dropped blind.
     val colType = partCols.map(c =>
       tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
-    val current = StageSource.snapshotFiles(path, None)
-    val doomed = current.filter { f =>
-      val pv = parts.getOrElse(f.getName, Array.empty[String])
-      pv.length == partCols.length && predicates.forall(p =>
-        StageTable.matches(p, partCols, colType, pv))
-    }.map(_.getName).toSet
-    // the post-takedown snapshot FIRST (readers switch atomically), then
-    // the physical removal — a takedown is the one operation that must
-    // destroy bytes, so older snapshot versions referencing these files
-    // intentionally stop being reconstructible (and say so loudly)
-    val survivors = current.map(_.getName).filterNot(doomed)
-    val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
-    java.nio.file.Files.write(
-      new File(path, StageSource.manifestName(nextV)).toPath,
-      survivors.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
-    StageSource.recordCommitTime(path, nextV)
+    var doomed = Set.empty[String]
+    StageCommitter.lockFor(path).synchronized {
+      var committed = false
+      while (!committed) {
+        val parts = StageSource.readParts(path)
+        val current = StageSource.snapshotFiles(path, None)
+        doomed = current.filter { f =>
+          val pv = parts.getOrElse(f.getName, Array.empty[String])
+          pv.length == partCols.length && predicates.forall(p =>
+            StageTable.matches(p, partCols, colType, pv))
+        }.map(_.getName).toSet
+        // the post-takedown snapshot FIRST (readers switch atomically),
+        // then the physical removal — a takedown is the one operation
+        // that must destroy bytes, so older snapshot versions referencing
+        // these files intentionally stop being reconstructible (and say
+        // so loudly)
+        val survivors = current.map(_.getName).filterNot(doomed)
+        val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
+        try {
+          java.nio.file.Files.write(
+            new File(path, StageSource.manifestName(nextV)).toPath,
+            survivors.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+          StageSource.recordCommitTime(path, nextV)
+          committed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // lost the race: retry on the new base
+        }
+      }
+    }
     doomed.foreach(n => new File(path, n).delete(): Unit)
     // drop the dead files' stats + partition lines (snapshot metadata
     // stays exactly the surviving file set)
@@ -513,9 +539,13 @@ class StageTable(
   // rewrite producing one new snapshot — Iceberg's copy-on-write mode at
   // its coarsest granularity. Partition-decidable DELETEs never get
   // here: Spark's metadata-only-delete rule still routes them to
-  // [[deleteWhere]] (pure manifest surgery). Snapshot isolation is free:
-  // the rewrite reads one manifest and commits the next, and a failed
-  // MERGE leaves the old snapshot untouched.
+  // [[deleteWhere]] (pure manifest surgery). Snapshot isolation is
+  // enforced at commit: the rewrite reads one manifest and commits the
+  // next, a failed MERGE leaves the old snapshot untouched, and a commit
+  // whose scanned files were rewritten or deleted by a CONCURRENT commit
+  // aborts loudly instead of re-applying a rewrite computed from stale
+  // contents (the lost-update check in [[StageCommitter.commit]];
+  // concurrent appends are conflict-free and carry over).
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
@@ -538,16 +568,26 @@ class StageRowLevelOperation(
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   // REPLACE, don't accumulate: under runtime group filtering the rewrite
   // plan holds TWO scans of this operation — the pruning subquery's scan
-  // (plans ALL candidate files, runs FIRST to compute the matching _file
-  // set) and the rewrite scan (plans only the runtime-filtered files,
-  // necessarily LAST — its input partitions depend on the subquery's
-  // result). The files to replace are the rewrite scan's, so the latest
-  // report wins; accumulating would re-inflate every selective rewrite
-  // back to a whole-table replace (observed before this fix: a 1-file
-  // MERGE replaced all shards). SourcesSpec pins the selective behavior.
+  // (plans ALL candidate files, computes the matching _file set) and the
+  // rewrite scan (plans only the runtime-filtered files). The files to
+  // replace are the REWRITE scan's; accumulating would re-inflate every
+  // selective rewrite back to a whole-table replace (observed before
+  // this fix: a 1-file MERGE replaced all shards). The rewrite scan is
+  // identified by the runtime `_file` filter it RECEIVED, not by
+  // planning order (ADVICE r16 #3: "latest report wins" breaks silently
+  // if Spark ever plans the candidate scan after the rewrite scan —
+  // commit would drop ALL candidate files while the rewrite output
+  // covers only the subset): a runtime-filtered report is sticky and a
+  // later unfiltered report never displaces it. When no scan is
+  // runtime-filtered (group filtering not planned), the one rewrite
+  // scan's report stands. SourcesSpec pins the selective behavior.
   @volatile private var scanned: Set[String] = Set.empty
-  private[v2] def reportScanned(files: Seq[String]): Unit =
-    scanned = files.toSet
+  @volatile private var sawRuntimeFiltered = false
+  private[v2] def reportScanned(
+      files: Seq[String], runtimeFiltered: Boolean): Unit = synchronized {
+    if (runtimeFiltered) { scanned = files.toSet; sawRuntimeFiltered = true }
+    else if (!sawRuntimeFiltered) scanned = files.toSet
+  }
   private[v2] def scannedFiles: Set[String] = scanned
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -797,7 +837,7 @@ object StageCommitter {
   // CREATE_NEW claim below
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(path: String): Object =
+  private[v2] def lockFor(path: String): Object =
     locks.computeIfAbsent(path, _ => new Object)
 
   def commit(
@@ -821,7 +861,14 @@ object StageCommitter {
       val done = new String(
         java.nio.file.Files.readAllBytes(epochsFile.toPath), StandardCharsets.UTF_8)
         .linesIterator.toSet
-      if (done(ledgerKey.get)) {
+      // on-disk format migration (ADVICE r16 #4): pre-r16 ledgers
+      // recorded the bare epoch number. A bare line still counts as
+      // committed — without this, a re-offered epoch on a pre-existing
+      // table re-commits (extra snapshot versions; exactly-once would
+      // rest solely on name-based overwrite idempotence). Bare lines
+      // can't distinguish queries, but they only exist on tables written
+      // before the keyed format shipped, where a single query wrote them.
+      if (done(ledgerKey.get) || done(epoch.get.toString)) {
         // re-delivered epoch: already committed, drop the staged attempt
         cleanStaging(path, queryId)
         return
@@ -871,11 +918,37 @@ object StageCommitter {
           // legacy tables resolve via directory listing, which already
           // sees the just-moved new files — they are re-added below
           .filterNot(n => n.startsWith(s"part-$queryId-$epochTag"))
-        if (replaceFiles.isDefined)
+        if (replaceFiles.isDefined) {
+          // SNAPSHOT-ISOLATION conflict validation (r16 verdict #1): the
+          // rewrite's output rows were computed from the scanned files'
+          // contents at plan time. If a concurrent commit rewrote or
+          // deleted any of them (they are no longer in the current base —
+          // committed files are immutable and never renamed, so presence
+          // IS unchanged-ness), silently proceeding would drop the stale
+          // names and commit rows computed from the OLD contents — a
+          // lost update (write-skew). Iceberg's validation aborts here;
+          // so does this. Concurrent APPENDS stay safe: appended files
+          // are never in replaceFiles and carry over untouched
+          // (spec-pinned in SourcesSpec). The just-moved rewrite output
+          // is unreferenced by any manifest — delete it like an abort.
+          val overlap = replaceFiles.get.diff(prev.toSet)
+          if (overlap.nonEmpty) {
+            newFiles.foreach { case (name, _) =>
+              new File(root, name).delete(): Unit
+            }
+            throw new IllegalStateException(
+              s"concurrent rewrite conflict on $path: file(s) " +
+                s"${overlap.toSeq.sorted.mkString(", ")} read by this " +
+                "row-level operation were rewritten or deleted by a " +
+                "concurrent commit — aborting instead of silently losing " +
+                "that commit's changes; re-run the operation against the " +
+                "current snapshot")
+          }
           // copy-on-write row-level op: drop exactly the files the
           // operation's scan planned (the rewritten groups); files the
           // zone maps / partition values proved clean carry over
           snapshot ++= prev.filterNot(replaceFiles.get)
+        }
         else if (replaceWhere.isEmpty) snapshot ++= prev
         else {
           val parts = StageSource.readParts(path)
@@ -1324,11 +1397,27 @@ case class StageScan(
     val rf = runtimeFiles.map(f => s", runtimeFiles=${f.size}").getOrElse("")
     s"StageScan(path=$path$skipped$sk$pf$vs$rf, cols=${required.fieldNames.mkString(",")})"
   }
+  // CBO inputs describe exactly the files this scan will read (r16
+  // verdict #2: size was the WHOLE snapshot and numRows was empty even
+  // though the `__rows` sidecar holds exact per-file counts — join
+  // strategy and AQE decisions over staged tables fell back to
+  // size-in-bytes heuristics over unpruned data): bytes sum over the
+  // PRUNED file list, and row count is the exact sidecar sum whenever
+  // every planned file carries a `__rows` line (legacy files decline to
+  // empty, never guess). PlanAuditSpec pins a broadcast decision
+  // flipping on these numbers.
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes =
-      StageSource.snapshotFiles(path, versionAsOf).map(_.length).sum
+    private val kept = prunedFiles()
+    private val bytes = kept.map(_.length).sum
+    private val rows: Option[Long] = {
+      val stats = StageSource.readStats(path)
+      val counts = kept.map(f => stats.get(f.getName).flatMap(_.get("__rows")))
+      if (counts.exists(_.isEmpty)) None
+      else Some(counts.map(_.get.min.toLong).sum)
+    }
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong =
+      rows.fold(util.OptionalLong.empty())(util.OptionalLong.of)
   }
   // can a file whose column spans [min,max] possibly satisfy the filter?
   // Long/micros/decimal→double zone maps round to nearest, so bounds are
@@ -1349,9 +1438,13 @@ case class StageScan(
       case _ => true
     }
   }
-  override def planInputPartitions(): Array[InputPartition] = {
-    require(new File(path, StageSource.SuccessFile).exists(),
-      s"StageSource table at $path has no _SUCCESS marker — incomplete snapshot")
+  /** The snapshot's files surviving zone-map, partition and runtime
+    * pruning — the shared ground truth for planning AND statistics, so
+    * the planner's CBO inputs describe exactly the files that will be
+    * read. Pure: counters and the copy-on-write scanned-file report are
+    * updated only by [[planInputPartitions]].
+    */
+  private def prunedFiles(): Array[File] = {
     val stats = StageSource.readStats(path)
     val parts = StageSource.readParts(path)
     val colType = partCols.map(c =>
@@ -1386,13 +1479,19 @@ case class StageScan(
       }
     val all = StageSource.snapshotFiles(path, versionAsOf)
     totalFiles = all.length
-    val kept = all.filter { f =>
+    all.filter { f =>
       val fileStats = stats.getOrElse(f.getName, Map.empty)
       skipFilters.forall(mightMatch(fileStats, _)) && partKeep(f.getName) &&
         runtimeFiles.forall(_.contains(f.getName))
     }
+  }
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(new File(path, StageSource.SuccessFile).exists(),
+      s"StageSource table at $path has no _SUCCESS marker — incomplete snapshot")
+    val kept = prunedFiles()
     plannedFiles = kept.length
-    cowOp.foreach(_.reportScanned(kept.map(_.getName).toSeq))
+    cowOp.foreach(_.reportScanned(kept.map(_.getName).toSeq,
+      runtimeFiltered = runtimeFiles.isDefined))
     kept.map(f => StageFilePartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =

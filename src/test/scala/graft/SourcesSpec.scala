@@ -749,4 +749,113 @@ class SourcesSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("VERSION AS OF"), e2.getMessage)
   }
+
+  // -------------------------------------------- r17: commit-protocol holes
+
+  /** Stage one valid framed file through the real writer and return the
+    * job-commit message — the unit the conflict/ledger specs feed
+    * [[graft.sources.v2.StageCommitter.commit]] directly (the race being
+    * tested lives between SCAN planning and JOB commit, so the spec
+    * drives the commit seam, not the DataFrame API whose in-process lock
+    * would serialize the whole operation).
+    */
+  private def stagedCommit(
+      dir: String, schema: org.apache.spark.sql.types.StructType,
+      qid: String, rows: Seq[(Long, Double)])
+      : Array[org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+    val w = new graft.sources.v2.StageDataWriter(
+      dir, schema, qid, 0, 0L, Array.empty)
+    rows.foreach { case (k, v) =>
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](k, v)))
+    }
+    Array(w.commit())
+  }
+
+  test("concurrent row-level rewrites: the loser aborts, no update is silently lost") {
+    // r16 verdict #1: a copy-on-write commit whose scanned files were
+    // rewritten or deleted by a concurrent commit must ABORT (snapshot
+    // isolation, Iceberg's validation), not re-apply its stale rewrite —
+    // both rewrites were computed from the OLD contents, so proceeding
+    // silently discards the winner's changes (lost update / write-skew).
+    import graft.sources.v2.{StageCommitter, StageSource}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_cowrace").toString + "/t"
+    val fmt = "graft.sources.v2.StageSource"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val schema = spark.read.format(fmt).option("path", dir).load().schema
+    val scannedByBoth = StageSource.snapshotFiles(dir, None).map(_.getName).toSet
+    assert(scannedByBoth.size == 1, scannedByBoth.toString)
+    // operation B (the winner) commits its rewrite of the scanned file
+    StageCommitter.commit(dir, schema, Array.empty, "qwinner",
+      stagedCommit(dir, schema, "qwinner", Seq((1L, 11.0), (2L, 21.0))),
+      truncate = false, epoch = None, replaceFiles = Some(scannedByBoth))
+    // operation A scanned the SAME file before B committed — its commit
+    // must abort loudly instead of dropping B's rewrite
+    val e = intercept[IllegalStateException] {
+      StageCommitter.commit(dir, schema, Array.empty, "qloser",
+        stagedCommit(dir, schema, "qloser", Seq((1L, 12.0), (2L, 22.0))),
+        truncate = false, epoch = None, replaceFiles = Some(scannedByBoth))
+    }
+    assert(e.getMessage.contains("concurrent rewrite conflict"), e.getMessage)
+    // the winner's update is intact and the loser's output is invisible
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 11.0), (2L, 21.0)), back.toString)
+    // the loser's moved-but-unreferenced files were cleaned up like an abort
+    assert(StageSource.dataFiles(dir).forall(f => !f.getName.contains("qloser")),
+      StageSource.dataFiles(dir).map(_.getName).mkString(","))
+    // concurrent APPENDS against a rewrite stay safe: an append never
+    // lists replaceFiles, so the rewrite retry carries its file over
+    StageCommitter.commit(dir, schema, Array.empty, "qappend",
+      stagedCommit(dir, schema, "qappend", Seq((3L, 30.0))),
+      truncate = false, epoch = None)
+    val afterAppend = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, Double)].collect().toSet
+    assert(afterAppend == Set((1L, 11.0), (2L, 21.0), (3L, 30.0)))
+  }
+
+  test("pre-epoch java.sql.Timestamp literals floor to micros, matching the Instant branch") {
+    // ADVICE r17 #1: getTime/1000 truncates toward zero, so a pre-1970
+    // timestamp with fractional seconds landed a full second late — and
+    // this value feeds EXACT partition matching and zone-map literals.
+    import graft.sources.v2.StageSource
+    val ts = new java.sql.Timestamp(-500L) // 1969-12-31T23:59:59.5Z
+    assert(StageSource.toMicros(ts).contains(-500000L),
+      StageSource.toMicros(ts).toString)
+    assert(StageSource.toMicros(ts.toInstant).contains(-500000L))
+    // positive timestamps unchanged
+    val pos = new java.sql.Timestamp(1500L)
+    assert(StageSource.toMicros(pos).contains(1500000L))
+  }
+
+  test("pre-r16 bare-epoch ledger lines still dedup re-offered epochs") {
+    // ADVICE r17 #4: the ledger key changed from bare epoch to
+    // queryId:epoch with no migration — entries written by the old
+    // format never matched, so re-offered epochs on pre-existing
+    // streaming tables re-committed. A bare `<epoch>` line must still
+    // count as committed.
+    import graft.sources.v2.{StageCommitter, StageSource}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_ledger").toString + "/t"
+    val fmt = "graft.sources.v2.StageSource"
+    Seq((1L, 1.0)).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val schema = spark.read.format(fmt).option("path", dir).load().schema
+    // an old-format ledger: bare epoch number, no queryId
+    java.nio.file.Files.write(
+      new java.io.File(dir, StageSource.EpochsFile).toPath,
+      "7\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val before = StageSource.manifestVersions(dir)
+    // epoch 7 re-offered after a restart: must be SKIPPED, not re-committed
+    StageCommitter.commit(dir, schema, Array.empty, "qstream",
+      stagedCommit(dir, schema, "qstream", Seq((9L, 9.0))),
+      truncate = false, epoch = Some(7L))
+    assert(StageSource.manifestVersions(dir) == before,
+      StageSource.manifestVersions(dir).toString)
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 1.0)), back.toString)
+  }
 }
