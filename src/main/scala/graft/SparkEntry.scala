@@ -7348,6 +7348,58 @@ object SparkEntry {
     } finally s.conf.set(key, prev)
   }
 
+  /** Storage-partitioned join over REAL STAGED DATA (r16 verdict #3 —
+    * [[qDsv2Spj]] demonstrates the contract on the synthetic keyed
+    * source; this row closes the loop on the staging connector's own
+    * committed files): orders and lineitem are staged through
+    * [[graft.sources.v2.StageSource]] identity-partitioned by the same
+    * bucket key (the write's required clustering lands each bucket
+    * wholly in its own committed file), the scans REPORT that layout
+    * (`KeyGroupedPartitioning` + per-file `HasPartitionKey`), and with
+    * v2 bucketing enabled the per-side GROUP BY b aggregations and the
+    * join between them plan with ZERO shuffle exchanges — Spark groups
+    * same-key files (appends produce several per bucket) and lines the
+    * two tables' buckets up one-to-one (PlanAuditSpec pins
+    * no-hashpartitioning over the two StageScans). At 100 TB this is
+    * the write-once/join-free discipline of co-bucketed Iceberg/Delta
+    * tables, now end to end on this connector's own format.
+    */
+  private def qDsv2SpjStaged(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val fmt = "graft.sources.v2.StageSource"
+    val ordDir = s"/tmp/graft_dsv2w/$tag/spj_ord"
+    val liDir = s"/tmp/graft_dsv2w/$tag/spj_li"
+    Tables.orders(s, d)
+      .select((col("o_orderkey") % 8).as("b"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.format(fmt).option("path", ordDir)
+      .option("partition_by", "b").mode("overwrite").save()
+    Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 8).as("b"),
+        col("l_quantity").cast("long").as("qty"))
+      .write.format(fmt).option("path", liDir)
+      .option("partition_by", "b").mode("overwrite").save()
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "true")
+    try {
+      val o = s.read.format(fmt).option("path", ordDir).load()
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_ord"), sum("cents").as("ord_cents"))
+      val l = s.read.format(fmt).option("path", liDir).load()
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_li"), sum("qty").as("qty_sum"))
+      val out = o.hint("merge").join(l, "b")
+        .select(col("b"), col("n_ord"), col("ord_cents"),
+          col("n_li"), col("qty_sum"))
+        .orderBy("b")
+      // planning is lazy and reads SQLConf at plan time — force it while
+      // the conf override is live
+      out.queryExecution.executedPlan
+      out
+    } finally s.conf.set(key, prev)
+  }
+
   /** Row LINEAGE through the connector's metadata column
     * ([[graft.sources.v2.StageTable]]'s `SupportsMetadataColumns` — the
     * `_metadata.file_path` analog): lineitem is written through the
@@ -9322,6 +9374,7 @@ object SparkEntry {
     "q_dsv2_update" -> (qDsv2Update _),
     "q_dsv2_runtime_filter" -> (qDsv2RuntimeFilter _),
     "q_dsv2_spj" -> (qDsv2Spj _),
+    "q_dsv2_spj_staged" -> (qDsv2SpjStaged _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
     "q_dsv2_delete" -> (qDsv2Delete _),
@@ -10369,6 +10422,24 @@ object SparkEntry {
         |SELECT CAST(l.mod7 AS BIGINT) AS mod7, l_rows, l_cents, r_rows
         |FROM l JOIN r ON l.mod7 = r.mod7
         |ORDER BY mod7""".stripMargin,
+    // q_dsv2_spj_staged: the staged co-bucketed join's content replayed
+    // straight from orders/lineitem — the staging must be a pure layout
+    // decision, never a data transformation
+    "q_dsv2_spj_staged" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 8 AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ord,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS ord_cents
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT l_orderkey % 8 AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_li,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(o.b AS BIGINT) AS b, n_ord, ord_cents, n_li, qty_sum
+        |FROM o JOIN l ON o.b = l.b
+        |ORDER BY b""".stripMargin,
     // q_dsv2_lineage: the per-flag content straight from lineitem; the
     // lineage claims (one shard per flag, three shards total) replayed
     // as the constants the co-located layout guarantees

@@ -14,7 +14,8 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, Predicate}
 import org.apache.spark.sql.graftshim.V2ExprShim
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.catalog.SupportsDeleteV2
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -290,6 +291,25 @@ object StageSource {
       case TimestampType => row.getLong(i).toString // epoch micros, exact
       case d: DecimalType =>
         row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+
+  /** The typed Catalyst value of a rendered partition value — the
+    * partition KEY the read side reports for storage-partitioned joins
+    * (inverse of [[renderPart]], which is exact per type, so the
+    * round-trip is lossless).
+    */
+  def partValue(dt: DataType, rendered: String): Any =
+    if (rendered == NullPart) null
+    else dt match {
+      case LongType => rendered.toLong
+      case IntegerType => rendered.toInt
+      case DoubleType => rendered.toDouble
+      case StringType => UTF8String.fromString(rendered)
+      case TimestampType => rendered.toLong // epoch micros
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(rendered), d.precision, d.scale)
       case other => throw new IllegalStateException(s"unsupported $other")
     }
 
@@ -1323,6 +1343,23 @@ case class StageAggScan(path: String, schema: StructType, values: Array[Any])
 
 case class StageFilePartition(file: String) extends InputPartition
 
+/** A data file plus its identity-partition KEY ([[
+  * org.apache.spark.sql.connector.read.HasPartitionKey]]) — the
+  * partition half of the storage-partitioned-join contract over STAGED
+  * tables: the write clustered each partition value into its own
+  * file(s), the scan reports that layout, and Spark groups same-key
+  * files and lines them up against the other side's groups — two tables
+  * staged clustered-by-key join with zero exchanges (the same contract
+  * [[SeqKeyRange]] declares for the synthetic source, now on real
+  * committed data). Key values are the typed Catalyst forms
+  * ([[StageSource.partValue]]); all are Java-serializable.
+  */
+case class StageKeyedFilePartition(file: String, key: Array[Any])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(key)
+}
+
 object StageScan {
   /** The zone-map double view of a pushed filter literal: numbers
     * directly (java BigDecimal included — it is a Number), timestamp
@@ -1353,6 +1390,7 @@ case class StageScan(
     // are reported to the operation so its write replaces exactly them
     cowOp: Option[StageRowLevelOperation] = None)
     extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   @transient private var plannedFiles = -1
   @transient private var totalFiles = -1
@@ -1485,6 +1523,44 @@ case class StageScan(
         runtimeFiles.forall(_.contains(f.getName))
     }
   }
+  /** The files each paired with a FULL recorded partition value — the
+    * precondition for reporting the clustered layout (r16 verdict #3:
+    * the write clusters by the partition columns but the scan never
+    * said so, so real staged data could not get the zero-shuffle
+    * storage-partitioned join the synthetic keyed source measures at
+    * 11×). None when the table is unpartitioned, a key column was
+    * pruned away (Spark resolves the clustering against the scan
+    * OUTPUT), or any planned file predates partition-value recording —
+    * declaring a layout the files can't prove would mis-join.
+    */
+  private def keyedLayout(kept: Array[File])
+      : Option[Array[(File, Array[String])]] = {
+    if (partCols.isEmpty) return None
+    if (!partCols.forall(required.fieldNames.contains)) return None
+    val parts = StageSource.readParts(path)
+    val pvs = kept.map(f => parts.get(f.getName))
+    if (pvs.exists(p => p.isEmpty || p.get.length != partCols.length)) None
+    else Some(kept.zip(pvs.map(_.get)))
+  }
+  private def partColTypes: Array[DataType] =
+    partCols.map(c => tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
+  // The scan half of the storage-partitioned-join contract on REAL
+  // staged data (mirrors SeqScan.outputPartitioning): the committed
+  // layout — one partition VALUE per file, enforced by the write's
+  // required clustering — is declared as KeyGroupedPartitioning over the
+  // identity partition columns. With v2 bucketing enabled Spark groups
+  // same-key files and satisfies joins/aggregations on the key with NO
+  // exchange; with it disabled (or any precondition unmet) the layout
+  // stays opaque and nothing changes.
+  override def outputPartitioning(): Partitioning =
+    keyedLayout(prunedFiles()) match {
+      case Some(fps) =>
+        new KeyGroupedPartitioning(
+          partCols.map(c => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression),
+          fps.map(_._2.toSeq).distinct.size)
+      case None => new UnknownPartitioning(math.max(prunedFiles().length, 1))
+    }
   override def planInputPartitions(): Array[InputPartition] = {
     require(new File(path, StageSource.SuccessFile).exists(),
       s"StageSource table at $path has no _SUCCESS marker — incomplete snapshot")
@@ -1492,7 +1568,18 @@ case class StageScan(
     plannedFiles = kept.length
     cowOp.foreach(_.reportScanned(kept.map(_.getName).toSeq,
       runtimeFiltered = runtimeFiles.isDefined))
-    kept.map(f => StageFilePartition(f.getAbsolutePath): InputPartition)
+    keyedLayout(kept) match {
+      case Some(fps) =>
+        val types = partColTypes
+        fps.map { case (f, pv) =>
+          StageKeyedFilePartition(f.getAbsolutePath,
+            partCols.indices.map(i =>
+              StageSource.partValue(types(i), pv(i))).toArray)
+            : InputPartition
+        }
+      case None =>
+        kept.map(f => StageFilePartition(f.getAbsolutePath): InputPartition)
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new StageReaderFactory(tableSchema, required)
@@ -1501,7 +1588,10 @@ case class StageScan(
 class StageReaderFactory(tableSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[StageFilePartition].file
+    val file = p match {
+      case f: StageFilePartition => f.file
+      case k: StageKeyedFilePartition => k.file
+    }
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(
         new BufferedInputStream(new FileInputStream(file), 1 << 16))

@@ -1034,6 +1034,122 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("StageScan statistics: pruned __rows reach the planner and flip the join strategy") {
+    // r16 verdict #2: estimateStatistics used to report the WHOLE
+    // snapshot's bytes and an empty numRows even though the __rows
+    // sidecar records exact per-file counts — join-strategy and AQE
+    // decisions over staged tables fell back to unpruned size
+    // heuristics. Now both numbers describe the PRUNED file list, and
+    // the same join flips broadcast↔sort-merge purely on which
+    // partition the filter keeps.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_stats").toString + "/t"
+    val fmt = "graft.sources.v2.StageSource"
+    spark.sql(
+      """SELECT id AS k, CAST(id % 997 AS BIGINT) AS v,
+        |       CASE WHEN id < 100 THEN 'tiny' ELSE 'big' END AS grp
+        |FROM range(0, 200000)""".stripMargin)
+      .write.format(fmt).option("path", dir)
+      .option("partition_by", "grp").mode("overwrite").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    // the exact pruned row count reaches the logical plan's stats
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r if r.getClass.getSimpleName == "DataSourceV2ScanRelation" =>
+          r.stats
+      }.head
+    val tiny = back.filter(col("grp") === "tiny")
+    val big = back.filter(col("grp") === "big")
+    assert(scanStats(tiny).rowCount.contains(BigInt(100)),
+      scanStats(tiny).toString)
+    assert(scanStats(big).rowCount.contains(BigInt(199900)),
+      scanStats(big).toString)
+    // the flip: with a threshold between the two pruned sizes, the tiny
+    // partition broadcasts and the big one sort-merges — SAME table,
+    // SAME join, only the partition filter differs
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThr = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "65536")
+    try {
+      val probe = spark.range(0, 1000000).select(col("id").as("pk"))
+      def planOf(side: org.apache.spark.sql.DataFrame): String = {
+        val j = probe.join(side, col("pk") === col("k"))
+        j.queryExecution.toRdd.count(): Unit
+        j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      }
+      val tinyPlan = planOf(tiny)
+      assert(tinyPlan.contains("BroadcastHashJoin"),
+        s"pruned-tiny side did not broadcast:\n${tinyPlan.take(1500)}")
+      val bigPlan = planOf(big)
+      assert(!bigPlan.contains("BroadcastHashJoin"),
+        s"pruned-big side wrongly broadcast:\n${bigPlan.take(1500)}")
+    } finally spark.conf.set(thrKey, prevThr)
+  }
+
+  test("staged-table SPJ: the committed layout is reported; join + aggs plan zero shuffles") {
+    // r16 verdict #3: StageSource wrote clustered (required distribution
+    // by the partition columns) but its scan never declared the layout,
+    // so real staged data couldn't get the zero-shuffle SPJ the
+    // synthetic keyed source demonstrates. Now the scan reports
+    // KeyGroupedPartitioning over files-with-recorded-keys — including
+    // MULTIPLE files per key from separate appends, which Spark groups.
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stage_spj").toString
+      val fmt = "graft.sources.v2.StageSource"
+      spark.sql(
+        "SELECT id AS k, id % 8 AS b, id * 3 AS cents FROM range(0, 10000)")
+        .write.format(fmt).option("path", s"$base/l")
+        .option("partition_by", "b").mode("overwrite").save()
+      // a second append: two files per key on the left — grouped, not
+      // degraded
+      spark.sql(
+        "SELECT id AS k, id % 8 AS b, id * 3 AS cents FROM range(10000, 12000)")
+        .write.format(fmt).option("path", s"$base/l")
+        .option("partition_by", "b").mode("append").save()
+      spark.sql("SELECT id % 8 AS b, id AS q FROM range(0, 4000)")
+        .write.format(fmt).option("path", s"$base/r")
+        .option("partition_by", "b").mode("overwrite").save()
+      val l = spark.read.format(fmt).option("path", s"$base/l").load()
+        .groupBy("b").agg(count(lit(1)).as("l_rows"), sum("cents").as("l_cents"))
+      val r = spark.read.format(fmt).option("path", s"$base/r").load()
+        .groupBy("b").agg(count(lit(1)).as("r_rows"))
+      val j = l.hint("merge").join(r, "b")
+      j.queryExecution.toRdd.count(): Unit
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("StageScan\\(path=".r.findAllIn(plan).size == 2, plan.take(1500))
+      assert(!plan.contains("hashpartitioning"),
+        s"a clustering shuffle crept above the staged keyed scans:\n${plan.take(2000)}")
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      // exactness over the grouped two-append left side
+      assert(j.count() == 8)
+      val row = j.filter(col("b") === 0).head()
+      assert(row.getLong(row.fieldIndex("l_rows")) == 1500L, row.toString)
+      assert(row.getLong(row.fieldIndex("r_rows")) == 500L, row.toString)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
+  test("q_dsv2_spj_staged: the catalog row joins two staged tables exchange-free") {
+    val df = SparkEntry.queries("q_dsv2_spj_staged")(spark, sf0001)
+    df.queryExecution.toRdd.count(): Unit
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("StageScan\\(path=".r.findAllIn(plan).size == 2, plan.take(1500))
+    assert(!plan.contains("hashpartitioning"),
+      s"a clustering shuffle crept above the staged scans:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    // the only exchange allowed is the presentational orderBy's range
+    // partitioning
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"exchanges=$exchanges:\n${plan.take(2000)}")
+    assert(df.count() == 8)
+  }
+
   test("q_dsv2_write: the connector write plans a V2 write node and commits atomically") {
     // capture the save command's EXECUTED plan via a listener — the V1
     // DataFrameWriter.save path exposes no QueryExecution to the caller
