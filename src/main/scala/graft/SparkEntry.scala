@@ -7400,6 +7400,36 @@ object SparkEntry {
     } finally s.conf.set(key, prev)
   }
 
+  /** Schema EVOLUTION through the catalog ([[graft.sources.v2
+    * .StageCatalog]]'s append-only `ALTER TABLE … ADD COLUMNS`, the
+    * reference's one evolution primitive — its generator grows tables by
+    * appending columns, `generator.cc:32-44`, `join_dpu.cc:356-360`):
+    * rows staged under the OLD schema are never rewritten — the
+    * connector records each file's stored column count and the reader
+    * null-fills the evolved tail — while rows staged after the ALTER
+    * carry the new column. The mixed-schema read-back is oracled against
+    * the same shape computed straight from orders (NULL priority for the
+    * pre-alter keys). At 100 TB this is the only affordable ADD COLUMN:
+    * a metadata-only change, zero bytes rewritten.
+    */
+  private def qDsv2AddColumn(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_evolve"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t AS
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM $v WHERE o_orderkey < 300""")
+    s.sql(s"ALTER TABLE $t ADD COLUMNS (prio STRING)")
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT),
+             o_orderpriority
+      FROM $v WHERE o_orderkey >= 300 AND o_orderkey < 600""")
+    s.sql(s"SELECT k, cents, prio FROM $t ORDER BY k")
+  }
+
   /** Row LINEAGE through the connector's metadata column
     * ([[graft.sources.v2.StageTable]]'s `SupportsMetadataColumns` — the
     * `_metadata.file_path` analog): lineitem is written through the
@@ -9375,6 +9405,7 @@ object SparkEntry {
     "q_dsv2_runtime_filter" -> (qDsv2RuntimeFilter _),
     "q_dsv2_spj" -> (qDsv2Spj _),
     "q_dsv2_spj_staged" -> (qDsv2SpjStaged _),
+    "q_dsv2_add_column" -> (qDsv2AddColumn _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
     "q_dsv2_delete" -> (qDsv2Delete _),
@@ -10440,6 +10471,15 @@ object SparkEntry {
         |SELECT CAST(o.b AS BIGINT) AS b, n_ord, ord_cents, n_li, qty_sum
         |FROM o JOIN l ON o.b = l.b
         |ORDER BY b""".stripMargin,
+    // q_dsv2_add_column: the mixed-schema read after an append-only ADD
+    // COLUMN — pre-alter rows null-fill, post-alter rows carry the value
+    "q_dsv2_add_column" ->
+      """SELECT o_orderkey AS k,
+        |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |       CASE WHEN o_orderkey >= 300 THEN o_orderpriority
+        |            ELSE NULL END AS prio
+        |FROM orders WHERE o_orderkey < 600
+        |ORDER BY k""".stripMargin,
     // q_dsv2_lineage: the per-flag content straight from lineitem; the
     // lineage claims (one shard per flag, three shards total) replayed
     // as the constants the co-located layout guarantees

@@ -152,9 +152,71 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
     new StageTable(dir.getAbsolutePath, schema, partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "StageCatalog does not support ALTER TABLE")
+  /** Schema evolution, in the reference's one shape: APPEND-ONLY AddColumn
+    * (the reference's generator grows tables by appending columns —
+    * `generator.cc:32-44`, `join_dpu.cc:356-360` — and never reorders or
+    * drops). An added column must be nullable (files written before the
+    * ALTER store no value for it; the reader null-fills, no byte is
+    * rewritten) and lands at the END (the framing is positional).
+    * Everything else — drop, rename, retype, reposition — still throws:
+    * each would need its own invariants and a silent half-support is
+    * worse than a loud decline.
+    *
+    * Before the schema changes, every live data file missing a
+    * stored-column-count line is BACKFILLED with the pre-alter count —
+    * the last moment that count is knowable (all existing files carry
+    * the pre-alter schema; any file written later records its own).
+    * Old snapshots stay time-travel-readable: their files' counts are
+    * recorded, so a `VERSION AS OF` read under the evolved schema
+    * null-fills exactly the evolved tail.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val table = loadTable(ident) // throws NoSuchTableException
+    val schema = table.schema()
+    val added = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"StageCatalog supports only top-level ADD COLUMN, got ${add.fieldNames.mkString(".")}")
+        val colName = add.fieldNames()(0)
+        require(add.position() == null,
+          "StageCatalog supports only appended columns (the framing is " +
+            "positional): drop the FIRST/AFTER clause")
+        require(add.isNullable,
+          s"added column $colName must be nullable — files written before " +
+            "the ALTER hold no value for it")
+        require(StageSource.supported(add.dataType),
+          s"StageSource does not support column type ${add.dataType} ($colName)")
+        require(!schema.fieldNames.contains(colName),
+          s"column $colName already exists in ${schema.simpleString}")
+        require(colName != "__rows",
+          "__rows is reserved for the connector's row-count statistics")
+        org.apache.spark.sql.types.StructField(
+          colName, add.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"StageCatalog supports only ADD COLUMN, got $other")
+    }
+    val path = dir.getAbsolutePath
+    StageCommitter.lockFor(path).synchronized {
+      // backfill stored-column counts for every live data file that
+      // predates the sidecar — they all carry the pre-alter schema
+      val known = StageSource.readCols(path)
+      val missing = StageSource.dataFiles(path)
+        .map(_.getName).filterNot(known.contains)
+      if (missing.nonEmpty)
+        java.nio.file.Files.write(
+          new File(dir, StageSource.ColsFile).toPath,
+          missing.map(n => s"$n\t${schema.length}")
+            .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND): Unit
+      val evolved = StructType(schema.fields ++ added)
+      java.nio.file.Files.write(
+        new File(dir, StageSource.SchemaFile).toPath,
+        evolved.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
+      new StageTable(path, evolved, StageSource.readPartCols(path))
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

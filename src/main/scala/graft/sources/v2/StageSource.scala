@@ -114,6 +114,29 @@ object StageSource {
     */
   val EpochsFile = "_epochs.txt"
 
+  /** Per-file STORED column count: `file \t ncols` — the schema-evolution
+    * sidecar. The framing is positional, so a file written before an
+    * `ALTER TABLE … ADD COLUMN` stores fewer columns than the current
+    * schema; the reader decodes exactly the file's own columns and
+    * null-fills the rest. Written at every commit; files from before
+    * this sidecar existed are backfilled at ALTER time (when they all
+    * still carry the pre-alter schema, the last moment that count is
+    * knowable).
+    */
+  val ColsFile = "_cols.tsv"
+
+  /** file name → stored column count (absent for legacy files, which
+    * store the full current schema — ALTER backfills before evolving).
+    */
+  def readCols(path: String): Map[String, Int] = {
+    val f = new File(path, ColsFile)
+    if (!f.exists()) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(file, n) = l.split('\t'); file -> n.toInt
+      }.toMap
+  }
+
   /** Snapshot manifest name for version N: the exact file list of that
     * snapshot, one name per line. Every commit writes the next version;
     * readers resolve a version's manifest instead of listing the
@@ -249,6 +272,7 @@ object StageSource {
     }
     prune(StatsFile)
     prune(PartsFile)
+    prune(ColsFile)
   }
 
   def readPartCols(path: String): Array[String] = {
@@ -521,6 +545,7 @@ class StageTable(
     }
     rewrite(StageSource.StatsFile)
     rewrite(StageSource.PartsFile)
+    rewrite(StageSource.ColsFile)
   }
 
   // Row LINEAGE ([[SupportsMetadataColumns]], the `_metadata.file_path`
@@ -1022,6 +1047,14 @@ object StageCommitter {
           .linesIterator.filter(l => l.nonEmpty && keepLine(l))
           .foreach(l => partLines.append(l).append('\n'))
     }
+    val colLines = new StringBuilder
+    locally {
+      val f = new File(root, StageSource.ColsFile)
+      if (f.exists())
+        new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .linesIterator.filter(l => l.nonEmpty && keepLine(l))
+          .foreach(l => colLines.append(l).append('\n'))
+    }
     newFiles.foreach { case (name, c) =>
       c.stats.foreach { case (colName, mn, mx) =>
         statLines.append(s"$name\t$colName\t$mn\t$mx\n")
@@ -1029,11 +1062,18 @@ object StageCommitter {
       // the per-file row count (the docstring's `__rows` pseudo-column)
       // — what COUNT(*) pushdown answers from without opening the file
       statLines.append(s"$name\t__rows\t${c.rows}\t${c.rows}\n")
+      // the per-file STORED column count (schema-evolution sidecar): a
+      // file written before an ADD COLUMN stores fewer columns than the
+      // evolved schema and the reader null-fills the difference
+      colLines.append(s"$name\t${schema.length}\n")
       if (partCols.nonEmpty) partLines.append(s"$name\t${c.pv}\n")
     }
     java.nio.file.Files.write(
       new File(root, StageSource.StatsFile).toPath,
       statLines.toString.getBytes(StandardCharsets.UTF_8)): Unit
+    java.nio.file.Files.write(
+      new File(root, StageSource.ColsFile).toPath,
+      colLines.toString.getBytes(StandardCharsets.UTF_8)): Unit
     if (partCols.nonEmpty) {
       java.nio.file.Files.write(
         new File(root, StageSource.PartsFile).toPath,
@@ -1042,9 +1082,29 @@ object StageCommitter {
         new File(root, StageSource.PartColsFile).toPath,
         partCols.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
     }
-    java.nio.file.Files.write(
-      new File(root, StageSource.SchemaFile).toPath,
-      schema.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
+    // persist the schema, never TIGHTENING nullability: an append's
+    // write schema is the query's (a VALUES literal arrives
+    // non-nullable), but files already in the snapshot may legitimately
+    // hold nulls in that column (evolved columns null-fill) — persisting
+    // NOT NULL would make codegen skip null checks and crash on read.
+    // An overwrite replaces the table, so its schema stands as-is.
+    val schemaFile = new File(root, StageSource.SchemaFile)
+    val persistedSchema =
+      if (truncate || !schemaFile.exists()) schema
+      else {
+        val existing = StructType.fromDDL(new String(
+          java.nio.file.Files.readAllBytes(schemaFile.toPath),
+          StandardCharsets.UTF_8))
+        if (existing.length == schema.length &&
+          existing.fields.zip(schema.fields).forall { case (a, b) =>
+            a.name == b.name && a.dataType == b.dataType })
+          StructType(existing.fields.zip(schema.fields).map { case (a, b) =>
+            a.copy(nullable = a.nullable || b.nullable)
+          })
+        else schema
+      }
+    java.nio.file.Files.write(schemaFile.toPath,
+      persistedSchema.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
     // the epoch ledger precedes the marker: a crash in between re-offers
     // the epoch, which the ledger then skips
     ledgerKey.foreach { k =>
@@ -1341,7 +1401,12 @@ case class StageAggScan(path: String, schema: StructType, values: Array[Any])
     }
 }
 
-case class StageFilePartition(file: String) extends InputPartition
+/** `ncols` = the file's STORED column count (−1 = the full current
+  * schema): files written before an `ADD COLUMN` store fewer columns
+  * and the reader null-fills the difference.
+  */
+case class StageFilePartition(file: String, ncols: Int = -1)
+    extends InputPartition
 
 /** A data file plus its identity-partition KEY ([[
   * org.apache.spark.sql.connector.read.HasPartitionKey]]) — the
@@ -1354,7 +1419,8 @@ case class StageFilePartition(file: String) extends InputPartition
   * committed data). Key values are the typed Catalyst forms
   * ([[StageSource.partValue]]); all are Java-serializable.
   */
-case class StageKeyedFilePartition(file: String, key: Array[Any])
+case class StageKeyedFilePartition(
+    file: String, key: Array[Any], ncols: Int = -1)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
@@ -1568,17 +1634,20 @@ case class StageScan(
     plannedFiles = kept.length
     cowOp.foreach(_.reportScanned(kept.map(_.getName).toSeq,
       runtimeFiltered = runtimeFiles.isDefined))
+    val cols = StageSource.readCols(path)
+    def ncolsOf(f: File): Int = cols.getOrElse(f.getName, -1)
     keyedLayout(kept) match {
       case Some(fps) =>
         val types = partColTypes
         fps.map { case (f, pv) =>
           StageKeyedFilePartition(f.getAbsolutePath,
             partCols.indices.map(i =>
-              StageSource.partValue(types(i), pv(i))).toArray)
+              StageSource.partValue(types(i), pv(i))).toArray, ncolsOf(f))
             : InputPartition
         }
       case None =>
-        kept.map(f => StageFilePartition(f.getAbsolutePath): InputPartition)
+        kept.map(f =>
+          StageFilePartition(f.getAbsolutePath, ncolsOf(f)): InputPartition)
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1588,9 +1657,9 @@ case class StageScan(
 class StageReaderFactory(tableSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p match {
-      case f: StageFilePartition => f.file
-      case k: StageKeyedFilePartition => k.file
+    val (file, fileNcols) = p match {
+      case f: StageFilePartition => (f.file, f.ncols)
+      case k: StageKeyedFilePartition => (k.file, k.ncols)
     }
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(
@@ -1615,11 +1684,16 @@ class StageReaderFactory(tableSchema: StructType, required: StructType)
       // local-file streams: available() is the exact remaining byte count
       // (FileInputStream tracks the fd position; the buffer adds its
       // unread window), so row framing needs no length prefix or footer
+      // schema evolution: this file physically stores only its
+      // write-time columns; the evolved tail is null-filled per row
+      // (Iceberg's add-column contract — old files never rewrite)
+      private val storedCols =
+        if (fileNcols < 0) types.length else fileNcols
       override def next(): Boolean = in.available() > 0
       override def get(): InternalRow = {
         val r = new GenericInternalRow(required.length)
         var i = 0
-        while (i < types.length) {
+        while (i < storedCols) {
           val isNull = in.readByte() == 1
           if (isNull) {
             if (keep(i)) r.setNullAt(outIdx(i))
@@ -1646,6 +1720,10 @@ class StageReaderFactory(tableSchema: StructType, required: StructType)
                   d.precision, d.scale))
             case other => throw new IllegalStateException(s"unsupported $other")
           }
+          i += 1
+        }
+        while (i < types.length) { // columns added after this file was written
+          if (keep(i)) r.setNullAt(outIdx(i))
           i += 1
         }
         if (fileIdx >= 0) r.update(fileIdx, fileName)
