@@ -7430,6 +7430,67 @@ object SparkEntry {
     s.sql(s"SELECT k, cents, prio FROM $t ORDER BY k")
   }
 
+  /** MERGE-ON-READ delete ([[graft.sources.v2.StageDeltaDeleteOperation]],
+    * Iceberg's positional-delete contract, r16 verdict #4): the table
+    * opts in with `delete.mode=merge-on-read`, a selective `DELETE`
+    * records (file, row-ordinal) DELETE VECTORS in the next manifest —
+    * zero data bytes rewritten (spec-pinned: the data file set is
+    * byte-identical before and after) — and every read applies the
+    * vectors. At 100 TB this is what makes a row-level takedown
+    * affordable: copy-on-write pays gigabytes of rewrite per touched
+    * file; merge-on-read pays bytes proportional to the deleted rows and
+    * compaction repays the read debt lazily, off the critical path. The
+    * read-back aggregate is oracled against orders minus the deleted
+    * keys.
+    */
+  private def qDsv2MorDelete(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_mor"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT)
+      TBLPROPERTIES ('delete.mode'='merge-on-read')""")
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v WHERE o_orderkey < 2000""")
+    s.sql(s"DELETE FROM $t WHERE k % 7 = 2") // non-partition row-level
+    s.sql(s"""SELECT status, COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM $t GROUP BY status ORDER BY status""")
+  }
+
+  /** COMPACTION EQUIVALENCE for the merge-on-read path
+    * ([[graft.sources.v2.StageSource.compact]], Iceberg's
+    * `rewrite_data_files` scoped to the dirty set): the same table shape
+    * as [[qDsv2MorDelete]] takes a vector delete, then compaction
+    * rewrites ONLY the files carrying vectors (through the standard
+    * two-phase commit with full `replaceFiles`+`expectDvs` conflict
+    * validation) and the read-back must be IDENTICAL — same oracle as
+    * the uncompacted read, proving MOR-read ≡ compacted-read ≡ the
+    * copy-on-write result. A second post-compaction delete exercises
+    * fresh row ordinals over the rewritten files.
+    */
+  private def qDsv2MorCompact(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_mor_c"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT)
+      TBLPROPERTIES ('delete.mode'='merge-on-read')""")
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v WHERE o_orderkey < 2000""")
+    s.sql(s"DELETE FROM $t WHERE k % 7 = 2")
+    val dir = s"/tmp/graft_dsv2cat/${dirTag(d)}/default/ord_mor_c"
+    graft.sources.v2.StageSource.compact(dir)
+    s.sql(s"DELETE FROM $t WHERE k % 11 = 3") // fresh ordinals post-compact
+    s.sql(s"""SELECT status, COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM $t GROUP BY status ORDER BY status""")
+  }
+
   /** Row LINEAGE through the connector's metadata column
     * ([[graft.sources.v2.StageTable]]'s `SupportsMetadataColumns` — the
     * `_metadata.file_path` analog): lineitem is written through the
@@ -9406,6 +9467,8 @@ object SparkEntry {
     "q_dsv2_spj" -> (qDsv2Spj _),
     "q_dsv2_spj_staged" -> (qDsv2SpjStaged _),
     "q_dsv2_add_column" -> (qDsv2AddColumn _),
+    "q_dsv2_mor_delete" -> (qDsv2MorDelete _),
+    "q_dsv2_mor_compact" -> (qDsv2MorCompact _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
     "q_dsv2_delete" -> (qDsv2Delete _),
@@ -10480,6 +10543,27 @@ object SparkEntry {
         |            ELSE NULL END AS prio
         |FROM orders WHERE o_orderkey < 600
         |ORDER BY k""".stripMargin,
+    // q_dsv2_mor_delete: the vector delete replayed arithmetically —
+    // orders under 2000 minus the k % 7 = 2 keys
+    "q_dsv2_mor_delete" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 2
+        |GROUP BY status ORDER BY status""".stripMargin,
+    // q_dsv2_mor_compact: compaction must preserve content exactly —
+    // the same arithmetic with the second (post-compaction) delete
+    "q_dsv2_mor_compact" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 2
+        |  AND o_orderkey % 11 <> 3
+        |GROUP BY status ORDER BY status""".stripMargin,
     // q_dsv2_lineage: the per-flag content straight from lineitem; the
     // lineage claims (one shard per flag, three shards total) replayed
     // as the constants the co-located layout guarantees

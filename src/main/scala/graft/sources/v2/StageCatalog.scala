@@ -74,7 +74,8 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
     require(!schema.fieldNames.contains("__rows"),
       "__rows is reserved for the connector's row-count statistics")
     new StageTable(dir.getAbsolutePath, schema,
-      StageSource.readPartCols(dir.getAbsolutePath))
+      StageSource.readPartCols(dir.getAbsolutePath),
+      props = StageSource.readProps(dir.getAbsolutePath))
   }
 
   /** SQL time travel (`SELECT … FROM <cat>.ns.t VERSION AS OF n`): the
@@ -93,7 +94,8 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
         s"(available: ${StageSource.manifestVersions(dir.getAbsolutePath).mkString(",")})")
     loadTable(ident) match {
       case t: StageTable => new StageTable(dir.getAbsolutePath, t.schema(),
-        StageSource.readPartCols(dir.getAbsolutePath), Some(v))
+        StageSource.readPartCols(dir.getAbsolutePath), Some(v),
+        props = StageSource.readProps(dir.getAbsolutePath))
     }
   }
 
@@ -144,12 +146,23 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
       java.nio.file.Files.write(
         new File(dir, StageSource.PartColsFile).toPath,
         partCols.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    // persist user TBLPROPERTIES (e.g. `delete.mode` = `merge-on-read`,
+    // which routes row-level DELETE to positional delete vectors);
+    // Spark-managed keys are catalog bookkeeping, not table semantics
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap -- Seq(
+      "provider", "location", "owner", "external", "comment")
+    if (userProps.nonEmpty)
+      java.nio.file.Files.write(
+        new File(dir, StageSource.PropsFile).toPath,
+        userProps.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
     // an empty table is a COMPLETE (zero-file) snapshot: the marker makes
     // it immediately readable
     java.nio.file.Files.write(
       new File(dir, StageSource.SuccessFile).toPath,
       Array.emptyByteArray): Unit
-    new StageTable(dir.getAbsolutePath, schema, partCols)
+    new StageTable(dir.getAbsolutePath, schema, partCols, props = userProps)
   }
 
   /** Schema evolution, in the reference's one shape: APPEND-ONLY AddColumn
@@ -214,7 +227,8 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
       java.nio.file.Files.write(
         new File(dir, StageSource.SchemaFile).toPath,
         evolved.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
-      new StageTable(path, evolved, StageSource.readPartCols(path))
+      new StageTable(path, evolved, StageSource.readPartCols(path),
+        props = StageSource.readProps(path))
     }
   }
 

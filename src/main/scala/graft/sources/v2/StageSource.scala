@@ -95,7 +95,8 @@ class StageSource extends TableProvider {
         .getOrElse(StageSource.readPartCols(path))
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema ${schema.simpleString}"))
-    new StageTable(path, schema, partCols)
+    new StageTable(path, schema, partCols,
+      props = StageSource.readProps(path))
   }
 }
 
@@ -105,10 +106,27 @@ object StageSource {
   val StatsFile = "_stats.tsv"
   /** Metadata column: committed file name (row lineage). */
   val FileCol = "_file"
+  /** Metadata column: row ordinal within its file — with [[FileCol]] the
+    * ROW ID of the merge-on-read delete contract (Iceberg's positional
+    * delete coordinates).
+    */
+  val PosCol = "_pos"
   /** Persisted identity-partition column list (one name per line). */
   val PartColsFile = "_partcols.txt"
   /** Per-file partition value map: `file \t url-encoded-value[/value…]`. */
   val PartsFile = "_parts.tsv"
+
+  /** Persisted table properties: `key \t value`, one per line. */
+  val PropsFile = "_props.tsv"
+
+  def readProps(path: String): Map[String, String] = {
+    val f = new File(path, PropsFile)
+    if (!f.exists()) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split('\t'); k -> v
+      }.toMap
+  }
   /** Committed streaming epoch ids, one per line (the sink's exactly-once
     * ledger: a re-delivered epoch found here is skipped).
     */
@@ -146,6 +164,40 @@ object StageSource {
     */
   def manifestName(v: Int): String = s"_v$v.manifest"
   private val ManifestRe = "_v(\\d+)\\.manifest".r
+
+  /** Positional DELETE VECTORS ride the manifest as `D\tfile\tpos` lines
+    * (merge-on-read deletes, Iceberg's positional-delete contract): a
+    * selective DELETE on a MOR table writes these entries instead of
+    * rewriting whole files, readers skip the listed row ordinals, and
+    * [[compact]] rewrites lazily. Living INSIDE the manifest keeps the
+    * commit single-file-atomic under the CREATE_NEW claim — a reader can
+    * never see a snapshot's file list without its delete state. Each
+    * version's lines are CUMULATIVE (carry-forward happens at commit;
+    * a replaced or dropped file's entries drop with it), so resolving a
+    * version needs exactly one manifest read — including old versions
+    * under time travel.
+    */
+  private val DeleteLineTag = "D\t"
+
+  def deleteLine(file: String, pos: Long): String =
+    s"$DeleteLineTag$file\t$pos"
+
+  def isDeleteLine(l: String): Boolean = l.startsWith(DeleteLineTag)
+
+  /** The delete vectors of snapshot `v` (latest when None): file name →
+    * sorted deleted row ordinals. Empty for pre-MOR manifests and legacy
+    * tables.
+    */
+  def readDeletes(path: String, v: Option[Int]): Map[String, Array[Long]] = {
+    val version = v.orElse(latestVersion(path)).getOrElse(return Map.empty)
+    val mf = new File(path, manifestName(version))
+    if (!mf.exists()) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(isDeleteLine).toSeq
+      .map { l => val Array(_, f, p) = l.split('\t'); (f, p.toLong) }
+      .groupBy(_._1)
+      .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
+  }
 
   /** Commit-time ledger: `version \t epochMillis`, one line per snapshot,
     * appended when the version's manifest is claimed — what `TIMESTAMP AS
@@ -223,7 +275,7 @@ object StageSource {
         s"(available: ${manifestVersions(path).mkString(",")})")
     val names = new String(
       java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).toArray
+      .linesIterator.filter(l => l.nonEmpty && !isDeleteLine(l)).toArray
     names.map { n =>
       val f = new File(path, n)
       require(f.exists(),
@@ -232,6 +284,43 @@ object StageSource {
           "is no longer reconstructible")
       f
     }
+  }
+
+  /** Repay the merge-on-read debt: rewrite ONLY the files carrying
+    * delete vectors (decode, drop the deleted ordinals, re-commit
+    * through the standard two-phase protocol with full conflict
+    * validation — `replaceFiles` + `expectDvs`), producing a snapshot
+    * with the same content and no vectors. Iceberg's
+    * `rewrite_data_files` scoped to the dirty set; clean files are
+    * never touched. Runs driver-side file-at-a-time (each file is one
+    * writer task's output, bounded by construction) — a distributed
+    * variant would read with a `_file IN (dirty)` filter and write
+    * through the same replaceFiles commit.
+    */
+  def compact(path: String): Unit = {
+    val schemaFile = new File(path, SchemaFile)
+    require(schemaFile.exists(),
+      s"StageSource table at $path has no persisted schema")
+    val schema = StructType.fromDDL(new String(
+      java.nio.file.Files.readAllBytes(schemaFile.toPath), StandardCharsets.UTF_8))
+    val partCols = readPartCols(path)
+    val dvs = readDeletes(path, None)
+    if (dvs.isEmpty) return // nothing to repay
+    val cols = readCols(path)
+    val qid = "compact-" + java.util.UUID.randomUUID().toString.take(8)
+    val writer = new StageDataWriter(path, schema, qid, 0, 0L, partCols)
+    val factory = new StageReaderFactory(schema, schema)
+    dvs.keys.toSeq.sorted.foreach { name =>
+      val f = new File(path, name)
+      val reader = factory.createReader(StageFilePartition(
+        f.getAbsolutePath, cols.getOrElse(name, -1), dvs(name)))
+      while (reader.next()) writer.write(reader.get())
+      reader.close()
+    }
+    StageCommitter.commit(path, schema, partCols, qid,
+      Array(writer.commit()), truncate = false, epoch = None,
+      replaceFiles = Some(dvs.keySet),
+      expectDvs = Some(dvs.map { case (k, v) => k -> v.toSet }))
   }
 
   /** Expire history: keep only the latest snapshot's files + manifest,
@@ -461,7 +550,11 @@ class StageTable(
     partCols: Array[String] = Array.empty,
     // a table loaded via SQL time travel (`VERSION AS OF n`) is PINNED:
     // every scan reads snapshot n unless a read option overrides it
-    pinnedVersion: Option[Int] = None)
+    pinnedVersion: Option[Int] = None,
+    // persisted table properties (`_props.tsv`): `delete.mode` =
+    // `merge-on-read` routes row-level DELETE to the delta (positional
+    // delete vector) path instead of copy-on-write
+    props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -516,11 +609,19 @@ class StageTable(
         // these files intentionally stop being reconstructible (and say
         // so loudly)
         val survivors = current.map(_.getName).filterNot(doomed)
+        // surviving files keep their merge-on-read delete vectors; the
+        // doomed files' entries drop with them
+        val dvLines = StageSource.readDeletes(path, None)
+          .filter { case (f, _) => survivors.contains(f) }
+          .toSeq.sortBy(_._1).flatMap { case (f, ps) =>
+            ps.map(p => StageSource.deleteLine(f, p))
+          }
         val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
         try {
           java.nio.file.Files.write(
             new File(path, StageSource.manifestName(nextV)).toPath,
-            survivors.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+            (survivors.toSeq ++ dvLines)
+              .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW): Unit
           StageSource.recordCommitTime(path, nextV)
           committed = true
@@ -562,6 +663,13 @@ class StageTable(
       override def isNullable: Boolean = false
       override def comment(): String =
         "name of the committed data file holding this row"
+    },
+    new MetadataColumn {
+      override def name(): String = StageSource.PosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row ordinal within the committed data file (merge-on-read row id)"
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -594,7 +702,15 @@ class StageTable(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new StageRowLevelOperation(path, tableSchema, partCols, info.command)
+    () =>
+      if (info.command ==
+          org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
+          props.get("delete.mode").contains("merge-on-read"))
+        new StageDeltaDeleteOperation(path, tableSchema, partCols)
+      else
+        new StageRowLevelOperation(path, tableSchema, partCols, info.command)
+
+  override def properties(): util.Map[String, String] = props.asJava
 }
 
 /** The copy-on-write operation instance. The GROUP is the committed data
@@ -628,12 +744,19 @@ class StageRowLevelOperation(
   // scan's report stands. SourcesSpec pins the selective behavior.
   @volatile private var scanned: Set[String] = Set.empty
   @volatile private var sawRuntimeFiltered = false
+  // the delete-vector state each scanned file carried when read — what
+  // commit validates against to catch a concurrent MOR delete on a
+  // scanned file (the same lost-update hazard as a rewritten file)
+  @volatile private var dvsAtScan: Map[String, Set[Long]] = Map.empty
   private[v2] def reportScanned(
       files: Seq[String], runtimeFiltered: Boolean): Unit = synchronized {
     if (runtimeFiltered) { scanned = files.toSet; sawRuntimeFiltered = true }
     else if (!sawRuntimeFiltered) scanned = files.toSet
   }
+  private[v2] def reportScannedDvs(dvs: Map[String, Set[Long]]): Unit =
+    synchronized { dvsAtScan = dvsAtScan ++ dvs }
   private[v2] def scannedFiles: Set[String] = scanned
+  private[v2] def scannedDvs: Map[String, Set[Long]] = dvsAtScan
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StageScanBuilder(path, tableSchema, partCols, None, cowOp = Some(this))
@@ -652,6 +775,99 @@ class StageRowLevelOperation(
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(Expressions.column(StageSource.FileCol))
   override def description(): String = s"graft_stage_cow($cmd)"
+}
+
+/** The MERGE-ON-READ delete operation ([[
+  * org.apache.spark.sql.connector.write.SupportsDelta]], Iceberg's
+  * positional-delete contract, r16 verdict #4): Spark's
+  * RewriteDeleteFromTable plans the DELETE condition into this
+  * operation's scan, emits each matching row's ROW ID (`_file`, `_pos`),
+  * and the delta write records those coordinates as delete vectors in
+  * the next manifest — NO data file is rewritten. At 100 TB this is what
+  * makes a selective DELETE affordable: copy-on-write rewrites every
+  * touched file (gigabytes for a one-row takedown); merge-on-read writes
+  * bytes proportional to the DELETED rows and [[StageSource.compact]]
+  * repays the read-side debt lazily. Enabled per table with
+  * `TBLPROPERTIES ('delete.mode'='merge-on-read')`; UPDATE/MERGE stay
+  * copy-on-write.
+  */
+class StageDeltaDeleteOperation(
+    path: String, tableSchema: StructType, partCols: Array[String])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder}
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StageScanBuilder(path, tableSchema, partCols, None)
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(StageSource.FileCol),
+      Expressions.column(StageSource.PosCol))
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): DeltaWriteBuilder = new DeltaWriteBuilder {
+    override def build(): DeltaWrite = new DeltaWrite {
+      override def toBatch: DeltaBatchWrite =
+        new StageDeltaBatchWrite(path, tableSchema, partCols, info.queryId())
+    }
+  }
+  override def description(): String = "graft_stage_mor(DELETE)"
+}
+
+/** One task's collected delete coordinates: file → row ordinals. */
+case class StageDeltaCommit(deletes: Map[String, Array[Long]])
+    extends WriterCommitMessage
+
+class StageDeltaBatchWrite(
+    path: String, schema: StructType, partCols: Array[String],
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new org.apache.spark.sql.connector.write.DeltaWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+        new StageDeltaWriter
+    }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val merged = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    messages.foreach {
+      case StageDeltaCommit(dels) => dels.foreach { case (f, ps) =>
+        merged.getOrElseUpdate(
+          f, scala.collection.mutable.ArrayBuffer.empty[Long]) ++= ps
+      }
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    StageCommitter.commit(path, schema, partCols, queryId,
+      Array.empty, truncate = false, epoch = None,
+      addDeletes = merged.iterator
+        .map { case (f, ps) => f -> ps.distinct.sorted.toArray }.toMap)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Collects (file, pos) coordinates; DELETE-only — this operation never
+  * receives inserts or updates (those commands stay copy-on-write).
+  */
+class StageDeltaWriter
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val dels = scala.collection.mutable.LinkedHashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    dels.getOrElseUpdate(id.getUTF8String(0).toString,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+  override def insert(row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "graft_stage_mor(DELETE) accepts only deletes")
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "graft_stage_mor(DELETE) accepts only deletes")
+  override def commit(): WriterCommitMessage =
+    StageDeltaCommit(dels.iterator
+      .map { case (f, ps) => f -> ps.distinct.sorted.toArray }.toMap)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 object StageTable {
@@ -859,7 +1075,8 @@ class StageBatchWrite(
       truncate, epoch = None, replaceWhere,
       // resolved AT COMMIT: scan planning has necessarily happened by
       // the time the rewrite's write job finishes
-      replaceFiles = cowOp.map(_.scannedFiles))
+      replaceFiles = cowOp.map(_.scannedFiles),
+      expectDvs = cowOp.map(_.scannedDvs))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     StageCommitter.cleanStaging(path, queryId)
@@ -890,7 +1107,17 @@ object StageCommitter {
       queryId: String, messages: Array[WriterCommitMessage],
       truncate: Boolean, epoch: Option[Long],
       replaceWhere: Array[Filter] = Array.empty,
-      replaceFiles: Option[Set[String]] = None): Unit =
+      replaceFiles: Option[Set[String]] = None,
+      // merge-on-read DELETE: new positional delete entries to record
+      // (file → sorted row ordinals) — no data file moves, the manifest
+      // gains D-lines
+      addDeletes: Map[String, Array[Long]] = Map.empty,
+      // rewrite conflict validation over DELETE STATE: the DV set each
+      // scanned file had when the operation's scan read it — a scanned
+      // file whose vectors changed since means the rewrite was computed
+      // from different contents, the same lost-update hazard as a
+      // rewritten file
+      expectDvs: Option[Map[String, Set[Long]]] = None): Unit =
     lockFor(path).synchronized {
     val root = new File(path)
     root.mkdirs()
@@ -949,6 +1176,18 @@ object StageCommitter {
     // succeeds — the loser re-reads the winner's manifest as its base
     // snapshot and claims the version after it, so neither commit's rows
     // vanish (the pre-fix clobber lost the first commit silently).
+    // abort-with-cleanup for conflict validation failures: the just-moved
+    // output files are unreferenced by any manifest — delete them like an
+    // abort, then fail loudly
+    def conflict(detail: String): Nothing = {
+      newFiles.foreach { case (name, _) =>
+        new File(root, name).delete(): Unit
+      }
+      throw new IllegalStateException(
+        s"concurrent rewrite conflict on $path: $detail — aborting " +
+          "instead of silently losing a concurrent commit's changes; " +
+          "re-run the operation against the current snapshot")
+    }
     var committed = false
     while (!committed) {
       // the new snapshot's file list: overwrite starts empty; a
@@ -974,21 +1213,12 @@ object StageCommitter {
           // lost update (write-skew). Iceberg's validation aborts here;
           // so does this. Concurrent APPENDS stay safe: appended files
           // are never in replaceFiles and carry over untouched
-          // (spec-pinned in SourcesSpec). The just-moved rewrite output
-          // is unreferenced by any manifest — delete it like an abort.
+          // (spec-pinned in SourcesSpec).
           val overlap = replaceFiles.get.diff(prev.toSet)
-          if (overlap.nonEmpty) {
-            newFiles.foreach { case (name, _) =>
-              new File(root, name).delete(): Unit
-            }
-            throw new IllegalStateException(
-              s"concurrent rewrite conflict on $path: file(s) " +
-                s"${overlap.toSeq.sorted.mkString(", ")} read by this " +
-                "row-level operation were rewritten or deleted by a " +
-                "concurrent commit — aborting instead of silently losing " +
-                "that commit's changes; re-run the operation against the " +
-                "current snapshot")
-          }
+          if (overlap.nonEmpty)
+            conflict(s"file(s) ${overlap.toSeq.sorted.mkString(", ")} read " +
+              "by this row-level operation were rewritten or deleted by a " +
+              "concurrent commit")
           // copy-on-write row-level op: drop exactly the files the
           // operation's scan planned (the rewritten groups); files the
           // zone maps / partition values proved clean carry over
@@ -1007,11 +1237,50 @@ object StageCommitter {
         }
       }
       newFiles.foreach { case (name, _) => snapshot += name }
+      // ------------------------------------------- merge-on-read deletes
+      // the base's delete vectors as of THIS retry (files dropped from
+      // the snapshot — replaced, overwritten, doomed — lose theirs)
+      val baseDvs =
+        if (truncate) Map.empty[String, Array[Long]]
+        else StageSource.readDeletes(path, None)
+          .filter { case (f, _) => snapshot.contains(f) }
+      // conflict validation over DELETE STATE: a scanned file whose
+      // vectors changed since the scan means the rewrite read different
+      // rows — the same lost-update hazard as a rewritten file
+      expectDvs.foreach { exp =>
+        replaceFiles.getOrElse(Set.empty).foreach { f =>
+          val cur = StageSource.readDeletes(path, None)
+            .get(f).map(_.toSet).getOrElse(Set.empty)
+          if (cur != exp.getOrElse(f, Set.empty))
+            conflict(s"file $f gained or lost delete vectors after this " +
+              "row-level operation scanned it")
+        }
+      }
+      // a MOR delete whose target file is gone from the base was
+      // computed against contents a concurrent rewrite replaced — its
+      // positions are meaningless on the new file
+      locally {
+        val orphans = addDeletes.keySet.diff(snapshot.toSet)
+        if (orphans.nonEmpty)
+          conflict(s"delete vectors target file(s) " +
+            s"${orphans.toSeq.sorted.mkString(", ")} which a concurrent " +
+            "commit rewrote or removed")
+      }
+      val dvs: Map[String, Array[Long]] =
+        if (addDeletes.isEmpty) baseDvs
+        else (baseDvs.keySet ++ addDeletes.keySet).iterator.map { f =>
+          f -> (baseDvs.getOrElse(f, Array.empty[Long]) ++
+            addDeletes.getOrElse(f, Array.empty[Long])).distinct.sorted
+        }.toMap
+      val dvLines = dvs.toSeq.sortBy(_._1).flatMap { case (f, ps) =>
+        ps.map(p => StageSource.deleteLine(f, p))
+      }
       val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
       try {
         java.nio.file.Files.write(
           new File(root, StageSource.manifestName(nextV)).toPath,
-          snapshot.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+          (snapshot.toSeq ++ dvLines)
+            .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW): Unit
         StageSource.recordCommitTime(path, nextV) // TIMESTAMP AS OF anchor
         committed = true
@@ -1320,10 +1589,16 @@ class StageScanBuilder(
     if (skipFilters.nonEmpty || partFilters.nonEmpty) return None
     val stats = StageSource.readStats(path)
     val files = StageSource.snapshotFiles(path, versionAsOf).map(_.getName)
+    val dvs = StageSource.readDeletes(path, versionAsOf)
     // every snapshot file must carry a row count (legacy files decline)
     val counts = files.map(f => stats.get(f).flatMap(_.get("__rows")))
     if (counts.exists(_.isEmpty)) return None
-    val total = counts.map(_.get.min.toLong).sum
+    // COUNT stays exact under merge-on-read deletes (per-file vector
+    // sizes subtract); MIN/MAX must DECLINE on any file with vectors —
+    // the extreme value might be a deleted row
+    val total = counts.map(_.get.min.toLong).sum -
+      files.map(f => dvs.get(f).map(_.length.toLong).getOrElse(0L)).sum
+    val anyDeletes = files.exists(dvs.contains)
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -1337,6 +1612,7 @@ class StageScanBuilder(
     // only); None = decline the whole aggregation
     def minMax(e: org.apache.spark.sql.connector.expressions.Expression,
         wantMin: Boolean): Option[(StructField, Any)] = {
+      if (anyDeletes) return None // the extreme might be a deleted row
       val c = colName(e).getOrElse(return None)
       val f = tableSchema.fields.find(_.name == c).getOrElse(return None)
       val isInt = f.dataType == IntegerType
@@ -1403,9 +1679,13 @@ case class StageAggScan(path: String, schema: StructType, values: Array[Any])
 
 /** `ncols` = the file's STORED column count (−1 = the full current
   * schema): files written before an `ADD COLUMN` store fewer columns
-  * and the reader null-fills the difference.
+  * and the reader null-fills the difference. `deletes` = the snapshot's
+  * positional delete vector for this file (sorted row ordinals), applied
+  * at read — merge-on-read.
   */
-case class StageFilePartition(file: String, ncols: Int = -1)
+case class StageFilePartition(
+    file: String, ncols: Int = -1,
+    deletes: Array[Long] = Array.empty)
     extends InputPartition
 
 /** A data file plus its identity-partition KEY ([[
@@ -1420,7 +1700,8 @@ case class StageFilePartition(file: String, ncols: Int = -1)
   * ([[StageSource.partValue]]); all are Java-serializable.
   */
 case class StageKeyedFilePartition(
-    file: String, key: Array[Any], ncols: Int = -1)
+    file: String, key: Array[Any], ncols: Int = -1,
+    deletes: Array[Long] = Array.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
@@ -1515,9 +1796,11 @@ case class StageScan(
     private val bytes = kept.map(_.length).sum
     private val rows: Option[Long] = {
       val stats = StageSource.readStats(path)
+      val dvs = StageSource.readDeletes(path, versionAsOf)
       val counts = kept.map(f => stats.get(f.getName).flatMap(_.get("__rows")))
       if (counts.exists(_.isEmpty)) None
-      else Some(counts.map(_.get.min.toLong).sum)
+      else Some(counts.map(_.get.min.toLong).sum -
+        kept.map(f => dvs.get(f.getName).map(_.length.toLong).getOrElse(0L)).sum)
     }
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong =
@@ -1635,19 +1918,27 @@ case class StageScan(
     cowOp.foreach(_.reportScanned(kept.map(_.getName).toSeq,
       runtimeFiltered = runtimeFiles.isDefined))
     val cols = StageSource.readCols(path)
+    val dvs = StageSource.readDeletes(path, versionAsOf)
+    cowOp.foreach(_.reportScannedDvs(
+      kept.map(f => f.getName ->
+        dvs.get(f.getName).map(_.toSet).getOrElse(Set.empty[Long])).toMap))
     def ncolsOf(f: File): Int = cols.getOrElse(f.getName, -1)
+    def dvOf(f: File): Array[Long] =
+      dvs.getOrElse(f.getName, Array.empty[Long])
     keyedLayout(kept) match {
       case Some(fps) =>
         val types = partColTypes
         fps.map { case (f, pv) =>
           StageKeyedFilePartition(f.getAbsolutePath,
             partCols.indices.map(i =>
-              StageSource.partValue(types(i), pv(i))).toArray, ncolsOf(f))
+              StageSource.partValue(types(i), pv(i))).toArray,
+            ncolsOf(f), dvOf(f))
             : InputPartition
         }
       case None =>
         kept.map(f =>
-          StageFilePartition(f.getAbsolutePath, ncolsOf(f)): InputPartition)
+          StageFilePartition(f.getAbsolutePath, ncolsOf(f), dvOf(f))
+            : InputPartition)
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1657,9 +1948,9 @@ case class StageScan(
 class StageReaderFactory(tableSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (file, fileNcols) = p match {
-      case f: StageFilePartition => (f.file, f.ncols)
-      case k: StageKeyedFilePartition => (k.file, k.ncols)
+    val (file, fileNcols, deletes) = p match {
+      case f: StageFilePartition => (f.file, f.ncols, f.deletes)
+      case k: StageKeyedFilePartition => (k.file, k.ncols, k.deletes)
     }
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(
@@ -1679,18 +1970,36 @@ class StageReaderFactory(tableSchema: StructType, required: StructType)
         }
       }
       private val fileIdx = required.fieldNames.indexOf(StageSource.FileCol)
+      private val posIdx = required.fieldNames.indexOf(StageSource.PosCol)
       private val fileName =
         UTF8String.fromString(new File(file).getName)
-      // local-file streams: available() is the exact remaining byte count
-      // (FileInputStream tracks the fd position; the buffer adds its
-      // unread window), so row framing needs no length prefix or footer
       // schema evolution: this file physically stores only its
       // write-time columns; the evolved tail is null-filled per row
       // (Iceberg's add-column contract — old files never rewrite)
       private val storedCols =
         if (fileNcols < 0) types.length else fileNcols
-      override def next(): Boolean = in.available() > 0
-      override def get(): InternalRow = {
+      // merge-on-read: rows whose ordinal is in the snapshot's delete
+      // vector are skipped at read. The framing is positional, so a
+      // deleted row is still DECODED to advance the stream — the
+      // sequential-scan cost a row-group-indexed format would avoid;
+      // compact() removes the debt lazily.
+      private var pos = -1L // ordinal of the row in `pending`
+      private var delIdx = 0
+      private var pending: InternalRow = _
+      // local-file streams: available() is the exact remaining byte count
+      // (FileInputStream tracks the fd position; the buffer adds its
+      // unread window), so row framing needs no length prefix or footer
+      override def next(): Boolean = {
+        while (in.available() > 0) {
+          pos += 1
+          val r = readRow()
+          if (delIdx < deletes.length && deletes(delIdx) == pos) delIdx += 1
+          else { pending = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = pending
+      private def readRow(): InternalRow = {
         val r = new GenericInternalRow(required.length)
         var i = 0
         while (i < storedCols) {
@@ -1727,6 +2036,7 @@ class StageReaderFactory(tableSchema: StructType, required: StructType)
           i += 1
         }
         if (fileIdx >= 0) r.update(fileIdx, fileName)
+        if (posIdx >= 0) r.setLong(posIdx, pos)
         r
       }
       override def close(): Unit = in.close()

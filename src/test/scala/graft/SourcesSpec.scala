@@ -287,8 +287,10 @@ class SourcesSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("CREATE TABLE stagespec.default.t1 (k BIGINT) ")
     }
+    // append-only ADD COLUMN is supported (r17); destructive shapes
+    // still decline loudly
     intercept[Exception] {
-      spark.sql("ALTER TABLE stagespec.default.t1 ADD COLUMN z BIGINT")
+      spark.sql("ALTER TABLE stagespec.default.t1 RENAME COLUMN k TO kk")
     }
     // DELETE on a non-partition predicate routes through the row-level
     // (copy-on-write) path: a full-group rewrite, correct content, a new
@@ -870,6 +872,68 @@ class SourcesSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (early STRING FIRST)")
     }
     assert(e2.getMessage.contains("appended"), e2.getMessage)
+  }
+
+  test("merge-on-read DELETE: vectors not rewrites, COW-equivalent content, lazy compaction") {
+    // r16 verdict #4: COW rewrites whole files per touched row; at 100 TB
+    // a selective DELETE should write positional delete vectors and
+    // apply them at read, compacting lazily.
+    import graft.sources.v2.StageSource
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_mor").toString
+    spark.conf.set("spark.sql.catalog.stagemor", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagemor.root", root)
+    val mor = "stagemor.default.t_mor"
+    val cow = "stagemor.default.t_cow"
+    val insert = "SELECT id, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END, " +
+      "id * 10 FROM range(0, 1000)"
+    spark.sql(s"CREATE TABLE $mor (k BIGINT, status STRING, cents BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $mor $insert")
+    spark.sql(s"CREATE TABLE $cow (k BIGINT, status STRING, cents BIGINT)")
+    spark.sql(s"INSERT INTO $cow $insert")
+    val morDir = new java.io.File(new java.io.File(root, "default"), "t_mor")
+      .getAbsolutePath
+    val cowDir = new java.io.File(new java.io.File(root, "default"), "t_cow")
+      .getAbsolutePath
+    def dataFileNames(d: String) =
+      StageSource.dataFiles(d).map(_.getName).toSet
+    val morFilesBefore = dataFileNames(morDir)
+    val cowFilesBefore = dataFileNames(cowDir)
+    spark.sql(s"DELETE FROM $mor WHERE k % 7 = 2")
+    spark.sql(s"DELETE FROM $cow WHERE k % 7 = 2")
+    // WRITE AMPLIFICATION: the MOR delete moved zero data bytes (no new
+    // part file); the COW delete rewrote its touched files
+    assert(dataFileNames(morDir) == morFilesBefore,
+      s"MOR delete rewrote data files: ${dataFileNames(morDir).diff(morFilesBefore)}")
+    assert(dataFileNames(cowDir) != cowFilesBefore,
+      "COW delete did not rewrite (twin setup broken?)")
+    // the vectors are real and the snapshot carries them
+    val dvs = StageSource.readDeletes(morDir, None)
+    assert(dvs.nonEmpty && dvs.values.map(_.length).sum == 143,
+      dvs.map { case (f, p) => s"$f:${p.length}" }.mkString(","))
+    // MOR read ≡ COW result (compaction-equivalence half 1)
+    def content(t: String) = spark.sql(
+      s"SELECT k, status, cents FROM $t").as[(Long, String, Long)]
+      .collect().toSet
+    val morContent = content(mor)
+    assert(morContent == content(cow) && morContent.size == 857)
+    // exact COUNT pushdown stays exact under vectors
+    assert(spark.sql(s"SELECT COUNT(*) FROM $mor").head().getLong(0) == 857L)
+    // metadata row id stays hidden from SELECT *
+    assert(!spark.table(mor).columns.contains("_pos"))
+    // compaction repays the debt: same content, no vectors, only the
+    // dirty files rewritten
+    StageSource.compact(morDir)
+    assert(StageSource.readDeletes(morDir, None).isEmpty)
+    assert(content(mor) == morContent)
+    // a second delete after compaction still works (fresh ordinals)
+    spark.sql(s"DELETE FROM $mor WHERE k = 0")
+    assert(content(mor) == morContent.filterNot(_._1 == 0L))
+    // time travel: the pre-delete snapshot still reads complete
+    val v1 = spark.sql(s"SELECT COUNT(*) FROM $mor VERSION AS OF 1")
+      .head().getLong(0)
+    assert(v1 == 1000L, v1.toString)
   }
 
   test("pre-r16 bare-epoch ledger lines still dedup re-offered epochs") {
