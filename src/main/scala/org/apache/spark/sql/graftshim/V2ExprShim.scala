@@ -31,4 +31,10 @@ object V2ExprShim {
   /** A V2 long literal (test/helper constructor). */
   def longLiteral(v: Long): Expression =
     LiteralValue(v, org.apache.spark.sql.types.LongType)
+
+  /** A V2 literal of any type, value already in Catalyst form (the
+    * predicate-equivalence fuzz constructor).
+    */
+  def literal(v: Any, dt: org.apache.spark.sql.types.DataType): Expression =
+    LiteralValue(v, dt)
 }

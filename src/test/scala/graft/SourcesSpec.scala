@@ -936,6 +936,158 @@ class SourcesSpec extends SparkTestBase {
     assert(v1 == 1000L, v1.toString)
   }
 
+  test("predicate-evaluation equivalence fuzz: partition matching agrees with Catalyst on 2000+ typed cases") {
+    // r16 verdict #6: the operand-order inversion (r15) was found by
+    // inspection; this property finds that whole bug CLASS mechanically —
+    // StageSource.partMatches and StageTable.matches are compared against
+    // Spark's own Catalyst comparison evaluation over random typed
+    // literals, BOTH operand orders, nulls, boundary longs beyond 2^53,
+    // pre-epoch timestamps, and decimals. Any divergence is a file
+    // wrongly pruned, replaced, or deleted.
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal => CLit, EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.graftshim.V2ExprShim
+    import org.apache.spark.sql.types._
+    import graft.sources.v2.{StageSource, StageTable}
+
+    val rnd = new scala.util.Random(1717)
+    val ops = Seq("=", "<", "<=", ">", ">=")
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case o => o
+    }
+    // the ground truth: Spark's own evaluation of `col op lit` with both
+    // sides as same-type Catalyst literals (how the comparison evaluates
+    // after analysis coercion)
+    def catalyst(op: String, dt: DataType, colV: Any, litV: Any): Boolean = {
+      val (l, r) = (CLit.create(colV, dt), CLit.create(litV, dt))
+      val e = op match {
+        case "=" => CEq(l, r); case "<" => CLt(l, r); case "<=" => CLe(l, r)
+        case ">" => CGt(l, r); case ">=" => CGe(l, r)
+      }
+      val v = e.eval(null)
+      v != null && v.asInstanceOf[Boolean]
+    }
+    var cases = 0
+    // colV/litV in CATALYST form (Long/Int/Double/UTF8String/Decimal/
+    // micros-Long); v1Lit in the V1 pushed-filter form partMatches sees
+    def check(dt: DataType, colV: Any, litV: Any, v1Lit: Any): Unit = {
+      val rendered = StageSource.renderPart(
+        dt, new GenericInternalRow(Array[Any](colV)), 0)
+      val litConnector = V2ExprShim.literal(litV, dt)
+      val colRef = Expressions.column("p")
+      for (op <- ops) {
+        val expect = colV != null && catalyst(op, dt, colV, litV)
+        val got1 = StageSource.partMatches(dt, rendered, op, v1Lit)
+        assert(got1 == expect,
+          s"partMatches: $dt '$rendered' $op $v1Lit → $got1, Catalyst says $expect")
+        val colFirst = new Predicate(op,
+          Array[org.apache.spark.sql.connector.expressions.Expression](
+            colRef, litConnector))
+        val got2 = StageTable.matches(
+          colFirst, Array("p"), Array(dt), Array(rendered))
+        assert(got2 == expect,
+          s"matches(col-first): $dt '$rendered' $op $litV → $got2, Catalyst says $expect")
+        // the SAME comparison spelled literal-first (`lit flip(op) col`)
+        val litFirst = new Predicate(flip(op),
+          Array[org.apache.spark.sql.connector.expressions.Expression](
+            litConnector, colRef))
+        val got3 = StageTable.matches(
+          litFirst, Array("p"), Array(dt), Array(rendered))
+        assert(got3 == expect,
+          s"matches(lit-first): $dt $litV ${flip(op)} '$rendered' → $got3, Catalyst says $expect")
+        cases += 3
+      }
+      // IN: membership over a small list containing litV and two others
+      if (colV != null) {
+        val expectIn = catalyst("=", dt, colV, litV)
+        val inP = new Predicate("IN",
+          Array[org.apache.spark.sql.connector.expressions.Expression](
+            colRef, litConnector))
+        assert(StageTable.matches(inP, Array("p"), Array(dt),
+          Array(rendered)) == expectIn, s"IN: $dt '$rendered' in ($litV)")
+        cases += 1
+      }
+    }
+    def nearbyLong(v: Long): Long = rnd.nextInt(5) match {
+      case 0 => v; case 1 => v + 1; case 2 => v - 1
+      case _ => rnd.nextLong()
+    }
+    // ---- LongType: random + the 2^53 double-collapse boundary + extremes
+    val longPool = Seq(0L, 1L, -1L, 1L << 53, (1L << 53) + 1, -(1L << 53) - 1,
+      Long.MaxValue, Long.MinValue + 1) ++ Seq.fill(40)(rnd.nextLong())
+    for (colV <- longPool; _ <- 1 to 2) {
+      val litV = nearbyLong(colV)
+      check(LongType, colV, litV, java.lang.Long.valueOf(litV))
+    }
+    check(LongType, null, 5L, java.lang.Long.valueOf(5L))
+    // int literal on a long column (Spark widens; the connector must too)
+    for (_ <- 1 to 20) {
+      val colV = rnd.nextInt(100) - 50L
+      val lit = rnd.nextInt(100) - 50
+      check(LongType, colV, lit.toLong, java.lang.Integer.valueOf(lit))
+    }
+    // ---- IntegerType (long literal rides the integral exact path)
+    for (_ <- 1 to 40) {
+      val colV = rnd.nextInt()
+      val litV = if (rnd.nextBoolean()) colV else rnd.nextInt()
+      check(IntegerType, colV, litV, java.lang.Integer.valueOf(litV))
+    }
+    check(IntegerType, null, 5, java.lang.Integer.valueOf(5))
+    // ---- DoubleType, NaN included (Spark: NaN == NaN, NaN > everything)
+    val dblPool = Seq(0.0, -0.0, 1.5, -1.5, Double.NaN,
+      Double.MaxValue, Double.MinPositiveValue) ++
+      Seq.fill(30)(rnd.nextDouble() * 1e6 - 5e5)
+    for (colV <- dblPool) {
+      val litV = if (rnd.nextBoolean()) colV else rnd.nextDouble() * 1e6 - 5e5
+      check(DoubleType, colV, litV, java.lang.Double.valueOf(litV))
+    }
+    // ---- StringType (lexicographic, incl. empty and multi-byte)
+    val strPool = Seq("", "a", "ab", "é", "z", "null") ++
+      Seq.fill(30)(rnd.alphanumeric.take(rnd.nextInt(6)).mkString)
+    for (colV <- strPool) {
+      val litV = if (rnd.nextBoolean()) colV
+        else rnd.alphanumeric.take(rnd.nextInt(6)).mkString
+      check(StringType,
+        org.apache.spark.unsafe.types.UTF8String.fromString(colV),
+        org.apache.spark.unsafe.types.UTF8String.fromString(litV), litV)
+    }
+    check(StringType, null,
+      org.apache.spark.unsafe.types.UTF8String.fromString("x"), "x")
+    // ---- TimestampType: micros incl. PRE-EPOCH, all three V1 literal
+    // spellings (raw micros, java.sql.Timestamp, Instant)
+    for (_ <- 1 to 40) {
+      val colMicros = rnd.nextLong() % 4000000000000000L // ±~2096
+      val litMicros =
+        if (rnd.nextBoolean()) colMicros else nearbyLong(colMicros)
+      val v1: Any = rnd.nextInt(3) match {
+        case 0 => java.lang.Long.valueOf(litMicros)
+        case 1 =>
+          val ts = new java.sql.Timestamp(
+            Math.floorDiv(litMicros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(litMicros, 1000000L) * 1000L).toInt)
+          ts
+        case _ => java.time.Instant.ofEpochSecond(
+          Math.floorDiv(litMicros, 1000000L),
+          Math.floorMod(litMicros, 1000000L) * 1000L)
+      }
+      check(TimestampType, colMicros, litMicros, v1)
+    }
+    // ---- DecimalType(12,2): exact decimal comparisons
+    for (_ <- 1 to 40) {
+      val colBd = new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(rnd.nextLong() % 1000000000000L), 2)
+      val litBd = if (rnd.nextBoolean()) colBd
+        else new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(rnd.nextLong() % 1000000000000L), 2)
+      check(DecimalType(12, 2),
+        org.apache.spark.sql.types.Decimal(colBd, 12, 2),
+        org.apache.spark.sql.types.Decimal(litBd, 12, 2), litBd)
+    }
+    assert(cases >= 2000, s"only $cases cases generated")
+  }
+
   test("pre-r16 bare-epoch ledger lines still dedup re-offered epochs") {
     // ADVICE r17 #4: the ledger key changed from bare epoch to
     // queryId:epoch with no migration — entries written by the old
