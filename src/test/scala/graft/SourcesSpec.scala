@@ -930,6 +930,15 @@ class SourcesSpec extends SparkTestBase {
     // a second delete after compaction still works (fresh ordinals)
     spark.sql(s"DELETE FROM $mor WHERE k = 0")
     assert(content(mor) == morContent.filterNot(_._1 == 0L))
+    // a copy-on-write UPDATE over a table CARRYING vectors: the rewrite
+    // scan applies the vectors (the deleted row must not resurrect), the
+    // replaced file's vectors drop with it, and the expectDvs validation
+    // passes on the unchanged-since-scan state
+    spark.sql(s"UPDATE $mor SET cents = cents + 1 WHERE k = 1")
+    val afterUpd = content(mor)
+    assert(!afterUpd.exists(_._1 == 0L), "vectored row resurrected by UPDATE")
+    assert(afterUpd.find(_._1 == 1L).map(_._3).contains(11L), afterUpd.find(_._1 == 1L).toString)
+    assert(afterUpd.size == morContent.size - 1)
     // time travel: the pre-delete snapshot still reads complete
     val v1 = spark.sql(s"SELECT COUNT(*) FROM $mor VERSION AS OF 1")
       .head().getLong(0)

@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-18 close-out validation chain (run via nohup; logs in /tmp/r19_*.log)
+cd /root/repo
+rm -rf /tmp/v19_001 /tmp/v19_01 /tmp/v19_1 /tmp/r19_chain_done
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/v19_01" > /tmp/r19_verify01.log 2>&1
+python3 tools/diffcheck.py /root/testdata/sf0.01 /tmp/v19_01 > /tmp/r19_diff01.log 2>&1
+sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/v19_001" > /tmp/r19_verify001.log 2>&1
+python3 tools/diffcheck.py /root/testdata/sf0.001 /tmp/v19_001 > /tmp/r19_diff001.log 2>&1
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/v19_1" > /tmp/r19_verify1.log 2>&1
+# Weather-gated bench (BASELINE.md "Weather normalization"): if the run's
+# own anchor_drift says the box was unstable (>25% in either direction),
+# re-run ONCE and keep the calmer run's artifact.
+BENCH_START_FILE=/tmp/r19_bench_start
+run_bench() {
+  touch "$BENCH_START_FILE"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=/root/repo/BENCH_LAST.json \
+    sbt -batch "runMain graft.Bench" > "$1" 2>&1
+}
+drift_bad() {  # exit 0 when drift is OUTSIDE [1/1.25, 1.25] — FAIL CLOSED:
+  # a missing/corrupt/stale artifact (bench crashed) is treated as bad
+  # weather, not as calm (ADVICE r14: json.load raising made the chain
+  # proceed with a stale artifact the spill gate then validated as fresh)
+  python3 - "$BENCH_START_FILE" <<'EOF'
+import json, math, os, sys
+try:
+    art = '/root/repo/BENCH_LAST.json'
+    if os.path.getmtime(art) < os.path.getmtime(sys.argv[1]):
+        sys.exit(0)  # artifact predates this bench invocation — stale
+    d = json.load(open(art)).get('anchor_drift', 1.0)
+    sys.exit(0 if abs(math.log(d)) > math.log(1.25) else 1)
+except Exception:
+    sys.exit(0)  # unreadable artifact = treat as bad, never as calm
+EOF
+}
+run_bench /tmp/r19_bench.log
+if drift_bad; then
+  echo "anchor_drift out of band; re-running bench once" >> /tmp/r19_bench.log
+  cp /root/repo/BENCH_LAST.json /tmp/r19_bench_attempt1.json 2>/dev/null
+  run_bench /tmp/r19_bench2.log
+  if drift_bad; then
+    echo "WEATHER_UNSTABLE: both bench runs exceeded 25% anchor drift (or artifact unreadable)" > /tmp/r19_weather_flag
+  fi
+fi
+sbt -batch test > /tmp/r19_test.log 2>&1
+python3 tools/diffcheck.py /root/testdata/sf0.1 /tmp/v19_1 > /tmp/r19_diff1.log 2>&1
+echo ALL_DONE > /tmp/r19_chain_done
