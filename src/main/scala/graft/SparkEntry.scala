@@ -7460,6 +7460,43 @@ object SparkEntry {
       FROM $t GROUP BY status ORDER BY status""")
   }
 
+  /** MERGE-ON-READ for the WRITE-HEAVY commands ([[graft.sources.v2
+    * .StageDeltaOperation]] with `representUpdateAsDeleteAndInsert` —
+    * Iceberg's MOR update/merge): the same three-leg MERGE as
+    * [[qDsv2Merge]] but on a table whose `update.mode`/`merge.mode` are
+    * merge-on-read, so the matched-update leg writes delete vectors for
+    * the old images plus a small insert file — pre-existing data files
+    * are NEVER rewritten (spec-pinned) — and the not-matched-by-source
+    * delete leg writes vectors only. Same oracle arithmetic as the
+    * copy-on-write MERGE row: the storage strategy must be invisible in
+    * the answer.
+    */
+  private def qDsv2MorMerge(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_mor_m"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT)
+      TBLPROPERTIES ('update.mode'='merge-on-read',
+                     'merge.mode'='merge-on-read',
+                     'delete.mode'='merge-on-read')""")
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v WHERE o_orderkey < 400""")
+    val src = s"graft_morm_src_${dirTag(d)}"
+    s.sql(s"""SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 7 AS cents
+      FROM $v WHERE o_orderkey >= 200 AND o_orderkey < 600""")
+      .createOrReplaceTempView(src)
+    s.sql(s"""MERGE INTO $t t USING $src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET status = 'U', cents = s.cents
+      WHEN NOT MATCHED THEN INSERT (k, status, cents) VALUES (s.k, 'N', s.cents)
+      WHEN NOT MATCHED BY SOURCE AND t.k < 100 THEN DELETE""")
+    s.sql(s"SELECT k, status, cents FROM $t ORDER BY k")
+  }
+
   /** COMPACTION EQUIVALENCE for the merge-on-read path
     * ([[graft.sources.v2.StageSource.compact]], Iceberg's
     * `rewrite_data_files` scoped to the dirty set): the same table shape
@@ -9469,6 +9506,7 @@ object SparkEntry {
     "q_dsv2_add_column" -> (qDsv2AddColumn _),
     "q_dsv2_mor_delete" -> (qDsv2MorDelete _),
     "q_dsv2_mor_compact" -> (qDsv2MorCompact _),
+    "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
     "q_dsv2_delete" -> (qDsv2Delete _),
@@ -10553,6 +10591,26 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 2
         |GROUP BY status ORDER BY status""".stripMargin,
+    // q_dsv2_mor_merge: the same three-leg MERGE arithmetic as
+    // q_dsv2_merge — the storage strategy (vectors + insert files vs
+    // whole-group rewrite) must be invisible in the answer
+    "q_dsv2_mor_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey < 400),
+        |src AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 600)
+        |SELECT COALESCE(s.k, b.k) AS k,
+        |       CASE WHEN s.k IS NOT NULL AND b.k IS NOT NULL THEN 'U'
+        |            WHEN s.k IS NOT NULL THEN 'N'
+        |            ELSE b.status END AS status,
+        |       COALESCE(s.cents, b.cents) AS cents
+        |FROM base b FULL JOIN src s ON b.k = s.k
+        |WHERE NOT (s.k IS NULL AND b.k < 100)
+        |ORDER BY k""".stripMargin,
     // q_dsv2_mor_compact: compaction must preserve content exactly —
     // the same arithmetic with the second (post-compaction) delete
     "q_dsv2_mor_compact" ->

@@ -702,15 +702,34 @@ class StageTable(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () =>
-      if (info.command ==
-          org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
-          props.get("delete.mode").contains("merge-on-read"))
-        new StageDeltaDeleteOperation(path, tableSchema, partCols)
+    () => {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+      // per-command mode switch (Iceberg's write.<command>.mode): each
+      // row-level command independently opts into merge-on-read deltas;
+      // default stays copy-on-write
+      val modeKey = info.command match {
+        case Command.DELETE => "delete.mode"
+        case Command.UPDATE => "update.mode"
+        case _ => "merge.mode"
+      }
+      if (props.get(modeKey).contains("merge-on-read"))
+        new StageDeltaOperation(path, tableSchema, partCols, info.command)
       else
         new StageRowLevelOperation(path, tableSchema, partCols, info.command)
+    }
 
   override def properties(): util.Map[String, String] = props.asJava
+}
+
+/** What a row-level operation's SCAN reports back to the operation at
+  * plan time (driver-side, in-JVM — scan planning and job commit both
+  * run on the driver): the planned file set and each file's
+  * delete-vector state, the inputs commit-time conflict validation
+  * checks against.
+  */
+trait StageScanReportSink {
+  private[v2] def reportScanned(files: Seq[String], runtimeFiltered: Boolean): Unit
+  private[v2] def reportScannedDvs(dvs: Map[String, Set[Long]]): Unit
 }
 
 /** The copy-on-write operation instance. The GROUP is the committed data
@@ -726,7 +745,8 @@ class StageTable(
 class StageRowLevelOperation(
     path: String, tableSchema: StructType, partCols: Array[String],
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
-    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with StageScanReportSink {
   // REPLACE, don't accumulate: under runtime group filtering the rewrite
   // plan holds TWO scans of this operation — the pruning subquery's scan
   // (plans ALL candidate files, computes the matching _file set) and the
@@ -777,96 +797,149 @@ class StageRowLevelOperation(
   override def description(): String = s"graft_stage_cow($cmd)"
 }
 
-/** The MERGE-ON-READ delete operation ([[
+/** The MERGE-ON-READ row-level operation ([[
   * org.apache.spark.sql.connector.write.SupportsDelta]], Iceberg's
-  * positional-delete contract, r16 verdict #4): Spark's
-  * RewriteDeleteFromTable plans the DELETE condition into this
-  * operation's scan, emits each matching row's ROW ID (`_file`, `_pos`),
-  * and the delta write records those coordinates as delete vectors in
-  * the next manifest — NO data file is rewritten. At 100 TB this is what
-  * makes a selective DELETE affordable: copy-on-write rewrites every
-  * touched file (gigabytes for a one-row takedown); merge-on-read writes
-  * bytes proportional to the DELETED rows and [[StageSource.compact]]
-  * repays the read-side debt lazily. Enabled per table with
-  * `TBLPROPERTIES ('delete.mode'='merge-on-read')`; UPDATE/MERGE stay
-  * copy-on-write.
+  * positional-delete contract, r16 verdict #4): Spark plans the
+  * command's condition into this operation's scan, emits each affected
+  * row as a DELTA — a delete of its ROW ID (`_file`, `_pos`) and, for
+  * UPDATE/MERGE (`representUpdateAsDeleteAndInsert`), an insert of the
+  * new image — and the delta write records the coordinates as delete
+  * vectors plus ordinary staged data files in ONE commit. No
+  * pre-existing file is rewritten. At 100 TB this is what makes
+  * selective row-level ops affordable: copy-on-write rewrites every
+  * touched file (gigabytes for a one-row takedown); merge-on-read
+  * writes bytes proportional to the AFFECTED rows, and
+  * [[StageSource.compact]] repays the read-side debt lazily. Enabled
+  * per table and per command with `TBLPROPERTIES
+  * ('delete.mode'='merge-on-read')` / `update.mode` / `merge.mode`.
+  *
+  * Conflict validation: the scan reports each planned file's
+  * delete-vector state; for UPDATE/MERGE the commit aborts if any
+  * scanned file's vectors changed since (a concurrent delete of a row
+  * this operation is re-inserting would otherwise be silently undone).
+  * Pure DELETEs skip that check — concurrent delete unions are
+  * idempotent by intent — but keep the rewritten-target abort.
   */
-class StageDeltaDeleteOperation(
-    path: String, tableSchema: StructType, partCols: Array[String])
+class StageDeltaOperation(
+    path: String, tableSchema: StructType, partCols: Array[String],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
-    with org.apache.spark.sql.connector.write.SupportsDelta {
+    with org.apache.spark.sql.connector.write.SupportsDelta
+    with StageScanReportSink {
   import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder}
-  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
-    org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
+  @volatile private var dvsAtScan: Map[String, Set[Long]] = Map.empty
+  private[v2] def reportScanned(
+      files: Seq[String], runtimeFiltered: Boolean): Unit = ()
+  private[v2] def reportScannedDvs(dvs: Map[String, Set[Long]]): Unit =
+    synchronized { dvsAtScan = dvsAtScan ++ dvs }
+  private[v2] def scannedDvs: Map[String, Set[Long]] = dvsAtScan
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StageScanBuilder(path, tableSchema, partCols, None)
+    new StageScanBuilder(path, tableSchema, partCols, None, cowOp = Some(this))
   override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(Expressions.column(StageSource.FileCol),
       Expressions.column(StageSource.PosCol))
+  // files are immutable — an UPDATE delta is a delete vector plus a
+  // fresh insert, never an in-place write
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
   override def newWriteBuilder(
       info: LogicalWriteInfo): DeltaWriteBuilder = new DeltaWriteBuilder {
     override def build(): DeltaWrite = new DeltaWrite {
       override def toBatch: DeltaBatchWrite =
-        new StageDeltaBatchWrite(path, tableSchema, partCols, info.queryId())
+        new StageDeltaBatchWrite(path, tableSchema, partCols,
+          info.queryId(), StageDeltaOperation.this)
     }
   }
-  override def description(): String = "graft_stage_mor(DELETE)"
+  override def description(): String = s"graft_stage_mor($cmd)"
 }
 
-/** One task's collected delete coordinates: file → row ordinals. */
-case class StageDeltaCommit(deletes: Map[String, Array[Long]])
+/** One task's collected deltas: delete coordinates (file → row
+  * ordinals) plus the staged data files holding its inserted rows.
+  */
+case class StageDeltaCommit(
+    deletes: Map[String, Array[Long]],
+    files: Array[StageFileCommit])
     extends WriterCommitMessage
 
 class StageDeltaBatchWrite(
     path: String, schema: StructType, partCols: Array[String],
-    queryId: String)
+    queryId: String, op: StageDeltaOperation)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    new org.apache.spark.sql.connector.write.DeltaWriterFactory {
-      override def createWriter(partitionId: Int, taskId: Long)
-          : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-        new StageDeltaWriter
-    }
+    // a standalone factory: the enclosing write holds the (driver-only,
+    // non-serializable) operation back-reference and must not ship
+    new StageDeltaWriterFactory(path, schema, queryId, partCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val merged = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-    messages.foreach {
-      case StageDeltaCommit(dels) => dels.foreach { case (f, ps) =>
-        merged.getOrElseUpdate(
-          f, scala.collection.mutable.ArrayBuffer.empty[Long]) ++= ps
-      }
+    val dataMessages = messages.map {
+      case StageDeltaCommit(dels, files) =>
+        dels.foreach { case (f, ps) =>
+          merged.getOrElseUpdate(
+            f, scala.collection.mutable.ArrayBuffer.empty[Long]) ++= ps
+        }
+        StageCommit(files): WriterCommitMessage
       case other => throw new IllegalStateException(s"unexpected $other")
     }
+    val isDeleteOnly = op.command() ==
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
     StageCommitter.commit(path, schema, partCols, queryId,
-      Array.empty, truncate = false, epoch = None,
+      dataMessages, truncate = false, epoch = None,
       addDeletes = merged.iterator
-        .map { case (f, ps) => f -> ps.distinct.sorted.toArray }.toMap)
+        .map { case (f, ps) => f -> ps.distinct.sorted.toArray }.toMap,
+      // UPDATE/MERGE must abort if a concurrent commit changed any
+      // scanned file's vectors (a concurrently-deleted row would be
+      // resurrected by this operation's re-insert); pure deletes union
+      // safely
+      expectDvs = if (isDeleteOnly) None else Some(op.scannedDvs))
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    StageCommitter.cleanStaging(path, queryId)
 }
 
-/** Collects (file, pos) coordinates; DELETE-only — this operation never
-  * receives inserts or updates (those commands stay copy-on-write).
+class StageDeltaWriterFactory(
+    path: String, schema: StructType, queryId: String,
+    partCols: Array[String])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new StageDeltaWriter(path, schema, queryId, partitionId, taskId, partCols)
+}
+
+/** Collects delete coordinates and writes inserted rows through an
+  * embedded [[StageDataWriter]] (partition routing preserved — an
+  * UPDATE that moves a row across partition values lands it in the
+  * right shard). With `representUpdateAsDeleteAndInsert` the engine
+  * never calls `update` directly.
   */
-class StageDeltaWriter
+class StageDeltaWriter(
+    path: String, schema: StructType, queryId: String,
+    partitionId: Int, taskId: Long, partCols: Array[String])
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   private val dels = scala.collection.mutable.LinkedHashMap
     .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private var inserts: StageDataWriter = _
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     dels.getOrElseUpdate(id.getUTF8String(0).toString,
       scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "graft_stage_mor(DELETE) accepts only deletes")
+  override def insert(row: InternalRow): Unit = {
+    if (inserts == null)
+      inserts = new StageDataWriter(
+        path, schema, queryId, partitionId, taskId, partCols)
+    inserts.write(row)
+  }
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "graft_stage_mor(DELETE) accepts only deletes")
+    throw new IllegalStateException(
+      "updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
   override def commit(): WriterCommitMessage =
-    StageDeltaCommit(dels.iterator
-      .map { case (f, ps) => f -> ps.distinct.sorted.toArray }.toMap)
-  override def abort(): Unit = ()
+    StageDeltaCommit(
+      dels.iterator
+        .map { case (f, ps) => f -> ps.distinct.sorted.toArray }.toMap,
+      if (inserts == null) Array.empty
+      else inserts.commit().asInstanceOf[StageCommit].files)
+  override def abort(): Unit = if (inserts != null) inserts.abort()
   override def close(): Unit = ()
 }
 
@@ -1245,12 +1318,16 @@ object StageCommitter {
         else StageSource.readDeletes(path, None)
           .filter { case (f, _) => snapshot.contains(f) }
       // conflict validation over DELETE STATE: a scanned file whose
-      // vectors changed since the scan means the rewrite read different
-      // rows — the same lost-update hazard as a rewritten file
+      // vectors changed since the scan means the operation read (and
+      // for UPDATE/MERGE re-inserts) rows a concurrent commit deleted —
+      // the same lost-update hazard as a rewritten file. Copy-on-write
+      // validates its replaced files; a delta (merge-on-read) commit
+      // validates the files it is deleting from.
       expectDvs.foreach { exp =>
-        replaceFiles.getOrElse(Set.empty).foreach { f =>
-          val cur = StageSource.readDeletes(path, None)
-            .get(f).map(_.toSet).getOrElse(Set.empty)
+        val watch = replaceFiles.getOrElse(addDeletes.keySet)
+        val curDvs = StageSource.readDeletes(path, None)
+        watch.foreach { f =>
+          val cur = curDvs.get(f).map(_.toSet).getOrElse(Set.empty)
           if (cur != exp.getOrElse(f, Set.empty))
             conflict(s"file $f gained or lost delete vectors after this " +
               "row-level operation scanned it")
@@ -1513,7 +1590,7 @@ class StageScanBuilder(
     path: String, tableSchema: StructType,
     partCols: Array[String] = Array.empty,
     versionAsOf: Option[Int] = None,
-    cowOp: Option[StageRowLevelOperation] = None)
+    cowOp: Option[StageScanReportSink] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1735,10 +1812,24 @@ case class StageScan(
     versionAsOf: Option[Int] = None,
     // driver-side back-reference for copy-on-write scans: planned files
     // are reported to the operation so its write replaces exactly them
-    cowOp: Option[StageRowLevelOperation] = None)
+    cowOp: Option[StageScanReportSink] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  // ORDERING declaration (mirrors SeqScan, measured 1.78 s → 0.54 s
+  // there): every key-grouped partition holds exactly ONE partition
+  // value — a constant is trivially sorted — so under the keyed layout
+  // the planner can DELETE the per-partition sort a storage-partitioned
+  // merge join would otherwise insert above each side. Only reported
+  // when the layout itself is reportable (same precondition as
+  // outputPartitioning; resolution happens against the scan output).
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (keyedLayout(prunedFiles()).isDefined)
+      partCols.map(c => Expressions.sort(Expressions.identity(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
   @transient private var plannedFiles = -1
   @transient private var totalFiles = -1
   // RUNTIME GROUP FILTERING (Iceberg's selective copy-on-write): for a

@@ -1134,6 +1134,42 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("staged keyed layout declares ordering: a direct staged merge join plans sort-free") {
+    // Same trick as SeqScan's SupportsReportOrdering (measured 1.78 s →
+    // 0.54 s there): every key-grouped staged partition holds exactly
+    // one partition value — a constant is trivially sorted — so a
+    // DIRECT merge join of two staged tables needs no per-partition
+    // sort and no exchange at all. (Aggregate-then-join shapes still
+    // sort above the hash aggregate; that sort belongs to the
+    // aggregate, not the scan.)
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stage_ord").toString
+      val fmt = "graft.sources.v2.StageSource"
+      spark.sql("SELECT id % 8 AS b, id AS x FROM range(0, 1000)")
+        .write.format(fmt).option("path", s"$base/l")
+        .option("partition_by", "b").mode("overwrite").save()
+      spark.sql("SELECT id % 8 AS b, id AS y FROM range(0, 800)")
+        .write.format(fmt).option("path", s"$base/r")
+        .option("partition_by", "b").mode("overwrite").save()
+      val l = spark.read.format(fmt).option("path", s"$base/l").load()
+      val r = spark.read.format(fmt).option("path", s"$base/r").load()
+      val j = l.hint("merge").join(r, "b")
+      j.queryExecution.toRdd.count(): Unit
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan.take(1200))
+      assert(!plan.contains("Sort ["),
+        s"a per-partition sort survived the ordering declaration:\n${plan.take(1500)}")
+      assert(!plan.linesIterator.exists(_.contains("Exchange ")),
+        s"an exchange crept into the direct staged SPJ:\n${plan.take(1500)}")
+      assert(j.count() == 100000L) // 1000×800 ÷ 8 keys = 125×100 per key × 8
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("q_dsv2_spj_staged: the catalog row joins two staged tables exchange-free") {
     val df = SparkEntry.queries("q_dsv2_spj_staged")(spark, sf0001)
     df.queryExecution.toRdd.count(): Unit

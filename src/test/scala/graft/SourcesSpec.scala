@@ -1097,6 +1097,79 @@ class SourcesSpec extends SparkTestBase {
     assert(cases >= 2000, s"only $cases cases generated")
   }
 
+  test("merge-on-read UPDATE and MERGE: delete+insert deltas, pre-existing files never rewritten") {
+    // the delta operation generalized to all three commands
+    // (representUpdateAsDeleteAndInsert): an UPDATE/MERGE writes delete
+    // vectors for the old images plus ordinary staged files for the new
+    // ones, in ONE commit — pre-existing data files are never touched.
+    import graft.sources.v2.StageSource
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_morw").toString
+    spark.conf.set("spark.sql.catalog.stagemorw", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagemorw.root", root)
+    val mor = "stagemorw.default.t_mor"
+    val cow = "stagemorw.default.t_cow"
+    val insert =
+      "SELECT id, CAST(id % 3 AS BIGINT) AS g, id * 10 FROM range(0, 1000)"
+    spark.sql(s"""CREATE TABLE $mor (k BIGINT, g BIGINT, cents BIGINT)
+      TBLPROPERTIES ('delete.mode'='merge-on-read',
+                     'update.mode'='merge-on-read',
+                     'merge.mode'='merge-on-read')""")
+    spark.sql(s"INSERT INTO $mor $insert")
+    spark.sql(s"CREATE TABLE $cow (k BIGINT, g BIGINT, cents BIGINT)")
+    spark.sql(s"INSERT INTO $cow $insert")
+    val morDir = new java.io.File(
+      new java.io.File(root, "default"), "t_mor").getAbsolutePath
+    val originals = StageSource.dataFiles(morDir).map(_.getName).toSet
+    def content(t: String) = spark.sql(
+      s"SELECT k, g, cents FROM $t").as[(Long, Long, Long)].collect().toSet
+    def sameAsCow(tag: String): Unit =
+      assert(content(mor) == content(cow), s"$tag: MOR and COW diverged")
+    // UPDATE via deltas: vectors for the old images + a fresh insert file
+    spark.sql(s"UPDATE $mor SET cents = cents + 5 WHERE k % 10 = 0")
+    spark.sql(s"UPDATE $cow SET cents = cents + 5 WHERE k % 10 = 0")
+    assert(originals.subsetOf(StageSource.dataFiles(morDir).map(_.getName).toSet),
+      "UPDATE rewrote a pre-existing file on the MOR path")
+    assert(StageSource.readDeletes(morDir, None).values.map(_.length).sum == 100)
+    sameAsCow("after UPDATE")
+    // MERGE via deltas: all three legs (matched-update, not-matched
+    // insert, not-matched-by-source delete)
+    val src = "morw_src"
+    spark.sql(
+      "SELECT id AS k, CAST(0 AS BIGINT) AS g, id * 100 AS cents " +
+        "FROM range(900, 1100)").createOrReplaceTempView(src)
+    val merge = (t: String) => spark.sql(s"""MERGE INTO $t t USING $src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET cents = s.cents
+      WHEN NOT MATCHED THEN INSERT (k, g, cents) VALUES (s.k, s.g, s.cents)
+      WHEN NOT MATCHED BY SOURCE AND t.k < 10 THEN DELETE""")
+    merge(mor); merge(cow)
+    assert(originals.subsetOf(StageSource.dataFiles(morDir).map(_.getName).toSet),
+      "MERGE rewrote a pre-existing file on the MOR path")
+    sameAsCow("after MERGE")
+    assert(content(mor).size == 1090, content(mor).size.toString)
+    // an UPDATE that MOVES a row across partition values routes the new
+    // image to the right shard — rerun the shape on a PARTITIONED table
+    val part = "stagemorw.default.t_part"
+    spark.sql(s"""CREATE TABLE $part (k BIGINT, g BIGINT, cents BIGINT)
+      PARTITIONED BY (g)
+      TBLPROPERTIES ('update.mode'='merge-on-read')""")
+    spark.sql(s"INSERT INTO $part $insert")
+    spark.sql(s"UPDATE $part SET g = 7 WHERE k < 30")
+    val partDir = new java.io.File(
+      new java.io.File(root, "default"), "t_part").getAbsolutePath
+    val moved = spark.sql(s"SELECT COUNT(*) FROM $part WHERE g = 7")
+      .head().getLong(0)
+    assert(moved == 30L, moved.toString)
+    val parts = StageSource.readParts(partDir)
+    val liveFiles = StageSource.snapshotFiles(partDir, None).map(_.getName)
+    assert(liveFiles.exists(f => parts.get(f).exists(_.sameElements(Array("7")))),
+      "moved rows did not land in their own partition shard")
+    // compaction repays the mixed debt
+    StageSource.compact(morDir)
+    assert(StageSource.readDeletes(morDir, None).isEmpty)
+    sameAsCow("after compaction")
+  }
+
   test("pre-r16 bare-epoch ledger lines still dedup re-offered epochs") {
     // ADVICE r17 #4: the ledger key changed from bare epoch to
     // queryId:epoch with no migration — entries written by the old
