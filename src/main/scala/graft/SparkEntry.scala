@@ -7528,6 +7528,45 @@ object SparkEntry {
       FROM $t GROUP BY status ORDER BY status""")
   }
 
+  /** DIRECT storage-partitioned PK–FK join over staged tables — the
+    * sort-free leg ([[qDsv2SpjStaged]] aggregates before joining, so its
+    * merge join sorts above the hash aggregates; here the fact table
+    * joins the bucket dimension DIRECTLY and the scans' declared
+    * ordering — each key-grouped partition holds one constant key —
+    * lets the planner delete the per-partition sorts too: the join
+    * subtree plans with ZERO exchanges and ZERO sorts, plan-pinned).
+    * The post-join aggregate's own small shuffle is the only exchange.
+    */
+  private def qDsv2SpjDim(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val fmt = "graft.sources.v2.StageSource"
+    val factDir = s"/tmp/graft_dsv2w/$tag/spjd_fact"
+    val dimDir = s"/tmp/graft_dsv2w/$tag/spjd_dim"
+    Tables.orders(s, d)
+      .select((col("o_orderkey") % 8).as("b"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.format(fmt).option("path", factDir)
+      .option("partition_by", "b").mode("overwrite").save()
+    s.range(0, 8)
+      .select(col("id").as("b"),
+        concat(lit("bucket_"), col("id")).as("label"))
+      .write.format(fmt).option("path", dimDir)
+      .option("partition_by", "b").mode("overwrite").save()
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "true")
+    try {
+      val fact = s.read.format(fmt).option("path", factDir).load()
+      val dim = s.read.format(fmt).option("path", dimDir).load()
+      val out = fact.hint("merge").join(dim, "b")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+        .orderBy("label")
+      out.queryExecution.executedPlan // force planning under the conf
+      out
+    } finally s.conf.set(key, prev)
+  }
+
   /** Row LINEAGE through the connector's metadata column
     * ([[graft.sources.v2.StageTable]]'s `SupportsMetadataColumns` — the
     * `_metadata.file_path` analog): lineitem is written through the
@@ -9503,6 +9542,7 @@ object SparkEntry {
     "q_dsv2_runtime_filter" -> (qDsv2RuntimeFilter _),
     "q_dsv2_spj" -> (qDsv2Spj _),
     "q_dsv2_spj_staged" -> (qDsv2SpjStaged _),
+    "q_dsv2_spj_dim" -> (qDsv2SpjDim _),
     "q_dsv2_add_column" -> (qDsv2AddColumn _),
     "q_dsv2_mor_delete" -> (qDsv2MorDelete _),
     "q_dsv2_mor_compact" -> (qDsv2MorCompact _),
@@ -10572,6 +10612,14 @@ object SparkEntry {
         |SELECT CAST(o.b AS BIGINT) AS b, n_ord, ord_cents, n_li, qty_sum
         |FROM o JOIN l ON o.b = l.b
         |ORDER BY b""".stripMargin,
+    // q_dsv2_spj_dim: the direct PK-FK staged join's content — per-bucket
+    // order counts and cents straight from orders
+    "q_dsv2_spj_dim" ->
+      """SELECT 'bucket_' || CAST(o_orderkey % 8 AS VARCHAR) AS label,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY label""".stripMargin,
     // q_dsv2_add_column: the mixed-schema read after an append-only ADD
     // COLUMN — pre-alter rows null-fill, post-alter rows carry the value
     "q_dsv2_add_column" ->

@@ -1186,6 +1186,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() == 8)
   }
 
+  test("q_dsv2_spj_dim: the direct staged PK-FK join subtree is sort-free and exchange-free") {
+    val df = SparkEntry.queries("q_dsv2_spj_dim")(spark, sf0001)
+    df.queryExecution.toRdd.count(): Unit
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("StageScan\\(path=".r.findAllIn(plan).size == 2, plan.take(1500))
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    // the join subtree: everything BELOW the SortMergeJoin line must be
+    // free of sorts and exchanges (the post-join aggregate's small label
+    // shuffle and the presentational orderBy live above it)
+    val below = plan.linesIterator
+      .dropWhile(!_.contains("SortMergeJoin")).drop(1).mkString("\n")
+    assert(!below.contains("Sort ["),
+      s"a sort crept below the staged merge join:\n${below.take(1200)}")
+    assert(!below.contains("Exchange "),
+      s"an exchange crept below the staged merge join:\n${below.take(1200)}")
+    assert(df.count() == 8)
+  }
+
   test("q_dsv2_write: the connector write plans a V2 write node and commits atomically") {
     // capture the save command's EXECUTED plan via a listener — the V1
     // DataFrameWriter.save path exposes no QueryExecution to the caller
