@@ -7521,7 +7521,9 @@ object SparkEntry {
              CAST(ROUND(o_totalprice * 100) AS BIGINT)
       FROM $v WHERE o_orderkey < 2000""")
     s.sql(s"DELETE FROM $t WHERE k % 7 = 2")
-    val dir = s"/tmp/graft_dsv2cat/${dirTag(d)}/default/ord_mor_c"
+    // derive the table directory from the catalog's own root conf (the
+    // layout knowledge lives in ONE place, stageCatalog)
+    val dir = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/default/ord_mor_c"
     graft.sources.v2.StageSource.compact(dir)
     s.sql(s"DELETE FROM $t WHERE k % 11 = 3") // fresh ordinals post-compact
     s.sql(s"""SELECT status, COUNT(*) AS n_orders, SUM(cents) AS sum_cents

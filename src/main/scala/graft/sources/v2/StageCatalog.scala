@@ -153,10 +153,7 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
     val userProps = properties.asScala.toMap -- Seq(
       "provider", "location", "owner", "external", "comment")
     if (userProps.nonEmpty)
-      java.nio.file.Files.write(
-        new File(dir, StageSource.PropsFile).toPath,
-        userProps.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
-          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+      StageSource.writeProps(dir.getAbsolutePath, userProps)
     // an empty table is a COMPLETE (zero-file) snapshot: the marker makes
     // it immediately readable
     java.nio.file.Files.write(
@@ -211,18 +208,42 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
     }
     val path = dir.getAbsolutePath
     StageCommitter.lockFor(path).synchronized {
-      // backfill stored-column counts for every live data file that
-      // predates the sidecar — they all carry the pre-alter schema
-      val known = StageSource.readCols(path)
-      val missing = StageSource.dataFiles(path)
-        .map(_.getName).filterNot(known.contains)
-      if (missing.nonEmpty)
-        java.nio.file.Files.write(
-          new File(dir, StageSource.ColsFile).toPath,
-          missing.map(n => s"$n\t${schema.length}")
-            .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND): Unit
+      // backfill stored-column counts for every live file BEFORE the
+      // schema changes — they all carry the pre-alter schema, the last
+      // moment that count is knowable. The counts ride a NEW manifest
+      // version (CREATE_NEW claim, like every commit): a lost count
+      // would make readers MISDECODE old files under the evolved
+      // schema, so it must be claim-atomic, not subject to the
+      // sidecars' lossy cross-process rewrite. (_cols.tsv is also
+      // refreshed as the legacy-reader fallback.)
+      var committed = false
+      while (!committed) {
+        val live = StageSource.snapshotFiles(path, None).map(_.getName)
+        val known = StageSource.readColsAt(path, None)
+        val counts = live.map(f => f -> known.getOrElse(f, schema.length))
+        val dvLines = StageSource.readDeletes(path, None)
+          .filter { case (f, _) => live.contains(f) }
+          .toSeq.sortBy(_._1).flatMap { case (f, ps) =>
+            ps.map(p => StageSource.deleteLine(f, p))
+          }
+        val colLines = counts.map { case (f, n) => StageSource.colsLine(f, n) }
+        val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
+        try {
+          java.nio.file.Files.write(
+            new File(dir, StageSource.manifestName(nextV)).toPath,
+            (live.toSeq ++ dvLines ++ colLines)
+              .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+          StageSource.recordCommitTime(path, nextV)
+          java.nio.file.Files.write(
+            new File(dir, StageSource.ColsFile).toPath,
+            counts.map { case (f, n) => s"$f\t$n" }
+              .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+          committed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // retry on the new base
+        }
+      }
       val evolved = StructType(schema.fields ++ added)
       java.nio.file.Files.write(
         new File(dir, StageSource.SchemaFile).toPath,

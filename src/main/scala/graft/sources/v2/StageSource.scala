@@ -116,15 +116,32 @@ object StageSource {
   /** Per-file partition value map: `file \t url-encoded-value[/value…]`. */
   val PartsFile = "_parts.tsv"
 
-  /** Persisted table properties: `key \t value`, one per line. */
+  /** Persisted table properties: `key \t value`, one per line, both
+    * url-encoded (an empty value, or a tab/newline inside one, must not
+    * corrupt the framing — a MatchError here would brick every
+    * subsequent load of the table).
+    */
   val PropsFile = "_props.tsv"
+
+  def writeProps(path: String, props: Map[String, String]): Unit =
+    java.nio.file.Files.write(
+      new File(path, PropsFile).toPath,
+      props.toSeq.sorted.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, StandardCharsets.UTF_8) + "\t" +
+          java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+      }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
 
   def readProps(path: String): Map[String, String] = {
     val f = new File(path, PropsFile)
     if (!f.exists()) return Map.empty
     new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(k, v) = l.split('\t'); k -> v
+        // indexOf, not split: a url-encoded value never contains a tab,
+        // but an EMPTY value makes split() return one element
+        val i = l.indexOf('\t')
+        require(i >= 0, s"malformed property line in $path/$PropsFile: $l")
+        java.net.URLDecoder.decode(l.take(i), StandardCharsets.UTF_8) ->
+          java.net.URLDecoder.decode(l.drop(i + 1), StandardCharsets.UTF_8)
       }.toMap
   }
   /** Committed streaming epoch ids, one per line (the sink's exactly-once
@@ -183,6 +200,44 @@ object StageSource {
     s"$DeleteLineTag$file\t$pos"
 
   def isDeleteLine(l: String): Boolean = l.startsWith(DeleteLineTag)
+
+  /** Stored-column-count lines (`C\tfile\tncols`) ride the manifest too:
+    * a lost count doesn't merely disable an optimization like a lost
+    * stats line — it makes the reader MISDECODE an evolved table's old
+    * files — so the count must be claim-atomic with the snapshot, not
+    * subject to the sidecars' documented lossy cross-process rewrite.
+    * `_cols.tsv` remains a fallback (pre-r17 tables, and the ALTER
+    * backfill's belt-and-braces copy).
+    */
+  private val ColsLineTag = "C\t"
+
+  def colsLine(file: String, ncols: Int): String = s"$ColsLineTag$file\t$ncols"
+
+  def isColsLine(l: String): Boolean = l.startsWith(ColsLineTag)
+
+  /** Any non-data line of a manifest (data file names never contain a
+    * tab).
+    */
+  def isMetaLine(l: String): Boolean = l.contains('\t')
+
+  /** file name → stored column count for snapshot `v` (latest when
+    * None): manifest C-lines first (claim-atomic), `_cols.tsv` fallback
+    * for files without one. Files absent from both store the full
+    * current schema (pre-evolution tables — ALTER backfills before the
+    * first evolution).
+    */
+  def readColsAt(path: String, v: Option[Int]): Map[String, Int] = {
+    val sidecar = readCols(path)
+    val version = v.orElse(latestVersion(path)).getOrElse(return sidecar)
+    val mf = new File(path, manifestName(version))
+    if (!mf.exists()) return sidecar
+    val manifest = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(isColsLine).map { l =>
+        val Array(_, f, n) = l.split('\t'); f -> n.toInt
+      }.toMap
+    sidecar ++ manifest // manifest wins
+  }
 
   /** The delete vectors of snapshot `v` (latest when None): file name →
     * sorted deleted row ordinals. Empty for pre-MOR manifests and legacy
@@ -275,7 +330,7 @@ object StageSource {
         s"(available: ${manifestVersions(path).mkString(",")})")
     val names = new String(
       java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(l => l.nonEmpty && !isDeleteLine(l)).toArray
+      .linesIterator.filter(l => l.nonEmpty && !isMetaLine(l)).toArray
     names.map { n =>
       val f = new File(path, n)
       require(f.exists(),
@@ -306,7 +361,7 @@ object StageSource {
     val partCols = readPartCols(path)
     val dvs = readDeletes(path, None)
     if (dvs.isEmpty) return // nothing to repay
-    val cols = readCols(path)
+    val cols = readColsAt(path, None)
     val qid = "compact-" + java.util.UUID.randomUUID().toString.take(8)
     val writer = new StageDataWriter(path, schema, qid, 0, 0L, partCols)
     val factory = new StageReaderFactory(schema, schema)
@@ -609,18 +664,21 @@ class StageTable(
         // these files intentionally stop being reconstructible (and say
         // so loudly)
         val survivors = current.map(_.getName).filterNot(doomed)
-        // surviving files keep their merge-on-read delete vectors; the
-        // doomed files' entries drop with them
+        // surviving files keep their merge-on-read delete vectors and
+        // stored-column counts; the doomed files' entries drop with them
         val dvLines = StageSource.readDeletes(path, None)
           .filter { case (f, _) => survivors.contains(f) }
           .toSeq.sortBy(_._1).flatMap { case (f, ps) =>
             ps.map(p => StageSource.deleteLine(f, p))
           }
+        val colLines = StageSource.readColsAt(path, None)
+          .filter { case (f, _) => survivors.contains(f) }
+          .toSeq.sorted.map { case (f, n) => StageSource.colsLine(f, n) }
         val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
         try {
           java.nio.file.Files.write(
             new File(path, StageSource.manifestName(nextV)).toPath,
-            (survivors.toSeq ++ dvLines)
+            (survivors.toSeq ++ dvLines ++ colLines)
               .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW): Unit
           StageSource.recordCommitTime(path, nextV)
@@ -1207,13 +1265,20 @@ object StageCommitter {
         java.nio.file.Files.readAllBytes(epochsFile.toPath), StandardCharsets.UTF_8)
         .linesIterator.toSet
       // on-disk format migration (ADVICE r16 #4): pre-r16 ledgers
-      // recorded the bare epoch number. A bare line still counts as
-      // committed — without this, a re-offered epoch on a pre-existing
-      // table re-commits (extra snapshot versions; exactly-once would
-      // rest solely on name-based overwrite idempotence). Bare lines
-      // can't distinguish queries, but they only exist on tables written
-      // before the keyed format shipped, where a single query wrote them.
-      if (done(ledgerKey.get) || done(epoch.get.toString)) {
+      // recorded the bare epoch number. A bare line counts as committed
+      // ONLY when this query's files for that epoch are already in the
+      // table (file names embed queryId+epoch, so a genuine re-delivery
+      // after the format upgrade left them there) — a bare line alone
+      // must NOT dedup, or a NEW query starting at epoch 0 on a legacy
+      // table would have its first batches silently dropped (that query
+      // never committed them; the line belongs to an older writer). A
+      // zero-row legacy epoch re-commits once under this rule — an
+      // empty, harmless extra snapshot version, vs. data loss the other
+      // way.
+      val legacyDup = done(epoch.get.toString) &&
+        StageSource.snapshotFiles(path, None)
+          .exists(_.getName.startsWith(s"part-$queryId-e${epoch.get}-"))
+      if (done(ledgerKey.get) || legacyDup) {
         // re-delivered epoch: already committed, drop the staged attempt
         cleanStaging(path, queryId)
         return
@@ -1352,11 +1417,22 @@ object StageCommitter {
       val dvLines = dvs.toSeq.sortBy(_._1).flatMap { case (f, ps) =>
         ps.map(p => StageSource.deleteLine(f, p))
       }
+      // stored-column counts, claim-atomic with the snapshot: carried
+      // files keep their base count (manifest C-lines or legacy
+      // sidecar), new files store the write schema's width; a carried
+      // file known to neither stays unlisted (pre-evolution semantics:
+      // it stores the full schema of its era)
+      val baseCols = StageSource.readColsAt(path, None)
+      val newNames = newFiles.map(_._1).toSet
+      val colLinesM = snapshot.toSeq.flatMap { f =>
+        (if (newNames(f)) Some(schema.length) else baseCols.get(f))
+          .map(n => StageSource.colsLine(f, n))
+      }
       val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
       try {
         java.nio.file.Files.write(
           new File(root, StageSource.manifestName(nextV)).toPath,
-          (snapshot.toSeq ++ dvLines)
+          (snapshot.toSeq ++ dvLines ++ colLinesM)
             .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW): Unit
         StageSource.recordCommitTime(path, nextV) // TIMESTAMP AS OF anchor
@@ -1887,7 +1963,7 @@ case class StageScan(
     private val bytes = kept.map(_.length).sum
     private val rows: Option[Long] = {
       val stats = StageSource.readStats(path)
-      val dvs = StageSource.readDeletes(path, versionAsOf)
+      val dvs = StageSource.readDeletes(path, pinnedVersion)
       val counts = kept.map(f => stats.get(f.getName).flatMap(_.get("__rows")))
       if (counts.exists(_.isEmpty)) None
       else Some(counts.map(_.get.min.toLong).sum -
@@ -1916,13 +1992,37 @@ case class StageScan(
       case _ => true
     }
   }
+  /** The snapshot this scan reads, RESOLVED ONCE (review r17): every
+    * planning surface — statistics, partitioning, ordering, input
+    * partitions, runtime-filter re-plans — must see the SAME version
+    * even when a concurrent commit lands mid-plan; an unpinned latest
+    * could otherwise surface a new partition key between
+    * outputPartitioning and a runtime re-plan and trip BatchScanExec's
+    * partitioning-preservation check. (Legacy tables without manifests
+    * still resolve by directory listing.)
+    */
+  @transient private lazy val pinnedVersion: Option[Int] =
+    versionAsOf.orElse(StageSource.latestVersion(path))
+
   /** The snapshot's files surviving zone-map, partition and runtime
     * pruning — the shared ground truth for planning AND statistics, so
     * the planner's CBO inputs describe exactly the files that will be
-    * read. Pure: counters and the copy-on-write scanned-file report are
-    * updated only by [[planInputPartitions]].
+    * read. Cached per runtime-filter state: statistics, partitioning,
+    * ordering and planning each consult it, and re-reading every
+    * sidecar per call is driver-side metadata I/O a 100k-file table
+    * cannot afford. Counters and the copy-on-write scanned-file report
+    * are updated only by [[planInputPartitions]].
     */
-  private def prunedFiles(): Array[File] = {
+  @transient private var prunedKey: Option[Set[String]] = null
+  @transient private var prunedVal: Array[File] = _
+  private def prunedFiles(): Array[File] = synchronized {
+    if (prunedVal == null || prunedKey != runtimeFiles) {
+      prunedKey = runtimeFiles
+      prunedVal = computePruned()
+    }
+    prunedVal
+  }
+  private def computePruned(): Array[File] = {
     val stats = StageSource.readStats(path)
     val parts = StageSource.readParts(path)
     val colType = partCols.map(c =>
@@ -1955,7 +2055,7 @@ case class StageScan(
           }
         case _ => true
       }
-    val all = StageSource.snapshotFiles(path, versionAsOf)
+    val all = StageSource.snapshotFiles(path, pinnedVersion)
     totalFiles = all.length
     all.filter { f =>
       val fileStats = stats.getOrElse(f.getName, Map.empty)
@@ -2008,8 +2108,8 @@ case class StageScan(
     plannedFiles = kept.length
     cowOp.foreach(_.reportScanned(kept.map(_.getName).toSeq,
       runtimeFiltered = runtimeFiles.isDefined))
-    val cols = StageSource.readCols(path)
-    val dvs = StageSource.readDeletes(path, versionAsOf)
+    val cols = StageSource.readColsAt(path, pinnedVersion)
+    val dvs = StageSource.readDeletes(path, pinnedVersion)
     cowOp.foreach(_.reportScannedDvs(
       kept.map(f => f.getName ->
         dvs.get(f.getName).map(_.toSet).getOrElse(Set.empty[Long])).toMap))

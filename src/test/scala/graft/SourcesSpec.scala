@@ -1170,12 +1170,13 @@ class SourcesSpec extends SparkTestBase {
     sameAsCow("after compaction")
   }
 
-  test("pre-r16 bare-epoch ledger lines still dedup re-offered epochs") {
-    // ADVICE r17 #4: the ledger key changed from bare epoch to
-    // queryId:epoch with no migration — entries written by the old
-    // format never matched, so re-offered epochs on pre-existing
-    // streaming tables re-committed. A bare `<epoch>` line must still
-    // count as committed.
+  test("pre-r16 bare-epoch ledger lines dedup genuine re-deliveries but never a new query's epochs") {
+    // ADVICE r17 #4 + review: the ledger key changed from bare epoch to
+    // queryId:epoch. A bare `<epoch>` line counts as committed ONLY when
+    // this query's epoch files are already in the table (a genuine
+    // re-delivery after the format upgrade) — a bare line alone must not
+    // dedup, or a NEW query starting at epoch 0 on a legacy table would
+    // have its first batches silently dropped.
     import graft.sources.v2.{StageCommitter, StageSource}
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stage_ledger").toString + "/t"
@@ -1183,19 +1184,46 @@ class SourcesSpec extends SparkTestBase {
     Seq((1L, 1.0)).toDF("k", "v")
       .write.format(fmt).option("path", dir).mode("overwrite").save()
     val schema = spark.read.format(fmt).option("path", dir).load().schema
-    // an old-format ledger: bare epoch number, no queryId
+    // legacy state: qstream committed epoch 7 under the OLD binary —
+    // bare ledger line, epoch-named files already in the snapshot
+    StageCommitter.commit(dir, schema, Array.empty, "qstream",
+      stagedCommit(dir, schema, "qstream", Seq((7L, 7.0))),
+      truncate = false, epoch = None) // epoch=None: no keyed ledger line
+    val f7 = StageSource.dataFiles(dir)
+      .map(_.getName).find(_.startsWith("part-qstream-")).get
+    val renamed = f7.replace("part-qstream-", "part-qstream-e7-")
+    java.nio.file.Files.move(
+      new java.io.File(dir, f7).toPath,
+      new java.io.File(dir, renamed).toPath)
+    locally { // patch the manifest + sidecars to the epoch-named file
+      for (n <- Seq(StageSource.manifestName(
+          StageSource.latestVersion(dir).get), StageSource.StatsFile,
+          StageSource.ColsFile)) {
+        val p = new java.io.File(dir, n).toPath
+        val s = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.file.Files.write(p, s.replace(f7, renamed)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
+    }
     java.nio.file.Files.write(
       new java.io.File(dir, StageSource.EpochsFile).toPath,
       "7\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val before = StageSource.manifestVersions(dir)
-    // epoch 7 re-offered after a restart: must be SKIPPED, not re-committed
+    // epoch 7 re-offered to the SAME query after the upgrade: its files
+    // are present → SKIPPED, no new snapshot
     StageCommitter.commit(dir, schema, Array.empty, "qstream",
-      stagedCommit(dir, schema, "qstream", Seq((9L, 9.0))),
+      stagedCommit(dir, schema, "qstream", Seq((7L, 7.0))),
       truncate = false, epoch = Some(7L))
     assert(StageSource.manifestVersions(dir) == before,
       StageSource.manifestVersions(dir).toString)
+    // a NEW query's epoch 7 (fresh checkpoint, no files of its own) must
+    // COMMIT — the bare line belongs to the older writer
+    StageCommitter.commit(dir, schema, Array.empty, "qfresh",
+      stagedCommit(dir, schema, "qfresh", Seq((9L, 9.0))),
+      truncate = false, epoch = Some(7L))
     val back = spark.read.format(fmt).option("path", dir).load()
       .as[(Long, Double)].collect().toSet
-    assert(back == Set((1L, 1.0)), back.toString)
+    assert(back == Set((1L, 1.0), (7L, 7.0), (9L, 9.0)), back.toString)
   }
 }

@@ -40,6 +40,22 @@ if drift_bad; then
   if drift_bad; then
     echo "WEATHER_UNSTABLE: both bench runs exceeded 25% anchor drift (or artifact unreadable)" > /tmp/r19_weather_flag
   fi
+  # keep the CALMER run's artifact (review r17: the re-run used to win
+  # unconditionally, so a 60%-drift retry could replace a 30%-drift
+  # first attempt)
+  python3 - <<'EOF'
+import json, math, shutil
+def drift(p):
+    try:
+        return abs(math.log(json.load(open(p)).get('anchor_drift', 1.0)))
+    except Exception:
+        return float('inf')
+cur = '/root/repo/BENCH_LAST.json'
+prev = '/tmp/r19_bench_attempt1.json'
+if drift(prev) < drift(cur):
+    shutil.copy(prev, cur)
+    print('restored calmer first attempt')
+EOF
 fi
 sbt -batch test > /tmp/r19_test.log 2>&1
 python3 tools/diffcheck.py /root/testdata/sf0.1 /tmp/v19_1 > /tmp/r19_diff1.log 2>&1
