@@ -182,6 +182,11 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
+    val path = dir.getAbsolutePath
+    // schema read + validation INSIDE the commit lock (ADVICE r17 #3: two
+    // concurrent ADD COLUMNs both reading the pre-alter schema outside it
+    // meant the second write silently dropped the first ALTER's column)
+    StageCommitter.lockFor(path).synchronized {
     val table = loadTable(ident) // throws NoSuchTableException
     val schema = table.schema()
     val added = changes.map {
@@ -206,8 +211,6 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
       case other => throw new UnsupportedOperationException(
         s"StageCatalog supports only ADD COLUMN, got $other")
     }
-    val path = dir.getAbsolutePath
-    StageCommitter.lockFor(path).synchronized {
       // backfill stored-column counts for every live file BEFORE the
       // schema changes — they all carry the pre-alter schema, the last
       // moment that count is knowable. The counts ride a NEW manifest
@@ -244,6 +247,18 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
           case _: java.nio.file.FileAlreadyExistsException => () // retry on the new base
         }
       }
+      // cross-process conflict detection (same-process alters serialize on
+      // the lock above): if another PROCESS's ALTER changed the persisted
+      // schema between this alter's read and its write, blindly writing
+      // `schema ++ added` would silently drop that alter's column — fail
+      // loudly instead, like every other concurrent-rewrite conflict
+      val onDisk = StructType.fromDDL(new String(
+        java.nio.file.Files.readAllBytes(
+          new File(dir, StageSource.SchemaFile).toPath), StandardCharsets.UTF_8))
+      require(onDisk.toDDL == schema.toDDL,
+        s"concurrent schema change on ${ident.name}: persisted schema " +
+          s"changed from '${schema.toDDL}' to '${onDisk.toDDL}' while this " +
+          "ALTER was validating — re-run against the current schema")
       val evolved = StructType(schema.fields ++ added)
       java.nio.file.Files.write(
         new File(dir, StageSource.SchemaFile).toPath,

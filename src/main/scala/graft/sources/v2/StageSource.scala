@@ -149,6 +149,21 @@ object StageSource {
     */
   val EpochsFile = "_epochs.txt"
 
+  /** Split a metadata line into exactly `n` tab-separated fields, failing
+    * with an error that NAMES the file and the line (ADVICE r17 #4: a bare
+    * `val Array(a, b) = split` throws an opaque MatchError on any
+    * truncated or corrupt line — and like readProps, a parser failure
+    * here would brick every subsequent load of the table, so it must be
+    * diagnosable).
+    */
+  private def splitExact(src: File, l: String, n: Int): Array[String] = {
+    val a = l.split('\t')
+    require(a.length == n,
+      s"malformed metadata line in $src (expected $n tab-separated " +
+        s"fields, got ${a.length}): $l")
+    a
+  }
+
   /** Per-file STORED column count: `file \t ncols` — the schema-evolution
     * sidecar. The framing is positional, so a file written before an
     * `ALTER TABLE … ADD COLUMN` stores fewer columns than the current
@@ -168,7 +183,7 @@ object StageSource {
     if (!f.exists()) return Map.empty
     new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(file, n) = l.split('\t'); file -> n.toInt
+        val Array(file, n) = splitExact(f, l, 2); file -> n.toInt
       }.toMap
   }
 
@@ -234,7 +249,7 @@ object StageSource {
     val manifest = new String(
       java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
       .linesIterator.filter(isColsLine).map { l =>
-        val Array(_, f, n) = l.split('\t'); f -> n.toInt
+        val Array(_, f, n) = splitExact(mf, l, 3); f -> n.toInt
       }.toMap
     sidecar ++ manifest // manifest wins
   }
@@ -249,7 +264,7 @@ object StageSource {
     if (!mf.exists()) return Map.empty
     new String(java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
       .linesIterator.filter(isDeleteLine).toSeq
-      .map { l => val Array(_, f, p) = l.split('\t'); (f, p.toLong) }
+      .map { l => val Array(_, f, p) = splitExact(mf, l, 3); (f, p.toLong) }
       .groupBy(_._1)
       .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
   }
@@ -275,7 +290,7 @@ object StageSource {
     if (!f.exists()) return Map.empty
     new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(v, t) = l.split('\t'); v.toInt -> t.toLong
+        val Array(v, t) = splitExact(f, l, 2); v.toInt -> t.toLong
       }.toMap
   }
 
@@ -434,7 +449,7 @@ object StageSource {
     if (!f.exists()) return Map.empty
     new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(file, pv) = l.split('\t')
+        val Array(file, pv) = splitExact(f, l, 2)
         file -> pv.split('/').map(
           java.net.URLDecoder.decode(_, StandardCharsets.UTF_8))
       }.toMap
@@ -537,7 +552,7 @@ object StageSource {
     new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).toSeq
       .map { l =>
-        val Array(file, colName, mn, mx) = l.split('\t')
+        val Array(file, colName, mn, mx) = splitExact(f, l, 4)
         (file, colName, ColRange(mn.toDouble, mx.toDouble))
       }
       .groupBy(_._1)
@@ -687,24 +702,29 @@ class StageTable(
           case _: java.nio.file.FileAlreadyExistsException => () // lost the race: retry on the new base
         }
       }
-    }
-    doomed.foreach(n => new File(path, n).delete(): Unit)
-    // drop the dead files' stats + partition lines (snapshot metadata
-    // stays exactly the surviving file set)
-    def rewrite(file: String): Unit = {
-      val f = new File(path, file)
-      if (f.exists()) {
-        val kept = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-          .linesIterator.filter(l => l.nonEmpty && !doomed(l.split('\t')(0)))
-          .mkString("", "\n", "\n")
-        java.nio.file.Files.write(f.toPath,
-          kept.getBytes(StandardCharsets.UTF_8)): Unit
+      // physical deletes and sidecar rewrites stay INSIDE the lock
+      // (ADVICE r17 #2: releasing it first let a same-process concurrent
+      // commit's freshly appended sidecar lines be clobbered by this
+      // read-modify-write — contradicting commit()'s serialization
+      // contract for same-process commits)
+      doomed.foreach(n => new File(path, n).delete(): Unit)
+      // drop the dead files' stats + partition lines (snapshot metadata
+      // stays exactly the surviving file set)
+      def rewrite(file: String): Unit = {
+        val f = new File(path, file)
+        if (f.exists()) {
+          val kept = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+            .linesIterator.filter(l => l.nonEmpty && !doomed(l.split('\t')(0)))
+            .mkString("", "\n", "\n")
+          java.nio.file.Files.write(f.toPath,
+            kept.getBytes(StandardCharsets.UTF_8)): Unit
+        }
       }
+      rewrite(StageSource.StatsFile)
+      rewrite(StageSource.PartsFile)
+      rewrite(StageSource.ColsFile)
     }
-    rewrite(StageSource.StatsFile)
-    rewrite(StageSource.PartsFile)
-    rewrite(StageSource.ColsFile)
   }
 
   // Row LINEAGE ([[SupportsMetadataColumns]], the `_metadata.file_path`

@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-18 close-out validation chain (run via nohup; logs in /tmp/r19_*.log)
 cd /root/repo
-rm -rf /tmp/v19_001 /tmp/v19_01 /tmp/v19_1 /tmp/r19_chain_done
+rm -rf /tmp/v19_001 /tmp/v19_01 /tmp/v19_1 /tmp/r19_chain_done /tmp/r19_bench_attempt1.json
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/v19_01" > /tmp/r19_verify01.log 2>&1
 python3 tools/diffcheck.py /root/testdata/sf0.01 /tmp/v19_01 > /tmp/r19_diff01.log 2>&1
 sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/v19_001" > /tmp/r19_verify001.log 2>&1
@@ -35,7 +35,15 @@ EOF
 run_bench /tmp/r19_bench.log
 if drift_bad; then
   echo "anchor_drift out of band; re-running bench once" >> /tmp/r19_bench.log
-  cp /root/repo/BENCH_LAST.json /tmp/r19_bench_attempt1.json 2>/dev/null
+  # snapshot attempt 1 ONLY if its artifact postdates this chain's first
+  # bench start (ADVICE r17: a crashed first run leaves a STALE artifact
+  # from an earlier round — often with a small drift — which the calmer
+  # pick below would then restore over the fresh re-run)
+  if [ /root/repo/BENCH_LAST.json -nt "$BENCH_START_FILE" ]; then
+    cp /root/repo/BENCH_LAST.json /tmp/r19_bench_attempt1.json 2>/dev/null
+  else
+    rm -f /tmp/r19_bench_attempt1.json  # stale/missing = drift inf below
+  fi
   run_bench /tmp/r19_bench2.log
   if drift_bad; then
     echo "WEATHER_UNSTABLE: both bench runs exceeded 25% anchor drift (or artifact unreadable)" > /tmp/r19_weather_flag
