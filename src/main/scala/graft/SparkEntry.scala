@@ -7530,6 +7530,63 @@ object SparkEntry {
       FROM $t GROUP BY status ORDER BY status""")
   }
 
+  /** BOUNDED delete-vector encoding (r17 verdict #1, [[graft.sources.v2
+    * .StageSource.writeDvFile]]): merge-on-read deletes used to ride the
+    * manifest as one CUMULATIVE per-row line each, so after N accumulated
+    * deletes EVERY commit — including unrelated appends — rewrote O(N)
+    * manifest bytes driver-side. Vectors now live in immutable
+    * CONTENT-ADDRESSED run-length sidecars (`_dv-<md5>.bin`) and the
+    * manifest carries one constant-size reference line per dirty file;
+    * carry-forward copies the reference, never the rows. The row proves
+    * the contract live: a vector DELETE, then an UNRELATED append, then
+    * two in-plan verdicts from the connector's own metadata —
+    * `no_per_row_manifest_lines` (the post-append manifest holds zero
+    * legacy D-lines) and `append_wrote_zero_dv_bytes` (the sidecar set
+    * and the reference map are BYTE-IDENTICAL across the append — the
+    * append's commit cost excluded the delete state entirely). At 100 TB
+    * with 10M accumulated deletes this is the difference between a
+    * ~570 MB manifest rewrite per commit and a few KB of reference
+    * lines. The read-back aggregate is oracled against orders minus the
+    * deleted keys plus the appended range.
+    */
+  private def qDsv2DvEncoding(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.v2.StageSource
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_dvenc"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT)
+      TBLPROPERTIES ('delete.mode'='merge-on-read')""")
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v WHERE o_orderkey < 2000""")
+    s.sql(s"DELETE FROM $t WHERE k % 7 = 2") // vectors across every file
+    val dir = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/default/ord_dvenc"
+    def sidecars = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("_dv-")).toSet
+    val sidecarsBefore = sidecars
+    val refsBefore = StageSource.readDvRefs(dir, None)
+    // the UNRELATED append: its commit must carry the delete state as
+    // references, writing zero vector bytes
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v WHERE o_orderkey >= 2000 AND o_orderkey < 2400""")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, StageSource.manifestName(
+        StageSource.latestVersion(dir).get)).toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val noPerRow = !manifest.linesIterator.exists(_.startsWith("D\t"))
+    val zeroDvBytes = sidecars == sidecarsBefore &&
+      StageSource.readDvRefs(dir, None) == refsBefore
+    s.sql(s"""SELECT status, COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM $t GROUP BY status ORDER BY status""")
+      .withColumn("no_per_row_manifest_lines", lit(noPerRow))
+      .withColumn("append_wrote_zero_dv_bytes", lit(zeroDvBytes))
+  }
+
   /** DIRECT storage-partitioned PK–FK join over staged tables — the
     * sort-free leg ([[qDsv2SpjStaged]] aggregates before joining, so its
     * merge join sorts above the hash aggregates; here the fact table
@@ -9548,6 +9605,7 @@ object SparkEntry {
     "q_dsv2_add_column" -> (qDsv2AddColumn _),
     "q_dsv2_mor_delete" -> (qDsv2MorDelete _),
     "q_dsv2_mor_compact" -> (qDsv2MorCompact _),
+    "q_dsv2_dv_encoding" -> (qDsv2DvEncoding _),
     "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
@@ -10671,6 +10729,22 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 2
         |  AND o_orderkey % 11 <> 3
+        |GROUP BY status ORDER BY status""".stripMargin,
+    // q_dsv2_dv_encoding: the vector delete + unrelated append replayed
+    // arithmetically; the two encoding verdicts (no per-row manifest
+    // lines, zero vector bytes written by the append) are asserted as
+    // literal TRUE — a regression to the cumulative encoding
+    // hash-mismatches the row
+    "q_dsv2_dv_encoding" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       TRUE AS no_per_row_manifest_lines,
+        |       TRUE AS append_wrote_zero_dv_bytes
+        |FROM orders
+        |WHERE (o_orderkey < 2000 AND o_orderkey % 7 <> 2)
+        |   OR (o_orderkey >= 2000 AND o_orderkey < 2400)
         |GROUP BY status ORDER BY status""".stripMargin,
     // q_dsv2_lineage: the per-flag content straight from lineitem; the
     // lineage claims (one shard per flag, three shards total) replayed

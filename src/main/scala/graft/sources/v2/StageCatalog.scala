@@ -224,11 +224,15 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
         val live = StageSource.snapshotFiles(path, None).map(_.getName)
         val known = StageSource.readColsAt(path, None)
         val counts = live.map(f => f -> known.getOrElse(f, schema.length))
-        val dvLines = StageSource.readDeletes(path, None)
-          .filter { case (f, _) => live.contains(f) }
-          .toSeq.sortBy(_._1).flatMap { case (f, ps) =>
-            ps.map(p => StageSource.deleteLine(f, p))
-          }
+        // delete-vector REFERENCES carry over verbatim (bounded
+        // encoding); legacy per-row D-lines migrate to sidecars once
+        val refs = StageSource.readDvRefs(path, None)
+        val legacy = StageSource.readLegacyDeletes(path, None)
+        val dvLines = live.toSeq.flatMap { f =>
+          refs.get(f).map(StageSource.dvRefLine(f, _))
+            .orElse(legacy.get(f).map(v =>
+              StageSource.dvRefLine(f, StageSource.writeDvFile(path, v))))
+        }
         val colLines = counts.map { case (f, n) => StageSource.colsLine(f, n) }
         val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
         try {

@@ -216,6 +216,139 @@ object StageSource {
 
   def isDeleteLine(l: String): Boolean = l.startsWith(DeleteLineTag)
 
+  /** Scale-bounded delete-vector encoding (r17 verdict #1): the per-row
+    * `D\t` lines above are CUMULATIVE — after N accumulated row deletes
+    * every commit (including unrelated appends) rewrote and every plan
+    * read O(N) manifest bytes driver-side, the exact O(total-state) term
+    * the rest of the engine avoids. New commits instead write each dirty
+    * file's complete vector ONCE into an immutable, CONTENT-ADDRESSED
+    * sidecar (`_dv-<md5>.bin`, run-length coded — sorted ordinals
+    * compress brutally) and the manifest carries one `V\tfile\tdvName`
+    * REFERENCE line per dirty file. Carry-forward copies the reference,
+    * not the rows: an unrelated append re-writes O(dirty files) manifest
+    * bytes and ZERO vector bytes (unchanged vectors re-reference the
+    * same sidecar by hash — content addressing makes the write
+    * idempotent under races and retries, and old snapshot versions keep
+    * resolving because no sidecar is ever mutated). Commit atomicity is
+    * unchanged: sidecars are written BEFORE the manifest claim and are
+    * invisible until a claimed manifest references them — the claim
+    * stays single-file CREATE_NEW. Legacy `D\t` manifests stay readable;
+    * the first commit after upgrade migrates them to references.
+    */
+  private val DvRefTag = "V\t"
+
+  def dvRefLine(file: String, dv: String): String = s"$DvRefTag$file\t$dv"
+
+  def isDvRefLine(l: String): Boolean = l.startsWith(DvRefTag)
+
+  /** Run-length encode a sorted, distinct ordinal vector: runCount, then
+    * (start, length) pairs. A contiguous span of deleted rows — the
+    * common shape under range predicates and compaction debt — costs 16
+    * bytes regardless of its row count.
+    */
+  def encodeDv(sorted: Array[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    var runs = 0
+    var i = 0
+    // first pass counts runs; second writes (vector sizes are bounded by
+    // a file's row count, so two passes beat buffering run pairs)
+    while (i < sorted.length) {
+      var j = i + 1
+      while (j < sorted.length && sorted(j) == sorted(j - 1) + 1) j += 1
+      runs += 1; i = j
+    }
+    out.writeInt(runs)
+    i = 0
+    while (i < sorted.length) {
+      var j = i + 1
+      while (j < sorted.length && sorted(j) == sorted(j - 1) + 1) j += 1
+      out.writeLong(sorted(i)); out.writeLong(j - i)
+      i = j
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def decodeDv(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val runs = in.readInt()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var r = 0
+    while (r < runs) {
+      val start = in.readLong(); val len = in.readLong()
+      var k = 0L
+      while (k < len) { buf += start + k; k += 1 }
+      r += 1
+    }
+    buf.toArray
+  }
+
+  /** Persist one file's complete vector as an immutable content-addressed
+    * sidecar; returns its name. Idempotent: the same vector always maps
+    * to the same name, and an existing sidecar with that name already
+    * holds these exact bytes (so a concurrent writer racing on the same
+    * content is harmless — CREATE_NEW losing means the content is
+    * already there).
+    */
+  def writeDvFile(path: String, sorted: Array[Long]): String = {
+    val bytes = encodeDv(sorted)
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val name = "_dv-" + md.map("%02x".format(_)).mkString + ".bin"
+    val f = new File(path, name)
+    if (!f.exists()) {
+      try java.nio.file.Files.write(f.toPath, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // same content
+      }
+    }
+    name
+  }
+
+  /** Decode one delete-vector sidecar. A missing sidecar referenced by a
+    * live manifest means the snapshot is no longer reconstructible (a
+    * vacuum raced or bytes were lost) — fail loudly, never read the file
+    * as undeleted.
+    */
+  def loadDv(path: String, name: String): Array[Long] = {
+    val f = new File(path, name)
+    require(f.exists(),
+      s"delete-vector sidecar $name referenced by a manifest of $path is " +
+        "missing — this snapshot is no longer reconstructible")
+    decodeDv(java.nio.file.Files.readAllBytes(f.toPath))
+  }
+
+  /** file name → delete-vector sidecar name for snapshot `v` (latest when
+    * None): the manifest's `V\t` reference lines. Carry-forward copies
+    * these references verbatim — no vector is decoded or re-encoded on
+    * the commit path of a file whose deletes didn't change.
+    */
+  def readDvRefs(path: String, v: Option[Int]): Map[String, String] = {
+    val version = v.orElse(latestVersion(path)).getOrElse(return Map.empty)
+    val mf = new File(path, manifestName(version))
+    if (!mf.exists()) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(isDvRefLine).map { l =>
+        val Array(_, f, dv) = splitExact(mf, l, 3); f -> dv
+      }.toMap
+  }
+
+  /** Legacy per-row `D\t` vectors of snapshot `v` (pre-r18 manifests
+    * only — new commits write `V\t` references instead, migrating these
+    * on first touch).
+    */
+  def readLegacyDeletes(path: String, v: Option[Int]): Map[String, Array[Long]] = {
+    val version = v.orElse(latestVersion(path)).getOrElse(return Map.empty)
+    val mf = new File(path, manifestName(version))
+    if (!mf.exists()) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(isDeleteLine).toSeq
+      .map { l => val Array(_, f, p) = splitExact(mf, l, 3); (f, p.toLong) }
+      .groupBy(_._1)
+      .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
+  }
+
   /** Stored-column-count lines (`C\tfile\tncols`) ride the manifest too:
     * a lost count doesn't merely disable an optimization like a lost
     * stats line — it makes the reader MISDECODE an evolved table's old
@@ -255,18 +388,20 @@ object StageSource {
   }
 
   /** The delete vectors of snapshot `v` (latest when None): file name →
-    * sorted deleted row ordinals. Empty for pre-MOR manifests and legacy
-    * tables.
+    * sorted deleted row ordinals. Resolves both encodings — `V\t`
+    * sidecar references (the bounded encoding) and legacy per-row `D\t`
+    * lines — unioned per file (a file never carries both after one
+    * post-upgrade commit, but a mixed manifest must still read right).
     */
   def readDeletes(path: String, v: Option[Int]): Map[String, Array[Long]] = {
-    val version = v.orElse(latestVersion(path)).getOrElse(return Map.empty)
-    val mf = new File(path, manifestName(version))
-    if (!mf.exists()) return Map.empty
-    new String(java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(isDeleteLine).toSeq
-      .map { l => val Array(_, f, p) = splitExact(mf, l, 3); (f, p.toLong) }
-      .groupBy(_._1)
-      .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
+    val legacy = readLegacyDeletes(path, v)
+    val refs = readDvRefs(path, v)
+    if (refs.isEmpty) return legacy
+    (legacy.keySet ++ refs.keySet).iterator.map { f =>
+      f -> (legacy.getOrElse(f, Array.empty[Long]) ++
+        refs.get(f).map(loadDv(path, _)).getOrElse(Array.empty[Long]))
+        .distinct.sorted
+    }.toMap
   }
 
   /** Commit-time ledger: `version \t epochMillis`, one line per snapshot,
@@ -405,6 +540,15 @@ object StageSource {
       .foreach(f => f.delete(): Unit)
     manifestVersions(path).dropRight(1)
       .foreach(v => new File(path, manifestName(v)).delete(): Unit)
+    // delete-vector sidecars referenced only by expired manifests go with
+    // them (the latest snapshot's references stay resolvable)
+    locally {
+      val keepDv = readDvRefs(path, Some(latest)).values.toSet
+      val all = new File(path).listFiles()
+      if (all != null)
+        all.filter(f => f.getName.startsWith("_dv-") && !keepDv(f.getName))
+          .foreach(f => f.delete(): Unit)
+    }
     // expired versions lose their commit-time lines too (TIMESTAMP AS OF
     // to an expired instant must fail as "no such snapshot", not resolve
     // to a dangling version)
@@ -681,11 +825,15 @@ class StageTable(
         val survivors = current.map(_.getName).filterNot(doomed)
         // surviving files keep their merge-on-read delete vectors and
         // stored-column counts; the doomed files' entries drop with them
-        val dvLines = StageSource.readDeletes(path, None)
-          .filter { case (f, _) => survivors.contains(f) }
-          .toSeq.sortBy(_._1).flatMap { case (f, ps) =>
-            ps.map(p => StageSource.deleteLine(f, p))
-          }
+        // surviving files' delete-vector REFERENCES carry over verbatim
+        // (bounded encoding); legacy per-row D-lines migrate to sidecars
+        val refs = StageSource.readDvRefs(path, None)
+        val legacy = StageSource.readLegacyDeletes(path, None)
+        val dvLines = survivors.flatMap { f =>
+          refs.get(f).map(StageSource.dvRefLine(f, _))
+            .orElse(legacy.get(f).map(v =>
+              StageSource.dvRefLine(f, StageSource.writeDvFile(path, v))))
+        }
         val colLines = StageSource.readColsAt(path, None)
           .filter { case (f, _) => survivors.contains(f) }
           .toSeq.sorted.map { case (f, n) => StageSource.colsLine(f, n) }
@@ -1396,11 +1544,20 @@ object StageCommitter {
       }
       newFiles.foreach { case (name, _) => snapshot += name }
       // ------------------------------------------- merge-on-read deletes
-      // the base's delete vectors as of THIS retry (files dropped from
-      // the snapshot — replaced, overwritten, doomed — lose theirs)
-      val baseDvs =
+      // the base's delete-vector state as of THIS retry, held as
+      // REFERENCES (files dropped from the snapshot — replaced,
+      // overwritten, doomed — lose theirs): carry-forward copies the
+      // reference line, never the vector, so an unrelated commit's
+      // manifest cost is O(dirty files), not O(total deleted rows).
+      // Legacy per-row D-lines (pre-upgrade manifests) surface here once
+      // and are migrated to sidecars below.
+      val baseRefs =
+        if (truncate) Map.empty[String, String]
+        else StageSource.readDvRefs(path, None)
+          .filter { case (f, _) => snapshot.contains(f) }
+      val baseLegacy =
         if (truncate) Map.empty[String, Array[Long]]
-        else StageSource.readDeletes(path, None)
+        else StageSource.readLegacyDeletes(path, None)
           .filter { case (f, _) => snapshot.contains(f) }
       // conflict validation over DELETE STATE: a scanned file whose
       // vectors changed since the scan means the operation read (and
@@ -1428,14 +1585,22 @@ object StageCommitter {
             s"${orphans.toSeq.sorted.mkString(", ")} which a concurrent " +
             "commit rewrote or removed")
       }
-      val dvs: Map[String, Array[Long]] =
-        if (addDeletes.isEmpty) baseDvs
-        else (baseDvs.keySet ++ addDeletes.keySet).iterator.map { f =>
-          f -> (baseDvs.getOrElse(f, Array.empty[Long]) ++
-            addDeletes.getOrElse(f, Array.empty[Long])).distinct.sorted
-        }.toMap
-      val dvLines = dvs.toSeq.sortBy(_._1).flatMap { case (f, ps) =>
-        ps.map(p => StageSource.deleteLine(f, p))
+      // one V-line per dirty file: this commit's own delta decodes ONLY
+      // its target files' base vectors, unions, and writes one immutable
+      // content-addressed sidecar each (written BEFORE the claim below,
+      // invisible until a claimed manifest references it); every other
+      // dirty file's reference carries forward verbatim — commit bytes
+      // are proportional to the commit's own delta
+      val dvLines = snapshot.toSeq.flatMap { f =>
+        if (addDeletes.contains(f)) {
+          val base = baseLegacy.getOrElse(f, Array.empty[Long]) ++
+            baseRefs.get(f).map(StageSource.loadDv(path, _))
+              .getOrElse(Array.empty[Long])
+          val merged = (base ++ addDeletes(f)).distinct.sorted
+          Some(StageSource.dvRefLine(f, StageSource.writeDvFile(path, merged)))
+        } else baseRefs.get(f).map(StageSource.dvRefLine(f, _))
+          .orElse(baseLegacy.get(f).map(v => // legacy D-lines: migrate once
+            StageSource.dvRefLine(f, StageSource.writeDvFile(path, v))))
       }
       // stored-column counts, claim-atomic with the snapshot: carried
       // files keep their base count (manifest C-lines or legacy

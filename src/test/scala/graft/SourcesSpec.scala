@@ -1226,4 +1226,125 @@ class SourcesSpec extends SparkTestBase {
       .as[(Long, Double)].collect().toSet
     assert(back == Set((1L, 1.0), (7L, 7.0), (9L, 9.0)), back.toString)
   }
+
+  test("bounded delete-vector encoding: commit bytes follow the delta, sidecars are immutable and content-addressed") {
+    // r17 verdict #1: per-row cumulative D-lines made EVERY commit
+    // rewrite (and every plan read) O(total deleted rows) manifest bytes
+    // driver-side. The bounded encoding stores each dirty file's vector
+    // once in an immutable content-addressed sidecar and carries a
+    // constant-size reference line forward.
+    import graft.sources.v2.StageSource
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_dv").toString
+    spark.conf.set("spark.sql.catalog.stagedv", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagedv.root", root)
+    val t = "stagedv.default.t_dv"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 3000)")
+    val dir = new java.io.File(new java.io.File(root, "default"), "t_dv")
+      .getAbsolutePath
+    def manifestText(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, StageSource.manifestName(v)).toPath))
+    def dvSidecars = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_dv-")).toSet
+    spark.sql(s"DELETE FROM $t WHERE k % 3 = 1") // 1000 rows, every file
+    val vDel = StageSource.latestVersion(dir).get
+    val mDel = manifestText(vDel)
+    // the delete wrote NO per-row lines: one V-reference per dirty file
+    assert(!mDel.linesIterator.exists(_.startsWith("D\t")), mDel)
+    val vLineCount = mDel.linesIterator.count(_.startsWith("V\t"))
+    val nFiles = StageSource.snapshotFiles(dir, None).length
+    assert(vLineCount > 0 && vLineCount <= nFiles, s"$vLineCount vs $nFiles files")
+    val sidecarsAfterDelete = dvSidecars
+    // content addressing DEDUPES identical vectors across files: the
+    // sidecar set is exactly the DISTINCT references, which may be fewer
+    // than the dirty files (here every file deletes the same ordinal
+    // pattern)
+    val refNames = mDel.linesIterator.filter(_.startsWith("V\t"))
+      .map(_.split('\t')(2)).toSet
+    assert(sidecarsAfterDelete == refNames,
+      s"$sidecarsAfterDelete vs refs $refNames")
+    val dvBefore = StageSource.readDeletes(dir, None)
+      .map { case (f, ps) => f -> ps.toSeq }
+    assert(dvBefore.values.map(_.size).sum == 1000)
+    // an UNRELATED append: manifest stays O(files) — same V-lines carried
+    // verbatim — and ZERO new vector bytes are written
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(3000, 3010)")
+    val vApp = StageSource.latestVersion(dir).get
+    val mApp = manifestText(vApp)
+    assert(mApp.linesIterator.filter(_.startsWith("V\t")).toSet ==
+      mDel.linesIterator.filter(_.startsWith("V\t")).toSet,
+      "append changed delete-vector references")
+    assert(dvSidecars == sidecarsAfterDelete, "append wrote vector bytes")
+    assert(StageSource.readDeletes(dir, None)
+      .map { case (f, ps) => f -> ps.toSeq } == dvBefore)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 2010L)
+    // a second, narrower delete touches ONE file: exactly one new sidecar
+    // appears (the touched file's new vector); the old sidecar remains
+    // (immutable — the pre-delete snapshot still resolves through it)
+    spark.sql(s"DELETE FROM $t WHERE k = 0")
+    val sidecarsAfterSecond = dvSidecars
+    assert(sidecarsAfterSecond.size == sidecarsAfterDelete.size + 1,
+      s"$sidecarsAfterDelete -> $sidecarsAfterSecond")
+    assert(sidecarsAfterDelete.subsetOf(sidecarsAfterSecond))
+    // time travel to the snapshot BETWEEN the deletes still reads right
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF $vApp")
+      .head().getLong(0) == 2010L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 2009L)
+    // vacuum expires sidecars referenced only by expired manifests
+    StageSource.vacuum(dir)
+    val live = StageSource.readDvRefs(dir, None).values.toSet
+    assert(dvSidecars == live, s"vacuum kept ${dvSidecars.diff(live)}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 2009L)
+    // content addressing: the same vector maps to the same sidecar name,
+    // and the run-length coding collapses a contiguous span to one run
+    val v1 = StageSource.writeDvFile(dir, Array(5L, 6L, 7L, 100L))
+    val v2 = StageSource.writeDvFile(dir, Array(5L, 6L, 7L, 100L))
+    assert(v1 == v2)
+    assert(StageSource.loadDv(dir, v1).toSeq == Seq(5L, 6L, 7L, 100L))
+    assert(StageSource.encodeDv((0L until 1000000L).toArray).length == 20,
+      "a 1M-row contiguous vector must cost one run (4+16 bytes)")
+    assert(StageSource.decodeDv(StageSource.encodeDv(Array[Long]())).isEmpty)
+  }
+
+  test("legacy per-row D-line manifests read correctly and migrate to sidecar references on first commit") {
+    import graft.sources.v2.StageSource
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_dvmig").toString
+    spark.conf.set("spark.sql.catalog.stagemig", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagemig.root", root)
+    val t = "stagemig.default.t_mig"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 100)")
+    val dir = new java.io.File(new java.io.File(root, "default"), "t_mig")
+      .getAbsolutePath
+    // simulate a pre-upgrade manifest: file list + cumulative D-lines
+    val files = StageSource.snapshotFiles(dir, None).map(_.getName)
+    val target = files.head
+    val legacyLines = files.toSeq ++
+      Seq(StageSource.deleteLine(target, 0L), StageSource.deleteLine(target, 2L))
+    val nextV = StageSource.latestVersion(dir).get + 1
+    java.nio.file.Files.write(
+      new java.io.File(dir, StageSource.manifestName(nextV)).toPath,
+      legacyLines.mkString("", "\n", "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    StageSource.recordCommitTime(dir, nextV)
+    // the legacy encoding reads correctly …
+    val dv0 = StageSource.readDeletes(dir, None)
+    assert(dv0.keySet == Set(target) && dv0(target).toSeq == Seq(0L, 2L),
+      dv0.map { case (f, p) => s"$f:${p.mkString(",")}" }.mkString(";"))
+    spark.sql(s"REFRESH TABLE $t")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 98L)
+    // … and the first commit after upgrade migrates it: V-reference in
+    // the new manifest, no D-lines, identical vectors
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(100, 110)")
+    val m = new String(java.nio.file.Files.readAllBytes(new java.io.File(
+      dir, StageSource.manifestName(StageSource.latestVersion(dir).get)).toPath))
+    assert(!m.linesIterator.exists(_.startsWith("D\t")), m)
+    assert(m.linesIterator.count(_.startsWith("V\t")) == 1, m)
+    assert(StageSource.readDeletes(dir, None)(target).toSeq == Seq(0L, 2L))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 108L)
+  }
 }
