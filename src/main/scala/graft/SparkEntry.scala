@@ -7587,6 +7587,59 @@ object SparkEntry {
       .withColumn("append_wrote_zero_dv_bytes", lit(zeroDvBytes))
   }
 
+  /** STREAMING READ of a staged table ([[graft.sources.v2
+    * .StageMicroBatchStream]], r17 verdict #2 — the connector could sink
+    * streams but not be TAILED): snapshot versions are the epochs, a
+    * micro-batch is the files a version range appended, and
+    * `maxFilesPerTrigger` + `Trigger.AvailableNow` drain the backlog in
+    * BOUNDED batches (the `SupportsTriggerAvailableNow` contract — with
+    * sub-version offset positions, so even one giant backfill commit
+    * drains bounded). The row runs the full lifecycle: stage 3 shards →
+    * drain through a streaming query into a staged SINK table (the
+    * connector's own exactly-once streaming write) → append 2 more
+    * shards → resume from the SAME checkpoint (the committed offset
+    * version), which must re-read nothing — a re-read or a missed file
+    * shifts the sink's content and hash-mismatches the oracle. The
+    * `bounded_drain` verdict asserts the two drains took exactly
+    * 3-then-2 single-file batches. At 100 TB this is the incremental
+    *-consumption contract: downstream jobs tail committed snapshots
+    * instead of re-scanning the table, and admission control keeps each
+    * micro-batch executor-sized.
+    */
+  private def qDsv2StreamSource(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = dirTag(d)
+    val fmt = "graft.sources.v2.StageSource"
+    val srcDir = s"/tmp/graft_dsv2w/$tag/tail_src"
+    val sinkDir = s"/tmp/graft_dsv2w/$tag/tail_sink"
+    val ckpt = s"/tmp/graft_dsv2w/$tag/tail_ckpt"
+    Seq(srcDir, sinkDir, ckpt).foreach(p =>
+      graft.engine.Fs.deleteRecursively(new java.io.File(p)))
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    ord.filter(col("k") < 1200).repartition(3)
+      .write.format(fmt).option("path", srcDir).mode("append").save()
+    def drain(): Long = {
+      val q = s.readStream.format(fmt).option("path", srcDir)
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.format(fmt).option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0).toLong
+    }
+    val batches1 = drain()
+    ord.filter(col("k") >= 1200 && col("k") < 1500).repartition(2)
+      .write.format(fmt).option("path", srcDir).mode("append").save()
+    val batches2 = drain()
+    s.read.format(fmt).option("path", sinkDir).load()
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      .withColumn("bounded_drain", lit(batches1 == 3L && batches2 == 2L))
+      .orderBy("status")
+  }
+
   /** DIRECT storage-partitioned PK–FK join over staged tables — the
     * sort-free leg ([[qDsv2SpjStaged]] aggregates before joining, so its
     * merge join sorts above the hash aggregates; here the fact table
@@ -9606,6 +9659,7 @@ object SparkEntry {
     "q_dsv2_mor_delete" -> (qDsv2MorDelete _),
     "q_dsv2_mor_compact" -> (qDsv2MorCompact _),
     "q_dsv2_dv_encoding" -> (qDsv2DvEncoding _),
+    "q_dsv2_stream_source" -> (qDsv2StreamSource _),
     "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
@@ -10745,6 +10799,20 @@ object SparkEntry {
         |FROM orders
         |WHERE (o_orderkey < 2000 AND o_orderkey % 7 <> 2)
         |   OR (o_orderkey >= 2000 AND o_orderkey < 2400)
+        |GROUP BY status ORDER BY status""".stripMargin,
+    // q_dsv2_stream_source: the two drains' streamed content must equal
+    // the batch answer over both staged ranges — a checkpoint-resume
+    // re-read would double rows, a missed epoch would drop them, and
+    // either hash-mismatches; the bounded-drain verdict (3-then-2
+    // single-file batches under maxFilesPerTrigger=1) is asserted as
+    // literal TRUE
+    "q_dsv2_stream_source" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       TRUE AS bounded_drain
+        |FROM orders WHERE o_orderkey < 1500
         |GROUP BY status ORDER BY status""".stripMargin,
     // q_dsv2_lineage: the per-flag content straight from lineitem; the
     // lineage claims (one shard per flag, three shards total) replayed

@@ -779,7 +779,8 @@ class StageTable(
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   // ------------------------------------------------- partition-level DELETE
   // The takedown path ([[SupportsDeleteV2]], Iceberg's metadata-delete
@@ -901,7 +902,9 @@ class StageTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StageScanBuilder(path, tableSchema, partCols,
       Option(options.get("version_as_of")).map(_.toInt)
-        .orElse(pinnedVersion))
+        .orElse(pinnedVersion),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new StageWriteBuilder(path, info.schema(), info.queryId(),
@@ -1851,7 +1854,9 @@ class StageScanBuilder(
     path: String, tableSchema: StructType,
     partCols: Array[String] = Array.empty,
     versionAsOf: Option[Int] = None,
-    cowOp: Option[StageScanReportSink] = None)
+    cowOp: Option[StageScanReportSink] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1984,7 +1989,8 @@ class StageScanBuilder(
     case Some((schema, values)) => StageAggScan(path, schema, values)
     case None =>
       StageScan(path, tableSchema, required, skipFilters, partCols,
-        partFilters, versionAsOf, cowOp)
+        partFilters, versionAsOf, cowOp, maxFilesPerTrigger,
+        maxRowsPerTrigger)
   }
 }
 
@@ -2073,7 +2079,10 @@ case class StageScan(
     versionAsOf: Option[Int] = None,
     // driver-side back-reference for copy-on-write scans: planned files
     // are reported to the operation so its write replaces exactly them
-    cowOp: Option[StageScanReportSink] = None)
+    cowOp: Option[StageScanReportSink] = None,
+    // admission control for the streaming read half (per micro-batch)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -2319,6 +2328,16 @@ case class StageScan(
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new StageReaderFactory(tableSchema, required)
+
+  // STREAMING read half ([[TableCapability.MICRO_BATCH_READ]], r17
+  // verdict #2): snapshot versions are the natural epochs — see
+  // [[StageMicroBatchStream]]. Column pruning is shared with the batch
+  // path (same ScanBuilder); filters stay residual (zone pruning is a
+  // per-snapshot file decision; the stream reads whole appended files).
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new StageMicroBatchStream(path, tableSchema, required,
+      maxFilesPerTrigger, maxRowsPerTrigger)
 }
 
 class StageReaderFactory(tableSchema: StructType, required: StructType)
@@ -2418,4 +2437,204 @@ class StageReaderFactory(tableSchema: StructType, required: StructType)
       override def close(): Unit = in.close()
     }
   }
+}
+
+/** A streaming offset over a staged table: `pos` files of snapshot
+  * `version`'s NEW-file list (sorted; new = added vs version−1) are
+  * consumed, and everything before `version` is fully consumed.
+  * (0, 0) = nothing consumed — version numbers start at 1. Sub-version
+  * positions are what keep a 10k-file backfill commit drainable in
+  * bounded batches instead of one giant one.
+  */
+case class StageStreamOffset(version: Int, pos: Int = 0)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version,"pos":$pos}"""
+}
+
+/** The staged table's STREAMING read half (r17 verdict #2 — the
+  * connector declared `BATCH_READ` + `STREAMING_WRITE` but real staged
+  * tables could not be TAILED; SeqSource had the read half only for the
+  * synthetic sequence). Snapshot versions are the natural epochs: a
+  * micro-batch `(v1, v2]` is exactly the data files present in manifest
+  * v2 and absent from v1 — the appended files — read with v2's stored
+  * column counts and delete vectors. The contract is APPEND-ONLY
+  * tailing, validated per batch: a snapshot range that REMOVED a file
+  * (overwrite, takedown, compaction, copy-on-write rewrite) or changed
+  * a carried file's delete-vector state fails LOUDLY — those rows were
+  * already emitted and cannot be retracted; route such tables through
+  * [[graft.operators.Changelog]]-style CDC instead of silently
+  * re-emitting or missing rows.
+  *
+  * Admission control ([[SupportsAdmissionControl]] via
+  * `maxFilesPerTrigger` / `maxRowsPerTrigger`): the batch end-version
+  * advances while the cumulative new-file/row count stays inside the
+  * limit, always by at least one version (a committed snapshot is the
+  * atomic unit — version granularity, like Iceberg's streaming read).
+  * Row counts come from the `__rows` sidecar statistics; a file without
+  * one counts as unbounded (limits stay conservative, never wrong).
+  * [[SupportsTriggerAvailableNow]] pins the drain target at trigger
+  * start — without it the engine degrades to Trigger.Once and silently
+  * IGNORES the read limit.
+  */
+class StageMicroBatchStream(
+    path: String, tableSchema: StructType, required: StructType,
+    maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // files of a snapshot version (empty at the pre-history version 0)
+  private def filesAt(v: Int): Set[String] =
+    if (v <= 0) Set.empty
+    else StageSource.snapshotFiles(path, Some(v)).map(_.getName).toSet
+
+  // the files version v ADDED over its predecessor, in a deterministic
+  // order (what offset positions index into)
+  private def newFilesOf(v: Int): Seq[String] =
+    if (v <= 0) Seq.empty
+    else filesAt(v).diff(filesAt(v - 1)).toSeq.sorted
+
+  private def latestVersionNow: Int =
+    StageSource.latestVersion(path).getOrElse(0)
+
+  // Trigger.AvailableNow drain target, pinned when the trigger starts
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestVersionNow)
+
+  private def ceiling: Int =
+    availableNowTarget.getOrElse(latestVersionNow)
+
+  override def initialOffset(): Offset = StageStreamOffset(0, 0)
+  override def deserializeOffset(json: String): Offset =
+    StageStreamOffset(
+      """"version":(\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"bad offset $json")),
+      """"pos":(\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt)
+        // a pos-less offset (older checkpoint) means the version was
+        // fully consumed under version-granularity semantics
+        .getOrElse(Int.MaxValue))
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxFilesPerTrigger.map(ReadLimit.maxFiles),
+      maxRowsPerTrigger.map(ReadLimit.maxRows)).flatten
+    if (limits.isEmpty) ReadLimit.allAvailable()
+    else if (limits.size == 1) limits.head
+    else ReadLimit.compositeLimit(limits.toArray)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxFiles, ReadMaxRows}
+    val so = start.asInstanceOf[StageStreamOffset]
+    val top = ceiling
+    if (top <= 0 || so.version > top) return so
+    def caps(l: ReadLimit): (Long, Long) = l match {
+      case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
+      case r: ReadMaxRows => (Long.MaxValue, r.maxRows())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).reduce((a, b) =>
+          (math.min(a._1, b._1), math.min(a._2, b._2)))
+      case _: ReadAllAvailable => (Long.MaxValue, Long.MaxValue)
+      case _ => (Long.MaxValue, Long.MaxValue)
+    }
+    val (maxF, maxR) = caps(limit)
+    if (maxF == Long.MaxValue && maxR == Long.MaxValue)
+      return StageStreamOffset(top, newFilesOf(top).size)
+    val stats = StageSource.readStats(path)
+    def rowsOf(f: String): Long =
+      stats.get(f).flatMap(_.get("__rows")).map(_.min.toLong)
+        .getOrElse(Long.MaxValue) // no sidecar: counts as unbounded
+    // walk file-at-a-time from (version, pos), always advancing at least
+    // one file, stopping once a limit is reached — a 10k-file backfill
+    // commit drains as bounded batches, not one giant one
+    var curV = math.max(so.version, 1)
+    var curP = if (so.version == 0) 0 else so.pos
+    var files = 0L
+    var rows = 0L
+    var done = false
+    while (!done) {
+      val lst = newFilesOf(curV)
+      if (curP >= lst.size) {
+        if (curV >= top) done = true
+        else { curV += 1; curP = 0 }
+      } else {
+        val nf = files + 1
+        val nr = {
+          val r = rowsOf(lst(curP))
+          if (rows == Long.MaxValue || r == Long.MaxValue) Long.MaxValue
+          else rows + r
+        }
+        if (files == 0L || (nf <= maxF && nr <= maxR)) {
+          files = nf; rows = nr; curP += 1
+          if (nf >= maxF || nr >= maxR) done = true
+        } else done = true
+      }
+    }
+    StageStreamOffset(curV, curP)
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val top = ceiling
+    StageStreamOffset(top, if (top <= 0) 0 else newFilesOf(top).size)
+  }
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val so = start.asInstanceOf[StageStreamOffset]
+    val eo = end.asInstanceOf[StageStreamOffset]
+    val s = so.version
+    val e = eo.version
+    if (e < s || (e == s && eo.pos <= so.pos)) return Array.empty
+    val before = filesAt(s)
+    val after = filesAt(e)
+    // append-only validation: a removed file or a changed delete-vector
+    // reference on a carried file means rows this stream already emitted
+    // were rewritten or deleted — fail loudly, never silently re-emit
+    val removed = before.diff(after)
+    require(removed.isEmpty,
+      s"streaming read of $path hit a NON-APPEND change between snapshot " +
+        s"versions $s and $e: file(s) ${removed.toSeq.sorted.mkString(", ")} " +
+        "were removed (overwrite/delete/compaction/rewrite) — the staged " +
+        "streaming source tails appends only; re-stream from a fresh " +
+        "checkpoint or consume a CDC view instead")
+    val dvS = StageSource.readDvRefs(path, Some(s)).filter(kv => before(kv._1))
+    val dvE = StageSource.readDvRefs(path, Some(e)).filter(kv => before(kv._1))
+    val legS = StageSource.readLegacyDeletes(path, Some(s))
+      .filter(kv => before(kv._1)).map { case (f, p) => f -> p.toSeq }
+    val legE = StageSource.readLegacyDeletes(path, Some(e))
+      .filter(kv => before(kv._1)).map { case (f, p) => f -> p.toSeq }
+    require(dvS == dvE && legS == legE,
+      s"streaming read of $path hit a DELETE between snapshot versions " +
+        s"$s and $e: delete-vector state changed on already-emitted " +
+        "file(s) — rows cannot be retracted from an append-only stream")
+    // the batch's files: the unconsumed tail of the start version's
+    // new-file list, every intermediate version's list whole, and the
+    // end version's list up to the end position
+    val startV = math.max(s, 1)
+    val newFiles = (startV to e).flatMap { v =>
+      val lst = newFilesOf(v)
+      val from = if (v == s) math.min(so.pos, lst.size) else 0
+      val until = if (v == e) math.min(eo.pos, lst.size) else lst.size
+      lst.slice(from, until)
+    }
+    val cols = StageSource.readColsAt(path, Some(e))
+    val dvs = StageSource.readDeletes(path, Some(e))
+    newFiles.map { n =>
+      StageFilePartition(new File(path, n).getAbsolutePath,
+        cols.getOrElse(n, -1), dvs.getOrElse(n, Array.empty[Long]))
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StageReaderFactory(tableSchema, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
