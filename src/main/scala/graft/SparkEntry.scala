@@ -7640,6 +7640,61 @@ object SparkEntry {
       .orderBy("status")
   }
 
+  /** AUTO-COMPACTION policy ([[graft.sources.v2.StageSource.maintain]],
+    * r17 verdict #4 — compaction existed but was caller-invoked): the
+    * table declares `compact.dv-threshold` as a TBLPROPERTY and the
+    * maintenance entry point repays exactly the files whose
+    * delete-vector fraction exceeds it. The row stages two partitions,
+    * deletes ~2/3 of one (far over the 0.3 threshold) and ~1% of the
+    * other (far under), runs `maintain`, and asserts BOTH policy edges
+    * from the connector's own metadata: `heavy_repaid` (every
+    * over-threshold file was rewritten vector-free) and `light_kept`
+    * (every under-threshold file kept its vectors BYTE-IDENTICAL — the
+    * policy never pays a rewrite the read debt doesn't justify). Content
+    * is oracled unchanged across the maintenance pass. At 100 TB this
+    * is the scheduled-maintenance contract: debt repayment is
+    * dirty-file-only, priced per file from the `__rows` sidecar, and
+    * claim-atomic under the same conflict validation as any rewrite.
+    */
+  private def qDsv2AutoCompact(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.v2.StageSource
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_ac"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t (k BIGINT, grp STRING, cents BIGINT)
+      PARTITIONED BY (grp)
+      TBLPROPERTIES ('delete.mode'='merge-on-read',
+                     'compact.dv-threshold'='0.3')""")
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v WHERE o_orderkey < 2000""")
+    s.sql(s"DELETE FROM $t WHERE grp = 'even' AND k % 3 <> 0") // ~2/3 dirty
+    s.sql(s"DELETE FROM $t WHERE grp = 'odd' AND k % 97 = 1")  // ~1% dirty
+    val dir = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/default/ord_ac"
+    val stats = StageSource.readStats(dir)
+    def frac(f: String, n: Int): Double =
+      n.toDouble / stats(f)("__rows").min
+    val before = StageSource.readDeletes(dir, None)
+      .map { case (f, ps) => f -> ps.toSeq }
+    StageSource.maintain(dir)
+    val after = StageSource.readDeletes(dir, None)
+      .map { case (f, ps) => f -> ps.toSeq }
+    val heavyRepaid = before.forall { case (f, ps) =>
+      frac(f, ps.size) <= 0.3 || !after.contains(f) }
+    val lightKept = before.forall { case (f, ps) =>
+      frac(f, ps.size) > 0.3 || after.get(f).contains(ps) }
+    val policyFired = before.exists { case (f, ps) => frac(f, ps.size) > 0.3 } &&
+      before.exists { case (f, ps) => frac(f, ps.size) <= 0.3 }
+    s.sql(s"""SELECT grp, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+      FROM $t GROUP BY grp ORDER BY grp""")
+      .withColumn("heavy_repaid", lit(heavyRepaid && policyFired))
+      .withColumn("light_kept", lit(lightKept))
+  }
+
   /** DIRECT storage-partitioned PK–FK join over staged tables — the
     * sort-free leg ([[qDsv2SpjStaged]] aggregates before joining, so its
     * merge join sorts above the hash aggregates; here the fact table
@@ -9660,6 +9715,7 @@ object SparkEntry {
     "q_dsv2_mor_compact" -> (qDsv2MorCompact _),
     "q_dsv2_dv_encoding" -> (qDsv2DvEncoding _),
     "q_dsv2_stream_source" -> (qDsv2StreamSource _),
+    "q_dsv2_auto_compact" -> (qDsv2AutoCompact _),
     "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
@@ -10814,6 +10870,22 @@ object SparkEntry {
         |       TRUE AS bounded_drain
         |FROM orders WHERE o_orderkey < 1500
         |GROUP BY status ORDER BY status""".stripMargin,
+    // q_dsv2_auto_compact: content must be invariant across the
+    // maintenance pass; the two policy verdicts (over-threshold files
+    // repaid, under-threshold files untouched) are asserted as literal
+    // TRUE from the connector's own metadata
+    "q_dsv2_auto_compact" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       TRUE AS heavy_repaid,
+        |       TRUE AS light_kept
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |  AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
+        |  AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 97 = 1)
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
     // q_dsv2_lineage: the per-flag content straight from lineitem; the
     // lineage claims (one shard per flag, three shards total) replayed
     // as the constants the co-located layout guarantees

@@ -502,14 +502,21 @@ object StageSource {
     * variant would read with a `_file IN (dirty)` filter and write
     * through the same replaceFiles commit.
     */
-  def compact(path: String): Unit = {
+  def compact(path: String): Unit = compact(path, None)
+
+  /** [[compact]] scoped to `only` (names of files to rewrite; None = every
+    * file carrying vectors) — the unit the threshold policy
+    * ([[maintain]]) prices file-by-file.
+    */
+  def compact(path: String, only: Option[Set[String]]): Unit = {
     val schemaFile = new File(path, SchemaFile)
     require(schemaFile.exists(),
       s"StageSource table at $path has no persisted schema")
     val schema = StructType.fromDDL(new String(
       java.nio.file.Files.readAllBytes(schemaFile.toPath), StandardCharsets.UTF_8))
     val partCols = readPartCols(path)
-    val dvs = readDeletes(path, None)
+    val dvs = only.fold(readDeletes(path, None))(s =>
+      readDeletes(path, None).filter { case (f, _) => s(f) })
     if (dvs.isEmpty) return // nothing to repay
     val cols = readColsAt(path, None)
     val qid = "compact-" + java.util.UUID.randomUUID().toString.take(8)
@@ -526,6 +533,41 @@ object StageSource {
       Array(writer.commit()), truncate = false, epoch = None,
       replaceFiles = Some(dvs.keySet),
       expectDvs = Some(dvs.map { case (k, v) => k -> v.toSet }))
+  }
+
+  /** The table-property key [[maintain]] reads its trigger from: the
+    * delete-vector fraction (deleted rows / file rows) above which a
+    * file's merge-on-read debt is repaid by compaction.
+    */
+  val CompactDvThresholdProp = "compact.dv-threshold"
+
+  /** AUTO-COMPACTION policy (r17 verdict #4 — compaction existed but was
+    * caller-invoked; a 100 TB table needs a trigger): rewrite exactly
+    * the files whose delete-vector fraction exceeds the table's
+    * `compact.dv-threshold` property. Dirty-file-only and claim-atomic
+    * (routes through [[compact]]'s standard two-phase commit with
+    * `replaceFiles`+`expectDvs` conflict validation); files at or below
+    * the threshold KEEP their vectors — their read debt is cheaper than
+    * their rewrite. A file without a `__rows` sidecar line cannot be
+    * priced and is repaid conservatively. No property, or no vectors,
+    * means no-op — the entry point is safe to run on a schedule after
+    * every ingest cycle.
+    */
+  def maintain(path: String): Unit = {
+    val threshold = readProps(path).get(CompactDvThresholdProp)
+      .map(_.toDouble).getOrElse(return)
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"$CompactDvThresholdProp must be in [0, 1], got $threshold")
+    val dvs = readDeletes(path, None)
+    if (dvs.isEmpty) return
+    val stats = readStats(path)
+    val dirty = dvs.filter { case (f, ps) =>
+      stats.get(f).flatMap(_.get("__rows")).map(_.min.toLong) match {
+        case Some(n) if n > 0 => ps.length.toDouble / n > threshold
+        case _ => true // unpriceable debt: repay it
+      }
+    }.keySet
+    if (dirty.nonEmpty) compact(path, Some(dirty))
   }
 
   /** Expire history: keep only the latest snapshot's files + manifest,

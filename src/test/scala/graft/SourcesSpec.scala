@@ -1429,4 +1429,59 @@ class SourcesSpec extends SparkTestBase {
       if (t == null) "" else t.getMessage + " | " + rootMsg(t.getCause)
     assert(rootMsg(err).contains("NON-APPEND"), rootMsg(err))
   }
+
+  test("auto-compaction policy: threshold-priced dirty-file-only repay, no-op without the property, idempotent") {
+    import graft.sources.v2.StageSource
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_ac").toString
+    spark.conf.set("spark.sql.catalog.stageac", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stageac.root", root)
+    val t = "stageac.default.t_ac"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, cents BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES " +
+      "('delete.mode'='merge-on-read', 'compact.dv-threshold'='0.3')")
+    spark.sql(s"INSERT INTO $t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 10 " +
+      "FROM range(0, 1000)")
+    spark.sql(s"DELETE FROM $t WHERE grp = 'even' AND k % 3 <> 0") // ~2/3
+    spark.sql(s"DELETE FROM $t WHERE grp = 'odd' AND k % 97 = 1")  // ~1%
+    val dir = new java.io.File(new java.io.File(root, "default"), "t_ac")
+      .getAbsolutePath
+    val stats = StageSource.readStats(dir)
+    val before = StageSource.readDeletes(dir, None)
+      .map { case (f, ps) => f -> ps.toSeq }
+    def frac(f: String, n: Int) = n.toDouble / stats(f)("__rows").min
+    assert(before.exists { case (f, ps) => frac(f, ps.size) > 0.3 })
+    assert(before.exists { case (f, ps) => frac(f, ps.size) <= 0.3 })
+    val content0 = spark.sql(s"SELECT k, grp, cents FROM $t")
+      .as[(Long, String, Long)].collect().toSet
+    StageSource.maintain(dir)
+    val after = StageSource.readDeletes(dir, None)
+      .map { case (f, ps) => f -> ps.toSeq }
+    // over-threshold files repaid, under-threshold files byte-identical
+    before.foreach { case (f, ps) =>
+      if (frac(f, ps.size) > 0.3)
+        assert(!after.contains(f), s"$f should have been compacted")
+      else assert(after.get(f).contains(ps), s"$f vectors changed")
+    }
+    assert(spark.sql(s"SELECT k, grp, cents FROM $t")
+      .as[(Long, String, Long)].collect().toSet == content0)
+    // idempotent: nothing left above the threshold
+    StageSource.maintain(dir)
+    assert(StageSource.readDeletes(dir, None)
+      .map { case (f, ps) => f -> ps.toSeq } == after)
+    // without the property, maintain never compacts
+    val t2 = "stageac.default.t_noprop"
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t2 SELECT id, id FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $t2 WHERE k % 2 = 0")
+    val dir2 = new java.io.File(new java.io.File(root, "default"), "t_noprop")
+      .getAbsolutePath
+    val dv2 = StageSource.readDeletes(dir2, None).map { case (f, p) => f -> p.toSeq }
+    assert(dv2.nonEmpty)
+    StageSource.maintain(dir2)
+    assert(StageSource.readDeletes(dir2, None)
+      .map { case (f, p) => f -> p.toSeq } == dv2, "maintain acted without a threshold")
+  }
 }
