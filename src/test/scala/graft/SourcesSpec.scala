@@ -1484,4 +1484,219 @@ class SourcesSpec extends SparkTestBase {
     assert(StageSource.readDeletes(dir2, None)
       .map { case (f, p) => f -> p.toSeq } == dv2, "maintain acted without a threshold")
   }
+
+  test("cross-command races: compact vs MOR delete aborts one way each, compact vs append both survive, takedown vs MOR delete") {
+    // r17 verdict #3: conflict validation covered rewrite-vs-rewrite and
+    // DV drift; pin the remaining pairings mechanically. Interleavings
+    // are simulated like the rewrite-race precedent above: each side's
+    // scan state is captured, the other side commits, then the stale
+    // side's commit must abort (or carry over, where the pairing is
+    // conflict-free). No interleaving may lose rows silently.
+    import graft.sources.v2.{StageCommitter, StageSource}
+    val fmt = "graft.sources.v2.StageSource"
+
+    // ---- compact vs MOR delete on the same file: one aborts, each way
+    def freshMor(tag: String): (String, org.apache.spark.sql.types.StructType, String) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_race_$tag").toString + "/t"
+      Seq.tabulate(10)(i => (i.toLong, i * 1.0)).toDF("k", "v").coalesce(1)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val schema = spark.read.format(fmt).option("path", dir).load().schema
+      val f = StageSource.snapshotFiles(dir, None).map(_.getName).head
+      // seed one vector so compact has debt to repay
+      StageCommitter.commit(dir, schema, Array.empty, s"seed$tag",
+        Array(graft.sources.v2.StageCommit(Array.empty)),
+        truncate = false, epoch = None, addDeletes = Map(f -> Array(0L)))
+      (dir, schema, f)
+    }
+    // direction A: the MOR delete wins the race; compact (scanned the
+    // pre-delete vector state) must abort, not resurrect the fresh delete
+    locally {
+      val (dir, schema, f) = freshMor("a")
+      val dvAtScan = StageSource.readDeletes(dir, None)
+        .map { case (n, p) => n -> p.toSet } // compact's scan snapshot
+      StageCommitter.commit(dir, schema, Array.empty, "morwin",
+        Array(graft.sources.v2.StageCommit(Array.empty)),
+        truncate = false, epoch = None, addDeletes = Map(f -> Array(3L)))
+      val e = intercept[IllegalStateException] {
+        StageCommitter.commit(dir, schema, Array.empty, "compactlose",
+          stagedCommit(dir, schema, "compactlose",
+            Seq.tabulate(9)(i => ((i + 1).toLong, (i + 1) * 1.0))),
+          truncate = false, epoch = None,
+          replaceFiles = Some(Set(f)), expectDvs = Some(dvAtScan))
+      }
+      assert(e.getMessage.contains("delete vectors"), e.getMessage)
+      // the fresh delete survived: rows 0 and 3 are gone
+      val back = spark.read.format(fmt).option("path", dir).load()
+        .select("k").as[Long].collect().toSet
+      assert(back == (0L until 10L).toSet -- Set(0L, 3L), back.toString)
+    }
+    // direction B: compact wins; the MOR delete targets the replaced
+    // file and must abort (its ordinals are meaningless on the rewrite)
+    locally {
+      val (dir, schema, f) = freshMor("b")
+      StageSource.compact(dir)
+      assert(StageSource.readDeletes(dir, None).isEmpty)
+      val e = intercept[IllegalStateException] {
+        StageCommitter.commit(dir, schema, Array.empty, "morlose",
+          Array(graft.sources.v2.StageCommit(Array.empty)),
+          truncate = false, epoch = None, addDeletes = Map(f -> Array(5L)))
+      }
+      assert(e.getMessage.contains("rewrote or removed"), e.getMessage)
+      val back = spark.read.format(fmt).option("path", dir).load()
+        .select("k").as[Long].collect().toSet
+      assert(back == (1L until 10L).toSet, back.toString) // seed delete only
+    }
+    // ---- compact vs append: conflict-free, both must survive
+    locally {
+      val (dir, schema, f) = freshMor("c")
+      val dvAtScan = StageSource.readDeletes(dir, None)
+        .map { case (n, p) => n -> p.toSet }
+      // an append lands between compact's scan and its commit
+      StageCommitter.commit(dir, schema, Array.empty, "qapp",
+        stagedCommit(dir, schema, "qapp", Seq((100L, 100.0))),
+        truncate = false, epoch = None)
+      StageCommitter.commit(dir, schema, Array.empty, "qcompact",
+        stagedCommit(dir, schema, "qcompact",
+          Seq.tabulate(9)(i => ((i + 1).toLong, (i + 1) * 1.0))),
+        truncate = false, epoch = None,
+        replaceFiles = Some(Set(f)), expectDvs = Some(dvAtScan))
+      val back = spark.read.format(fmt).option("path", dir).load()
+        .select("k").as[Long].collect().toSet
+      assert(back == ((1L until 10L).toSet + 100L),
+        s"append or compact lost: $back")
+      assert(StageSource.readDeletes(dir, None).isEmpty)
+    }
+    // ---- takedown (deleteWhere) vs MOR delete on a doomed file: the
+    // late MOR delete must abort, and the takedown must not half-apply
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_race_d").toString + "/t"
+      Seq((0L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0), (3L, "b", 4.0))
+        .toDF("k", "p", "v")
+        .write.format(fmt).option("path", dir).option("partition_by", "p")
+        .mode("overwrite").save()
+      val schema = spark.read.format(fmt).option("path", dir).load().schema
+      val parts = StageSource.readParts(dir)
+      val aFile = parts.collectFirst { case (n, pv) if pv.sameElements(Array("a")) => n }.get
+      // the takedown drops partition a
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      val table = new graft.sources.v2.StageSource().getTable(schema,
+        Array.empty, new java.util.HashMap[String, String]() {{ put("path", dir) }})
+        .asInstanceOf[graft.sources.v2.StageTable]
+      table.deleteWhere(Array(new org.apache.spark.sql.connector.expressions.filter.Predicate(
+        "=", Array(org.apache.spark.sql.connector.expressions.Expressions.column("p"),
+          org.apache.spark.sql.graftshim.V2ExprShim.utf8Literal("a")))))
+      // a MOR delete computed against the doomed file aborts loudly
+      val e = intercept[IllegalStateException] {
+        StageCommitter.commit(dir, schema, Array("p"), "morondoomed",
+          Array(graft.sources.v2.StageCommit(Array.empty)),
+          truncate = false, epoch = None, addDeletes = Map(aFile -> Array(0L)))
+      }
+      assert(e.getMessage.contains("rewrote or removed"), e.getMessage)
+      val back = spark.read.format(fmt).option("path", dir).load()
+        .select("k").as[Long].collect().toSet
+      assert(back == Set(1L, 3L), back.toString)
+    }
+  }
+
+  test("composite fuzz: zone-map pruning x delete vectors x schema evolution reads equal full-scan-then-filter") {
+    // r17 verdict #7: the 2000-case predicate fuzz checks partition
+    // matching in isolation; the riskier composite is pruning over
+    // mixed-schema files (evolved columns have no stats on old files)
+    // with delete vectors applied at read. Randomized tables, seeded for
+    // reproducibility; oracle = the UNFILTERED read (all files, vectors
+    // applied) filtered row-at-a-time in plain Scala.
+    import graft.sources.v2.StageSource
+    val rnd = new scala.util.Random(20260816L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_fz").toString
+    spark.conf.set("spark.sql.catalog.stagefz", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagefz.root", root)
+    for (trial <- 0 until 8) {
+      val t = s"stagefz.default.t_fz$trial"
+      spark.sql(s"CREATE TABLE $t (k BIGINT, a BIGINT, x DOUBLE) " +
+        "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+      def mkRows(n: Int, lo: Long): Seq[(Long, java.lang.Long, java.lang.Double)] =
+        Seq.tabulate(n) { i =>
+          (lo + i,
+            if (rnd.nextInt(10) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(200).toLong - 100),
+            java.lang.Double.valueOf(rnd.nextInt(1000) / 10.0 - 50.0))
+        }
+      val n1 = 40 + rnd.nextInt(80)
+      mkRows(n1, 0).toDF("k", "a", "x")
+        .repartition(1 + rnd.nextInt(3))
+        .createOrReplaceTempView(s"fz_b1_$trial")
+      spark.sql(s"INSERT INTO $t SELECT * FROM fz_b1_$trial")
+      // evolve: files of batch 1 store 3 columns, later files store 4
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (b BIGINT)")
+      val n2 = 40 + rnd.nextInt(80)
+      mkRows(n2, 10000).map { case (k, a, x) =>
+        (k, a, x,
+          if (rnd.nextInt(5) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(300).toLong))
+      }.toDF("k", "a", "x", "b")
+        .repartition(1 + rnd.nextInt(3))
+        .createOrReplaceTempView(s"fz_b2_$trial")
+      spark.sql(s"INSERT INTO $t SELECT * FROM fz_b2_$trial")
+      // one or two random vector deletes across both eras
+      val m = 2 + rnd.nextInt(5)
+      spark.sql(s"DELETE FROM $t WHERE k % $m = ${rnd.nextInt(m)}")
+      if (rnd.nextBoolean()) {
+        val m2 = 2 + rnd.nextInt(6)
+        spark.sql(s"DELETE FROM $t WHERE k % $m2 = ${rnd.nextInt(m2)}")
+      }
+      val dir = new java.io.File(new java.io.File(root, "default"), s"t_fz$trial")
+        .getAbsolutePath
+      assert(StageSource.readDeletes(dir, None).nonEmpty ||
+        // a delete predicate can legitimately match nothing
+        spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == (n1 + n2).toLong)
+      // the oracle view: every surviving row, locally held
+      case class R(k: Long, a: Option[Long], x: Option[Double], b: Option[Long])
+      val full = spark.sql(s"SELECT k, a, x, b FROM $t").collect().map { r =>
+        R(r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }.toSeq
+      // typed predicates over stats-backed (a, x) and evolution-tail (b)
+      // columns — every comparison shape the zone maps prune on
+      val ops = Seq("<", "<=", ">", ">=", "=")
+      for (_ <- 0 until 8) {
+        val (colName, lit) = rnd.nextInt(3) match {
+          case 0 => ("a", (rnd.nextInt(240) - 120).toString)
+          case 1 => ("x", (rnd.nextInt(1200) / 10.0 - 60.0).toString)
+          case _ => ("b", rnd.nextInt(340).toString)
+        }
+        val op = ops(rnd.nextInt(ops.size))
+        val got = spark.sql(
+          s"SELECT k, a, x, b FROM $t WHERE $colName $op $lit")
+          .collect().map(_.toString).sorted.toSeq
+        def cmp(v: Double, w: Double): Boolean = op match {
+          case "<" => v < w
+          case "<=" => v <= w
+          case ">" => v > w
+          case ">=" => v >= w
+          case _ => v == w
+        }
+        val litD = lit.toDouble
+        val want = full.filter { r =>
+          val v: Option[Double] = colName match {
+            case "a" => r.a.map(_.toDouble)
+            case "x" => r.x
+            case _ => r.b.map(_.toDouble)
+          }
+          v.exists(cmp(_, litD))
+        }.map(r => org.apache.spark.sql.Row(
+          r.k, r.a.map(java.lang.Long.valueOf).orNull,
+          r.x.map(java.lang.Double.valueOf).orNull,
+          r.b.map(java.lang.Long.valueOf).orNull).toString).sorted
+        assert(got == want,
+          s"trial $trial: $colName $op $lit -> got ${got.size} rows, " +
+            s"want ${want.size}")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }
