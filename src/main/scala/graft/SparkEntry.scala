@@ -7369,16 +7369,27 @@ object SparkEntry {
     val fmt = "graft.sources.v2.StageSource"
     val ordDir = s"/tmp/graft_dsv2w/$tag/spj_ord"
     val liDir = s"/tmp/graft_dsv2w/$tag/spj_li"
-    Tables.orders(s, d)
-      .select((col("o_orderkey") % 8).as("b"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .write.format(fmt).option("path", ordDir)
-      .option("partition_by", "b").mode("overwrite").save()
-    Tables.lineitem(s, d)
-      .select((col("l_orderkey") % 8).as("b"),
-        col("l_quantity").cast("long").as("qty"))
-      .write.format(fmt).option("path", liDir)
-      .option("partition_by", "b").mode("overwrite").save()
+    // WRITE-ONCE fixture (r17 verdict #6: the row used to re-stage both
+    // tables every run, so its bench number measured staging writes —
+    // slope 3.10× at ×10 — not the exchange-free join it claims; the
+    // staging write path keeps its own rows, q_dsv2_write /
+    // q_dsv2_lineage / q_dsv2_catalog). Same discipline as the IVF index
+    // artifact: guard on the connector's own _SUCCESS marker, serialize
+    // same-JVM builders on the per-directory lock.
+    stagedOnce(ordDir) {
+      Tables.orders(s, d)
+        .select((col("o_orderkey") % 8).as("b"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.format(fmt).option("path", ordDir)
+        .option("partition_by", "b").mode("overwrite").save()
+    }
+    stagedOnce(liDir) {
+      Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 8).as("b"),
+          col("l_quantity").cast("long").as("qty"))
+        .write.format(fmt).option("path", liDir)
+        .option("partition_by", "b").mode("overwrite").save()
+    }
     val key = "spark.sql.sources.v2.bucketing.enabled"
     val prev = s.conf.get(key)
     s.conf.set(key, "true")
