@@ -7651,6 +7651,72 @@ object SparkEntry {
       .orderBy("status")
   }
 
+  /** END-TO-END staged-table CDC (r17 verdict #2's composition: the new
+    * streaming read × [[graft.operators.Changelog]]): an append-only CDC
+    * LOG staged through the connector is TAILED by the micro-batch
+    * source (each log epoch = one snapshot version = one batch under
+    * `maxFilesPerTrigger=1`), and each batch incrementally advances a
+    * MATERIALIZED staged table — read the current snapshot, apply the
+    * batch's compacted log (last-writer-wins by seq, upserts + delete
+    * tombstones), overwrite. Reading and overwriting the SAME staged
+    * table inside one batch is safe by snapshot isolation: the scan is
+    * pinned to the old manifest while the commit claims the next.
+    * Correctness rides Changelog's split-invariance property (pinned in
+    * OperatorPropertySpec): batch-at-a-time application at sequence
+    * boundaries must equal the one-shot apply, which is exactly what the
+    * oracle computes arithmetically. At 100 TB this is the lakehouse CDC
+    * loop — Debezium-shaped log tailed from committed snapshots, bounded
+    * batches, materialization advanced without rescanning the log.
+    */
+  private def qDsv2StreamCdc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = dirTag(d)
+    val fmt = "graft.sources.v2.StageSource"
+    val logDir = s"/tmp/graft_dsv2w/$tag/cdc_log"
+    val matDir = s"/tmp/graft_dsv2w/$tag/cdc_mat"
+    val ckpt = s"/tmp/graft_dsv2w/$tag/cdc_ckpt"
+    Seq(logDir, matDir, ckpt).foreach(p =>
+      graft.engine.Fs.deleteRecursively(new java.io.File(p)))
+    val ord = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // the base materialization: orders under 1000
+    ord.filter(col("k") < 1000).select(col("k"), col("cents").as("v"))
+      .coalesce(1)
+      .write.format(fmt).option("path", matDir).mode("overwrite").save()
+    // log epoch 1 (seq=1): updates for k%3=0, tombstones for the
+    // k%5=0 remainder — one snapshot version, one file
+    ord.filter(col("k") < 1000 && (col("k") % 3 === 0 || col("k") % 5 === 0))
+      .select(col("k"), lit(1L).as("seq"),
+        when(col("k") % 3 === 0, lit("U")).otherwise(lit("D")).as("op"),
+        (col("cents") + 1).as("v"))
+      .coalesce(1)
+      .write.format(fmt).option("path", logDir).mode("append").save()
+    // log epoch 2 (seq=2): k%7=0 upserts (re-inserting some epoch-1
+    // tombstones) plus brand-new keys in [1000, 1200)
+    ord.filter((col("k") < 1000 && col("k") % 7 === 0) ||
+        (col("k") >= 1000 && col("k") < 1200))
+      .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+        (col("cents") + 2).as("v"))
+      .coalesce(1)
+      .write.format(fmt).option("path", logDir).mode("append").save()
+    val q = s.readStream.format(fmt).option("path", logDir)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val mat = s.read.format(fmt).option("path", matDir).load()
+        graft.operators.Changelog(mat, batch.select("k", "seq", "op", "v"))
+          .select("k", "v")
+          .write.format(fmt).option("path", matDir).mode("overwrite").save()
+      }.start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    s.read.format(fmt).option("path", matDir).load()
+      .select(col("k"), col("v"))
+      .withColumn("one_epoch_per_batch", lit(batches == 2))
+      .orderBy("k")
+  }
+
   /** AUTO-COMPACTION policy ([[graft.sources.v2.StageSource.maintain]],
     * r17 verdict #4 — compaction existed but was caller-invoked): the
     * table declares `compact.dv-threshold` as a TBLPROPERTY and the
@@ -9727,6 +9793,7 @@ object SparkEntry {
     "q_dsv2_dv_encoding" -> (qDsv2DvEncoding _),
     "q_dsv2_stream_source" -> (qDsv2StreamSource _),
     "q_dsv2_auto_compact" -> (qDsv2AutoCompact _),
+    "q_dsv2_stream_cdc" -> (qDsv2StreamCdc _),
     "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
@@ -10897,6 +10964,27 @@ object SparkEntry {
         |  AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
         |  AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 97 = 1)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // q_dsv2_stream_cdc: the batch-at-a-time CDC materialization must
+    // equal the one-shot apply (Changelog's split invariance) — epoch-2
+    // upserts win over epoch-1 updates AND resurrect epoch-1 tombstones,
+    // surviving tombstones drop the key, new keys insert; the
+    // one-epoch-per-batch verdict is asserted as literal TRUE
+    "q_dsv2_stream_cdc" ->
+      """SELECT k, v, TRUE AS one_epoch_per_batch FROM (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 7 = 0
+        |                THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 2
+        |              WHEN o_orderkey % 3 = 0
+        |                THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1
+        |              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS v
+        |  FROM orders
+        |  WHERE o_orderkey < 1000
+        |    AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+        |             AND o_orderkey % 7 <> 0)
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) + 2
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+        |) ORDER BY k""".stripMargin,
     // q_dsv2_lineage: the per-flag content straight from lineitem; the
     // lineage claims (one shard per flag, three shards total) replayed
     // as the constants the co-located layout guarantees
