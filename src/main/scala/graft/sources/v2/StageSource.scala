@@ -1612,9 +1612,16 @@ object StageCommitter {
       // validates the files it is deleting from.
       expectDvs.foreach { exp =>
         val watch = replaceFiles.getOrElse(addDeletes.keySet)
-        val curDvs = StageSource.readDeletes(path, None)
+        // decode ONLY the watched files' sidecars (readDeletes would
+        // decode every dirty file's vector per retry — the O(total
+        // deletes) read the bounded encoding exists to avoid); the
+        // validation read stays proportional to this operation's delta
+        val curRefs = StageSource.readDvRefs(path, None)
+        val curLegacy = StageSource.readLegacyDeletes(path, None)
         watch.foreach { f =>
-          val cur = curDvs.get(f).map(_.toSet).getOrElse(Set.empty)
+          val cur = (curLegacy.getOrElse(f, Array.empty[Long]) ++
+            curRefs.get(f).map(StageSource.loadDv(path, _))
+              .getOrElse(Array.empty[Long])).toSet
           if (cur != exp.getOrElse(f, Set.empty))
             conflict(s"file $f gained or lost delete vectors after this " +
               "row-level operation scanned it")
@@ -2199,7 +2206,7 @@ case class StageScan(
     private val bytes = kept.map(_.length).sum
     private val rows: Option[Long] = {
       val stats = StageSource.readStats(path)
-      val dvs = StageSource.readDeletes(path, pinnedVersion)
+      val dvs = snapshotDvs
       val counts = kept.map(f => stats.get(f.getName).flatMap(_.get("__rows")))
       if (counts.exists(_.isEmpty)) None
       else Some(counts.map(_.get.min.toLong).sum -
@@ -2239,6 +2246,14 @@ case class StageScan(
     */
   @transient private lazy val pinnedVersion: Option[Int] =
     versionAsOf.orElse(StageSource.latestVersion(path))
+
+  /** The pinned snapshot's delete vectors, resolved ONCE per scan:
+    * statistics, aggregate answers and input-partition planning each
+    * need them, and decoding every dirty file's sidecar per call is
+    * driver-side metadata I/O a heavily-deleted table can't afford.
+    */
+  @transient private lazy val snapshotDvs: Map[String, Array[Long]] =
+    StageSource.readDeletes(path, pinnedVersion)
 
   /** The snapshot's files surviving zone-map, partition and runtime
     * pruning — the shared ground truth for planning AND statistics, so
@@ -2345,7 +2360,7 @@ case class StageScan(
     cowOp.foreach(_.reportScanned(kept.map(_.getName).toSeq,
       runtimeFiltered = runtimeFiles.isDefined))
     val cols = StageSource.readColsAt(path, pinnedVersion)
-    val dvs = StageSource.readDeletes(path, pinnedVersion)
+    val dvs = snapshotDvs
     cowOp.foreach(_.reportScannedDvs(
       kept.map(f => f.getName ->
         dvs.get(f.getName).map(_.toSet).getOrElse(Set.empty[Long])).toMap))
