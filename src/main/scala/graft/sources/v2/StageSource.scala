@@ -2667,7 +2667,26 @@ class StageMicroBatchStream(
       .filter(kv => before(kv._1)).map { case (f, p) => f -> p.toSeq }
     val legE = StageSource.readLegacyDeletes(path, Some(e))
       .filter(kv => before(kv._1)).map { case (f, p) => f -> p.toSeq }
-    require(dvS == dvE && legS == legE,
+    // when both sides are pure references, name equality IS vector
+    // equality (content addressing) — zero sidecar decodes per batch.
+    // A mixed range (a commit migrated legacy D-lines to sidecars) must
+    // compare the RESOLVED vectors instead: the migration rewrites the
+    // encoding, not the delete state, and failing on it would spuriously
+    // kill every tailed pre-upgrade table at its first post-upgrade
+    // append.
+    val dvUnchanged =
+      if (legS.isEmpty && legE.isEmpty) dvS == dvE
+      else {
+        def resolved(refs: Map[String, String],
+            legacy: Map[String, Seq[Long]]): Map[String, Seq[Long]] =
+          (refs.keySet ++ legacy.keySet).iterator.map { f =>
+            f -> (legacy.getOrElse(f, Seq.empty) ++
+              refs.get(f).map(StageSource.loadDv(path, _).toSeq)
+                .getOrElse(Seq.empty)).distinct.sorted
+          }.toMap
+        resolved(dvS, legS) == resolved(dvE, legE)
+      }
+    require(dvUnchanged,
       s"streaming read of $path hit a DELETE between snapshot versions " +
         s"$s and $e: delete-vector state changed on already-emitted " +
         "file(s) — rows cannot be retracted from an append-only stream")

@@ -1337,6 +1337,24 @@ class SourcesSpec extends SparkTestBase {
       dv0.map { case (f, p) => s"$f:${p.mkString(",")}" }.mkString(";"))
     spark.sql(s"REFRESH TABLE $t")
     assert(spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 98L)
+    // a TAILED pre-upgrade table: consume up to the legacy D-line version
+    // before the migration commit lands
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stage_dvmig_ck").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.v2.StageSource")
+        .option("path", dir).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()): Unit
+        }.start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.get() == 98L, s"legacy vectors not applied: ${seen.get()}")
     // … and the first commit after upgrade migrates it: V-reference in
     // the new manifest, no D-lines, identical vectors
     spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(100, 110)")
@@ -1346,6 +1364,12 @@ class SourcesSpec extends SparkTestBase {
     assert(m.linesIterator.count(_.startsWith("V\t")) == 1, m)
     assert(StageSource.readDeletes(dir, None)(target).toSeq == Seq(0L, 2L))
     assert(spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 108L)
+    // the tailing stream SURVIVES the migration commit — the encoding
+    // changed (D-lines → sidecar reference), the delete state did not;
+    // the resumed drain emits only the appended rows
+    drain()
+    assert(seen.get() == 108L,
+      s"migration commit broke or duplicated the tail: ${seen.get()}")
   }
 
   test("staged-table streaming read: version-epoch tailing, admission control, resume, non-append fail-loudly") {
