@@ -575,17 +575,32 @@ object StageSource {
     * sidecars. The Iceberg `expire_snapshots` analog — time travel before
     * the vacuum point is gone afterwards, by design.
     */
-  def vacuum(path: String): Unit = {
-    val latest = latestVersion(path).getOrElse(return)
-    val keep = snapshotFiles(path, Some(latest)).map(_.getName).toSet
+  def vacuum(path: String): Unit = vacuum(path, 1)
+
+  /** [[vacuum]] with a RETENTION WINDOW (Iceberg's `expire_snapshots`
+    * `retain_last`): keep the newest `retainLast` snapshots — their
+    * manifests, every file any of them references, their delete-vector
+    * sidecars and commit times — and expire everything older. Time
+    * travel inside the window keeps working; travel before it fails as
+    * "no such snapshot", by design. `retainLast = 1` is the
+    * latest-only vacuum.
+    */
+  def vacuum(path: String, retainLast: Int): Unit = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val versions = manifestVersions(path)
+    if (versions.isEmpty) return
+    val retained = versions.takeRight(retainLast)
+    val keep = retained
+      .flatMap(v => snapshotFiles(path, Some(v)).map(_.getName)).toSet
     dataFiles(path).filterNot(f => keep(f.getName))
       .foreach(f => f.delete(): Unit)
-    manifestVersions(path).dropRight(1)
+    versions.dropRight(retainLast)
       .foreach(v => new File(path, manifestName(v)).delete(): Unit)
     // delete-vector sidecars referenced only by expired manifests go with
-    // them (the latest snapshot's references stay resolvable)
+    // them (every retained snapshot's references stay resolvable)
     locally {
-      val keepDv = readDvRefs(path, Some(latest)).values.toSet
+      val keepDv = retained
+        .flatMap(v => readDvRefs(path, Some(v)).values).toSet
       val all = new File(path).listFiles()
       if (all != null)
         all.filter(f => f.getName.startsWith("_dv-") && !keepDv(f.getName))
@@ -597,8 +612,10 @@ object StageSource {
     locally {
       val f = new File(path, CommitsFile)
       if (f.exists()) {
+        val retainedSet = retained.toSet
         val keptTimes = readCommitTimes(path)
-          .filter { case (v, _) => v == latest }
+          .filter { case (v, _) => retainedSet(v) }
+          .toSeq.sorted
           .map { case (v, t) => s"$v\t$t" }
         java.nio.file.Files.write(f.toPath,
           keptTimes.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
@@ -946,7 +963,8 @@ class StageTable(
       Option(options.get("version_as_of")).map(_.toInt)
         .orElse(pinnedVersion),
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+      maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+      startVersion = Option(options.get("streaming.start-version")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new StageWriteBuilder(path, info.schema(), info.queryId(),
@@ -1905,7 +1923,8 @@ class StageScanBuilder(
     versionAsOf: Option[Int] = None,
     cowOp: Option[StageScanReportSink] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    startVersion: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -2039,7 +2058,7 @@ class StageScanBuilder(
     case None =>
       StageScan(path, tableSchema, required, skipFilters, partCols,
         partFilters, versionAsOf, cowOp, maxFilesPerTrigger,
-        maxRowsPerTrigger)
+        maxRowsPerTrigger, startVersion)
   }
 }
 
@@ -2131,7 +2150,11 @@ case class StageScan(
     cowOp: Option[StageScanReportSink] = None,
     // admission control for the streaming read half (per micro-batch)
     maxFilesPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    // where a FRESH streaming checkpoint begins: None = replay all
+    // history; "latest" = tail only data committed after stream start;
+    // "N" = tail everything after snapshot version N
+    startVersion: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -2394,7 +2417,7 @@ case class StageScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new StageMicroBatchStream(path, tableSchema, required,
-      maxFilesPerTrigger, maxRowsPerTrigger)
+      maxFilesPerTrigger, maxRowsPerTrigger, startVersion)
 }
 
 class StageReaderFactory(tableSchema: StructType, required: StructType)
@@ -2535,7 +2558,8 @@ case class StageStreamOffset(version: Int, pos: Int = 0)
   */
 class StageMicroBatchStream(
     path: String, tableSchema: StructType, required: StructType,
-    maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long])
+    maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
+    startVersion: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2562,7 +2586,30 @@ class StageMicroBatchStream(
   private def ceiling: Int =
     availableNowTarget.getOrElse(latestVersionNow)
 
-  override def initialOffset(): Offset = StageStreamOffset(0, 0)
+  // Where a FRESH checkpoint begins (`streaming.start-version`, the
+  // Delta `startingVersion` / Kafka `latest` idiom): at 100 TB a new
+  // consumer of an existing table must be able to tail only NEW data —
+  // replaying the whole history through the stream is a batch job's
+  // work. "latest" resolves at first use (initialOffset is only called
+  // for fresh checkpoints; restarts resume from the offset log); an
+  // integer N starts after snapshot N. The chosen start version must
+  // exist — a typo'd version silently tailing from 0 would replay
+  // history it was told to skip.
+  override def initialOffset(): Offset = startVersion match {
+    case None => StageStreamOffset(0, 0)
+    case Some("latest") =>
+      val v = latestVersionNow
+      StageStreamOffset(v, if (v <= 0) 0 else newFilesOf(v).size)
+    case Some(n) =>
+      val v = try n.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"streaming.start-version must be 'latest' or an integer, got '$n'")
+      }
+      require(v == 0 || StageSource.manifestVersions(path).contains(v),
+        s"streaming.start-version $v is not a snapshot of $path " +
+          s"(available: ${StageSource.manifestVersions(path).mkString(",")})")
+      StageStreamOffset(v, if (v <= 0) 0 else newFilesOf(v).size)
+  }
   override def deserializeOffset(json: String): Offset =
     StageStreamOffset(
       """"version":(\d+)""".r.findFirstMatchIn(json)

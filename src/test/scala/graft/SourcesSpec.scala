@@ -1723,4 +1723,79 @@ class SourcesSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE $t")
     }
   }
+
+  test("streaming.start-version tails only new data; retention-window vacuum keeps the travel window") {
+    import graft.sources.v2.StageSource
+    import org.apache.spark.sql.streaming.Trigger
+    val fmt = "graft.sources.v2.StageSource"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_sv").toString + "/t"
+    def stage(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).select($"id".as("k"), ($"id" * 10).as("cents"))
+        .coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    stage(0, 500)   // v1: the history a new consumer must NOT replay
+    stage(500, 600) // v2
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    def drain(ckpt: String, opts: Map[String, String]): Unit = {
+      val r = opts.foldLeft(
+        spark.readStream.format(fmt).option("path", dir)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      val q = r.load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()): Unit
+        }.start()
+      q.awaitTermination()
+    }
+    // start-version=latest: the fresh checkpoint begins AFTER v2 — the
+    // first drain emits nothing, and only post-start appends arrive
+    val ck1 = java.nio.file.Files
+      .createTempDirectory("graft_sv_ck1").toString
+    drain(ck1, Map("streaming.start-version" -> "latest"))
+    assert(seen.get() == 0L, s"latest replayed history: ${seen.get()}")
+    stage(600, 650) // v3
+    drain(ck1, Map("streaming.start-version" -> "latest")) // resumes, option inert on restart
+    assert(seen.get() == 50L, seen.get().toString)
+    // start-version=1: everything AFTER snapshot 1
+    seen.set(0)
+    val ck2 = java.nio.file.Files
+      .createTempDirectory("graft_sv_ck2").toString
+    drain(ck2, Map("streaming.start-version" -> "1"))
+    assert(seen.get() == 150L, s"expected v2+v3 rows only: ${seen.get()}")
+    // a typo'd start version fails loudly instead of replaying from 0
+    val ck3 = java.nio.file.Files
+      .createTempDirectory("graft_sv_ck3").toString
+    val bad = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format(fmt).option("path", dir)
+        .option("streaming.start-version", "99").load()
+        .writeStream.option("checkpointLocation", ck3)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.count(): Unit
+        }.start()
+      q.awaitTermination()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + rootMsg(t.getCause)
+    assert(rootMsg(bad).contains("not a snapshot"), rootMsg(bad))
+    // retention-window vacuum: keep the last 2 snapshots (v2, v3)
+    StageSource.vacuum(dir, retainLast = 2)
+    assert(StageSource.manifestVersions(dir) == Seq(2, 3))
+    // travel inside the window works; the latest read is intact
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("version_as_of", "2").load().count() == 600L)
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 650L)
+    // travel before the window fails as "no such snapshot"
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("version_as_of", "1").load().count()
+    }
+    assert(e.getMessage.contains("no snapshot version 1"), e.getMessage)
+    // commit-time ledger pruned to the window (TIMESTAMP AS OF before it
+    // must fail, not resolve to a dangling version)
+    assert(StageSource.readCommitTimes(dir).keySet == Set(2, 3))
+  }
 }
