@@ -234,11 +234,13 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
               StageSource.dvRefLine(f, StageSource.writeDvFile(path, v))))
         }
         val colLines = counts.map { case (f, n) => StageSource.colsLine(f, n) }
+        // change summary: the ALTER backfill moves no data (empty commit)
+        val changeLns = StageSource.changeLines(Seq.empty, Seq.empty, Map.empty)
         val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
         try {
           java.nio.file.Files.write(
             new File(dir, StageSource.manifestName(nextV)).toPath,
-            (live.toSeq ++ dvLines ++ colLines)
+            (live.toSeq ++ dvLines ++ colLines ++ changeLns)
               .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW): Unit
           StageSource.recordCommitTime(path, nextV)
@@ -264,9 +266,21 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
           s"changed from '${schema.toDDL}' to '${onDisk.toDDL}' while this " +
           "ALTER was validating — re-run against the current schema")
       val evolved = StructType(schema.fields ++ added)
-      java.nio.file.Files.write(
-        new File(dir, StageSource.SchemaFile).toPath,
+      // ATOMIC schema swap (r18 ADVICE #4): write-to-temp + ATOMIC_MOVE,
+      // so no reader can ever observe a torn schema file. The
+      // check-then-write window itself is closed for same-process alters
+      // (the lock above) and NARROWED cross-process by the require just
+      // before this write; a cross-process ALTER landing inside the
+      // remaining microseconds can still be overwritten — the documented
+      // residual, same contract as the sidecar rewrites (DDL from
+      // multiple writer processes must be externally serialized).
+      val tmp = new File(dir, StageSource.SchemaFile + ".tmp")
+      java.nio.file.Files.write(tmp.toPath,
         evolved.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
+      java.nio.file.Files.move(tmp.toPath,
+        new File(dir, StageSource.SchemaFile).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
       new StageTable(path, evolved, StageSource.readPartCols(path),
         props = StageSource.readProps(path))
     }

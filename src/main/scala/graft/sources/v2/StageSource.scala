@@ -349,6 +349,87 @@ object StageSource {
       .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
   }
 
+  /** SELF-CONTAINED per-version change summary (r18 ADVICE #1/#3): each
+    * manifest additionally records what its OWN commit changed —
+    * `S\t<nAdded>\t<nRemoved>` marks the manifest as self-describing,
+    * `A\tfile` lists the files this commit ADDED, `R\tfile` the files it
+    * REMOVED from the snapshot, and `X\tfile\t<base64 run-length
+    * ordinals>` the delete-vector DELTA it recorded per file (the newly
+    * deleted ordinals only — inline, not a sidecar, and proportional to
+    * THIS commit's delta, the same bounded-commit-bytes contract as the
+    * V-references). Readers that need "what changed at version v" — the
+    * streaming tail and the change-data-feed — read ONE manifest instead
+    * of diffing v against v-1, so a retention-window vacuum that expired
+    * v-1 no longer kills a tail whose unconsumed data is entirely inside
+    * the window, and a long drain's planning is O(versions in range),
+    * not O(history²). Pre-r19 manifests carry no S-line; change readers
+    * fall back to the two-manifest diff for exactly those versions.
+    */
+  private val SummaryLineTag = "S\t"
+  private val AddLineTag = "A\t"
+  private val RemoveLineTag = "R\t"
+  private val DvDeltaLineTag = "X\t"
+
+  def summaryLine(nAdded: Int, nRemoved: Int): String =
+    s"$SummaryLineTag$nAdded\t$nRemoved"
+  def addLine(file: String): String = s"$AddLineTag$file"
+  def removeLine(file: String): String = s"$RemoveLineTag$file"
+  def dvDeltaLine(file: String, sorted: Array[Long]): String =
+    s"$DvDeltaLineTag$file\t" +
+      java.util.Base64.getEncoder.encodeToString(encodeDv(sorted))
+
+  /** What one commit changed, as recorded by its own manifest. */
+  final case class VersionChanges(
+      added: Seq[String], removed: Seq[String],
+      dvDeltas: Map[String, Array[Long]])
+
+  /** The change-summary lines every manifest writer appends — kept in one
+    * place so the three commit sites (job commit, partition takedown,
+    * ALTER backfill) can never drift in format.
+    */
+  def changeLines(
+      added: Seq[String], removed: Seq[String],
+      dvDeltas: Map[String, Array[Long]]): Seq[String] =
+    summaryLine(added.size, removed.size) +:
+      (added.map(addLine) ++ removed.map(removeLine) ++
+        dvDeltas.toSeq.sortBy(_._1).collect {
+          case (f, d) if d.nonEmpty => dvDeltaLine(f, d)
+        })
+
+  /** The changes manifest `v` recorded about its own commit; None for a
+    * pre-r19 manifest (no S-line), where callers must fall back to
+    * diffing snapshots v-1 and v. A missing manifest fails loudly — the
+    * version was expired by a vacuum and its per-version attribution is
+    * gone.
+    */
+  def readChanges(path: String, v: Int): Option[VersionChanges] = {
+    val mf = new File(path, manifestName(v))
+    require(mf.exists(),
+      s"StageSource table at $path has no snapshot version $v " +
+        s"(available: ${manifestVersions(path).mkString(",")}) — it was " +
+        "expired by a vacuum")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    val summary = lines.find(_.startsWith(SummaryLineTag))
+      .getOrElse(return None)
+    val added = lines.filter(_.startsWith(AddLineTag))
+      .map(l => splitExact(mf, l, 2)(1))
+    val removed = lines.filter(_.startsWith(RemoveLineTag))
+      .map(l => splitExact(mf, l, 2)(1))
+    val deltas = lines.filter(_.startsWith(DvDeltaLineTag)).map { l =>
+      val Array(_, f, b64) = splitExact(mf, l, 3)
+      f -> decodeDv(java.util.Base64.getDecoder.decode(b64))
+    }.toMap
+    // the summary counts double as a torn-write check: a manifest whose
+    // change lines don't match its own summary is corrupt metadata
+    val Array(_, na, nr) = splitExact(mf, summary, 3)
+    require(added.size == na.toInt && removed.size == nr.toInt,
+      s"manifest ${mf.getName} of $path is corrupt: summary says " +
+        s"$na added / $nr removed, found ${added.size} / ${removed.size}")
+    Some(VersionChanges(added, removed, deltas))
+  }
+
   /** Stored-column-count lines (`C\tfile\tncols`) ride the manifest too:
     * a lost count doesn't merely disable an optimization like a lost
     * stats line — it makes the reader MISDECODE an evolved table's old
@@ -585,9 +666,21 @@ object StageSource {
     * "no such snapshot", by design. `retainLast = 1` is the
     * latest-only vacuum.
     */
-  def vacuum(path: String, retainLast: Int): Unit = {
-    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+  def vacuum(path: String, retainLast: Int): Unit =
+    // vacuum serializes with same-process commits (r18 ADVICE #2: commits
+    // write _dv-* sidecars BEFORE claiming a manifest — "invisible until
+    // referenced" — so an unlocked vacuum could list a just-written,
+    // not-yet-referenced sidecar, see it absent from every retained
+    // manifest, and delete it; the commit then claims a manifest whose
+    // delete state is permanently unreconstructible). A CROSS-process
+    // commit racing a vacuum keeps that window — same residual contract
+    // as the sidecar rewrite paths, but here the degradation is NOT
+    // conservative, so operationally vacuum must not run concurrently
+    // with out-of-process writers (the Iceberg expire_snapshots deployment
+    // rule).
+    StageCommitter.lockFor(path).synchronized {
     val versions = manifestVersions(path)
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     if (versions.isEmpty) return
     val retained = versions.takeRight(retainLast)
     val keep = retained
@@ -635,7 +728,7 @@ object StageSource {
     prune(StatsFile)
     prune(PartsFile)
     prune(ColsFile)
-  }
+  }: Unit
 
   def readPartCols(path: String): Array[String] = {
     val f = new File(path, PartColsFile)
@@ -897,11 +990,16 @@ class StageTable(
         val colLines = StageSource.readColsAt(path, None)
           .filter { case (f, _) => survivors.contains(f) }
           .toSeq.sorted.map { case (f, n) => StageSource.colsLine(f, n) }
+        // change summary: a takedown adds nothing and removes the doomed
+        // files (their BYTES are destroyed below, so a change-feed read
+        // of this version fails loudly at the missing files — by design)
+        val changeLns = StageSource.changeLines(
+          Seq.empty, doomed.toSeq.sorted, Map.empty)
         val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
         try {
           java.nio.file.Files.write(
             new File(path, StageSource.manifestName(nextV)).toPath,
-            (survivors.toSeq ++ dvLines ++ colLines)
+            (survivors.toSeq ++ dvLines ++ colLines ++ changeLns)
               .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW): Unit
           StageSource.recordCommitTime(path, nextV)
@@ -1566,11 +1664,13 @@ object StageCommitter {
       // starts from the whole previous snapshot (manifest if present,
       // directory listing for a legacy table)
       val snapshot = scala.collection.mutable.LinkedHashSet.empty[String]
+      // the previous snapshot's names, re-read per retry (the change
+      // summary's REMOVED list diffs against these; legacy tables resolve
+      // via directory listing, which already sees the just-moved new
+      // files — they are re-added below)
+      val prev = StageSource.snapshotFiles(path, None).map(_.getName)
+        .filterNot(n => n.startsWith(s"part-$queryId-$epochTag"))
       if (!truncate) {
-        val prev = StageSource.snapshotFiles(path, None).map(_.getName)
-          // legacy tables resolve via directory listing, which already
-          // sees the just-moved new files — they are re-added below
-          .filterNot(n => n.startsWith(s"part-$queryId-$epochTag"))
         if (replaceFiles.isDefined) {
           // SNAPSHOT-ISOLATION conflict validation (r16 verdict #1): the
           // rewrite's output rows were computed from the scanned files'
@@ -1661,12 +1761,18 @@ object StageCommitter {
       // invisible until a claimed manifest references it); every other
       // dirty file's reference carries forward verbatim — commit bytes
       // are proportional to the commit's own delta
+      val dvDeltas = scala.collection.mutable.Map.empty[String, Array[Long]]
       val dvLines = snapshot.toSeq.flatMap { f =>
         if (addDeletes.contains(f)) {
           val base = baseLegacy.getOrElse(f, Array.empty[Long]) ++
             baseRefs.get(f).map(StageSource.loadDv(path, _))
               .getOrElse(Array.empty[Long])
           val merged = (base ++ addDeletes(f)).distinct.sorted
+          // the change summary's X-line: the NEWLY deleted ordinals only
+          // (an encoding migration — legacy D-lines to a V-reference —
+          // records an empty delta and is invisible to change readers)
+          val baseSet = base.toSet
+          dvDeltas(f) = merged.filterNot(baseSet)
           Some(StageSource.dvRefLine(f, StageSource.writeDvFile(path, merged)))
         } else baseRefs.get(f).map(StageSource.dvRefLine(f, _))
           .orElse(baseLegacy.get(f).map(v => // legacy D-lines: migrate once
@@ -1683,11 +1789,18 @@ object StageCommitter {
         (if (newNames(f)) Some(schema.length) else baseCols.get(f))
           .map(n => StageSource.colsLine(f, n))
       }
+      // self-contained change summary: what THIS commit added, removed
+      // and newly deleted (r18 ADVICE #1/#3 — change readers resolve one
+      // manifest, never its predecessor)
+      val changeLns = StageSource.changeLines(
+        newFiles.map(_._1).toSeq,
+        prev.filterNot(snapshot.contains).toSeq,
+        dvDeltas.toMap)
       val nextV = StageSource.latestVersion(path).getOrElse(0) + 1
       try {
         java.nio.file.Files.write(
           new File(root, StageSource.manifestName(nextV)).toPath,
-          (snapshot.toSeq ++ dvLines ++ colLinesM)
+          (snapshot.toSeq ++ dvLines ++ colLinesM ++ changeLns)
             .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW): Unit
         StageSource.recordCommitTime(path, nextV) // TIMESTAMP AS OF anchor
@@ -2564,16 +2677,48 @@ class StageMicroBatchStream(
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
+  // Memoized per-version metadata (r18 ADVICE #3: every trigger's
+  // latestOffset walked the whole backlog re-reading two complete
+  // manifests per version — O(history²) driver I/O on a long-history
+  // table). Versions are immutable once claimed, so caching inside the
+  // stream instance is always sound.
+  private val filesMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Set[String]]
+  private val changesMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Option[StageSource.VersionChanges]]
+  private val newFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[String]]
+
   // files of a snapshot version (empty at the pre-history version 0)
   private def filesAt(v: Int): Set[String] =
     if (v <= 0) Set.empty
-    else StageSource.snapshotFiles(path, Some(v)).map(_.getName).toSet
+    else filesMemo.computeIfAbsent(v,
+      _ => StageSource.snapshotFiles(path, Some(v)).map(_.getName).toSet)
+
+  private def changesOf(v: Int): Option[StageSource.VersionChanges] =
+    changesMemo.computeIfAbsent(v, _ =>
+      try StageSource.readChanges(path, v) catch {
+        case e: IllegalArgumentException =>
+          // a missing manifest here means a retention vacuum expired a
+          // version this stream had not fully consumed — name the cause
+          throw new IllegalStateException(
+            s"streaming read of $path needs snapshot version $v, which a " +
+              "vacuum expired before this stream consumed it — re-stream " +
+              "from a fresh checkpoint, or vacuum with a retainLast that " +
+              "covers every consumer's lag", e)
+      })
 
   // the files version v ADDED over its predecessor, in a deterministic
-  // order (what offset positions index into)
+  // order (what offset positions index into): the manifest's own A-lines
+  // when self-contained (r18 ADVICE #1 — vacuum expiring v-1 must not
+  // kill the tail), the two-manifest diff for pre-r19 manifests
   private def newFilesOf(v: Int): Seq[String] =
     if (v <= 0) Seq.empty
-    else filesAt(v).diff(filesAt(v - 1)).toSeq.sorted
+    else newFilesMemo.computeIfAbsent(v, _ =>
+      changesOf(v) match {
+        case Some(ch) => ch.added.sorted
+        case None => filesAt(v).diff(filesAt(v - 1)).toSeq.sorted
+      })
 
   private def latestVersionNow: Int =
     StageSource.latestVersion(path).getOrElse(0)
@@ -2599,7 +2744,10 @@ class StageMicroBatchStream(
     case None => StageStreamOffset(0, 0)
     case Some("latest") =>
       val v = latestVersionNow
-      StageStreamOffset(v, if (v <= 0) 0 else newFilesOf(v).size)
+      // pos = MaxValue means "this version is FULLY consumed" without
+      // naming a file count — so a later restart never needs version v's
+      // manifest to learn it has nothing left there (vacuum-safe)
+      StageStreamOffset(v, if (v <= 0) 0 else Int.MaxValue)
     case Some(n) =>
       val v = try n.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -2608,7 +2756,7 @@ class StageMicroBatchStream(
       require(v == 0 || StageSource.manifestVersions(path).contains(v),
         s"streaming.start-version $v is not a snapshot of $path " +
           s"(available: ${StageSource.manifestVersions(path).mkString(",")})")
-      StageStreamOffset(v, if (v <= 0) 0 else newFilesOf(v).size)
+      StageStreamOffset(v, if (v <= 0) 0 else Int.MaxValue)
   }
   override def deserializeOffset(json: String): Offset =
     StageStreamOffset(
@@ -2650,21 +2798,26 @@ class StageMicroBatchStream(
     }
     val (maxF, maxR) = caps(limit)
     if (maxF == Long.MaxValue && maxR == Long.MaxValue)
-      return StageStreamOffset(top, newFilesOf(top).size)
+      return StageStreamOffset(top,
+        if (so.version == top && so.pos != Int.MaxValue) newFilesOf(top).size
+        else Int.MaxValue)
     val stats = StageSource.readStats(path)
     def rowsOf(f: String): Long =
       stats.get(f).flatMap(_.get("__rows")).map(_.min.toLong)
         .getOrElse(Long.MaxValue) // no sidecar: counts as unbounded
     // walk file-at-a-time from (version, pos), always advancing at least
     // one file, stopping once a limit is reached — a 10k-file backfill
-    // commit drains as bounded batches, not one giant one
+    // commit drains as bounded batches, not one giant one. pos =
+    // MaxValue ("fully consumed") skips the version WITHOUT reading its
+    // manifest — a restart after a retention vacuum must not need
+    // expired history it already drained.
     var curV = math.max(so.version, 1)
     var curP = if (so.version == 0) 0 else so.pos
     var files = 0L
     var rows = 0L
     var done = false
     while (!done) {
-      val lst = newFilesOf(curV)
+      val lst = if (curP == Int.MaxValue) Seq.empty else newFilesOf(curV)
       if (curP >= lst.size) {
         if (curV >= top) done = true
         else { curV += 1; curP = 0 }
@@ -2681,7 +2834,12 @@ class StageMicroBatchStream(
         } else done = true
       }
     }
-    StageStreamOffset(curV, curP)
+    // normalize "walked past the version's last file" to the vacuum-safe
+    // fully-consumed form
+    val endPos =
+      if (curP == Int.MaxValue || curP >= newFilesOf(curV).size) Int.MaxValue
+      else curP
+    StageStreamOffset(curV, endPos)
   }
 
   override def reportLatestOffset(): Offset = {
@@ -2696,56 +2854,92 @@ class StageMicroBatchStream(
     val s = so.version
     val e = eo.version
     if (e < s || (e == s && eo.pos <= so.pos)) return Array.empty
-    val before = filesAt(s)
-    val after = filesAt(e)
     // append-only validation: a removed file or a changed delete-vector
-    // reference on a carried file means rows this stream already emitted
-    // were rewritten or deleted — fail loudly, never silently re-emit
-    val removed = before.diff(after)
-    require(removed.isEmpty,
-      s"streaming read of $path hit a NON-APPEND change between snapshot " +
-        s"versions $s and $e: file(s) ${removed.toSeq.sorted.mkString(", ")} " +
-        "were removed (overwrite/delete/compaction/rewrite) — the staged " +
-        "streaming source tails appends only; re-stream from a fresh " +
-        "checkpoint or consume a CDC view instead")
-    val dvS = StageSource.readDvRefs(path, Some(s)).filter(kv => before(kv._1))
-    val dvE = StageSource.readDvRefs(path, Some(e)).filter(kv => before(kv._1))
-    val legS = StageSource.readLegacyDeletes(path, Some(s))
-      .filter(kv => before(kv._1)).map { case (f, p) => f -> p.toSeq }
-    val legE = StageSource.readLegacyDeletes(path, Some(e))
-      .filter(kv => before(kv._1)).map { case (f, p) => f -> p.toSeq }
-    // when both sides are pure references, name equality IS vector
-    // equality (content addressing) — zero sidecar decodes per batch.
-    // A mixed range (a commit migrated legacy D-lines to sidecars) must
-    // compare the RESOLVED vectors instead: the migration rewrites the
-    // encoding, not the delete state, and failing on it would spuriously
-    // kill every tailed pre-upgrade table at its first post-upgrade
-    // append.
-    val dvUnchanged =
-      if (legS.isEmpty && legE.isEmpty) dvS == dvE
-      else {
-        def resolved(refs: Map[String, String],
-            legacy: Map[String, Seq[Long]]): Map[String, Seq[Long]] =
-          (refs.keySet ++ legacy.keySet).iterator.map { f =>
-            f -> (legacy.getOrElse(f, Seq.empty) ++
-              refs.get(f).map(StageSource.loadDv(path, _).toSeq)
-                .getOrElse(Seq.empty)).distinct.sorted
-          }.toMap
-        resolved(dvS, legS) == resolved(dvE, legE)
-      }
-    require(dvUnchanged,
-      s"streaming read of $path hit a DELETE between snapshot versions " +
-        s"$s and $e: delete-vector state changed on already-emitted " +
-        "file(s) — rows cannot be retracted from an append-only stream")
+    // state on a carried file means rows this stream already emitted
+    // were rewritten or deleted — fail loudly, never silently re-emit.
+    // When every version in (s, e] is self-contained (carries a change
+    // summary), the check reads exactly the range's manifests — never
+    // the predecessor of s, which a retention vacuum may have expired
+    // (r18 ADVICE #1). Pre-r19 manifests in the range fall back to the
+    // two-manifest diff.
+    val rangeChanges = ((math.max(s, 0) + 1) to e).map(v => changesOf(v))
+    if (rangeChanges.forall(_.isDefined)) {
+      val chs = rangeChanges.map(_.get)
+      val removed = chs.flatMap(_.removed)
+      require(removed.isEmpty,
+        s"streaming read of $path hit a NON-APPEND change between snapshot " +
+          s"versions $s and $e: file(s) ${removed.sorted.mkString(", ")} " +
+          "were removed (overwrite/delete/compaction/rewrite) — the staged " +
+          "streaming source tails appends only; re-stream from a fresh " +
+          "checkpoint or consume the change-data-feed instead")
+      // a delete-vector delta on a file NOT added within this range hit
+      // rows an earlier batch already emitted; deltas on files added in
+      // the same range are fine — their deleted rows are simply never
+      // emitted (this batch reads with the end version's vectors)
+      val addedInRange = chs.flatMap(_.added).toSet
+      val retro = chs.flatMap(_.dvDeltas.collect {
+        case (f, d) if d.nonEmpty && !addedInRange(f) => f
+      })
+      require(retro.isEmpty,
+        s"streaming read of $path hit a DELETE between snapshot versions " +
+          s"$s and $e: delete-vector state changed on already-emitted " +
+          s"file(s) ${retro.sorted.distinct.mkString(", ")} — rows cannot " +
+          "be retracted from an append-only stream; consume the " +
+          "change-data-feed instead")
+    } else {
+      val before = filesAt(s)
+      val after = filesAt(e)
+      val removed = before.diff(after)
+      require(removed.isEmpty,
+        s"streaming read of $path hit a NON-APPEND change between snapshot " +
+          s"versions $s and $e: file(s) ${removed.toSeq.sorted.mkString(", ")} " +
+          "were removed (overwrite/delete/compaction/rewrite) — the staged " +
+          "streaming source tails appends only; re-stream from a fresh " +
+          "checkpoint or consume the change-data-feed instead")
+      val dvS = StageSource.readDvRefs(path, Some(s)).filter(kv => before(kv._1))
+      val dvE = StageSource.readDvRefs(path, Some(e)).filter(kv => before(kv._1))
+      val legS = StageSource.readLegacyDeletes(path, Some(s))
+        .filter(kv => before(kv._1)).map { case (f, p) => f -> p.toSeq }
+      val legE = StageSource.readLegacyDeletes(path, Some(e))
+        .filter(kv => before(kv._1)).map { case (f, p) => f -> p.toSeq }
+      // when both sides are pure references, name equality IS vector
+      // equality (content addressing) — zero sidecar decodes per batch.
+      // A mixed range (a commit migrated legacy D-lines to sidecars) must
+      // compare the RESOLVED vectors instead: the migration rewrites the
+      // encoding, not the delete state, and failing on it would spuriously
+      // kill every tailed pre-upgrade table at its first post-upgrade
+      // append.
+      val dvUnchanged =
+        if (legS.isEmpty && legE.isEmpty) dvS == dvE
+        else {
+          def resolved(refs: Map[String, String],
+              legacy: Map[String, Seq[Long]]): Map[String, Seq[Long]] =
+            (refs.keySet ++ legacy.keySet).iterator.map { f =>
+              f -> (legacy.getOrElse(f, Seq.empty) ++
+                refs.get(f).map(StageSource.loadDv(path, _).toSeq)
+                  .getOrElse(Seq.empty)).distinct.sorted
+            }.toMap
+          resolved(dvS, legS) == resolved(dvE, legE)
+        }
+      require(dvUnchanged,
+        s"streaming read of $path hit a DELETE between snapshot versions " +
+          s"$s and $e: delete-vector state changed on already-emitted " +
+          "file(s) — rows cannot be retracted from an append-only stream")
+    }
     // the batch's files: the unconsumed tail of the start version's
     // new-file list, every intermediate version's list whole, and the
-    // end version's list up to the end position
+    // end version's list up to the end position. A fully-consumed start
+    // version (pos = MaxValue) is skipped WITHOUT reading its manifest —
+    // it may already be vacuum-expired.
     val startV = math.max(s, 1)
     val newFiles = (startV to e).flatMap { v =>
-      val lst = newFilesOf(v)
-      val from = if (v == s) math.min(so.pos, lst.size) else 0
-      val until = if (v == e) math.min(eo.pos, lst.size) else lst.size
-      lst.slice(from, until)
+      if (v == s && so.pos == Int.MaxValue) Seq.empty
+      else {
+        val lst = newFilesOf(v)
+        val from = if (v == s) math.min(so.pos, lst.size) else 0
+        val until = if (v == e) math.min(eo.pos, lst.size) else lst.size
+        lst.slice(from, until)
+      }
     }
     val cols = StageSource.readColsAt(path, Some(e))
     val dvs = StageSource.readDeletes(path, Some(e))

@@ -1798,4 +1798,61 @@ class SourcesSpec extends SparkTestBase {
     // must fail, not resolve to a dangling version)
     assert(StageSource.readCommitTimes(dir).keySet == Set(2, 3))
   }
+
+  test("streaming tail survives a retention vacuum; a lagging tail fails loudly naming it") {
+    import graft.sources.v2.{StageMicroBatchStream, StageSource, StageStreamOffset}
+    import org.apache.spark.sql.streaming.Trigger
+    val fmt = "graft.sources.v2.StageSource"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_vt").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_vt_ck").toString
+    def stage(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).select($"id".as("k"), ($"id" * 10).as("cents"))
+        .coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    def drain(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", dir).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()): Unit
+        }.start()
+      q.awaitTermination()
+    }
+    stage(0, 100); stage(100, 250); stage(250, 300) // v1..v3
+    drain()
+    assert(seen.get() == 300L, seen.get().toString)
+    // nightly vacuum expires all history but the latest snapshot (r18
+    // ADVICE #1: this used to delete manifest v3's PREDECESSOR, and the
+    // next trigger's newFilesOf(v) died on the missing v-1 — the
+    // retention vacuum and the streaming tail were mutually exclusive)
+    StageSource.vacuum(dir, retainLast = 1)
+    assert(StageSource.manifestVersions(dir) == Seq(3))
+    stage(300, 360) // v4
+    drain() // resumes from the checkpoint across the vacuum
+    assert(seen.get() == 360L,
+      s"tail across vacuum re-read or missed rows: ${seen.get()}")
+    // a tail LAGGING behind the retention window fails loudly, naming the
+    // vacuum — never a silent partial read (an offset mid-version 3 needs
+    // manifest 3, which the next vacuum expires)
+    stage(360, 400) // v5
+    StageSource.vacuum(dir, retainLast = 1)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, cents BIGINT")
+    val stream = new StageMicroBatchStream(dir, schema, schema, None, None)
+    val err = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        StageStreamOffset(3, 0), StageStreamOffset(5, Int.MaxValue))
+    }
+    assert(err.getMessage.contains("vacuum expired"), err.getMessage)
+    // a batch scan pinned to a version the vacuum expired also fails
+    // loudly (never a partial file list)
+    val e2 = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("version_as_of", "4").load().count()
+    }
+    assert(e2.getMessage.contains("no snapshot version 4"), e2.getMessage)
+  }
 }
