@@ -7772,6 +7772,103 @@ object SparkEntry {
       .withColumn("light_kept", lit(lightKept))
   }
 
+  /** CHANGE-DATA-FEED of a staged table's OWN history ([[
+    * graft.sources.v2.StageChangeFeed]], r18 verdict #1 — the streaming
+    * tail refuses non-append changes and says "consume a CDC view
+    * instead"; this row IS that view, end to end): appended files
+    * surface as `insert` records, merge-on-read delete-vector deltas as
+    * `delete` records bounded by the commit's own delta, and a
+    * compaction rewrite as delete+insert that nets to zero. The row
+    * drives the full lifecycle — two appends, a MOR delete, a
+    * compaction, then STREAMS the feed (`Trigger.AvailableNow`,
+    * `maxFilesPerTrigger=1`), lands a second MOR delete mid-stream (the
+    * exact case that kills the plain tail), resumes from the same
+    * checkpoint, and rebuilds the live table by multiset replay
+    * (inserts ∖ deletes) of the STREAMED records. Four verdicts ride
+    * the row: stream≡batch feed, rewrite nets zero, the mid-stream
+    * delete arrived as exactly its delta, and the replay matches the
+    * table. The accumulated feed is bounded by the staged slice (~500
+    * rows — a driver-side fold like every streaming lifecycle row).
+    * At 100 TB this is the lakehouse CDC loop on the table's own
+    * history: downstream consumers follow inserts AND retractions
+    * incrementally, no refusal, no rescan.
+    */
+  private def qDsv2CdcFeed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.v2.StageSource
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_cdf"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT)
+      TBLPROPERTIES ('delete.mode'='merge-on-read')""")
+    def ins(where: String): Unit = s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v WHERE $where"""): Unit
+    ins("o_orderkey < 1500")                       // v1
+    ins("o_orderkey >= 1500 AND o_orderkey < 2000") // v2
+    s.sql(s"DELETE FROM $t WHERE k % 7 = 3")       // v3: MOR delta
+    val dir = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/default/ord_cdf"
+    StageSource.compact(dir)                       // v4: rewrite = delete+insert
+    val fmt = "graft.sources.v2.StageSource"
+    val ckpt = s"/tmp/graft_dsv2w/${dirTag(d)}/cdf_ckpt"
+    graft.engine.Fs.deleteRecursively(new java.io.File(ckpt))
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, String, Long)]
+    def drain(): Long = {
+      val q = s.readStream.format(fmt).option("path", dir)
+        .option("read-change-feed", "true")
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach(r => acc.add((r.getLong(0), r.getString(1),
+            r.getLong(2), r.getString(3), r.getLong(4))))
+          (): Unit
+        }.start()
+      q.awaitTermination()
+      acc.size().toLong
+    }
+    drain()
+    val preMid = acc.size()
+    // the rows the mid-stream delete will retract, counted from the
+    // PINNED pre-delete snapshot
+    val midExpected = s.read.format(fmt).option("path", dir).load()
+      .filter(col("k") % 11 === 5).count()
+    s.sql(s"DELETE FROM $t WHERE k % 11 = 5")      // v5: mid-stream delete
+    drain()                                        // resumes, consumes it
+    import scala.jdk.CollectionConverters._
+    val streamed = acc.asScala.toSeq
+    import s.implicits._
+    val feedDf = streamed.toDF("k", "status", "cents", "ctype", "ver")
+    val batch = s.read.format(fmt).option("path", dir)
+      .option("read-change-feed", "true").load()
+      .select("k", "status", "cents", "_change_type", "_commit_version")
+      .as[(Long, String, Long, String, Long)].collect().toSeq
+    val streamEqBatch = streamed.sorted == batch.sorted
+    val midDeltaExact = streamed.size - preMid == midExpected &&
+      streamed.drop(preMid.toInt).forall(r => r._4 == "delete" && r._5 == 5L)
+    val rewriteNetsZero = {
+      val v4 = streamed.filter(_._5 == 4L)
+      val insM = v4.filter(_._4 == "insert").map(r => (r._1, r._2, r._3))
+      val delM = v4.filter(_._4 == "delete").map(r => (r._1, r._2, r._3))
+      insM.nonEmpty && insM.sorted == delM.sorted
+    }
+    val replay = feedDf.filter($"ctype" === "insert").select("k", "status", "cents")
+      .exceptAll(feedDf.filter($"ctype" === "delete").select("k", "status", "cents"))
+    val live = s.read.format(fmt).option("path", dir).load()
+    val replayMatches = replay.exceptAll(live).isEmpty &&
+      live.exceptAll(replay).isEmpty
+    replay.groupBy("status")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      .withColumn("stream_equals_batch", lit(streamEqBatch))
+      .withColumn("mid_stream_delete_consumed", lit(midDeltaExact))
+      .withColumn("rewrite_nets_zero", lit(rewriteNetsZero))
+      .withColumn("replay_matches_table", lit(replayMatches))
+      .orderBy("status")
+  }
+
   /** DIRECT storage-partitioned PK–FK join over staged tables — the
     * sort-free leg ([[qDsv2SpjStaged]] aggregates before joining, so its
     * merge join sorts above the hash aggregates; here the fact table
@@ -9794,6 +9891,7 @@ object SparkEntry {
     "q_dsv2_stream_source" -> (qDsv2StreamSource _),
     "q_dsv2_auto_compact" -> (qDsv2AutoCompact _),
     "q_dsv2_stream_cdc" -> (qDsv2StreamCdc _),
+    "q_dsv2_cdc_feed" -> (qDsv2CdcFeed _),
     "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
@@ -10964,6 +11062,25 @@ object SparkEntry {
         |  AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
         |  AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 97 = 1)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // q_dsv2_cdc_feed: the streamed change-data-feed's multiset replay
+    // (inserts ∖ deletes) must equal the post-lifecycle table — both
+    // MOR deletes applied, the compaction rewrite netting zero; the
+    // four feed verdicts (stream≡batch, mid-stream delete consumed as
+    // exactly its delta, rewrite nets zero, replay matches the table)
+    // are asserted as literal TRUE
+    "q_dsv2_cdc_feed" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       TRUE AS stream_equals_batch,
+        |       TRUE AS mid_stream_delete_consumed,
+        |       TRUE AS rewrite_nets_zero,
+        |       TRUE AS replay_matches_table
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 3
+        |  AND o_orderkey % 11 <> 5
+        |GROUP BY status ORDER BY status""".stripMargin,
     // q_dsv2_stream_cdc: the batch-at-a-time CDC materialization must
     // equal the one-shot apply (Changelog's split invariance) — epoch-2
     // upserts win over epoch-1 updates AND resurrect epoch-1 tombstones,

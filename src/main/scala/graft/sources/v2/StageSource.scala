@@ -67,20 +67,30 @@ class StageSource extends TableProvider {
     val f = new File(path, StageSource.SchemaFile)
     require(f.exists(),
       s"StageSource table at $path has no persisted schema — write first")
-    StructType.fromDDL(new String(
+    val base = StructType.fromDDL(new String(
       java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+    // a change-data-feed read sees the data columns PLUS the two feed
+    // columns — declared here so the analyzer resolves them like any
+    // other scan output
+    if (options.getBoolean(StageChangeFeed.OptionKey, false))
+      StageChangeFeed.withChangeCols(base)
+    else base
   }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    val path = StageSource.pathOf(properties)
+    if (Option(properties.get(StageChangeFeed.OptionKey)).exists(_.toBoolean))
+      // read-only view of the table's own history as change records; the
+      // schema arrived from inferSchema WITH the feed columns
+      return new StageChangeFeedTable(path, StageChangeFeed.dataSchemaOf(schema))
     schema.fields.foreach(f => require(
       StageSource.supported(f.dataType),
       s"StageSource does not support column type ${f.dataType} (${f.name})"))
     require(!schema.fieldNames.contains("__rows"),
       "__rows is reserved for the connector's row-count statistics")
-    val path = StageSource.pathOf(properties)
     // identity partition columns, in precedence order: declared
     // transforms (catalog DDL) → the `partition_by` option (path-based
     // writes) → the table's persisted layout (reads of an existing
@@ -2672,7 +2682,14 @@ case class StageStreamOffset(version: Int, pos: Int = 0)
 class StageMicroBatchStream(
     path: String, tableSchema: StructType, required: StructType,
     maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
-    startVersion: Option[String] = None)
+    startVersion: Option[String] = None,
+    // change-data-feed mode (`read-change-feed`): offsets index each
+    // version's CHANGE-UNIT list (removed files, delete-vector deltas,
+    // added files) instead of its appended-file list, non-append changes
+    // are CONSUMED as +insert/-delete rows instead of refused, and the
+    // reader emits (_change_type, _commit_version) alongside the data
+    // columns
+    changeFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2688,6 +2705,9 @@ class StageMicroBatchStream(
     new java.util.concurrent.ConcurrentHashMap[Int, Option[StageSource.VersionChanges]]
   private val newFilesMemo =
     new java.util.concurrent.ConcurrentHashMap[Int, Seq[String]]
+  // change-feed resolution shares one memoizing resolver per stream
+  // instance (same immutability argument as the memos above)
+  private lazy val cdcResolver = new ChangeResolver(path)
 
   // files of a snapshot version (empty at the pre-history version 0)
   private def filesAt(v: Int): Set[String] =
@@ -2708,14 +2728,18 @@ class StageMicroBatchStream(
               "covers every consumer's lag", e)
       })
 
-  // the files version v ADDED over its predecessor, in a deterministic
-  // order (what offset positions index into): the manifest's own A-lines
-  // when self-contained (r18 ADVICE #1 — vacuum expiring v-1 must not
-  // kill the tail), the two-manifest diff for pre-r19 manifests
+  // the units version v contributes to the stream, in a deterministic
+  // order (what offset positions index into). Tail mode: the files the
+  // version ADDED over its predecessor — the manifest's own A-lines when
+  // self-contained (r18 ADVICE #1 — vacuum expiring v-1 must not kill
+  // the tail), the two-manifest diff for pre-r19 manifests. Change-feed
+  // mode: the version's full change-unit key list (removed files, DV
+  // deltas, added files).
   private def newFilesOf(v: Int): Seq[String] =
     if (v <= 0) Seq.empty
     else newFilesMemo.computeIfAbsent(v, _ =>
-      changesOf(v) match {
+      if (changeFeed) cdcResolver.unitKeysOf(v)
+      else changesOf(v) match {
         case Some(ch) => ch.added.sorted
         case None => filesAt(v).diff(filesAt(v - 1)).toSeq.sorted
       })
@@ -2802,9 +2826,17 @@ class StageMicroBatchStream(
         if (so.version == top && so.pos != Int.MaxValue) newFilesOf(top).size
         else Int.MaxValue)
     val stats = StageSource.readStats(path)
-    def rowsOf(f: String): Long =
+    def fileRows(f: String): Long =
       stats.get(f).flatMap(_.get("__rows")).map(_.min.toLong)
         .getOrElse(Long.MaxValue) // no sidecar: counts as unbounded
+    def rowsOf(v: Int, unit: String): Long =
+      if (!changeFeed) fileRows(unit)
+      else StageChangeFeed.parseKey(unit) match {
+        case (StageChangeFeed.DvDeltaUnit, f) =>
+          cdcResolver.changes(v).dvDeltas
+            .get(f).map(_.length.toLong).getOrElse(0L)
+        case (_, f) => fileRows(f)
+      }
     // walk file-at-a-time from (version, pos), always advancing at least
     // one file, stopping once a limit is reached — a 10k-file backfill
     // commit drains as bounded batches, not one giant one. pos =
@@ -2824,7 +2856,7 @@ class StageMicroBatchStream(
       } else {
         val nf = files + 1
         val nr = {
-          val r = rowsOf(lst(curP))
+          val r = rowsOf(curV, lst(curP))
           if (rows == Long.MaxValue || r == Long.MaxValue) Long.MaxValue
           else rows + r
         }
@@ -2854,6 +2886,27 @@ class StageMicroBatchStream(
     val s = so.version
     val e = eo.version
     if (e < s || (e == s && eo.pos <= so.pos)) return Array.empty
+    // the batch's units: the unconsumed tail of the start version's
+    // list, every intermediate version's list whole, and the end
+    // version's list up to the end position. A fully-consumed start
+    // version (pos = MaxValue) is skipped WITHOUT reading its manifest —
+    // it may already be vacuum-expired.
+    def sliced: Seq[(Int, String)] = (math.max(s, 1) to e).flatMap { v =>
+      if (v == s && so.pos == Int.MaxValue) Seq.empty
+      else {
+        val lst = newFilesOf(v)
+        val from = if (v == s) math.min(so.pos, lst.size) else 0
+        val until = if (v == e) math.min(eo.pos, lst.size) else lst.size
+        lst.slice(from, until).map(v -> _)
+      }
+    }
+    // change-feed mode consumes EVERY change — removed files surface as
+    // delete rows, DV deltas as delete rows, added files as inserts — so
+    // the append-only validation below does not apply
+    if (changeFeed)
+      return sliced.map { case (v, key) =>
+        cdcResolver.partitionFor(v, key): InputPartition
+      }.toArray
     // append-only validation: a removed file or a changed delete-vector
     // state on a carried file means rows this stream already emitted
     // were rewritten or deleted — fail loudly, never silently re-emit.
@@ -2926,21 +2979,7 @@ class StageMicroBatchStream(
           s"$s and $e: delete-vector state changed on already-emitted " +
           "file(s) — rows cannot be retracted from an append-only stream")
     }
-    // the batch's files: the unconsumed tail of the start version's
-    // new-file list, every intermediate version's list whole, and the
-    // end version's list up to the end position. A fully-consumed start
-    // version (pos = MaxValue) is skipped WITHOUT reading its manifest —
-    // it may already be vacuum-expired.
-    val startV = math.max(s, 1)
-    val newFiles = (startV to e).flatMap { v =>
-      if (v == s && so.pos == Int.MaxValue) Seq.empty
-      else {
-        val lst = newFilesOf(v)
-        val from = if (v == s) math.min(so.pos, lst.size) else 0
-        val until = if (v == e) math.min(eo.pos, lst.size) else lst.size
-        lst.slice(from, until)
-      }
-    }
+    val newFiles = sliced.map(_._2)
     val cols = StageSource.readColsAt(path, Some(e))
     val dvs = StageSource.readDeletes(path, Some(e))
     newFiles.map { n =>
@@ -2951,7 +2990,8 @@ class StageMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StageReaderFactory(tableSchema, required)
+    if (changeFeed) new StageChangeFeedReaderFactory(tableSchema)
+    else new StageReaderFactory(tableSchema, required)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

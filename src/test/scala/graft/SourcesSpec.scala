@@ -1855,4 +1855,108 @@ class SourcesSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("no snapshot version 4"), e2.getMessage)
   }
+
+  test("change-data-feed: snapshot diffs as insert/delete records, batch ranges and a stream across MOR deletes and rewrites") {
+    import graft.sources.v2.StageSource
+    import org.apache.spark.sql.streaming.Trigger
+    val fmt = "graft.sources.v2.StageSource"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_cdf").toString
+    spark.conf.set("spark.sql.catalog.stagecdf",
+      "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagecdf.root", root)
+    val t = "stagecdf.default.t_cdf"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 100)")   // v1
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(100, 150)") // v2
+    spark.sql(s"DELETE FROM $t WHERE k % 10 = 0")                        // v3: MOR delta
+    val dir = new java.io.File(new java.io.File(root, "default"), "t_cdf")
+      .getAbsolutePath
+    StageSource.compact(dir)                                             // v4: rewrite = delete+insert
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(150, 170)") // v5
+    def feed(opts: Map[String, String] = Map.empty) =
+      opts.foldLeft(spark.read.format(fmt).option("path", dir)
+        .option("read-change-feed", "true")) {
+        case (b, (k, v)) => b.option(k, v)
+      }.load()
+    // multiset reconstruction: inserts minus deletes = the live table, at
+    // EVERY version boundary (the Changelog-style replay oracle)
+    def reconstructed(upTo: Int) = {
+      val f = feed(Map("changes.end-version" -> upTo.toString))
+        .select("k", "cents", "_change_type")
+      f.filter($"_change_type" === "insert").select("k", "cents")
+        .exceptAll(f.filter($"_change_type" === "delete").select("k", "cents"))
+    }
+    (1 to 5).foreach { v =>
+      val snap = spark.read.format(fmt).option("path", dir)
+        .option("version_as_of", v.toString).load().select("k", "cents")
+      val rec = reconstructed(v)
+      assert(rec.exceptAll(snap).isEmpty && snap.exceptAll(rec).isEmpty,
+        s"feed replay to version $v diverges from the snapshot")
+    }
+    // the MOR delete's version emits EXACTLY the deleted rows, bounded by
+    // the delta (no rescan, no insert noise)
+    val v3only = feed(Map("changes.start-version" -> "2",
+      "changes.end-version" -> "3"))
+    assert(v3only.filter($"_change_type" === "insert").count() == 0)
+    assert(v3only.filter($"_change_type" === "delete")
+      .select("k").as[Long].collect().sorted.toSeq ==
+      (0L until 150L by 10).toSeq)
+    // the rewrite version is delete+insert of the same live multiset
+    val v4only = feed(Map("changes.start-version" -> "3",
+      "changes.end-version" -> "4")).select("k", "cents", "_change_type")
+    val v4ins = v4only.filter($"_change_type" === "insert").select("k", "cents")
+    val v4del = v4only.filter($"_change_type" === "delete").select("k", "cents")
+    assert(v4ins.exceptAll(v4del).isEmpty && v4del.exceptAll(v4ins).isEmpty,
+      "a compaction rewrite must net to zero in the feed")
+    // version stamps ride every record
+    assert(feed().select("_commit_version").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // STREAMING the feed drains the same records — including the MOR
+    // delete and the rewrite, where the plain tail refuses loudly
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdf_ck").toString
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long)]
+    def drainFeed(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", dir)
+        .option("read-change-feed", "true")
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("k", "cents", "_change_type", "_commit_version")
+            .as[(Long, Long, String, Long)].collect().foreach(acc.add)
+          (): Unit
+        }.start()
+      q.awaitTermination()
+    }
+    drainFeed()
+    import scala.jdk.CollectionConverters._
+    val batchAll = feed().select("k", "cents", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().sorted.toSeq
+    assert(acc.asScala.toSeq.sorted == batchAll,
+      "streamed feed diverges from the batch feed")
+    // a MID-STREAM delete between drains is consumed, not refused
+    spark.sql(s"DELETE FROM $t WHERE k = 7")                             // v6
+    drainFeed()
+    assert(acc.asScala.toSeq.sorted ==
+      (batchAll :+ ((7L, 70L, "delete", 6L))).sorted,
+      "resumed feed must emit exactly the new delete record")
+    // the plain tail on the same history still refuses loudly (contract
+    // unchanged — the feed is the consumable path)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format(fmt).option("path", dir).load()
+        .writeStream.option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_cdf_ck2").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.count(): Unit
+        }.start()
+      q.awaitTermination()
+    }
+    def rootMsg(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + rootMsg(x.getCause)
+    assert(rootMsg(err).contains("change-data-feed"), rootMsg(err))
+  }
 }
