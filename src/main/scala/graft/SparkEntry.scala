@@ -7772,6 +7772,60 @@ object SparkEntry {
       .withColumn("light_kept", lit(lightKept))
   }
 
+  /** SMALL-FILE BIN-PACKING via the maintenance policy ([[
+    * graft.sources.v2.StageSource.binpack]], r18 verdict #2 — `maintain`
+    * priced only DV debt, so steady micro-batch appends grew file count
+    * without bound): the table declares `compact.target-file-bytes` and
+    * the scheduled entry point coalesces under-sized files per PARTITION
+    * VALUE through the standard claim-atomic rewrite
+    * (`replaceFiles`+`expectDvs`), repaying any delete-vector debt on
+    * the binned files in the same pass. The row stages six tiny appends
+    * per partition (the `maxFilesPerTrigger=1` accumulation shape),
+    * lands a MOR delete, runs `maintain`, and asserts from the
+    * connector's own metadata: `files_packed` (count collapsed to one
+    * per partition), `layout_kept` (no output file mixes partition
+    * values), and `second_pass_noop` (idempotent — nothing left under
+    * target worth packing). Content is oracled invariant across the
+    * pass. At 100 TB this is what keeps manifest lines, per-file tasks
+    * and sidecar entries O(data), not O(ingest epochs).
+    */
+  private def qDsv2Binpack(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.v2.StageSource
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_bp"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t (k BIGINT, grp STRING, cents BIGINT)
+      PARTITIONED BY (grp)
+      TBLPROPERTIES ('delete.mode'='merge-on-read',
+                     'compact.target-file-bytes'='1048576')""")
+    (0 until 6).foreach { i =>
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM $v WHERE o_orderkey >= ${i * 300} AND o_orderkey < ${(i + 1) * 300}""")
+    }
+    s.sql(s"DELETE FROM $t WHERE k % 13 = 2") // MOR debt the pack repays
+    val dir = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/default/ord_bp"
+    val before = StageSource.snapshotFiles(dir, None).length
+    StageSource.maintain(dir)
+    val after = StageSource.snapshotFiles(dir, None)
+    val parts = StageSource.readParts(dir)
+    val filesPacked = before > 2 && after.length == 2 &&
+      StageSource.readDeletes(dir, None).isEmpty
+    val layoutKept = after.forall(f => parts(f.getName).length == 1)
+    val vAfter = StageSource.latestVersion(dir).get
+    StageSource.maintain(dir)
+    val secondPassNoop = StageSource.latestVersion(dir).get == vAfter
+    s.sql(s"""SELECT grp, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+      FROM $t GROUP BY grp ORDER BY grp""")
+      .withColumn("files_packed", lit(filesPacked))
+      .withColumn("layout_kept", lit(layoutKept))
+      .withColumn("second_pass_noop", lit(secondPassNoop))
+  }
+
   /** CHANGE-DATA-FEED of a staged table's OWN history ([[
     * graft.sources.v2.StageChangeFeed]], r18 verdict #1 — the streaming
     * tail refuses non-append changes and says "consume a CDC view
@@ -9892,6 +9946,7 @@ object SparkEntry {
     "q_dsv2_auto_compact" -> (qDsv2AutoCompact _),
     "q_dsv2_stream_cdc" -> (qDsv2StreamCdc _),
     "q_dsv2_cdc_feed" -> (qDsv2CdcFeed _),
+    "q_dsv2_binpack" -> (qDsv2Binpack _),
     "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
@@ -11061,6 +11116,22 @@ object SparkEntry {
         |WHERE o_orderkey < 2000
         |  AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
         |  AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 97 = 1)
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // q_dsv2_binpack: content must be invariant across the bin-packing
+    // maintenance pass (MOR delete applied — the pack repays the debt);
+    // the three policy verdicts (small files collapsed to one per
+    // partition with vectors repaid, no output file mixes partition
+    // values, second pass is a no-op) are asserted as literal TRUE
+    "q_dsv2_binpack" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       TRUE AS files_packed,
+        |       TRUE AS layout_kept,
+        |       TRUE AS second_pass_noop
+        |FROM orders
+        |WHERE o_orderkey < 1800 AND o_orderkey % 13 <> 2
         |GROUP BY 1 ORDER BY grp""".stripMargin,
     // q_dsv2_cdc_feed: the streamed change-data-feed's multiset replay
     // (inserts ∖ deletes) must equal the post-lifecycle table — both

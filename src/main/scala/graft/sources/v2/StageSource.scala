@@ -632,33 +632,123 @@ object StageSource {
     */
   val CompactDvThresholdProp = "compact.dv-threshold"
 
+  /** The table-property key for [[maintain]]'s small-file arm: data
+    * files under this byte size are bin-packed per partition value.
+    */
+  val CompactTargetBytesProp = "compact.target-file-bytes"
+
+  /** SMALL-FILE BIN-PACKING (r18 verdict #2: `maintain` repaid only DV
+    * debt, so a table fed by `maxFilesPerTrigger=1` streaming writes
+    * grew one file per epoch forever — manifest lines, per-file tasks
+    * and sidecar entries all O(files)): coalesce live files smaller than
+    * `targetBytes`, greedy first-fit per PARTITION VALUE (a bin never
+    * mixes partition values — the committed one-value-per-file layout
+    * law survives), each bin rewritten into one file through the
+    * standard two-phase commit with `replaceFiles`+`expectDvs` conflict
+    * validation — claim-atomic, and any delete-vector debt on a binned
+    * file is repaid by the same rewrite. Lone small files stay put (a
+    * 1-file bin buys nothing), files at or above the target are never
+    * touched. Like any rewrite this is a NON-APPEND change: a plain
+    * streaming tail over the table refuses at the compaction version —
+    * consumers follow the change-data-feed (where the rewrite nets to
+    * zero) or re-stream, by design.
+    */
+  def binpack(path: String, targetBytes: Long): Unit = {
+    require(targetBytes > 0,
+      s"$CompactTargetBytesProp must be positive, got $targetBytes")
+    val schemaFile = new File(path, SchemaFile)
+    require(schemaFile.exists(),
+      s"StageSource table at $path has no persisted schema")
+    val schema = StructType.fromDDL(new String(
+      java.nio.file.Files.readAllBytes(schemaFile.toPath), StandardCharsets.UTF_8))
+    val partCols = readPartCols(path)
+    val parts = readParts(path)
+    val small = snapshotFiles(path, None).filter(_.length < targetBytes)
+    val bins = small
+      .groupBy(f => parts.get(f.getName).map(_.mkString("/")).getOrElse(""))
+      .toSeq.sortBy(_._1)
+      .flatMap { case (_, fs) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[Seq[File]]
+        var cur = Seq.empty[File]
+        var bytes = 0L
+        fs.sortBy(_.getName).foreach { f =>
+          if (cur.nonEmpty && bytes + f.length > targetBytes) {
+            out += cur; cur = Seq.empty; bytes = 0L
+          }
+          cur :+= f; bytes += f.length
+        }
+        if (cur.nonEmpty) out += cur
+        out.filter(_.length >= 2)
+      }
+    if (bins.isEmpty) return
+    val dvs = readDeletes(path, None)
+    val cols = readColsAt(path, None)
+    val qid = "binpack-" + java.util.UUID.randomUUID().toString.take(8)
+    val factory = new StageReaderFactory(schema, schema)
+    // one writer per bin → exactly one committed file per bin (the
+    // writer sinks per partition value; a bin holds one value). Driver-
+    // side file-at-a-time like compact(): each bin is one writer task's
+    // worth of data by construction — a distributed variant would read
+    // with `_file IN (bin)` and commit through the same path.
+    val messages = bins.zipWithIndex.map { case (bin, i) =>
+      val writer = new StageDataWriter(path, schema, qid, i, i.toLong, partCols)
+      bin.foreach { f =>
+        val reader = factory.createReader(StageFilePartition(
+          f.getAbsolutePath, cols.getOrElse(f.getName, -1),
+          dvs.getOrElse(f.getName, Array.empty[Long])))
+        while (reader.next()) writer.write(reader.get())
+        reader.close()
+      }
+      writer.commit(): WriterCommitMessage
+    }
+    val binned = bins.flatten.map(_.getName).toSet
+    StageCommitter.commit(path, schema, partCols, qid, messages.toArray,
+      truncate = false, epoch = None,
+      replaceFiles = Some(binned),
+      expectDvs = Some(binned.iterator.map(f =>
+        f -> dvs.getOrElse(f, Array.empty[Long]).toSet).toMap))
+  }
+
   /** AUTO-COMPACTION policy (r17 verdict #4 — compaction existed but was
-    * caller-invoked; a 100 TB table needs a trigger): rewrite exactly
-    * the files whose delete-vector fraction exceeds the table's
-    * `compact.dv-threshold` property. Dirty-file-only and claim-atomic
-    * (routes through [[compact]]'s standard two-phase commit with
-    * `replaceFiles`+`expectDvs` conflict validation); files at or below
-    * the threshold KEEP their vectors — their read debt is cheaper than
-    * their rewrite. A file without a `__rows` sidecar line cannot be
-    * priced and is repaid conservatively. No property, or no vectors,
-    * means no-op — the entry point is safe to run on a schedule after
-    * every ingest cycle.
+    * caller-invoked; a 100 TB table needs a trigger), two independently
+    * opted-into arms, each a table property:
+    *
+    *  - `compact.dv-threshold`: rewrite exactly the files whose
+    *    delete-vector fraction exceeds it. Dirty-file-only and
+    *    claim-atomic (routes through [[compact]]'s standard two-phase
+    *    commit with `replaceFiles`+`expectDvs` conflict validation);
+    *    files at or below the threshold KEEP their vectors — their read
+    *    debt is cheaper than their rewrite. A file without a `__rows`
+    *    sidecar line cannot be priced and is repaid conservatively.
+    *  - `compact.target-file-bytes`: [[binpack]] under-sized files per
+    *    partition (r18 verdict #2), AFTER the DV arm so freshly repaid
+    *    shards coalesce in the same maintenance pass.
+    *
+    * No properties set, or nothing to do, means no-op — the entry point
+    * is safe to run on a schedule after every ingest cycle. Both arms
+    * are non-append changes when they fire: plain tails refuse at the
+    * maintenance version (consume the change-data-feed instead).
     */
   def maintain(path: String): Unit = {
-    val threshold = readProps(path).get(CompactDvThresholdProp)
-      .map(_.toDouble).getOrElse(return)
-    require(threshold >= 0.0 && threshold <= 1.0,
-      s"$CompactDvThresholdProp must be in [0, 1], got $threshold")
-    val dvs = readDeletes(path, None)
-    if (dvs.isEmpty) return
-    val stats = readStats(path)
-    val dirty = dvs.filter { case (f, ps) =>
-      stats.get(f).flatMap(_.get("__rows")).map(_.min.toLong) match {
-        case Some(n) if n > 0 => ps.length.toDouble / n > threshold
-        case _ => true // unpriceable debt: repay it
+    val props = readProps(path)
+    props.get(CompactDvThresholdProp).map(_.toDouble).foreach { threshold =>
+      require(threshold >= 0.0 && threshold <= 1.0,
+        s"$CompactDvThresholdProp must be in [0, 1], got $threshold")
+      val dvs = readDeletes(path, None)
+      if (dvs.nonEmpty) {
+        val stats = readStats(path)
+        val dirty = dvs.filter { case (f, ps) =>
+          stats.get(f).flatMap(_.get("__rows")).map(_.min.toLong) match {
+            case Some(n) if n > 0 => ps.length.toDouble / n > threshold
+            case _ => true // unpriceable debt: repay it
+          }
+        }.keySet
+        if (dirty.nonEmpty) compact(path, Some(dirty))
       }
-    }.keySet
-    if (dirty.nonEmpty) compact(path, Some(dirty))
+    }
+    props.get(CompactTargetBytesProp).map(_.toLong)
+      .foreach(binpack(path, _))
   }
 
   /** Expire history: keep only the latest snapshot's files + manifest,
