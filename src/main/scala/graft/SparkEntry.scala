@@ -7826,6 +7826,40 @@ object SparkEntry {
       .withColumn("second_pass_noop", lit(secondPassNoop))
   }
 
+  /** STRING ZONE MAPS (r18 verdict #3 — `readStats` recorded nothing for
+    * string columns, so `lang = 'en'` / `source = 'web'` predicates, the
+    * most common filters in an LLM-data pipeline, scanned every file):
+    * commits now record truncated UTF-8 byte bounds per string column
+    * (the Iceberg 16-byte idiom — plain-prefix lower bound, incremented-
+    * prefix upper bound, compared in the same unsigned byte order Spark
+    * itself sorts strings by, so pruning is conservative by
+    * construction), wired into the same skip path as numeric ranges.
+    * The row stages documents range-clustered by `lang`, runs the
+    * point-predicate read, and asserts `files_skipped` from the executed
+    * plan's `files=a/b` scan description; content is oracled against
+    * the parquet source. The multi-byte / truncation-boundary edge
+    * cases are fuzz-pinned in SourcesSpec.
+    */
+  private def qDsv2StringPrune(s: SparkSession, d: String): DataFrame = {
+    val tag = dirTag(d)
+    val fmt = "graft.sources.v2.StageSource"
+    val dir = s"/tmp/graft_dsv2w/$tag/strprune"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartitionByRange(8, col("lang"))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val q = s.read.format(fmt).option("path", dir).load()
+      .filter(col("lang") === "en")
+    val agg = q.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    agg.collect(): Unit // execute so the scan description carries counts
+    val plan = agg.queryExecution.executedPlan.toString
+    val skipped = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      .exists(m => m.group(1).toInt < m.group(2).toInt &&
+        m.group(2).toInt >= 2)
+    agg.withColumn("files_skipped", lit(skipped)).orderBy("source")
+  }
+
   /** CHANGE-DATA-FEED of a staged table's OWN history ([[
     * graft.sources.v2.StageChangeFeed]], r18 verdict #1 — the streaming
     * tail refuses non-append changes and says "consume a CDC view
@@ -9947,6 +9981,7 @@ object SparkEntry {
     "q_dsv2_stream_cdc" -> (qDsv2StreamCdc _),
     "q_dsv2_cdc_feed" -> (qDsv2CdcFeed _),
     "q_dsv2_binpack" -> (qDsv2Binpack _),
+    "q_dsv2_string_prune" -> (qDsv2StringPrune _),
     "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
@@ -11133,6 +11168,16 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 1800 AND o_orderkey % 13 <> 2
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // q_dsv2_string_prune: the lang='en' read over the range-clustered
+    // staging must equal the parquet-side answer, and the
+    // files_skipped verdict (string zone maps pruned whole files, from
+    // the executed plan's own scan description) is asserted TRUE
+    "q_dsv2_string_prune" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       TRUE AS files_skipped
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     // q_dsv2_cdc_feed: the streamed change-data-feed's multiset replay
     // (inserts ∖ deletes) must equal the post-lifecycle table — both
     // MOR deletes applied, the compaction rewrite netting zero; the

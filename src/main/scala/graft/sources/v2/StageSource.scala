@@ -942,14 +942,80 @@ object StageSource {
     */
   final case class ColRange(min: Double, max: Double)
 
+  /** Marker prefixing STRING zone-map values in the stats sidecar:
+    * `file \t col \t s:<base64 lower> \t s:<base64 upper>`. String
+    * bounds live in UTF-8 BYTE space (Spark's string ordering IS
+    * UTF8String's unsigned byte comparison), Iceberg-truncated to
+    * [[StrBoundBytes]] bytes: the lower bound is a plain prefix (≤ the
+    * true min), the upper bound is the prefix with its LAST byte
+    * incremented (> any string sharing the prefix, so ≥ the true max;
+    * UTF-8 bytes never reach 0xFF, so the increment always fits). The
+    * truncated-incremented upper may not be valid UTF-8 — it is only
+    * ever compared, never decoded, hence the base64 framing. An empty
+    * upper value means "unbounded" (never the case today, kept for
+    * format headroom).
+    */
+  private val StrStatTag = "s:"
+  val StrBoundBytes = 16
+
+  def truncatedLower(b: Array[Byte]): Array[Byte] =
+    if (b.length <= StrBoundBytes) b else b.take(StrBoundBytes)
+
+  def truncatedUpper(b: Array[Byte]): Array[Byte] =
+    if (b.length <= StrBoundBytes) b
+    else {
+      val p = b.take(StrBoundBytes)
+      p(p.length - 1) = ((p(p.length - 1) & 0xFF) + 1).toByte
+      p
+    }
+
+  /** Unsigned lexicographic byte comparison — the same total order
+    * UTF8String.compareTo (and therefore Spark string comparison) uses.
+    */
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   def readStats(path: String): Map[String, Map[String, ColRange]] = {
     val f = new File(path, StatsFile)
     if (!f.exists()) return Map.empty
     new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).toSeq
-      .map { l =>
-        val Array(file, colName, mn, mx) = splitExact(f, l, 4)
+      .map(l => splitExact(f, l, 4))
+      .filterNot(_(2).startsWith(StrStatTag)) // string bounds: readStringStats
+      .map { case Array(file, colName, mn, mx) =>
         (file, colName, ColRange(mn.toDouble, mx.toDouble))
+      }
+      .groupBy(_._1)
+      .map { case (file, rows) =>
+        file -> rows.map(r => r._2 -> r._3).toMap
+      }
+  }
+
+  /** file → col → (lower, upper) truncated UTF-8 byte bounds for string
+    * columns (absent for all-null, legacy, or non-string columns — such
+    * files are never skipped on that column).
+    */
+  def readStringStats(path: String)
+      : Map[String, Map[String, (Array[Byte], Array[Byte])]] = {
+    val f = new File(path, StatsFile)
+    if (!f.exists()) return Map.empty
+    val dec = java.util.Base64.getDecoder
+    new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+      .map(l => splitExact(f, l, 4))
+      .filter(_(2).startsWith(StrStatTag))
+      .map { case Array(file, colName, lo, hi) =>
+        (file, colName,
+          (dec.decode(lo.drop(StrStatTag.length)),
+            dec.decode(hi.drop(StrStatTag.length))))
       }
       .groupBy(_._1)
       .map { case (file, rows) =>
@@ -1611,11 +1677,13 @@ class StageStreamingWriterFactory(
 }
 
 /** One sealed temp file: its staging path, rendered partition value
-  * (url-encoded, "" when unpartitioned), row count and zone maps.
+  * (url-encoded, "" when unpartitioned), row count, numeric zone maps,
+  * and truncated string bounds (col, lower, upper UTF-8 bytes).
   */
 case class StageFileCommit(
     tmpPath: String, pv: String, rows: Long,
-    stats: Array[(String, Double, Double)])
+    stats: Array[(String, Double, Double)],
+    strStats: Array[(String, Array[Byte], Array[Byte])] = Array.empty)
 
 case class StageCommit(files: Array[StageFileCommit])
     extends WriterCommitMessage
@@ -1945,9 +2013,14 @@ object StageCommitter {
           .linesIterator.filter(l => l.nonEmpty && keepLine(l))
           .foreach(l => colLines.append(l).append('\n'))
     }
+    val b64 = java.util.Base64.getEncoder
     newFiles.foreach { case (name, c) =>
       c.stats.foreach { case (colName, mn, mx) =>
         statLines.append(s"$name\t$colName\t$mn\t$mx\n")
+      }
+      c.strStats.foreach { case (colName, lo, hi) =>
+        statLines.append(s"$name\t$colName\ts:${b64.encodeToString(lo)}" +
+          s"\ts:${b64.encodeToString(hi)}\n")
       }
       // the per-file row count (the docstring's `__rows` pseudo-column)
       // — what COUNT(*) pushdown answers from without opening the file
@@ -2056,6 +2129,17 @@ class StageDataWriter(
       if (mins(i).isNaN || v < mins(i)) mins(i) = v
       if (maxs(i).isNaN || v > maxs(i)) maxs(i) = v
     }
+    // running string extremes (r18 verdict #3: string columns recorded
+    // no stats, so `lang = 'en'`-class predicates — the most common
+    // filters in an LLM-data pipeline — scanned every file). Extremes
+    // are CLONED only when they change (the row's UTF8String may be
+    // backed by a reused buffer); truncation happens once, at commit.
+    val smins = Array.fill[UTF8String](types.length)(null)
+    val smaxs = Array.fill[UTF8String](types.length)(null)
+    def observeStr(i: Int, v: UTF8String): Unit = {
+      if (smins(i) == null || v.compareTo(smins(i)) < 0) smins(i) = v.clone()
+      if (smaxs(i) == null || v.compareTo(smaxs(i)) > 0) smaxs(i) = v.clone()
+    }
   }
   private val sinks = scala.collection.mutable.LinkedHashMap.empty[String, Sink]
 
@@ -2085,8 +2169,10 @@ class StageDataWriter(
             val v = row.getDouble(i); out.writeDouble(v)
             if (!v.isNaN) s.observe(i, v)
           case StringType =>
-            val b = row.getUTF8String(i).getBytes
+            val u = row.getUTF8String(i)
+            val b = u.getBytes
             out.writeInt(b.length); out.write(b)
+            s.observeStr(i, u)
           case TimestampType =>
             // epoch micros: exact on disk; the zone map's double view is
             // lossy above 2^53 µs but mightMatch widens by one ulp, so a
@@ -2112,7 +2198,13 @@ class StageDataWriter(
         .filter(i => !s.mins(i).isNaN)
         .map(i => (schema.fields(i).name, s.mins(i), s.maxs(i)))
         .toArray
-      StageFileCommit(s.tmp.getAbsolutePath, s.pv, s.rows, stats)
+      val strStats = types.indices.iterator
+        .filter(i => s.smins(i) != null)
+        .map(i => (schema.fields(i).name,
+          StageSource.truncatedLower(s.smins(i).getBytes),
+          StageSource.truncatedUpper(s.smaxs(i).getBytes)))
+        .toArray
+      StageFileCommit(s.tmp.getAbsolutePath, s.pv, s.rows, stats, strStats)
     }.toArray
     // an empty task (rows=0 in every sink is impossible — sinks are
     // created on first row — but a task with NO rows has no sinks)
@@ -2152,8 +2244,12 @@ class StageScanBuilder(
   // Spark must keep re-checking row-level (exactly parquet's row-group
   // stats contract).
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // numeric columns zone-check through the double view; string columns
+    // (r18 verdict #3) through truncated UTF-8 byte bounds — the
+    // `lang = 'en'` / `source = 'web'` file-skipping leg
     def zonable(c: String, v: Any): Boolean =
-      numeric(c) && StageScan.zoneValue(v).isDefined
+      (numeric(c) && StageScan.zoneValue(v).isDefined) ||
+        (stringCol(c) && v.isInstanceOf[String])
     skipFilters = filters.filter {
       case EqualTo(c, v) => zonable(c, v)
       case GreaterThan(c, v) => zonable(c, v)
@@ -2181,6 +2277,8 @@ class StageScanBuilder(
       case _: DecimalType => true
       case _ => false
     })
+  private def stringCol(c: String): Boolean =
+    tableSchema.fields.find(_.name == c).exists(_.dataType == StringType)
   override def pushedFilters(): Array[Filter] =
     (skipFilters ++ partFilters).distinct
 
@@ -2456,12 +2554,31 @@ case class StageScan(
   // Long/micros/decimal→double zone maps round to nearest, so bounds are
   // widened by one ulp before disproving — a rounded-up min must never
   // skip a file that holds a slightly smaller true value.
-  private def mightMatch(stats: Map[String, StageSource.ColRange], f: Filter): Boolean = {
+  private def mightMatch(
+      stats: Map[String, StageSource.ColRange],
+      strStats: Map[String, (Array[Byte], Array[Byte])],
+      f: Filter): Boolean = {
     def rng(c: String): Option[(Double, Double)] =
       stats.get(c).map(r => (Math.nextDown(r.min), Math.nextUp(r.max)))
     def zv(v: Any): Double = StageScan.zoneValue(v).getOrElse(
       throw new IllegalStateException(s"unzonable pushed literal: $v"))
+    // string bounds are EXACT below the truncation width and widened
+    // above it (prefix lower bound / incremented upper bound), so every
+    // disproof below stays conservative: lo ≤ true min, hi ≥ true max
+    def sb(c: String): Option[(Array[Byte], Array[Byte])] = strStats.get(c)
+    def lb(v: String): Array[Byte] = UTF8String.fromString(v).getBytes
+    import StageSource.{compareBytes => cmp}
     f match {
+      case EqualTo(c, v: String) => sb(c).forall { case (lo, hi) =>
+        cmp(lb(v), lo) >= 0 && cmp(lb(v), hi) <= 0 }
+      case GreaterThan(c, v: String) =>
+        sb(c).forall { case (_, hi) => cmp(hi, lb(v)) > 0 }
+      case GreaterThanOrEqual(c, v: String) =>
+        sb(c).forall { case (_, hi) => cmp(hi, lb(v)) >= 0 }
+      case LessThan(c, v: String) =>
+        sb(c).forall { case (lo, _) => cmp(lo, lb(v)) < 0 }
+      case LessThanOrEqual(c, v: String) =>
+        sb(c).forall { case (lo, _) => cmp(lo, lb(v)) <= 0 }
       case EqualTo(c, v) =>
         rng(c).forall { case (mn, mx) => zv(v) >= mn && zv(v) <= mx }
       case GreaterThan(c, v) => rng(c).forall(_._2 > zv(v))
@@ -2542,11 +2659,18 @@ case class StageScan(
           }
         case _ => true
       }
+    val strStats =
+      if (skipFilters.exists(_.references.exists(c =>
+        tableSchema.fields.exists(fl => fl.name == c && fl.dataType == StringType))))
+        StageSource.readStringStats(path)
+      else Map.empty[String, Map[String, (Array[Byte], Array[Byte])]]
     val all = StageSource.snapshotFiles(path, pinnedVersion)
     totalFiles = all.length
     all.filter { f =>
       val fileStats = stats.getOrElse(f.getName, Map.empty)
-      skipFilters.forall(mightMatch(fileStats, _)) && partKeep(f.getName) &&
+      val fileStr = strStats.getOrElse(f.getName, Map.empty)
+      skipFilters.forall(mightMatch(fileStats, fileStr, _)) &&
+        partKeep(f.getName) &&
         runtimeFiles.forall(_.contains(f.getName))
     }
   }

@@ -224,6 +224,89 @@ class SourcesSpec extends SparkTestBase {
       m2.get.group(1).toInt == 1, plan2)
   }
 
+  test("string zone maps skip whole files; truncated multi-byte bounds stay conservative under fuzz") {
+    import graft.sources.v2.StageSource
+    val fmt = "graft.sources.v2.StageSource"
+    // deterministic leg: a lang-style column, range-clustered so files
+    // carry disjoint string ranges (the layout an ingest pipeline
+    // writes) — `lang = 'en'` must read a strict subset of files
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_szm").toString + "/t"
+    val langs = Seq("ar", "de", "en", "es", "fr", "ja", "ko", "zh")
+    spark.range(8000)
+      .select(col("id").as("k"),
+        element_at(lit(langs.toArray), (col("id") % 8 + 1).cast("int")).as("lang"))
+      .repartitionByRange(8, col("lang"))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val q = spark.read.format(fmt).option("path", dir).load()
+      .filter(col("lang") === "en")
+    assert(q.count() == 1000)
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(2).toInt >= 2 &&
+      m.get.group(1).toInt < m.get.group(2).toInt,
+      s"no string skip evidence:\n$plan")
+    // fuzz leg: strings straddling the 16-byte truncation boundary —
+    // shared 16-byte prefixes differing only beyond it, multi-byte
+    // scripts (2/3/4-byte UTF-8), and boundary literals. Oracle filters
+    // row-at-a-time in UTF-8 BYTE order (Spark's string order).
+    val rnd = new scala.util.Random(19L)
+    val corpus = Seq(
+      "", "a", "én", "ß", "日本語テキストの行", "🙂🙃🙂",
+      "aaaaaaaaaaaaaaaa",          // exactly 16 bytes
+      "aaaaaaaaaaaaaaaaZ",         // same 16-byte prefix, longer
+      "aaaaaaaaaaaaaaaazzzzz",     // differs only past truncation
+      "ééééééééé",                 // 18 bytes of 2-byte chars (truncates mid-char)
+      "ééééééééX",
+      "zzzzzzzzzzzzzzzzzzzz")
+    def randStr(): String =
+      if (rnd.nextBoolean()) corpus(rnd.nextInt(corpus.size))
+      else Seq.fill(1 + rnd.nextInt(20))(
+        "aé日🙂z".charAt(rnd.nextInt(5))).mkString // lone surrogates avoided below
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_stage_szf").toString + "/t"
+    val rows = Seq.tabulate(400) { i =>
+      // drop lone surrogate halves a random charAt over "🙂" can produce
+      val s0 = randStr().filterNot(c => Character.isSurrogate(c))
+      (i.toLong, if (rnd.nextInt(10) == 0) null else s0)
+    }
+    rows.toDF("k", "s")
+      .repartitionByRange(6, col("s"))
+      .write.format(fmt).option("path", dir2).mode("overwrite").save()
+    val back = spark.read.format(fmt).option("path", dir2).load()
+    val full = back.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(full.length == 400)
+    def byteCmp(a: String, b: String): Int = StageSource.compareBytes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a).getBytes,
+      org.apache.spark.unsafe.types.UTF8String.fromString(b).getBytes)
+    val ops = Seq("<", "<=", ">", ">=", "=")
+    var skippedAtLeastOnce = false
+    for (_ <- 0 until 60) {
+      val lit0 = randStr().filterNot(c => Character.isSurrogate(c))
+      val op = ops(rnd.nextInt(ops.size))
+      val got = back.filter(expr(
+        s"s $op '${lit0.replace("\\", "\\\\").replace("'", "\\'")}'"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = full.filter { case (_, s) =>
+        s != null && (op match {
+          case "<" => byteCmp(s, lit0) < 0
+          case "<=" => byteCmp(s, lit0) <= 0
+          case ">" => byteCmp(s, lit0) > 0
+          case ">=" => byteCmp(s, lit0) >= 0
+          case _ => s == lit0
+        })
+      }.map(_._1).sorted.toSeq
+      assert(got == want, s"s $op '$lit0': got ${got.size}, want ${want.size}")
+      val fm = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        back.filter(expr(s"s $op '${lit0.replace("\\", "\\\\").replace("'", "\\'")}'"))
+          .queryExecution.executedPlan.toString)
+      if (fm.exists(x => x.group(1).toInt < x.group(2).toInt))
+        skippedAtLeastOnce = true
+    }
+    assert(skippedAtLeastOnce, "string zone maps never pruned a file")
+  }
+
   test("StageSource partitioned table: one shard per value, pruning, lineage, decidable delete") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stage_part").toString + "/t"
