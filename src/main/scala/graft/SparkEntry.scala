@@ -7826,6 +7826,57 @@ object SparkEntry {
       .withColumn("second_pass_noop", lit(secondPassNoop))
   }
 
+  /** BUCKETED storage-partitioned join over staged CATALOG tables (r18
+    * verdict #4 — StageSource accepted identity partitioning only, so
+    * the measured SPJ width knob, 2.6× at w32 on the synthetic source,
+    * was unreachable on real committed data): both tables declare
+    * `PARTITIONED BY (bucket(16, custkey))`, writes route by the
+    * catalog's own `bucket` V2 function (the same multiplicative hash
+    * the scan reports as KeyGroupedPartitioning and the oracle replays
+    * arithmetically), and the PK–FK join plans with ZERO exchanges in
+    * its join subtree — the `exchange_free` verdict is read off the
+    * executed plan. Unlike the identity-partitioned SPJ rows, the
+    * bucket width here is a free knob: 16 buckets of a million-key
+    * dimension, not a million key groups — exactly the at-scale shape
+    * (a real cluster sizes width to executor count, not cardinality).
+    */
+  private def qDsv2SpjBucketed(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val fact = s"$cat.default.ord_bk"
+    val dim = s"$cat.default.cust_bk"
+    s.sql(s"DROP TABLE IF EXISTS $fact")
+    s.sql(s"DROP TABLE IF EXISTS $dim")
+    val vo = s"graft_cat_orders_${dirTag(d)}"
+    val vc = s"graft_cat_customer_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(vo)
+    Tables.customer(s, d).createOrReplaceTempView(vc)
+    s.sql(s"""CREATE TABLE $fact (custkey BIGINT, cents BIGINT)
+      PARTITIONED BY (bucket(16, custkey))""")
+    s.sql(s"""INSERT INTO $fact
+      SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM $vo""")
+    s.sql(s"""CREATE TABLE $dim (custkey BIGINT, segment STRING)
+      PARTITIONED BY (bucket(16, custkey))""")
+    s.sql(s"INSERT INTO $dim SELECT c_custkey, c_mktsegment FROM $vc")
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "true")
+    try {
+      val j = s.table(fact).hint("merge").join(s.table(dim), "custkey")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      j.collect(): Unit
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the ONLY exchange allowed is the post-join aggregate's own small
+      // shuffle: the join subtree (below SortMergeJoin) must be clean
+      val joinSub = plan.linesIterator
+        .dropWhile(!_.contains("SortMergeJoin")).mkString("\n")
+      val exchangeFree = plan.contains("SortMergeJoin") &&
+        !joinSub.linesIterator.exists(_.contains("Exchange "))
+      j.withColumn("exchange_free", lit(exchangeFree)).orderBy("segment")
+    } finally s.conf.set(key, prev)
+  }
+
   /** STRING ZONE MAPS (r18 verdict #3 — `readStats` recorded nothing for
     * string columns, so `lang = 'en'` / `source = 'web'` predicates, the
     * most common filters in an LLM-data pipeline, scanned every file):
@@ -9982,6 +10033,7 @@ object SparkEntry {
     "q_dsv2_cdc_feed" -> (qDsv2CdcFeed _),
     "q_dsv2_binpack" -> (qDsv2Binpack _),
     "q_dsv2_string_prune" -> (qDsv2StringPrune _),
+    "q_dsv2_spj_bucketed" -> (qDsv2SpjBucketed _),
     "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
@@ -11168,6 +11220,18 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 1800 AND o_orderkey % 13 <> 2
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // q_dsv2_spj_bucketed: the bucketed PK-FK join must equal the plain
+    // relational answer (bucketing is pure layout), and the
+    // exchange_free verdict — zero exchanges below the merge join, read
+    // off the executed plan — is asserted TRUE
+    "q_dsv2_spj_bucketed" ->
+      """SELECT c_mktsegment AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       TRUE AS exchange_free
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     // q_dsv2_string_prune: the lang='en' read over the range-clustered
     // staging must equal the parquet-side answer, and the
     // files_skipped verdict (string zone maps pruned whole files, from

@@ -132,10 +132,20 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
     require(!schema.fieldNames.contains("__rows"),
       "__rows is reserved for the connector's row-count statistics")
     val partCols = partitions.map { t =>
-      V2ExprShim.identityColumn(t).getOrElse(throw new IllegalArgumentException(
-        s"StageCatalog supports only identity partitioning, got $t"))
+      V2ExprShim.identityColumn(t).orElse(
+        V2ExprShim.bucketColumn(t).map { case (n, c) =>
+          require(n >= 1 && n <= 65536,
+            s"bucket width $n out of [1, 65536]")
+          val dt = schema.fields.find(_.name == c).map(_.dataType)
+          require(dt.contains(LongType) || dt.contains(DataTypes.IntegerType),
+            s"bucket($n, $c) needs an integral column, got " +
+              s"${dt.getOrElse("no such column")}")
+          s"bucket($n,$c)"
+        }).getOrElse(throw new IllegalArgumentException(
+        s"StageCatalog supports identity and bucket(n, col) partitioning, got $t"))
     }
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
+    partCols.foreach(c => require(
+      schema.fieldNames.contains(StageSource.specCol(c)),
       s"partition column $c not in schema ${schema.simpleString}"))
     val dir = dirOf(ident)
     dir.mkdirs()
@@ -423,6 +433,38 @@ object StageCatalog {
       if (s.n == 0) null else math.exp(s.sumLog / s.n)
   }
 
+  /** `bucket(n INT, x BIGINT)`: THE bucket transform's function — Spark
+    * resolves a `PARTITIONED BY (bucket(n, col))` table's declared and
+    * reported partitioning by loading `bucket` from the table's own
+    * catalog ([[org.apache.spark.sql.catalyst.expressions
+    * .V2ExpressionUtils]] binds it as (numBuckets, column)), and the
+    * v2-function shuffle evaluates it when co-partitioning the other
+    * join side. Same multiplicative hash as [[StageSource.bucketId]],
+    * so write-time routing, pruning, SPJ keys and any engine-side
+    * evaluation agree; the oracle replays it arithmetically.
+    */
+  object BucketFn extends UnboundFunction with ScalarFunction[Integer] {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n INT, x BIGINT): multiplicative-hash bucket id in [0, n)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 && inputType.fields.forall(f =>
+        f.dataType == LongType || f.dataType == DataTypes.IntegerType),
+        s"bucket(INT, BIGINT), got ${inputType.simpleString}")
+      this
+    }
+    override def inputTypes(): Array[DataType] =
+      Array(DataTypes.IntegerType, LongType)
+    override def resultType(): DataType = DataTypes.IntegerType
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def canonicalName(): String = "graft.bucket"
+    def invoke(n: Int, x: Long): Int = StageSource.bucketId(n, x)
+    override def produceResult(input: InternalRow): Integer =
+      invoke(input.getInt(0), input.getLong(1))
+  }
+
   val Functions: Map[String, UnboundFunction] =
-    Map("knuth_bucket" -> KnuthBucket, "cents" -> Cents, "gmean" -> GMean)
+    Map("knuth_bucket" -> KnuthBucket, "cents" -> Cents, "gmean" -> GMean,
+      "bucket" -> BucketFn)
 }

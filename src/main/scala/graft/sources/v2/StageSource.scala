@@ -103,7 +103,8 @@ class StageSource extends TableProvider {
       else Option(properties.get("partition_by"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty))
         .getOrElse(StageSource.readPartCols(path))
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
+    partCols.foreach(c => require(
+      schema.fieldNames.contains(StageSource.specCol(c)),
       s"partition column $c not in schema ${schema.simpleString}"))
     new StageTable(path, schema, partCols,
       props = StageSource.readProps(path))
@@ -830,6 +831,40 @@ object StageSource {
     prune(ColsFile)
   }: Unit
 
+  /** Partition SPECS (r18 verdict #4 — StageSource accepted identity
+    * partitioning only, so the measured storage-partitioned-join width
+    * knob was unreachable on real committed data): `_partcols.txt` lines
+    * are either a bare column name (identity) or `bucket(N,col)`. A
+    * bucket spec routes writes by an engine-portable multiplicative-hash
+    * bucket id (the same function the catalog exposes as SQL
+    * `bucket(n, x)` and the DuckDB oracle replays), the scan reports the
+    * layout as KeyGroupedPartitioning over the bucket transform, and
+    * EQUALITY/IN predicates on the bucketed column prune to one bucket's
+    * files. Bucket values are NOT exact per-file key sets, so takedown
+    * DELETE and REPLACE WHERE on a bucketed column stay DECLINED (the
+    * name-based decidability checks never match a spec string — loud,
+    * by construction).
+    */
+  private val BucketSpecRe = """bucket\((\d+),\s*(.+)\)""".r
+
+  def bucketSpecOf(spec: String): Option[(Int, String)] = spec match {
+    case BucketSpecRe(n, c) => Some((n.toInt, c.trim))
+    case _ => None
+  }
+
+  /** The underlying column of a partition spec. */
+  def specCol(spec: String): String =
+    bucketSpecOf(spec).map(_._2).getOrElse(spec)
+
+  /** Engine-portable bucket id: Fibonacci hashing over the low 32 bits
+    * (Knuth §6.4), replayed by the oracle as
+    * `((x * 2654435761) % 4294967296) % n` — and the SAME function the
+    * catalog's SQL `bucket(n, x)` binds, so write-time routing,
+    * query-time pruning and Spark's v2-function shuffle all agree.
+    */
+  def bucketId(n: Int, x: Long): Int =
+    (((x * 2654435761L) & 0xFFFFFFFFL) % n).toInt
+
   def readPartCols(path: String): Array[String] = {
     val f = new File(path, PartColsFile)
     if (!f.exists()) Array.empty
@@ -1093,7 +1128,10 @@ class StageTable(
   override def name(): String = s"graft_stage($path)"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    partCols.map(c => Expressions.identity(c))
+    partCols.map(c => StageSource.bucketSpecOf(c) match {
+      case Some((n, col)) => Expressions.bucket(n, col)
+      case None => Expressions.identity(c)
+    })
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -1123,8 +1161,11 @@ class StageTable(
     // CREATE_NEW claim and retry against the re-read base — the doomed
     // set is recomputed each attempt, so files a concurrent commit added
     // to the doomed partitions are seen and handled, never dropped blind.
-    val colType = partCols.map(c =>
-      tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
+    // specCol: a mixed layout (identity + bucket specs) resolves types by
+    // the underlying columns; bucket specs themselves never decide (the
+    // canDeleteWhere name check above already declined them)
+    val colType = partCols.map(c => tableSchema.fields(
+      tableSchema.fieldIndex(StageSource.specCol(c))).dataType)
     var doomed = Set.empty[String]
     StageCommitter.lockFor(path).synchronized {
       var committed = false
@@ -1627,7 +1668,10 @@ class StageWriteBuilder(
     override def requiredDistribution(): Distribution =
       if (partCols.isEmpty) Distributions.unspecified()
       else Distributions.clustered(
-        partCols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression))
+        partCols.map(c => (StageSource.bucketSpecOf(c) match {
+          case Some((n, col)) => Expressions.bucket(n, col)
+          case None => Expressions.identity(c)
+        }): org.apache.spark.sql.connector.expressions.Expression))
     override def requiredOrdering(): Array[V2SortOrder] = Array.empty
     override def toBatch: BatchWrite =
       new StageBatchWrite(path, schema, queryId, truncate, partCols,
@@ -1864,8 +1908,8 @@ object StageCommitter {
         else if (replaceWhere.isEmpty) snapshot ++= prev
         else {
           val parts = StageSource.readParts(path)
-          val colType = partCols.map(c =>
-            schema.fields(schema.fieldIndex(c)).dataType)
+          val colType = partCols.map(c => schema.fields(
+            schema.fieldIndex(StageSource.specCol(c))).dataType)
           snapshot ++= prev.filterNot { n =>
             val pv = parts.getOrElse(n, Array.empty[String])
             pv.length == partCols.length && replaceWhere.forall(
@@ -2105,7 +2149,12 @@ class StageDataWriter(
     partitionId: Int, taskId: Long, partCols: Array[String])
     extends DataWriter[InternalRow] {
   private val types = schema.fields.map(_.dataType)
-  private val partIdx = partCols.map(schema.fieldIndex)
+  private val partIdx =
+    partCols.map(c => schema.fieldIndex(StageSource.specCol(c)))
+  // Some(n) for bucket specs: the rendered "partition value" is the
+  // bucket id, so routing, the parts sidecar and the reported partition
+  // key all speak the same n-ary hash
+  private val partBuckets = partCols.map(StageSource.bucketSpecOf(_).map(_._1))
 
   /** One open temp file: unpartitioned tasks hold exactly one; a
     * partitioned task holds one per partition VALUE it receives (the
@@ -2143,11 +2192,26 @@ class StageDataWriter(
   }
   private val sinks = scala.collection.mutable.LinkedHashMap.empty[String, Sink]
 
+  private def renderSpec(s: Int, row: InternalRow): String = {
+    val i = partIdx(s)
+    partBuckets(s) match {
+      case Some(n) =>
+        if (row.isNullAt(i)) StageSource.NullPart
+        else StageSource.bucketId(n, types(i) match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case other =>
+            throw new IllegalStateException(s"bucket over unsupported $other")
+        }).toString
+      case None => StageSource.renderPart(types(i), row, i)
+    }
+  }
+
   private def sinkFor(row: InternalRow): Sink = {
     val pv =
       if (partIdx.isEmpty) ""
-      else partIdx.map(i => java.net.URLEncoder.encode(
-        StageSource.renderPart(types(i), row, i), StandardCharsets.UTF_8))
+      else partIdx.indices.map(s => java.net.URLEncoder.encode(
+        renderSpec(s, row), StandardCharsets.UTF_8))
         .mkString("/")
     sinks.getOrElseUpdate(pv, new Sink(pv))
   }
@@ -2259,14 +2323,25 @@ class StageScanBuilder(
       case _ => false
     }
     // partition pruning is EXACT (each file carries one partition value),
-    // so it also covers string equality/IN — the layout's point-query leg
+    // so it also covers string equality/IN — the layout's point-query
+    // leg. A BUCKETED column prunes on equality/IN only (hashing
+    // destroys order; a range over bucket ids would be wrong) and only
+    // for integral literals (the hash's domain).
+    def identityPart(c: String): Boolean = partCols.contains(c)
+    def bucketPart(c: String, v: Any): Boolean =
+      partCols.exists(p => StageSource.bucketSpecOf(p).exists(_._2 == c)) &&
+        (v match {
+          case _: java.lang.Long | _: java.lang.Integer |
+               _: java.lang.Short | _: java.lang.Byte => true
+          case _ => false
+        })
     partFilters = filters.filter {
-      case EqualTo(c, _) => partCols.contains(c)
-      case In(c, _) => partCols.contains(c)
-      case GreaterThan(c, _) => partCols.contains(c)
-      case GreaterThanOrEqual(c, _) => partCols.contains(c)
-      case LessThan(c, _) => partCols.contains(c)
-      case LessThanOrEqual(c, _) => partCols.contains(c)
+      case EqualTo(c, v) => identityPart(c) || bucketPart(c, v)
+      case In(c, vs) => identityPart(c) || vs.forall(bucketPart(c, _))
+      case GreaterThan(c, _) => identityPart(c)
+      case GreaterThanOrEqual(c, _) => identityPart(c)
+      case LessThan(c, _) => identityPart(c)
+      case LessThanOrEqual(c, _) => identityPart(c)
       case _ => false
     }
     filters // all residual: skipping is pruning, not evaluation
@@ -2479,7 +2554,11 @@ case class StageScan(
   // outputPartitioning; resolution happens against the scan output).
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (keyedLayout(prunedFiles()).isDefined)
+    // identity layouts only: a key-grouped partition holds ONE partition
+    // VALUE — constant, hence trivially sorted — but a bucket partition
+    // holds one bucket id over MANY key values, which is not an ordering
+    if (partCols.forall(StageSource.bucketSpecOf(_).isEmpty) &&
+      keyedLayout(prunedFiles()).isDefined)
       partCols.map(c => Expressions.sort(Expressions.identity(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
     else Array.empty
@@ -2629,32 +2708,34 @@ case class StageScan(
   private def computePruned(): Array[File] = {
     val stats = StageSource.readStats(path)
     val parts = StageSource.readParts(path)
-    val colType = partCols.map(c =>
-      tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
+    val colType = partCols.map(c => tableSchema.fields(
+      tableSchema.fieldIndex(StageSource.specCol(c))).dataType)
     // exact per-file partition pruning: a file with no recorded value
     // (unpartitioned/legacy) is never pruned on partition predicates
     def partKeep(name: String): Boolean =
       parts.get(name) match {
         case Some(pv) if pv.length == partCols.length =>
+          // resolve the filter column to its SPEC: identity values
+          // compare typed; a bucket spec compares the literal's bucket
+          // id on equality only (the builder admitted nothing else)
+          def keep(c: String, op: String, v: Any): Boolean = {
+            val i = partCols.indexWhere(p => StageSource.specCol(p) == c)
+            if (i < 0) true
+            else StageSource.bucketSpecOf(partCols(i)) match {
+              case Some((n, _)) =>
+                op != "=" || (pv(i) != StageSource.NullPart &&
+                  pv(i) == StageSource.bucketId(n,
+                    v.asInstanceOf[Number].longValue).toString)
+              case None => StageSource.partMatches(colType(i), pv(i), op, v)
+            }
+          }
           partFilters.forall {
-            case EqualTo(c, v) =>
-              val i = partCols.indexOf(c)
-              StageSource.partMatches(colType(i), pv(i), "=", v)
-            case In(c, vs) =>
-              val i = partCols.indexOf(c)
-              vs.exists(StageSource.partMatches(colType(i), pv(i), "=", _))
-            case GreaterThan(c, v) =>
-              val i = partCols.indexOf(c)
-              StageSource.partMatches(colType(i), pv(i), ">", v)
-            case GreaterThanOrEqual(c, v) =>
-              val i = partCols.indexOf(c)
-              StageSource.partMatches(colType(i), pv(i), ">=", v)
-            case LessThan(c, v) =>
-              val i = partCols.indexOf(c)
-              StageSource.partMatches(colType(i), pv(i), "<", v)
-            case LessThanOrEqual(c, v) =>
-              val i = partCols.indexOf(c)
-              StageSource.partMatches(colType(i), pv(i), "<=", v)
+            case EqualTo(c, v) => keep(c, "=", v)
+            case In(c, vs) => vs.exists(keep(c, "=", _))
+            case GreaterThan(c, v) => keep(c, ">", v)
+            case GreaterThanOrEqual(c, v) => keep(c, ">=", v)
+            case LessThan(c, v) => keep(c, "<", v)
+            case LessThanOrEqual(c, v) => keep(c, "<=", v)
             case _ => true
           }
         case _ => true
@@ -2687,14 +2768,16 @@ case class StageScan(
   private def keyedLayout(kept: Array[File])
       : Option[Array[(File, Array[String])]] = {
     if (partCols.isEmpty) return None
-    if (!partCols.forall(required.fieldNames.contains)) return None
+    if (!partCols.forall(c =>
+      required.fieldNames.contains(StageSource.specCol(c)))) return None
     val parts = StageSource.readParts(path)
     val pvs = kept.map(f => parts.get(f.getName))
     if (pvs.exists(p => p.isEmpty || p.get.length != partCols.length)) None
     else Some(kept.zip(pvs.map(_.get)))
   }
   private def partColTypes: Array[DataType] =
-    partCols.map(c => tableSchema.fields(tableSchema.fieldIndex(c)).dataType)
+    partCols.map(c => tableSchema.fields(
+      tableSchema.fieldIndex(StageSource.specCol(c))).dataType)
   // The scan half of the storage-partitioned-join contract on REAL
   // staged data (mirrors SeqScan.outputPartitioning): the committed
   // layout — one partition VALUE per file, enforced by the write's
@@ -2707,8 +2790,10 @@ case class StageScan(
     keyedLayout(prunedFiles()) match {
       case Some(fps) =>
         new KeyGroupedPartitioning(
-          partCols.map(c => Expressions.identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression),
+          partCols.map(c => (StageSource.bucketSpecOf(c) match {
+            case Some((n, col)) => Expressions.bucket(n, col)
+            case None => Expressions.identity(c)
+          }): org.apache.spark.sql.connector.expressions.Expression),
           fps.map(_._2.toSeq).distinct.size)
       case None => new UnknownPartitioning(math.max(prunedFiles().length, 1))
     }
@@ -2732,8 +2817,15 @@ case class StageScan(
         val types = partColTypes
         fps.map { case (f, pv) =>
           StageKeyedFilePartition(f.getAbsolutePath,
-            partCols.indices.map(i =>
-              StageSource.partValue(types(i), pv(i))).toArray,
+            partCols.indices.map { i =>
+              // a bucket spec's KEY is the bucket id (the transform's
+              // result type, IntegerType); identity keys are the typed
+              // column values
+              if (StageSource.bucketSpecOf(partCols(i)).isDefined)
+                (if (pv(i) == StageSource.NullPart) null
+                 else pv(i).toInt): Any
+              else StageSource.partValue(types(i), pv(i))
+            }.toArray,
             ncolsOf(f), dvOf(f))
             : InputPartition
         }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.connector.expressions.{Expression, IdentityTransform, LiteralValue, Transform}
+import org.apache.spark.sql.connector.expressions.{BucketTransform, Expression, IdentityTransform, LiteralValue, Transform}
 
 /** Bridge to the `private[sql]` V2 expression case classes
   * ([[IdentityTransform]], [[LiteralValue]] — JVM-public but Scala-pickled
@@ -12,6 +12,16 @@ object V2ExprShim {
   /** Column name of an identity transform; None for any other transform. */
   def identityColumn(t: Transform): Option[String] = t match {
     case id: IdentityTransform => Some(id.ref.fieldNames.mkString("."))
+    case _ => None
+  }
+
+  /** (numBuckets, column) of a single-column, unsorted bucket transform
+    * (`PARTITIONED BY (bucket(N, col))`); None for any other transform.
+    */
+  def bucketColumn(t: Transform): Option[(Int, String)] = t match {
+    case b: BucketTransform if b.columns.length == 1 =>
+      Some((b.numBuckets.value().asInstanceOf[Number].intValue(),
+        b.columns.head.fieldNames.mkString(".")))
     case _ => None
   }
 

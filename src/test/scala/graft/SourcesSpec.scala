@@ -307,6 +307,72 @@ class SourcesSpec extends SparkTestBase {
     assert(skippedAtLeastOnce, "string zone maps never pruned a file")
   }
 
+  test("bucket(n,col) staged tables: exchange-free SPJ, one-bucket equality pruning, loud declines on inexact ops") {
+    import graft.sources.v2.StageSource
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_bk").toString
+    spark.conf.set("spark.sql.catalog.stagebk", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stagebk.root", root)
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      spark.sql("CREATE TABLE stagebk.default.fact (k BIGINT, cents BIGINT) " +
+        "PARTITIONED BY (bucket(8, k))")
+      spark.sql("INSERT INTO stagebk.default.fact " +
+        "SELECT id, id * 3 FROM range(0, 10000)")
+      spark.sql("CREATE TABLE stagebk.default.dim (k BIGINT, label STRING) " +
+        "PARTITIONED BY (bucket(8, k))")
+      spark.sql("INSERT INTO stagebk.default.dim " +
+        "SELECT id, concat('l', id) FROM range(0, 1000)")
+      val dir = new java.io.File(new java.io.File(root, "default"), "fact")
+        .getAbsolutePath
+      // the write routed by the SAME hash the catalog's SQL bucket() binds
+      assert(StageSource.readPartCols(dir).toSeq == Seq("bucket(8,k)"))
+      val parts = StageSource.readParts(dir)
+      assert(parts.values.map(_.head).toSet.subsetOf(
+        (0 until 8).map(_.toString).toSet))
+      assert(spark.sql(
+        "SELECT COUNT(DISTINCT stagebk.default.bucket(8, k)) FROM stagebk.default.fact")
+        .head().getLong(0) == 8L)
+      // storage-partitioned join: both sides report bucket(8,k) — the
+      // join subtree plans with NO exchange (the r18 width-knob win, now
+      // on real committed data)
+      val j = spark.table("stagebk.default.fact").hint("merge")
+        .join(spark.table("stagebk.default.dim"), "k")
+      j.queryExecution.toRdd.count(): Unit
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.linesIterator.exists(_.contains("Exchange ")),
+        s"an exchange crept into the bucketed SPJ:\n${plan.take(2000)}")
+      assert(j.count() == 1000L)
+      assert(j.agg(sum("cents")).head().getLong(0) == (0L until 1000L).map(_ * 3).sum)
+      // equality on the bucketed column prunes to ONE bucket's files
+      val point = spark.table("stagebk.default.fact").filter(col("k") === 123L)
+      assert(point.count() == 1L)
+      val pplan = point.queryExecution.executedPlan.toString
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(pplan)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"bucket pruning left the full file list:\n$pplan")
+      // IN prunes to the union of the named keys' buckets
+      assert(spark.table("stagebk.default.fact")
+        .filter(col("k").isin(5L, 9000L)).count() == 2L)
+      // inexact operations DECLINE loudly: REPLACE WHERE on a bucketed
+      // column would half-replace a hash bucket's mixed keys
+      val e = intercept[Exception] {
+        spark.range(0, 10).select(col("id").as("k"), (col("id") * 3).as("cents"))
+          .writeTo("stagebk.default.fact").overwrite(col("k") === 5L)
+      }
+      assert(e.getMessage.contains("not decidable"), e.getMessage)
+      // bucket over a non-integral column declines at DDL time
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE TABLE stagebk.default.bad (s STRING) " +
+          "PARTITIONED BY (bucket(4, s))")
+      }
+      assert(e2.getMessage.contains("integral column"), e2.getMessage)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("StageSource partitioned table: one shard per value, pruning, lineage, decidable delete") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stage_part").toString + "/t"
