@@ -1773,6 +1773,58 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum races same-process commits safely: no claimed snapshot ever references a GC'd sidecar") {
+    // r18 ADVICE #2: commits write _dv-* sidecars BEFORE claiming a
+    // manifest ("invisible until referenced"), so an UNLOCKED vacuum
+    // listing the directory mid-commit could GC a just-written,
+    // not-yet-referenced sidecar — the claimed snapshot's delete state
+    // would be permanently unreconstructible (loadDv fails loudly
+    // forever). vacuum now serializes on the per-path commit lock; this
+    // hammers the interleaving: one thread appends + MOR-deletes, one
+    // vacuums(retainLast=1) continuously, and EVERY post-race snapshot
+    // must fully resolve.
+    import graft.sources.v2.{StageCommitter, StageSource}
+    val fmt = "graft.sources.v2.StageSource"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_race_vac").toString + "/t"
+    Seq.tabulate(100)(i => (i.toLong, i * 1.0)).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val schema = spark.read.format(fmt).option("path", dir).load().schema
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val rounds = 25
+    val writer = new Thread(() => {
+      try {
+        for (i <- 0 until rounds) {
+          StageCommitter.commit(dir, schema, Array.empty, s"app$i",
+            stagedCommit(dir, schema, s"app$i",
+              Seq(((100 + i).toLong, (100 + i) * 1.0))),
+            truncate = false, epoch = None)
+          // a fresh vector every round: new content-addressed sidecar
+          // written right before the claim — the ADVICE's exact window
+          val f = StageSource.snapshotFiles(dir, None).map(_.getName).min
+          StageCommitter.commit(dir, schema, Array.empty, s"del$i",
+            Array(graft.sources.v2.StageCommit(Array.empty)),
+            truncate = false, epoch = None,
+            addDeletes = Map(f -> Array(i.toLong)))
+        }
+      } catch { case t: Throwable => failures.add(t): Unit }
+    })
+    val vacuumer = new Thread(() => {
+      try for (_ <- 0 until rounds * 4) StageSource.vacuum(dir, retainLast = 1)
+      catch { case t: Throwable => failures.add(t): Unit }
+    })
+    writer.start(); vacuumer.start()
+    writer.join(120000); vacuumer.join(120000)
+    assert(failures.isEmpty, String.valueOf(failures.peek()))
+    StageSource.vacuum(dir)
+    // the surviving snapshot RESOLVES: every V-reference's sidecar loads
+    val dvs = StageSource.readDeletes(dir, None)
+    assert(dvs.values.map(_.length).sum == rounds,
+      s"lost or duplicated deletes: ${dvs.values.map(_.length).sum}")
+    assert(spark.read.format(fmt).option("path", dir).load().count() ==
+      (100 + rounds - rounds).toLong)
+  }
+
   test("composite fuzz: zone-map pruning x delete vectors x schema evolution reads equal full-scan-then-filter") {
     // r17 verdict #7: the 2000-case predicate fuzz checks partition
     // matching in isolation; the riskier composite is pruning over

@@ -7,7 +7,8 @@ The reference's DataFusion/Polars legs stay env-blocked (wheels
 unresolvable offline, re-checked each round); this measures the one leg
 the sandbox supports, fresh, in the same sitting as a RefBench run.
 
-Usage: python3 tools/pyarrow_ref.py [SF]   (default 16)
+Usage: python3 tools/pyarrow_ref.py [SF] [ITERS]   (default 16, 3;
+r18 verdict #5 records the headline pairing min-of-5 both sides)
 """
 import json
 import sys
@@ -18,11 +19,12 @@ import pyarrow as pa
 import pyarrow.compute as cp
 
 SF = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 BATCH = 64 << 10
 
 
 def min3(fn):
-    return min(fn() for _ in range(3))
+    return min(fn() for _ in range(ITERS))
 
 
 def bench_filter():
