@@ -93,7 +93,7 @@ def bench_join():
 
 
 def main():
-    out = {"sf": SF, "engine": "pyarrow", "unit": "sec", "min_of": 3}
+    out = {"sf": SF, "engine": "pyarrow", "unit": "sec", "min_of": ITERS}
     for name, fn in (("filter", bench_filter), ("sum", bench_sum),
                      ("take", bench_take), ("join", bench_join)):
         sec, rows = fn()
