@@ -255,27 +255,39 @@ case class StageChangeFeedScan(
     maxRowsPerTrigger: Option[Long] = None,
     startVersion: Option[String] = None)
     extends Scan with Batch {
+  // the end version is PINNED once per scan instance (the connector's
+  // resolved-once rule, review r19: two scans of one feed DataFrame in
+  // one query — inserts exceptAll deletes — must not see different
+  // ceilings when a commit lands between their planInputPartitions)
+  @transient private lazy val endV: Int =
+    endVersion0.orElse(StageSource.latestVersion(path)).getOrElse(0)
   override def readSchema(): StructType =
     StageChangeFeed.withChangeCols(dataSchema)
   override def toBatch: Batch = this
   override def description(): String =
     s"StageChangeFeedScan(path=$path, " +
-      s"versions=(${startVersion0.getOrElse(0)}, " +
-      s"${endVersion0.orElse(StageSource.latestVersion(path)).getOrElse(0)}])"
+      s"versions=(${startVersion0.getOrElse(0)}, $endV])"
   override def planInputPartitions(): Array[InputPartition] = {
     val lo = startVersion0.getOrElse(0)
-    val hi = endVersion0.orElse(StageSource.latestVersion(path)).getOrElse(0)
-    require(lo <= hi,
-      s"change-feed range is empty: start-version $lo > end-version $hi")
+    require(lo <= endV,
+      s"change-feed range is empty: start-version $lo > end-version $endV")
     val resolver = new ChangeResolver(path)
-    ((lo + 1) to hi).flatMap { v =>
+    ((lo + 1) to endV).flatMap { v =>
       resolver.unitKeysOf(v).map(k => resolver.partitionFor(v, k): InputPartition)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new StageChangeFeedReaderFactory(dataSchema)
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a batch-range ceiling has no streaming meaning — refuse it rather
+    // than silently reading past it (review r19); the batch start maps
+    // to the stream's start version (Delta's startingVersion idiom)
+    require(endVersion0.isEmpty,
+      s"${StageChangeFeed.EndKey} is a batch-read option — a streaming " +
+        "change feed has no end version; drop the option or read batch")
     new StageMicroBatchStream(path, dataSchema, dataSchema,
-      maxFilesPerTrigger, maxRowsPerTrigger, startVersion, changeFeed = true)
+      maxFilesPerTrigger, maxRowsPerTrigger,
+      startVersion.orElse(startVersion0.map(_.toString)), changeFeed = true)
+  }
 }

@@ -107,7 +107,7 @@ class StageSource extends TableProvider {
       schema.fieldNames.contains(StageSource.specCol(c)),
       s"partition column $c not in schema ${schema.simpleString}"))
     new StageTable(path, schema, partCols,
-      props = StageSource.readProps(path))
+      props = StageSource.readProps(path), pathRouted = true)
   }
 }
 
@@ -381,8 +381,8 @@ object StageSource {
   private val RemoveLineTag = "R\t"
   private val DvDeltaLineTag = "X\t"
 
-  def summaryLine(nAdded: Int, nRemoved: Int): String =
-    s"$SummaryLineTag$nAdded\t$nRemoved"
+  def summaryLine(nAdded: Int, nRemoved: Int, nDeltas: Int): String =
+    s"$SummaryLineTag$nAdded\t$nRemoved\t$nDeltas"
   def addLine(file: String): String = s"$AddLineTag$file"
   def removeLine(file: String): String = s"$RemoveLineTag$file"
   def dvDeltaLine(file: String, sorted: Array[Long]): String =
@@ -400,12 +400,13 @@ object StageSource {
     */
   def changeLines(
       added: Seq[String], removed: Seq[String],
-      dvDeltas: Map[String, Array[Long]]): Seq[String] =
-    summaryLine(added.size, removed.size) +:
-      (added.map(addLine) ++ removed.map(removeLine) ++
-        dvDeltas.toSeq.sortBy(_._1).collect {
-          case (f, d) if d.nonEmpty => dvDeltaLine(f, d)
-        })
+      dvDeltas: Map[String, Array[Long]]): Seq[String] = {
+    val deltaLines = dvDeltas.toSeq.sortBy(_._1).collect {
+      case (f, d) if d.nonEmpty => dvDeltaLine(f, d)
+    }
+    summaryLine(added.size, removed.size, deltaLines.size) +:
+      (added.map(addLine) ++ removed.map(removeLine) ++ deltaLines)
+  }
 
   /** The changes manifest `v` recorded about its own commit; None for a
     * pre-r19 manifest (no S-line), where callers must fall back to
@@ -432,12 +433,20 @@ object StageSource {
       val Array(_, f, b64) = splitExact(mf, l, 3)
       f -> decodeDv(java.util.Base64.getDecoder.decode(b64))
     }.toMap
-    // the summary counts double as a torn-write check: a manifest whose
-    // change lines don't match its own summary is corrupt metadata
-    val Array(_, na, nr) = splitExact(mf, summary, 3)
-    require(added.size == na.toInt && removed.size == nr.toInt,
+    // the summary counts double as a torn-write check — INCLUDING the
+    // X lines (review r19: changeLines writes them last, so a truncated
+    // manifest loses them first, and a feed that silently dropped a
+    // version's delete records would resurrect deleted rows on replay).
+    // Early-r19 manifests wrote a 3-field summary (no delta count); they
+    // also predate any X line, so the two-field check suffices there.
+    val s = summary.split('\t')
+    require(s.length == 3 || s.length == 4,
+      s"malformed summary line in $mf: $summary")
+    require(added.size == s(1).toInt && removed.size == s(2).toInt &&
+      (s.length < 4 || deltas.size == s(3).toInt),
       s"manifest ${mf.getName} of $path is corrupt: summary says " +
-        s"$na added / $nr removed, found ${added.size} / ${removed.size}")
+        s"${s.drop(1).mkString("/")} (added/removed/deltas), found " +
+        s"${added.size} / ${removed.size} / ${deltas.size}")
     Some(VersionChanges(added, removed, deltas))
   }
 
@@ -1018,45 +1027,45 @@ object StageSource {
     a.length - b.length
   }
 
-  def readStats(path: String): Map[String, Map[String, ColRange]] = {
+  /** One pass over the stats sidecar, partitioned by kind: numeric zone
+    * maps and truncated string bounds (review r19: a scan with a pushed
+    * string predicate used to read and tab-split the whole sidecar
+    * twice).
+    */
+  def readAllStats(path: String): (
+      Map[String, Map[String, ColRange]],
+      Map[String, Map[String, (Array[Byte], Array[Byte])]]) = {
     val f = new File(path, StatsFile)
-    if (!f.exists()) return Map.empty
+    if (!f.exists()) return (Map.empty, Map.empty)
+    val dec = java.util.Base64.getDecoder
+    val num = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, ColRange]]
+    val str = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, (Array[Byte], Array[Byte])]]
     new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).toSeq
-      .map(l => splitExact(f, l, 4))
-      .filterNot(_(2).startsWith(StrStatTag)) // string bounds: readStringStats
-      .map { case Array(file, colName, mn, mx) =>
-        (file, colName, ColRange(mn.toDouble, mx.toDouble))
+      .linesIterator.filter(_.nonEmpty).foreach { l =>
+        val Array(file, colName, mn, mx) = splitExact(f, l, 4)
+        if (mn.startsWith(StrStatTag))
+          str.getOrElseUpdate(file, scala.collection.mutable.Map.empty)
+            .update(colName, (dec.decode(mn.drop(StrStatTag.length)),
+              dec.decode(mx.drop(StrStatTag.length))))
+        else
+          num.getOrElseUpdate(file, scala.collection.mutable.Map.empty)
+            .update(colName, ColRange(mn.toDouble, mx.toDouble))
       }
-      .groupBy(_._1)
-      .map { case (file, rows) =>
-        file -> rows.map(r => r._2 -> r._3).toMap
-      }
+    (num.view.mapValues(_.toMap).toMap, str.view.mapValues(_.toMap).toMap)
   }
+
+  def readStats(path: String): Map[String, Map[String, ColRange]] =
+    readAllStats(path)._1
 
   /** file → col → (lower, upper) truncated UTF-8 byte bounds for string
     * columns (absent for all-null, legacy, or non-string columns — such
     * files are never skipped on that column).
     */
   def readStringStats(path: String)
-      : Map[String, Map[String, (Array[Byte], Array[Byte])]] = {
-    val f = new File(path, StatsFile)
-    if (!f.exists()) return Map.empty
-    val dec = java.util.Base64.getDecoder
-    new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).toSeq
-      .map(l => splitExact(f, l, 4))
-      .filter(_(2).startsWith(StrStatTag))
-      .map { case Array(file, colName, lo, hi) =>
-        (file, colName,
-          (dec.decode(lo.drop(StrStatTag.length)),
-            dec.decode(hi.drop(StrStatTag.length))))
-      }
-      .groupBy(_._1)
-      .map { case (file, rows) =>
-        file -> rows.map(r => r._2 -> r._3).toMap
-      }
-  }
+      : Map[String, Map[String, (Array[Byte], Array[Byte])]] =
+    readAllStats(path)._2
 
   def pathOf(properties: util.Map[String, String]): String = {
     val p = properties.get("path")
@@ -1121,7 +1130,13 @@ class StageTable(
     // persisted table properties (`_props.tsv`): `delete.mode` =
     // `merge-on-read` routes row-level DELETE to the delta (positional
     // delete vector) path instead of copy-on-write
-    props: Map[String, String] = Map.empty)
+    props: Map[String, String] = Map.empty,
+    // true when loaded through the path-based TableProvider (no catalog
+    // attached): bucket-spec WRITES must decline loudly there — Spark
+    // resolves the required bucket clustering through the table's
+    // FunctionCatalog, and without one the write dies in the planner
+    // with an opaque "bucket(n, col) is not currently supported"
+    pathRouted: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -1271,9 +1286,17 @@ class StageTable(
       maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong),
       startVersion = Option(options.get("streaming.start-version")))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pathRouted ||
+      partCols.forall(StageSource.bucketSpecOf(_).isEmpty),
+      s"table at $path is bucket-partitioned " +
+        s"(${partCols.mkString(", ")}): write it through its catalog — " +
+        "the bucket clustering resolves against the catalog's bucket() " +
+        "function, which a path-based write cannot reach (reads via " +
+        "path stay fine)")
     new StageWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, partCols)
+  }
 
   // ------------------------------------------- row-level ops (MERGE etc.)
   // SQL `MERGE INTO` / `UPDATE` / row-level `DELETE` via the GROUP-BASED
@@ -2706,7 +2729,7 @@ case class StageScan(
     prunedVal
   }
   private def computePruned(): Array[File] = {
-    val stats = StageSource.readStats(path)
+    val (stats, strStats) = StageSource.readAllStats(path)
     val parts = StageSource.readParts(path)
     val colType = partCols.map(c => tableSchema.fields(
       tableSchema.fieldIndex(StageSource.specCol(c))).dataType)
@@ -2740,11 +2763,6 @@ case class StageScan(
           }
         case _ => true
       }
-    val strStats =
-      if (skipFilters.exists(_.references.exists(c =>
-        tableSchema.fields.exists(fl => fl.name == c && fl.dataType == StringType))))
-        StageSource.readStringStats(path)
-      else Map.empty[String, Map[String, (Array[Byte], Array[Byte])]]
     val all = StageSource.snapshotFiles(path, pinnedVersion)
     totalFiles = all.length
     all.filter { f =>
@@ -3128,9 +3146,14 @@ class StageMicroBatchStream(
     }
     val (maxF, maxR) = caps(limit)
     if (maxF == Long.MaxValue && maxR == Long.MaxValue)
-      return StageStreamOffset(top,
-        if (so.version == top && so.pos != Int.MaxValue) newFilesOf(top).size
-        else Int.MaxValue)
+      // ALWAYS the fully-consumed sentinel (review r19: returning the
+      // literal list size when so.version == top left the checkpoint
+      // permanently non-vacuum-safe — equal offsets mean Spark never
+      // rewrites it, and a later vacuum expiring manifest `top` killed a
+      // fully-drained tail). A numeric so.pos upgrades through one empty
+      // batch: (top, pos) ≠ (top, MaxValue) triggers a batch whose slice
+      // clamps to the list size, then the checkpoint holds the sentinel.
+      return StageStreamOffset(top, Int.MaxValue)
     val stats = StageSource.readStats(path)
     def fileRows(f: String): Long =
       stats.get(f).flatMap(_.get("__rows")).map(_.min.toLong)

@@ -370,6 +370,18 @@ class SourcesSpec extends SparkTestBase {
           "PARTITIONED BY (bucket(4, s))")
       }
       assert(e2.getMessage.contains("integral column"), e2.getMessage)
+      // PATH reads of a bucketed table work (the unresolvable reported
+      // transform degrades to an opaque layout); PATH writes decline
+      // with an actionable message, not Spark's planner error (review
+      // r19 — the bucket clustering resolves only through the catalog)
+      val fmt = "graft.sources.v2.StageSource"
+      assert(spark.read.format(fmt).option("path", dir).load()
+        .count() == 10000L)
+      val e3 = intercept[Exception] {
+        spark.range(0, 5).select(col("id").as("k"), (col("id") * 3).as("cents"))
+          .write.format(fmt).option("path", dir).mode("append").save()
+      }
+      assert(e3.getMessage.contains("through its catalog"), e3.getMessage)
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
