@@ -7826,6 +7826,77 @@ object SparkEntry {
       .withColumn("second_pass_noop", lit(secondPassNoop))
   }
 
+  /** SNAPSHOTS metadata table ([[graft.sources.v2.StageSnapshots]], the
+    * Iceberg `table$snapshots` / Delta `DESCRIBE HISTORY` surface on the
+    * staging connector): one row per live snapshot with its commit time
+    * and what its commit CHANGED — added/removed files, delete-vector
+    * delta files and rows — read from the r19 self-contained manifest
+    * change summaries, zero data bytes. The staging is exactly
+    * file-deterministic (single-partition range inserts, a MOR delete
+    * whose delta spans both files), so every count is oracled as a
+    * literal: a drift in ANY commit's bookkeeping hash-mismatches the
+    * row. At 100 TB this is the operability loop — "which commit
+    * bloated the file count", "how much MOR debt did last night add" —
+    * as one driver-side metadata scan.
+    */
+  private def qDsv2Snapshots(s: SparkSession, d: String): DataFrame = {
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.hist_snap"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t (k BIGINT, cents BIGINT)
+      TBLPROPERTIES ('delete.mode'='merge-on-read')""")
+    s.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 500, 1, 1)")
+    s.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(500, 800, 1, 1)")
+    s.sql(s"DELETE FROM $t WHERE k % 7 = 3") // 114 rows across both files
+    s.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(800, 850, 1, 1)")
+    val dir = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/default/hist_snap"
+    s.read.format("graft.sources.v2.StageSource").option("path", dir)
+      .option("snapshots", "true").load()
+      .select(col("version"), col("n_added"), col("n_removed"),
+        col("n_dv_delta_files"), col("n_dv_deleted_rows"),
+        col("committed_at_millis").isNotNull.as("commit_timed"),
+        col("self_contained"))
+      .orderBy("version")
+  }
+
+  /** TIMESTAMP-WINDOWED change feed (`changes.start-timestamp` /
+    * `changes.end-timestamp`, the Delta CDF timestamp-range idiom):
+    * bounds resolve through the commit-time ledger to "the snapshot
+    * current at that instant" — the window here starts at v1's commit
+    * instant (excluding v1's bulk load) and ends at the delete's, so
+    * the feed is exactly v2's inserts plus v3's retractions, grouped
+    * and oracled arithmetically from orders. The incremental-consumer
+    * story at 100 TB: "give me everything since last night's run" is a
+    * ledger lookup plus the versions in the window, never a table diff.
+    */
+  private def qDsv2CdcWindow(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.v2.StageSource
+    val cat = stageCatalog(s, d)
+    val t = s"$cat.default.ord_cw"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val v = s"graft_cat_orders_${dirTag(d)}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""CREATE TABLE $t (k BIGINT, cents BIGINT)
+      TBLPROPERTIES ('delete.mode'='merge-on-read')""")
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v WHERE o_orderkey < 1200""")                            // v1
+    s.sql(s"""INSERT INTO $t
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM $v WHERE o_orderkey >= 1200 AND o_orderkey < 1500""")     // v2
+    s.sql(s"DELETE FROM $t WHERE k % 9 = 4")                         // v3
+    val dir = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/default/ord_cw"
+    val times = StageSource.readCommitTimes(dir)
+    s.read.format("graft.sources.v2.StageSource").option("path", dir)
+      .option("read-change-feed", "true")
+      .option("changes.start-timestamp", times(1).toString)
+      .option("changes.end-timestamp", times(3).toString)
+      .load()
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .orderBy("change_type")
+  }
+
   /** BUCKETED storage-partitioned join over staged CATALOG tables (r18
     * verdict #4 — StageSource accepted identity partitioning only, so
     * the measured SPJ width knob, 2.6× at w32 on the synthetic source,
@@ -10034,6 +10105,8 @@ object SparkEntry {
     "q_dsv2_binpack" -> (qDsv2Binpack _),
     "q_dsv2_string_prune" -> (qDsv2StringPrune _),
     "q_dsv2_spj_bucketed" -> (qDsv2SpjBucketed _),
+    "q_dsv2_snapshots" -> (qDsv2Snapshots _),
+    "q_dsv2_cdc_window" -> (qDsv2CdcWindow _),
     "q_dsv2_mor_merge" -> (qDsv2MorMerge _),
     "q_dsv2_lineage" -> (qDsv2Lineage _),
     "q_dsv2_catalog" -> (qDsv2Catalog _),
@@ -11220,6 +11293,40 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 1800 AND o_orderkey % 13 <> 2
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    // q_dsv2_snapshots: the metadata table's per-version bookkeeping is
+    // exactly file-deterministic (single-partition inserts, a MOR delete
+    // spanning both files) — every count a literal; 114 = |{k in [0,800):
+    // k % 7 = 3}|
+    "q_dsv2_snapshots" ->
+      """SELECT CAST(version AS BIGINT) AS version,
+        |       CAST(n_added AS BIGINT) AS n_added,
+        |       CAST(n_removed AS BIGINT) AS n_removed,
+        |       CAST(n_dv_delta_files AS BIGINT) AS n_dv_delta_files,
+        |       CAST(n_dv_deleted_rows AS BIGINT) AS n_dv_deleted_rows,
+        |       commit_timed, self_contained
+        |FROM (VALUES (1, 1, 0, 0, 0, TRUE, TRUE),
+        |             (2, 1, 0, 0, 0, TRUE, TRUE),
+        |             (3, 0, 0, 2, 114, TRUE, TRUE),
+        |             (4, 1, 0, 0, 0, TRUE, TRUE))
+        |  AS t(version, n_added, n_removed, n_dv_delta_files,
+        |       n_dv_deleted_rows, commit_timed, self_contained)
+        |ORDER BY version""".stripMargin,
+    // q_dsv2_cdc_window: the timestamp window (v1's commit instant to
+    // the delete's) is exactly v2's inserts + v3's retractions
+    "q_dsv2_cdc_window" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS sum_cents
+        |  FROM orders WHERE o_orderkey < 1500 AND o_orderkey % 9 = 4
+        |  UNION ALL
+        |  SELECT 'insert',
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT)
+        |  FROM orders WHERE o_orderkey >= 1200 AND o_orderkey < 1500
+        |) ORDER BY change_type""".stripMargin,
     // q_dsv2_spj_bucketed: the bucketed PK-FK join must equal the plain
     // relational answer (bucketing is pure layout), and the
     // exchange_free verdict — zero exchanges below the merge join, read

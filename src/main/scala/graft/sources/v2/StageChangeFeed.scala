@@ -54,6 +54,16 @@ object StageChangeFeed {
   val OptionKey = "read-change-feed"
   val StartKey = "changes.start-version"
   val EndKey = "changes.end-version"
+  /** Timestamp forms of the range (epoch millis): resolved through the
+    * commit-time ledger to "the snapshot current at that instant" —
+    * `start-timestamp` excludes everything already committed then (a
+    * start before the first recorded commit means the whole history),
+    * `end-timestamp` includes through the snapshot current then. Tables
+    * with any untimed live snapshot decline loudly, same as
+    * TIMESTAMP AS OF.
+    */
+  val StartTsKey = "changes.start-timestamp"
+  val EndTsKey = "changes.end-timestamp"
 
   val Insert = "insert"
   val Delete = "delete"
@@ -235,12 +245,31 @@ class StageChangeFeedTable(path: String, dataSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => StageChangeFeedScan(path, dataSchema,
-      Option(options.get(StageChangeFeed.StartKey)).map(_.toInt),
-      Option(options.get(StageChangeFeed.EndKey)).map(_.toInt),
-      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong),
-      startVersion = Option(options.get("streaming.start-version")))
+    () => {
+      import StageChangeFeed._
+      // a timestamp bound resolves through the commit-time ledger to the
+      // snapshot current at that instant; a start before the first
+      // recorded commit floors to 0 (the whole history)
+      def tsVersion(key: String, floorToZero: Boolean): Option[Int] =
+        Option(options.get(key)).map(_.toLong).map { ms =>
+          val first = StageSource.readCommitTimes(path).values.minOption
+          if (floorToZero && first.exists(ms < _)) 0
+          else StageSource.versionAsOfMillis(path, ms)
+        }
+      val sv = Option(options.get(StartKey)).map(_.toInt)
+      val sts = tsVersion(StartTsKey, floorToZero = true)
+      require(sv.isEmpty || sts.isEmpty,
+        s"$StartKey and $StartTsKey are mutually exclusive")
+      val ev = Option(options.get(EndKey)).map(_.toInt)
+      val ets = tsVersion(EndTsKey, floorToZero = false)
+      require(ev.isEmpty || ets.isEmpty,
+        s"$EndKey and $EndTsKey are mutually exclusive")
+      StageChangeFeedScan(path, dataSchema,
+        sv.orElse(sts), ev.orElse(ets),
+        maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+        startVersion = Option(options.get("streaming.start-version")))
+    }
 }
 
 /** Batch half: all changes in `(startVersion, endVersion]` (defaults: the

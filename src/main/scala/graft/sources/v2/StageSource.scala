@@ -71,8 +71,10 @@ class StageSource extends TableProvider {
       java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
     // a change-data-feed read sees the data columns PLUS the two feed
     // columns — declared here so the analyzer resolves them like any
-    // other scan output
-    if (options.getBoolean(StageChangeFeed.OptionKey, false))
+    // other scan output; a snapshots read sees the metadata schema
+    if (options.getBoolean(StageSnapshots.OptionKey, false))
+      StageSnapshots.Schema
+    else if (options.getBoolean(StageChangeFeed.OptionKey, false))
       StageChangeFeed.withChangeCols(base)
     else base
   }
@@ -82,6 +84,12 @@ class StageSource extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = StageSource.pathOf(properties)
+    if (Option(properties.get(StageSnapshots.OptionKey)).exists(_.toBoolean)) {
+      require(!Option(properties.get(StageChangeFeed.OptionKey))
+        .exists(_.toBoolean),
+        "options 'snapshots' and 'read-change-feed' are mutually exclusive")
+      return new StageSnapshotsTable(path)
+    }
     if (Option(properties.get(StageChangeFeed.OptionKey)).exists(_.toBoolean))
       // read-only view of the table's own history as change records; the
       // schema arrived from inferSchema WITH the feed columns

@@ -2173,6 +2173,75 @@ class SourcesSpec extends SparkTestBase {
     assert(rootMsg(err).contains("change-data-feed"), rootMsg(err))
   }
 
+  test("snapshots metadata table and timestamp-windowed change feeds resolve the table's history") {
+    import graft.sources.v2.StageSource
+    val fmt = "graft.sources.v2.StageSource"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_hist").toString
+    spark.conf.set("spark.sql.catalog.stageh", "graft.sources.v2.StageCatalog")
+    spark.conf.set("spark.sql.catalog.stageh.root", root)
+    val t = "stageh.default.t_hist"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 60)")   // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(60, 90)")  // v2
+    spark.sql(s"DELETE FROM $t WHERE k % 10 = 1")                       // v3
+    val dir = new java.io.File(new java.io.File(root, "default"), "t_hist")
+      .getAbsolutePath
+    // ------------------------------------------------ snapshots table
+    val snaps = spark.read.format(fmt).option("path", dir)
+      .option("snapshots", "true").load().orderBy("version").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(snaps.forall(!_.isNullAt(1)), "commit times missing")
+    assert(snaps.map(r => r.getLong(3)).sum ==
+      StageSource.snapshotFiles(dir, None).length.toLong,
+      "added counts don't sum to the live file count (append-only so far)")
+    val v3 = snaps(2)
+    assert(v3.getLong(4) == 0L, "the MOR delete removed no files")
+    assert(v3.getLong(5) > 0L && v3.getLong(6) == 9L,
+      s"expected 9 delta-deleted rows, got ${v3.getLong(6)}")
+    assert(snaps.forall(_.getBoolean(7)), "r19 manifests are self-contained")
+    // after a takedown-style file removal the snapshots table shows it
+    StageSource.compact(dir)                                            // v4
+    val snaps2 = spark.read.format(fmt).option("path", dir)
+      .option("snapshots", "true").load().orderBy("version").collect()
+    assert(snaps2.length == 4 && snaps2(3).getLong(4) > 0L &&
+      snaps2(3).getLong(3) > 0L, "a rewrite adds AND removes")
+    // ---------------------------------- timestamp-windowed change feed
+    def feed(opts: (String, String)*) =
+      opts.foldLeft(spark.read.format(fmt).option("path", dir)
+        .option("read-change-feed", "true")) {
+        case (b, (k, v)) => b.option(k, v)
+      }.load()
+    // everything after v1's instant = v2's inserts + v3's deletes + v4's
+    // rewrite (net zero) — ending at v3's instant excludes the rewrite
+    val ledger = StageSource.readCommitTimes(dir)
+    val win = feed("changes.start-timestamp" -> afterV1.toString,
+      "changes.end-timestamp" -> ledger(3).toString)
+      .select("k", "_change_type").collect()
+    assert(win.count(_.getString(1) == "insert") == 30, win.length.toString)
+    assert(win.count(_.getString(1) == "delete") == 9)
+    // a start before the first commit floors to the whole history
+    assert(feed("changes.start-timestamp" -> (ledger(1) - 10000).toString,
+      "changes.end-timestamp" -> ledger(1).toString)
+      .count() == 60L)
+    // mixing version and timestamp forms declines loudly
+    val e = intercept[Exception] {
+      feed("changes.start-version" -> "1",
+        "changes.start-timestamp" -> afterV1.toString).count()
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+    // snapshots x read-change-feed declines loudly
+    val e2 = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("snapshots", "true").option("read-change-feed", "true")
+        .load().count()
+    }
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+  }
+
   test("binpack coalesces small files per partition; big files and lone smalls stay; DV debt repaid; content invariant") {
     import graft.sources.v2.StageSource
     val fmt = "graft.sources.v2.StageSource"
