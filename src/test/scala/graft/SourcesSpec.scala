@@ -2173,6 +2173,76 @@ class SourcesSpec extends SparkTestBase {
     assert(rootMsg(err).contains("change-data-feed"), rootMsg(err))
   }
 
+  test("change feed x vacuum: in-window ranges read, expired ranges and takedown pre-images fail loudly, a drained CDC stream survives") {
+    import graft.sources.v2.StageSource
+    import org.apache.spark.sql.streaming.Trigger
+    val fmt = "graft.sources.v2.StageSource"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_cfv").toString + "/t"
+    def stage(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).select($"id".as("k"), ($"id" * 10).as("cents"))
+        .coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    stage(0, 100); stage(100, 150); stage(150, 180) // v1..v3
+    // drain the CDC stream fully, then vacuum, then append: the resumed
+    // stream must emit ONLY the post-vacuum version (same sentinel
+    // contract as the plain tail)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cfv_ck").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    def drain(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", dir)
+        .option("read-change-feed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()): Unit
+        }.start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.get() == 180L, seen.get().toString)
+    StageSource.vacuum(dir, retainLast = 1)
+    stage(180, 200) // v4
+    drain()
+    assert(seen.get() == 200L,
+      s"CDC stream across vacuum re-read or missed rows: ${seen.get()}")
+    // batch feed over the retained window works; from version 0 it needs
+    // expired history and must fail loudly naming the vacuum
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("read-change-feed", "true")
+      .option("changes.start-version", "3").load().count() == 20L)
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("read-change-feed", "true").load().count()
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // a takedown's removed files have their bytes destroyed: the feed
+    // over that version names the unreconstructible file
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_stage_cfv2").toString + "/t"
+    spark.range(0, 60).select(($"id" % 2).as("p"), $"id".as("k"))
+      .repartition(1)
+      .write.format(fmt).option("path", dir2)
+      .option("partition_by", "p").mode("append").save()
+    val t2 = spark.read.format(fmt).option("path", dir2).load()
+    assert(t2.count() == 60L)
+    // partition takedown via the catalog-free path: deleteWhere on p=0
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.graftshim.V2ExprShim
+    val table = new graft.sources.v2.StageTable(dir2, t2.schema,
+      Array("p"))
+    table.deleteWhere(Array(new Predicate("=",
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("p"),
+        V2ExprShim.longLiteral(0)))))
+    assert(spark.read.format(fmt).option("path", dir2).load().count() == 30L)
+    val e2 = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir2)
+        .option("read-change-feed", "true").load().count()
+    }
+    assert(e2.getMessage.contains("not reconstructible"), e2.getMessage)
+  }
+
   test("snapshots metadata table and timestamp-windowed change feeds resolve the table's history") {
     import graft.sources.v2.StageSource
     val fmt = "graft.sources.v2.StageSource"
