@@ -47,6 +47,31 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
     if (namespace.isEmpty) "default" else namespace(0)
   }
 
+  /** METADATA-TABLE addressing (the Iceberg idiom: `cat.ns.t.snapshots`
+    * parses as namespace [ns, t], name "snapshots"): when the two-level
+    * "namespace" is really an existing table plus a metadata suffix,
+    * resolve to that table's metadata view — `snapshots` (the
+    * DESCRIBE-HISTORY surface) or `changes` (the change-data-feed; range
+    * options ride the read, e.g.
+    * `spark.read.option("changes.start-version", 2).table("cat.ns.t.changes")`).
+    */
+  private def metadataTableOf(ident: Identifier): Option[Table] = {
+    if (ident.namespace.length != 2) return None
+    val inner = Identifier.of(Array(ident.namespace()(0)), ident.namespace()(1))
+    if (!tableExists(inner)) return None
+    val dir = dirOf(inner).getAbsolutePath
+    ident.name match {
+      case "snapshots" => Some(new StageSnapshotsTable(dir))
+      case "changes" =>
+        val schema = StructType.fromDDL(new String(
+          java.nio.file.Files.readAllBytes(
+            new File(dirOf(inner), StageSource.SchemaFile).toPath),
+          StandardCharsets.UTF_8))
+        Some(new StageChangeFeedTable(dir, schema))
+      case _ => None
+    }
+  }
+
   private def dirOf(ident: Identifier): File =
     new File(new File(root, nsOf(ident.namespace)), ident.name)
 
@@ -59,9 +84,11 @@ class StageCatalog extends TableCatalog with FunctionCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    new File(dirOf(ident), StageSource.SchemaFile).exists()
+    ident.namespace.length <= 1 &&
+      new File(dirOf(ident), StageSource.SchemaFile).exists()
 
   override def loadTable(ident: Identifier): Table = {
+    metadataTableOf(ident).foreach(t => return t)
     val dir = dirOf(ident)
     if (!new File(dir, StageSource.SchemaFile).exists())
       throw new NoSuchTableException(

@@ -2310,6 +2310,22 @@ class SourcesSpec extends SparkTestBase {
         .load().count()
     }
     assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+    // SQL metadata-table addressing (the Iceberg idiom): cat.ns.t.snapshots
+    // and cat.ns.t.changes resolve through the catalog
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t.snapshots").head().getLong(0) == 4L)
+    assert(spark.sql(
+      s"""SELECT COUNT(*) FROM $t.changes
+          WHERE _change_type = 'delete' AND _commit_version = 3""")
+      .head().getLong(0) == 9L) // the MOR delta, exactly
+    assert(spark.read.option("changes.start-version", "3")
+      .table(s"$t.changes").select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // a non-metadata 2-level name still fails loudly
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t.nope").collect()
+    }
+    assert(e3.getMessage.contains("single namespace level") ||
+      e3.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e3.getMessage)
   }
 
   test("binpack coalesces small files per partition; big files and lone smalls stay; DV debt repaid; content invariant") {
