@@ -2525,11 +2525,12 @@ object SparkEntry {
   /** RFM (recency / frequency / monetary) customer segmentation — the
     * classic marketing feature triple, each dimension cut into ANSI-ntile
     * quintiles. Per-customer base facts are one map-side-combinable
-    * group-by; each quintile cut rides the DISTRIBUTED global rank
+    * group-by; the three quintile cuts ride ONE distributed global rank
     * ([[PositionalTake.withGlobalIndex]] — range-partition sort +
-    * per-partition offsets, never a single-partition ntile window), with
-    * the ANSI bucket split (first n%k buckets one row larger) replayed in
-    * closed form from (rank, n). Descending dimensions sort ascending on
+    * per-partition offsets, never a single-partition ntile window) over
+    * the long-format (metric, −value, cust) rows, with the ANSI bucket
+    * split (first n%k buckets one row larger) replayed in closed form
+    * from (rank − metric·n, n). Descending dimensions sort ascending on
     * the negated metric; ties break on customer id, so the cut is
     * deterministic and any engine's native ntile reproduces it. Output is
     * the ≤5³-cell segment grid, independent of customer count.
@@ -2543,25 +2544,39 @@ object SparkEntry {
         unix_micros(max(col("o_orderdate")).cast("timestamp")).as("last_us"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice")).as("mon"))
-      .withColumn("neg_last", -col("last_us"))
-      .withColumn("neg_freq", -col("freq"))
-      .withColumn("neg_mon", -col("mon"))
+    // LONG FORMAT, one sort instead of three (r19 optimization): the three
+    // descending quintile cuts ride ONE range-partitioned global index over
+    // (metric, −value, cust) — per metric the block is contiguous and its
+    // local rank is idx − metric·n, so the old shape's three independent
+    // sort+index pipelines (each re-aggregating orders, each crossJoining
+    // its own count subtree) and the two cust-keyed joins collapse into one
+    // sort plus one conditional-aggregation pivot. The negated metrics stay
+    // order-exact as doubles (epoch-µs ≈ 1.7e15 and counts are < 2^53, and
+    // only the ORDER reaches the output, never the value). Ordering per
+    // metric is unchanged — (−metric, cust) — so every bucket assignment,
+    // and therefore the ≤5³ grid, is bit-identical to the three-sort shape.
+    val long = base.select(col("cust"), explode(array(
+        struct(lit(0).as("m"), (-col("last_us")).cast("double").as("v")),
+        struct(lit(1).as("m"), (-col("freq")).cast("double").as("v")),
+        struct(lit(2).as("m"), (-col("mon")).cast("double").as("v"))))
+        .as("mv"))
+      .select(col("cust"), col("mv.m").as("m"), col("mv.v").as("v"))
     val n = base.agg(count(lit(1)).as("n_tot"))
-    // ANSI ntile from a dense 0-based rank: first n%5 buckets hold
-    // (n div 5)+1 rows, the rest n div 5 (assumes n >= 5).
-    def quintile(metric: String, out: String): DataFrame =
-      PositionalTake.withGlobalIndex(
-          base.select(col("cust"), col(metric)), Seq(metric, "cust"), "idx")
-        .crossJoin(broadcast(n))
-        .select(
-          col("cust"),
-          expr("CASE WHEN idx < (n_tot % 5) * (n_tot div 5 + 1) " +
-            "THEN idx div (n_tot div 5 + 1) + 1 " +
-            "ELSE (n_tot % 5) + (idx - (n_tot % 5) * (n_tot div 5 + 1)) " +
-            "div (n_tot div 5) + 1 END").as(out))
-    quintile("neg_last", "r_q")
-      .join(quintile("neg_freq", "f_q"), "cust")
-      .join(quintile("neg_mon", "m_q"), "cust")
+    // ANSI ntile from a dense 0-based per-metric rank: first n%5 buckets
+    // hold (n div 5)+1 rows, the rest n div 5 (assumes n >= 5).
+    PositionalTake.withGlobalIndex(long, Seq("m", "v", "cust"), "gidx")
+      .crossJoin(broadcast(n))
+      .select(
+        col("cust"), col("m"),
+        expr("CASE WHEN (gidx - m * n_tot) < (n_tot % 5) * (n_tot div 5 + 1) " +
+          "THEN (gidx - m * n_tot) div (n_tot div 5 + 1) + 1 " +
+          "ELSE (n_tot % 5) + ((gidx - m * n_tot) - (n_tot % 5) * (n_tot div 5 + 1)) " +
+          "div (n_tot div 5) + 1 END").as("q"))
+      .groupBy("cust")
+      .agg(
+        max(when(col("m") === 0, col("q"))).as("r_q"),
+        max(when(col("m") === 1, col("q"))).as("f_q"),
+        max(when(col("m") === 2, col("q"))).as("m_q"))
       .groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_custs"))
       .orderBy("r_q", "f_q", "m_q")
@@ -2873,32 +2888,42 @@ object SparkEntry {
 
   /** ROC AUC of the event value as a purchase-vs-rest score, by the
     * Mann–Whitney rank identity — the offline model-quality readout a
-    * training pipeline runs on every scored snapshot. The global rank
-    * comes from [[graft.operators.PositionalTake.withGlobalIndex]] (the
-    * [[qGini]] distributed-rank pattern: range-partition + zipWithIndex,
-    * never a single-partition cumulative window — the score is a DOUBLE,
-    * so its distinct domain approaches n at scale and the old
-    * per-distinct-value sweep would funnel everything through one task).
+    * training pipeline runs on every scored snapshot. The rank interval of
+    * each distinct score comes from an aggregate-then-prefix decomposition:
+    * per-value (positives, count) first, then an exclusive prefix sum over
+    * the value order via [[graft.operators.PrefixSum.exclusive]] with
+    * fixed-width value buckets — segmented, so no single-partition
+    * cumulative window exists at any scale (only bucket totals cross the
+    * carry window), and nothing row-sized is ever range-shuffled: the one
+    * full-width exchange is the map-side-combined groupBy(value).
     * Ties get the standard midrank half credit from the per-value
-    * (min idx, max idx) aggregate: 2·ΣR⁺ = Σ p·(lo + hi + 2), then
+    * rank interval [lo, lo+m−1]: 2·ΣR⁺ = Σ p·(2·lo + m + 1), then
     * 2·U = 2·ΣR⁺ − n⁺(n⁺+1). Every sum is an exact integer until the one
     * final division, identically in both engines.
     */
   private def qAuc(s: SparkSession, d: String): DataFrame = {
-    val ranked = PositionalTake.withGlobalIndex(
-      Tables.events(s, d).select(
-        col("value"), col("event_id"),
-        (col("event_type") === "purchase").cast("long").as("pos")),
-      Seq("value", "event_id"), "idx")
-    ranked
+    // r19 optimization: the rank identity only ever consumed the PER-VALUE
+    // rank interval (min idx, max idx), so the row-level global index —
+    // a full range-shuffle + zipWithIndex double pass over every event,
+    // followed by a second full-size groupBy(value) shuffle — is replaced
+    // by aggregate-then-prefix: reduce to (value, p, m) first (map-side
+    // combine, the only full-width shuffle), then lo = Σ m over values
+    // strictly below via the segmented prefix sum (fixed-width value
+    // buckets, the [[qRankTest]] contract — only bucket totals cross the
+    // carry window). lo' = exclusive prefix = old min(idx), and
+    // hi = lo + m − 1 gives p·(lo+hi+2) = p·(2·lo + m + 1): every sum is
+    // the same exact integer as the ranked shape, bit-identical AUC.
+    val perValue = Tables.events(s, d)
+      .select(col("value"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
       .groupBy("value")
-      .agg(
-        sum(col("pos")).as("p"), count(lit(1)).as("m"),
-        min(col("idx")).as("lo"), max(col("idx")).as("hi"))
+      .agg(sum(col("pos")).as("p"), count(lit(1)).as("m"))
+    PrefixSum.exclusive(
+        perValue, floor(col("value")), Seq(col("value")), col("m"), "lo")
       .agg(
         sum(col("p")).as("n_pos"),
         sum(col("m") - col("p")).as("n_neg"),
-        sum(col("p") * (col("lo") + col("hi") + 2)).as("r2"))
+        sum(col("p") * (lit(2L) * col("lo") + col("m") + 1)).as("r2"))
       .select(
         col("n_pos"), col("n_neg"),
         round(
@@ -2966,12 +2991,17 @@ object SparkEntry {
     * counts its merge candidates.
     */
   private def qBpeMerges(s: SparkSession, d: String): DataFrame =
+    // Pair extraction is a native single-pass expression (r19
+    // optimization, [[graft.functions.NativeExpressions.BpePairs]]): the
+    // HOF formulation — transform(sequence(...), lower∘substr) filtered by
+    // `rlike '^[a-z]{2}$'` — evaluated an interpreted lambda tree plus a
+    // regex matcher per adjacent pair, ~1.5M evaluations at sf0.1 all in
+    // the scan's single task. The expression emits the identical pair
+    // multiset in the identical order (unicode edge cases included — see
+    // its scaladoc), allocating only on match.
     Tables.documents(s, d)
-      .select(explode(expr(
-        """filter(
-          |  transform(sequence(1, length(text) - 1),
-          |            i -> lower(substr(text, i, 2))),
-          |  p -> p rlike '^[a-z]{2}$')""".stripMargin)).as("pair"))
+      .select(explode(
+        graft.functions.NativeExpressions.bpe_pairs(col("text"))).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("pair"))

@@ -541,6 +541,65 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** Adjacent lowercase-alphabetic character pairs — the BPE merge-candidate
+    * extraction (`SparkEntry.qBpeMerges`), one tight loop per document.
+    * Exactly `filter(transform(sequence(1, length(t)-1),
+    * i -> lower(substr(t, i, 2))), p -> p rlike '^[a-z]{2}$')`: for every
+    * adjacent code-point pair, the lowercased 2-char slice is emitted iff
+    * it is exactly two [a-z] characters — duplicates kept, document order
+    * kept. The HOF formulation walked an interpreted predicate tree (or a
+    * regex matcher) per position — ~1.5M evaluations at sf0.1, all in the
+    * scan's single task; here an all-ASCII document (the overwhelmingly
+    * common case, detected by one byte scan) lowercases and range-checks
+    * raw bytes and allocates only on match, and documents with multibyte
+    * code points take the exact generic path (UTF8String substring +
+    * toLowerCase per pair), so the unicode edge cases — multi-char
+    * lowercase expansions like İ, non-ASCII letters that lower into
+    * ASCII like the Kelvin sign — keep the regex's semantics.
+    */
+  case class BpePairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(child.dataType == StringType, "graft_bpe_pairs",
+        "STRING", child.dataType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      var ascii = true
+      var i = 0
+      while (ascii && i < bytes.length) {
+        if ((bytes(i) & 0x80) != 0) ascii = false
+        i += 1
+      }
+      val out = new java.util.ArrayList[AnyRef]
+      if (ascii) {
+        i = 0
+        while (i + 1 < bytes.length) {
+          var c1 = bytes(i); var c2 = bytes(i + 1)
+          if (c1 >= 'A' && c1 <= 'Z') c1 = (c1 + 32).toByte
+          if (c2 >= 'A' && c2 <= 'Z') c2 = (c2 + 32).toByte
+          if (c1 >= 'a' && c1 <= 'z' && c2 >= 'a' && c2 <= 'z')
+            out.add(UTF8String.fromBytes(Array(c1, c2)))
+          i += 1
+        }
+      } else {
+        val n = s.numChars()
+        i = 0
+        while (i + 1 < n) {
+          val lower = s.substring(i, i + 2).toLowerCase
+          val lb = lower.getBytes
+          if (lb.length == 2 &&
+              lb(0) >= 'a' && lb(0) <= 'z' && lb(1) >= 'a' && lb(1) <= 'z')
+            out.add(lower)
+          i += 1
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): BpePairs = copy(child = c)
+  }
+
   /** Hashing-trick term-frequency vector over an array<string> of tokens:
     * bucket = xxhash64(token) mod dims, value = count, L2-normalized —
     * a deterministic, model-free text embedding (the classic HashingTF),
@@ -1032,6 +1091,8 @@ object NativeExpressions {
     col(ChunkKeys(expr(sig), totalBits, chunks))
 
   def char_shingles(text: Column, k: Int): Column = col(CharShingles(expr(text), k))
+
+  def bpe_pairs(text: Column): Column = col(BpePairs(expr(text)))
 
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 

@@ -139,6 +139,36 @@ class PropertyCheckSpec extends SparkTestBase {
     }
   }
 
+  test("property: bpe_pairs equals the HOF lower∘substr + rlike formulation") {
+    // the r19 native rewrite of qBpeMerges' pair extraction must emit the
+    // IDENTICAL pair sequence (duplicates and order included) as the
+    // reference HOF formulation, for arbitrary text — including the
+    // unicode traps the ASCII fast path must not mishandle: multibyte
+    // letters, the Kelvin sign K (lowercases INTO 'k'), dotted İ
+    // (lowercase expands to TWO code points), and supplementary-plane
+    // emoji (two UTF-16 units, one code point)
+    val charPool = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '.', ',', '!', 'Z', 'Q'),
+      1 -> Gen.oneOf('é', 'ß', 'Σ', '中', 'K', 'İ'),
+      1 -> Gen.const('\uD83D')) // paired below into a full emoji
+    val strGen = Gen.listOf(charPool).map(cs =>
+      new String(cs.toArray).replace("\uD83D", "😀"))
+    samples(strGen, 40).foreach { s =>
+      val df = Seq(Tuple1(s)).toDF("text")
+      val native = df.select(
+          graft.functions.NativeExpressions.bpe_pairs($"text"))
+        .as[Seq[String]].head()
+      val hof = df.select(expr(
+          """filter(
+            |  transform(sequence(1, length(text) - 1),
+            |            i -> lower(substr(text, i, 2))),
+            |  p -> p rlike '^[a-z]{2}$')""".stripMargin))
+        .as[Seq[String]].head()
+      assert(native == hof, s"mismatch on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("property: strings within edit distance k share a deletion-variant hash") {
     // the completeness claim behind the symmetric-delete blocking
     // (Dedup.editDistancePairs): apply <= k random edits (sub/ins/del) to a
