@@ -1256,7 +1256,8 @@ object SparkEntry {
     * double division, then ln) so the 6-decimal rounding compares exactly.
     */
   private def qLmScore(s: SparkSession, d: String): DataFrame = {
-    val t = tokens(col("text"))
+    // tokenize once below the Generate — see qBigrams (r19)
+    val t = col("__toks")
     val bgArr = when(size(t) >= 2,
         zip_with(
           slice(t, lit(1), size(t) - 1),
@@ -1264,6 +1265,7 @@ object SparkEntry {
           (a, b) => struct(a.as("w1"), b.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), explode(bgArr).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       // semantically a no-op (zip_with over non-null token arrays), but it
@@ -1319,7 +1321,11 @@ object SparkEntry {
     * top-k never materializes a global sort.
     */
   private def qBigrams(s: SparkSession, d: String): DataFrame = {
-    val t = tokens(col("text"))
+    // tokenize ONCE in a codegen'd projection below the Generate (r19):
+    // inlining `tokens(text)` into the explode argument repeats the
+    // CodegenFallback tokenizer 5× per document — Generate sits outside
+    // whole-stage codegen, so no subexpression elimination saves it
+    val t = col("__toks")
     val pairs = when(size(t) >= 2,
         zip_with(
           slice(t, lit(1), size(t) - 1),
@@ -1327,6 +1333,7 @@ object SparkEntry {
           (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
     Tables.documents(s, d)
+      .select(tokens(col("text")).as("__toks"))
       .select(explode(pairs).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
@@ -1346,7 +1353,8 @@ object SparkEntry {
     * sized, broadcastable at any corpus scale.
     */
   private def qCollocations(s: SparkSession, d: String): DataFrame = {
-    val t = tokens(col("text"))
+    // tokenize once below the Generate — see qBigrams (r19)
+    val t = col("__toks")
     val bgArr = when(size(t) >= 2,
         zip_with(
           slice(t, lit(1), size(t) - 1),
@@ -1354,6 +1362,7 @@ object SparkEntry {
           (a, b) => struct(a.as("w1"), b.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     val bg = Tables.documents(s, d)
+      .select(tokens(col("text")).as("__toks"))
       .select(explode(bgArr).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w1").isNotNull && col("w2").isNotNull)
@@ -8098,8 +8107,11 @@ object SparkEntry {
     val replay = feedDf.filter($"ctype" === "insert").select("k", "status", "cents")
       .exceptAll(feedDf.filter($"ctype" === "delete").select("k", "status", "cents"))
     val live = s.read.format(fmt).option("path", dir).load()
-    val replayMatches = replay.exceptAll(live).isEmpty &&
-      live.exceptAll(replay).isEmpty
+    // both multiset-difference directions in ONE job (r19: two sequential
+    // isEmpty actions paid a second scheduling round-trip for the same
+    // verdict; the union is still exact — empty iff both sides are empty)
+    val replayMatches =
+      replay.exceptAll(live).union(live.exceptAll(replay)).isEmpty
     replay.groupBy("status")
       .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
       .withColumn("stream_equals_batch", lit(streamEqBatch))
