@@ -9928,6 +9928,14 @@ object SparkEntry {
     // key TOTAL, so the two window passes cannot disagree on tie order
     // in any engine (a non-total order here is a cross-engine
     // nondeterminism trap: island ids of tied rows depend on visit order)
+    // r19 MEASURED REJECTION (guide §2.4 candidate): collapsing the two
+    // exchanges — repartition(shard) up front so the (shard, off)
+    // pre-combine, the shard window, and the (shard, island) group-by all
+    // ride one shuffle — measured 1.82 s vs 1.30 s baseline same-sitting
+    // (calm sentinel): the pre-combine's map-side partial runs inside the
+    // codegen'd scan stage today and the single-exchange shape serializes
+    // scan + full aggregation + two window passes into one post-shuffle
+    // stage. The two-exchange shape stays.
     val uniq = Tables.lineitem(s, d).select(
         pmod(col("l_suppkey"), lit(50L)).as("shard"),
         pmod(col("l_orderkey") * 1000L, lit(10000000L)).as("off"),
