@@ -308,36 +308,28 @@ object Dedup {
     * uses), folded into a packed 60-bit signature: bit b is set iff
     * `Σ_tokens (±1 by bit b of the token hash) >= 0`.
     *
-    * Shape: one sum aggregate PER BIT over the exploded token rows — 60
-    * map-side-combinable sums in a single group-by, so the shuffle carries
-    * 60 longs per document per partition and NO per-(token,bit) row is
-    * ever materialized (the posexplode formulation shuffled tokens×60
-    * rows — 45M at sf0.1 — through two aggregations). Documents with zero
-    * tokens carry no signature (dropped — same contract as the
-    * tokenizer-based native path, where an empty token array hashes to
-    * the empty signature).
+    * Shape (r19): ONE native pass per document
+    * ([[graft.functions.NativeExpressions.PortableSimhash]]) — the
+    * signature is computed where the document row already sits, so
+    * nothing shuffles at all. The previous fold (explode + 60
+    * map-side-combinable conditional sums + a doc-keyed exchange carrying
+    * one 60-long row per document) produced bit-identical values — pinned
+    * by the PropertyCheckSpec twin — but paid a full per-document
+    * exchange and 60 columns of aggregate state for arithmetic a single
+    * tight loop does in-row. Documents with zero tokens carry no
+    * signature (dropped — same contract as the tokenizer-based native
+    * path, where an empty token array hashes to the empty signature).
     */
   def portableSimhashSigs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      bits: Int = 60): DataFrame = {
-    require(bits >= 1 && bits <= 60, "portable md5-prefix signatures carry at most 60 bits")
-    val th = df
-      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("t"))
-      .select(col("id"),
-        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
-    val bitSums = (0 until bits).map(b =>
-      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"s$b"))
-    val packed = (0 until bits).map(b =>
-      expr(s"CASE WHEN s$b >= 0 THEN shiftleft(CAST(1 AS BIGINT), $b) " +
-        "ELSE CAST(0 AS BIGINT) END"))
-      .reduce(_ + _)
-    th.groupBy("id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), packed.as("sig"))
-  }
+      bits: Int = 60): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        graft.functions.NativeExpressions
+          .portable_simhash(tokens(lower(col(textCol))), bits).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** EXACT character-k-shingle Jaccard pairs at a high threshold — the
     * audit side for [[minhashPairs]]' recall verdict. Exactness at

@@ -541,6 +541,60 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** Engine-portable simhash over an array<string> of tokens, one pass per
+    * document (r19): per token, the 60-bit md5-prefix fingerprint — the
+    * exact value of `conv(substring(md5(t), 1, 15), 16, 10)`, i.e. the
+    * digest's first 8 bytes read big-endian then shifted right 4 — feeds
+    * ±1 bit-counters; output bit b is set iff its counter ≥ 0. Bit-for-bit
+    * the fold `Dedup.portableSimhashSigs` previously composed from an
+    * explode + 60 conditional sums + a doc-keyed exchange: the aggregate
+    * shuffled one 60-long row per document, this computes the signature
+    * where the document already is — no exchange, no 60-column aggregate
+    * state. Empty token arrays yield NULL (the caller drops them — the
+    * "zero tokens carry no signature" contract).
+    */
+  case class PortableSimhash(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bits >= 1 && bits <= 60,
+      "portable md5-prefix signatures carry at most 60 bits")
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(
+        child.dataType.isInstanceOf[ArrayType] &&
+          child.dataType.asInstanceOf[ArrayType].elementType == StringType,
+        "graft_portable_simhash", "ARRAY<STRING>", child.dataType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](bits)
+      var i = 0
+      while (i < n) {
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var top = 0L
+        var j = 0
+        while (j < 8) { top = (top << 8) | (d(j) & 0xffL); j += 1 }
+        val h = top >>> 4
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        if (counts(b) >= 0) sig |= 1L << b
+        b += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): PortableSimhash = copy(child = c)
+  }
+
   /** Adjacent lowercase-alphabetic character pairs — the BPE merge-candidate
     * extraction (`SparkEntry.qBpeMerges`), one tight loop per document.
     * Exactly `filter(transform(sequence(1, length(t)-1),
@@ -1093,6 +1147,9 @@ object NativeExpressions {
   def char_shingles(text: Column, k: Int): Column = col(CharShingles(expr(text), k))
 
   def bpe_pairs(text: Column): Column = col(BpePairs(expr(text)))
+
+  def portable_simhash(tokenArr: Column, bits: Int): Column =
+    col(PortableSimhash(expr(tokenArr), bits))
 
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(expr(text), n))
 

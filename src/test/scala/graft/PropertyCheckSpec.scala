@@ -169,6 +169,37 @@ class PropertyCheckSpec extends SparkTestBase {
     }
   }
 
+  test("property: portable_simhash equals the explode + 60-conditional-sum fold") {
+    // the r19 native rewrite of Dedup.portableSimhashSigs must reproduce
+    // the SQL-composed md5-prefix fold bit for bit — same 60-bit token
+    // fingerprint (conv(substring(md5(t),1,15),16,10)), same ±1 counters,
+    // same >= 0 packing — for arbitrary token multisets incl. duplicates,
+    // empties, and multibyte tokens
+    val tokGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumStr.map(_.take(6)),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("héllo", "中文", "ß")))
+    samples(tokGen, 30).foreach { toks =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val native = df.select(
+          graft.functions.NativeExpressions.portable_simhash($"t", 60))
+        .as[Option[Long]].head()
+      if (toks.isEmpty) assert(native.isEmpty, "empty array must yield NULL")
+      else {
+        val th = df.select(explode($"t").as("tok"))
+          .select(conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+        val bitSums = (0 until 60).map(b =>
+          sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+        val packed = (0 until 60).map(b =>
+          expr(s"CASE WHEN s$b >= 0 THEN shiftleft(CAST(1 AS BIGINT), $b) " +
+            "ELSE CAST(0 AS BIGINT) END")).reduce(_ + _)
+        val folded = th.agg(bitSums.head, bitSums.tail: _*)
+          .select(packed).as[Long].head()
+        assert(native.contains(folded), s"sig mismatch on $toks")
+      }
+    }
+  }
+
   test("property: strings within edit distance k share a deletion-variant hash") {
     // the completeness claim behind the symmetric-delete blocking
     // (Dedup.editDistancePairs): apply <= k random edits (sub/ins/del) to a
