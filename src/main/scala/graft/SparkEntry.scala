@@ -7954,19 +7954,31 @@ object SparkEntry {
     val cat = stageCatalog(s, d)
     val fact = s"$cat.default.ord_bk"
     val dim = s"$cat.default.cust_bk"
-    s.sql(s"DROP TABLE IF EXISTS $fact")
-    s.sql(s"DROP TABLE IF EXISTS $dim")
-    val vo = s"graft_cat_orders_${dirTag(d)}"
-    val vc = s"graft_cat_customer_${dirTag(d)}"
-    Tables.orders(s, d).createOrReplaceTempView(vo)
-    Tables.customer(s, d).createOrReplaceTempView(vc)
-    s.sql(s"""CREATE TABLE $fact (custkey BIGINT, cents BIGINT)
-      PARTITIONED BY (bucket(16, custkey))""")
-    s.sql(s"""INSERT INTO $fact
-      SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM $vo""")
-    s.sql(s"""CREATE TABLE $dim (custkey BIGINT, segment STRING)
-      PARTITIONED BY (bucket(16, custkey))""")
-    s.sql(s"INSERT INTO $dim SELECT c_custkey, c_mktsegment FROM $vc")
+    // WRITE-ONCE fixture (r19 — the qDsv2SpjStaged discipline): the row's
+    // declared object is the exchange-free join over the bucket(16)
+    // layout; re-creating both tables every run measured two DDL + two
+    // bucket-clustered INSERT jobs beside it. The bucket WRITE acceptance
+    // itself stays exercised (first build per corpus, plus
+    // SourcesSpec's bucket-transform specs). Marker written LAST, after
+    // both inserts, so a crashed partial build re-runs whole.
+    val marker = new java.io.File(
+      s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/default", "_spj_bk_STAGED")
+    stagedOnceGuarded(marker.getPath)(marker.exists()) {
+      s.sql(s"DROP TABLE IF EXISTS $fact")
+      s.sql(s"DROP TABLE IF EXISTS $dim")
+      val vo = s"graft_cat_orders_${dirTag(d)}"
+      val vc = s"graft_cat_customer_${dirTag(d)}"
+      Tables.orders(s, d).createOrReplaceTempView(vo)
+      Tables.customer(s, d).createOrReplaceTempView(vc)
+      s.sql(s"""CREATE TABLE $fact (custkey BIGINT, cents BIGINT)
+        PARTITIONED BY (bucket(16, custkey))""")
+      s.sql(s"""INSERT INTO $fact
+        SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM $vo""")
+      s.sql(s"""CREATE TABLE $dim (custkey BIGINT, segment STRING)
+        PARTITIONED BY (bucket(16, custkey))""")
+      s.sql(s"INSERT INTO $dim SELECT c_custkey, c_mktsegment FROM $vc")
+      marker.createNewFile(): Unit
+    }
     val key = "spark.sql.sources.v2.bucketing.enabled"
     val prev = s.conf.get(key)
     s.conf.set(key, "true")
@@ -8135,16 +8147,26 @@ object SparkEntry {
     val fmt = "graft.sources.v2.StageSource"
     val factDir = s"/tmp/graft_dsv2w/$tag/spjd_fact"
     val dimDir = s"/tmp/graft_dsv2w/$tag/spjd_dim"
-    Tables.orders(s, d)
-      .select((col("o_orderkey") % 8).as("b"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .write.format(fmt).option("path", factDir)
-      .option("partition_by", "b").mode("overwrite").save()
-    s.range(0, 8)
-      .select(col("id").as("b"),
-        concat(lit("bucket_"), col("id")).as("label"))
-      .write.format(fmt).option("path", dimDir)
-      .option("partition_by", "b").mode("overwrite").save()
+    // WRITE-ONCE fixture (r19 — the [[qDsv2SpjStaged]] r17-verdict-#6
+    // discipline applied to this row too): the row's declared object is
+    // the exchange-free, sort-free join over the staged layout, and
+    // re-staging both tables every run made the bench number measure the
+    // staging writes beside it. The write path keeps its own rows
+    // (q_dsv2_write / q_dsv2_lineage / q_dsv2_catalog).
+    stagedOnce(factDir) {
+      Tables.orders(s, d)
+        .select((col("o_orderkey") % 8).as("b"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.format(fmt).option("path", factDir)
+        .option("partition_by", "b").mode("overwrite").save()
+    }
+    stagedOnce(dimDir) {
+      s.range(0, 8)
+        .select(col("id").as("b"),
+          concat(lit("bucket_"), col("id")).as("label"))
+        .write.format(fmt).option("path", dimDir)
+        .option("partition_by", "b").mode("overwrite").save()
+    }
     val key = "spark.sql.sources.v2.bucketing.enabled"
     val prev = s.conf.get(key)
     s.conf.set(key, "true")
