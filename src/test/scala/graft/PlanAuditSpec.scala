@@ -516,6 +516,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_kaplan_meier" -> "risk-set/survival windows over the per-day event table",
       "q_peak_concurrency" -> "carry-in over the per-day NET aggregate; the sweep itself is day-partitioned",
       "q_rank_test" -> "carry-in over the ~110-row $1k-bucket totals (bounded by the price RANGE, not rows); the rank prefix itself is bucket-partitioned",
+      "q_auc" -> "PrefixSum carry over the fixed-width value-bucket totals (bounded by the score RANGE, not rows — the q_rank_test contract); the per-value prefix itself is bucket-partitioned (r19: replaced the row-level global index)",
       "q_decile_lift" -> "cumulative/total sums over the 10-row decile grid; the user ranking is the distributed global index",
       "q_psi_drift" -> "cohort totals over the value-bucket count table (fixed-width buckets)",
       "q_ks_drift" -> "ECDF over the compact distinct-length domain (pre-bucket for continuous metrics)",
