@@ -1218,6 +1218,17 @@ object SparkEntry {
     * and inlines the value (no join node, no driver collect). The per-doc
     * argmax is a window over the doc partition — each doc's postings are
     * tiny, so the window never spills.
+    *
+    * The df branch is a ROLLUP OF THE tf AGGREGATE, not an independent
+    * re-derivation (r19 finding: the corpus tokenized TWICE): column
+    * pruning used to strip the COUNT from df's copy of the tf subtree, the
+    * canonicalized subtrees diverged, and ReuseExchange re-ran the whole
+    * tokenize+explode+aggregate for the df side. The semantically-no-op
+    * `WHERE tf > 0` (COUNT(*) is always ≥ 1) references the count column,
+    * so both consumers see the IDENTICAL aggregate and the df branch reads
+    * the (doc_id, term) exchange back as ReusedExchange — one
+    * `Generate explode(tokenize)` subtree in the executed plan (the
+    * q_lm_score null-filter-pinning discipline).
     */
   private def qTfidf(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.registerAll(s)
@@ -1228,7 +1239,7 @@ object SparkEntry {
          |  FROM (SELECT doc_id, explode(graft_tokenize(text)) AS term
          |        FROM $docs)
          |  GROUP BY doc_id, term),
-         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
          |scored AS (
          |  SELECT tf.doc_id, tf.term,
          |         ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM $docs) AS DOUBLE)
@@ -1256,17 +1267,16 @@ object SparkEntry {
     * double division, then ln) so the 6-decimal rounding compares exactly.
     */
   private def qLmScore(s: SparkSession, d: String): DataFrame = {
-    // tokenize once below the Generate — see qBigrams (r19)
-    val t = col("__toks")
-    val bgArr = when(size(t) >= 2,
-        zip_with(
-          slice(t, lit(1), size(t) - 1),
-          slice(t, lit(2), size(t) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    // r20: the bigram pair list is built by ONE native loop per document
+    // (NativeExpressions.BigramPairs, property-pinned ≡ the r19
+    // zip_with(slice, slice) formulation) — the HOF tree allocated two
+    // array slices and dispatched an interpreted lambda per element
+    // inside the Generate, where whole-stage codegen cannot reach. The
+    // tokenize stays single-evaluation: it is the expression's one
+    // argument, evaluated once per row inside the Generate.
     val perDoc = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), explode(bgArr).as("bg"))
+      .select(col("doc_id"),
+        explode(NativeExpressions.bigram_pairs(tokens(col("text")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       // semantically a no-op (zip_with over non-null token arrays), but it
       // pins BOTH null filters explicitly: the c1 branch's join otherwise
@@ -2492,6 +2502,19 @@ object SparkEntry {
     * (unbounded) term domain ever carries document payload.
     */
   private def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    // MEASURED REJECTION (r20): deriving the vocabulary as a rollup of a
+    // shared (doc, lang, term) count aggregate — the qTfidf tokenize-once
+    // pattern — DOES collapse the two tokenize subtrees to one
+    // (ReusedExchange verified in the executed plan), but regressed the
+    // row 1.4× same-sitting (0.94 → 1.94 s full-run-context equivalent):
+    // the OOV probe side here has NO exchange at all (raw token stream →
+    // broadcast probe → map-side-combined (doc, lang) aggregate), so the
+    // shared aggregate ADDS a full-width (doc, lang, term) exchange —
+    // nearly instance-sized, most terms occur once per doc — to save one
+    // CPU-cheap tokenize pass. tfidf differs: BOTH of its branches already
+    // paid that exchange, so reuse was strictly less work. At 100 TB the
+    // trade is the same (narrow CPU rescan beats a corpus-wide shuffle);
+    // the double tokenize stays.
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
@@ -2922,6 +2945,15 @@ object SparkEntry {
     // carry window). lo' = exclusive prefix = old min(idx), and
     // hi = lo + m − 1 gives p·(lo+hi+2) = p·(2·lo + m + 1): every sum is
     // the same exact integer as the ranked shape, bit-identical AUC.
+    // PRECONDITION (ADVICE r19): scores must be non-NULL and non-NaN.
+    // floor(NULL) buckets to NULL (the carry inner-join drops the rows)
+    // and floor(NaN) casts to 0L while NaN sorts above every double,
+    // breaking the bucket-monotone contract — either skews n_pos/n_neg.
+    // events.value is generated NOT NULL / finite at every SF (the
+    // differential pins it); a production caller scoring nullable model
+    // output must filter `value IS NOT NULL AND NOT isnan(value)` first,
+    // the same precondition the old ranked shape implicitly relied on for
+    // a defined order.
     val perValue = Tables.events(s, d)
       .select(col("value"),
         (col("event_type") === "purchase").cast("long").as("pos"))
@@ -4210,25 +4242,61 @@ object SparkEntry {
     */
   private def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // value-ordered sweep: price first, then the full unique key so the
-    // cumulative weight is deterministic across tied prices
+    // Aggregate-then-prefix (r20, the qAuc decomposition applied to the
+    // weighted order statistic — r19 deferred this for the tie-handling
+    // re-scan; the crossing-bucket re-scan below bounds that cost):
+    // the old shape ranged-shuffled EVERY row into 3 flag partitions and
+    // ran a full per-flag window sort of the 600k-row table — at scale a
+    // 3-task sort of the whole fact. Now: (1) per-(flag, unit-price
+    // bucket) weight totals — ONE map-side-combined aggregate, output
+    // bounded by the price RANGE, not the row count; (2) per-flag
+    // exclusive prefix over bucket totals finds the bucket where the
+    // cumulative weight crosses half (window input = bucket rows only);
+    // (3) a second scan re-reads JUST the crossing bucket's rows
+    // (broadcast 3-row semi-join) and replays the row-level sweep inside
+    // that bucket — the only per-row sort left is over one bucket per
+    // flag. Quantity sums are whole numbers in doubles, so bucket-partial
+    // summation is order-exact and cumw/totw are bit-identical to the
+    // row-level window's running sums.
     val ord = col("l_extendedprice") +: liKey.map(col)
+    val rows = Tables.lineitem(s, d)
+      .select((Seq("l_returnflag", "l_quantity") ++ liKey.filterNot(
+        Seq("l_returnflag", "l_quantity").contains)).map(col): _*)
+    val perBucket = rows
+      .groupBy(col("l_returnflag"), floor(col("l_extendedprice")).as("b"))
+      .agg(sum(col("l_quantity")).as("bw"))
+    val wPrefix = Window.partitionBy("l_returnflag").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("l_returnflag")
+    val crossing = perBucket
+      .withColumn("lo", coalesce(sum(col("bw")).over(wPrefix),
+        lit(0L).cast(perBucket.schema("bw").dataType)))
+      .withColumn("totw", sum(col("bw")).over(wTot))
+      // the first bucket whose INCLUSIVE prefix reaches half holds the
+      // crossing row (all rows of earlier buckets are strictly below)
+      .filter(lit(2.0) * (col("lo") + col("bw")) >= col("totw"))
+      .groupBy(col("l_returnflag").as("xflag"))
+      .agg(min(struct(col("b"), col("lo"), col("totw"))).as("x"))
+      .select(col("xflag"), col("x.b").as("xb"),
+        col("x.lo").as("xlo"), col("x.totw").as("xtotw"))
+    val pick = Window.partitionBy("l_returnflag").orderBy(ord: _*)
     val cum = Window.partitionBy("l_returnflag")
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy("l_returnflag")
-    val pick = Window.partitionBy("l_returnflag").orderBy(ord: _*)
-    Tables.lineitem(s, d)
-      .select((Seq("l_returnflag", "l_quantity") ++ liKey.filterNot(
-        Seq("l_returnflag", "l_quantity").contains)).map(col): _*)
-      .withColumn("cumw", sum(col("l_quantity")).over(cum))
-      .withColumn("totw", sum(col("l_quantity")).over(tot))
-      .filter(lit(2.0) * col("cumw") >= col("totw"))
+    rows
+      .join(broadcast(crossing),
+        // null-safe equality: a (hypothetical) NULL flag or price is a
+        // window partition / groupBy group in both shapes — an equi-join
+        // would silently drop it here while the old windowed shape kept it
+        col("l_returnflag") <=> col("xflag") &&
+          floor(col("l_extendedprice")) <=> col("xb"))
+      .withColumn("cumw", col("xlo") + sum(col("l_quantity")).over(cum))
+      .filter(lit(2.0) * col("cumw") >= col("xtotw"))
       .withColumn("rn", row_number().over(pick))
       .filter(col("rn") === 1)
       .select(col("l_returnflag"), col("l_extendedprice").as("w_median"),
         col("cumw").cast("double").as("cum_weight"),
-        col("totw").cast("double").as("total_weight"))
+        col("xtotw").cast("double").as("total_weight"))
       .orderBy("l_returnflag")
   }
 

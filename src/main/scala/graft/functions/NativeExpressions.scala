@@ -572,15 +572,27 @@ object NativeExpressions {
       val counts = new Array[Int](bits)
       var i = 0
       while (i < n) {
-        val d = md.digest(arr.getUTF8String(i).getBytes)
-        var top = 0L
-        var j = 0
-        while (j < 8) { top = (top << 8) | (d(j) & 0xffL); j += 1 }
-        val h = top >>> 4
-        var b = 0
-        while (b < bits) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
+        val tok = arr.getUTF8String(i)
+        if (tok == null) {
+          // a NULL token votes -1 on every bit — exactly what the SQL
+          // 60-sum fold this expression replaces computed (its per-bit
+          // CASE yields NULL → the conditional sum counts it on neither
+          // side, i.e. the "0 bit" branch wins); ADVICE r19: the only
+          // in-tree caller feeds Tokenize output (containsNull=false),
+          // but the public portable_simhash helper must not NPE.
+          var b = 0
+          while (b < bits) { counts(b) -= 1; b += 1 }
+        } else {
+          val d = md.digest(tok.getBytes)
+          var top = 0L
+          var j = 0
+          while (j < 8) { top = (top << 8) | (d(j) & 0xffL); j += 1 }
+          val h = top >>> 4
+          var b = 0
+          while (b < bits) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
         }
         i += 1
       }
@@ -610,6 +622,17 @@ object NativeExpressions {
     * toLowerCase per pair), so the unicode edge cases — multi-char
     * lowercase expansions like İ, non-ASCII letters that lower into
     * ASCII like the Kelvin sign — keep the regex's semantics.
+    *
+    * LOCALE NOTE (ADVICE r19): the generic path lowercases via
+    * `UTF8String.toLowerCase`, which for non-ASCII strings delegates to
+    * Java's DEFAULT-LOCALE `toLowerCase` — under a Turkish default locale
+    * an 'I' adjacent to a multibyte character lowers to dotless 'ı' and
+    * the pair is dropped. This dependency is INHERITED from Spark's own
+    * `lower()` (the HOF formulation this expression mirrors behaves
+    * identically), so equivalence with the reference formulation holds on
+    * any locale — but results are locale-contingent for such inputs. Pin
+    * the JVM locale (-Duser.language=en) where cross-box bit-stability of
+    * non-ASCII corpora matters.
     */
   case class BpePairs(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -652,6 +675,45 @@ object NativeExpressions {
       new GenericArrayData(out.toArray)
     }
     override protected def withNewChildInternal(c: Expression): BpePairs = copy(child = c)
+  }
+
+  /** Adjacent-token bigram pairs of an array<string> as
+    * array<struct<w1,w2>> — one tight loop per document. Exactly
+    * `zip_with(slice(t, 1, n-1), slice(t, 2, n-1), (a, b) -> struct(a, b))`
+    * (empty for n < 2): the HOF formulation allocated two slice copies and
+    * dispatched an interpreted lambda per element, per document, inside
+    * the Generate (outside whole-stage codegen). Order and duplicates
+    * preserved; a null token element passes through as a null field, like
+    * the slices it mirrors.
+    */
+  case class BigramPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      typeGate(isStringArray(child.dataType), "graft_bigram_pairs",
+        "ARRAY<STRING>", child.dataType)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("w1", StringType, nullable = true),
+        StructField("w2", StringType, nullable = true))),
+      containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < 2) return new GenericArrayData(new Array[AnyRef](0))
+      val out = new Array[AnyRef](n - 1)
+      var i = 0
+      var prev = arr.getUTF8String(0)
+      while (i < n - 1) {
+        val next = arr.getUTF8String(i + 1)
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](prev, next))
+        prev = next
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): BigramPairs =
+      copy(child = c)
   }
 
   /** Hashing-trick term-frequency vector over an array<string> of tokens:
@@ -840,6 +902,29 @@ object NativeExpressions {
       val ref = ctx.addReferenceObj("blev", this, classOf[BoundedLevenshtein].getName)
       nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
     }
+    // Per-thread DP scratch rows, grown on demand and REUSED across calls:
+    // this kernel runs once per candidate pair (millions per task), and
+    // allocating two fresh int rows per call made allocation the contended
+    // resource at 32 concurrent tasks — every young-GC pause is charged to
+    // ALL running tasks, so task time inflated ~3× at local[32] vs
+    // local[8] on identical work (the r19 anti-scaling finding). The
+    // expression instance is shared across task threads via codegen's
+    // addReferenceObj, hence ThreadLocal, and @transient because
+    // ThreadLocal does not serialize (rebuilt lazily per executor).
+    @transient private lazy val dpScratch =
+      new ThreadLocal[Array[Array[Int]]] {
+        override def initialValue(): Array[Array[Int]] =
+          Array(new Array[Int](64), new Array[Int](64))
+      }
+    private def scratchRows(m: Int): Array[Array[Int]] = {
+      val s = dpScratch.get()
+      if (s(0).length < m + 1) {
+        val cap = java.lang.Integer.highestOneBit(m + 1) * 2
+        s(0) = new Array[Int](cap)
+        s(1) = new Array[Int](cap)
+      }
+      s
+    }
     def compute(l: UTF8String, r: UTF8String): Int = {
       // ASCII fast path: compare raw UTF-8 bytes in place (byte length ==
       // char length, byte equality == char equality) — skips two String
@@ -853,14 +938,15 @@ object NativeExpressions {
       val m = b.length
       val inf = k + 1
       if (math.abs(n - m) > k) return inf
-      var prev = new Array[Int](m + 1)
-      var curr = new Array[Int](m + 1)
-      java.util.Arrays.fill(prev, inf)
+      val s = scratchRows(m)
+      var prev = s(0)
+      var curr = s(1)
+      java.util.Arrays.fill(prev, 0, m + 1, inf)
       var j = 0
       while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
       var i = 1
       while (i <= n) {
-        java.util.Arrays.fill(curr, inf)
+        java.util.Arrays.fill(curr, 0, m + 1, inf)
         var rowMin = inf
         if (i <= k) { curr(0) = i; rowMin = i }
         val lo = math.max(1, i - k)
@@ -896,14 +982,15 @@ object NativeExpressions {
       val m = r.numBytes()
       val inf = k + 1
       if (math.abs(n - m) > k) return inf
-      var prev = new Array[Int](m + 1)
-      var curr = new Array[Int](m + 1)
-      java.util.Arrays.fill(prev, inf)
+      val s = scratchRows(m)
+      var prev = s(0)
+      var curr = s(1)
+      java.util.Arrays.fill(prev, 0, m + 1, inf)
       var j = 0
       while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
       var i = 1
       while (i <= n) {
-        java.util.Arrays.fill(curr, inf)
+        java.util.Arrays.fill(curr, 0, m + 1, inf)
         var rowMin = inf
         if (i <= k) { curr(0) = i; rowMin = i }
         val lo = math.max(1, i - k)
@@ -952,8 +1039,22 @@ object NativeExpressions {
         "STRING", child.dataType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      val len = s.length
+      val u = input.asInstanceOf[UTF8String]
+      // ASCII fast path: one byte = one UTF-16 code unit with the same
+      // value, so hashing over the UTF8String's bytes produces the exact
+      // hash the char path produces — no per-row String materialization
+      // (r19 verdict: this row anti-scaled at 32 threads; allocation rate
+      // is the contended resource, so the hot path must not allocate
+      // beyond its output). Multibyte inputs take the char path.
+      val bytes = u.getBytes
+      var asciiProbe = 0
+      var isAscii = true
+      while (asciiProbe < bytes.length && isAscii) {
+        if (bytes(asciiProbe) < 0) isAscii = false
+        asciiProbe += 1
+      }
+      val s: String = if (isAscii) null else u.toString
+      val len = if (isAscii) bytes.length else s.length
       val kk = math.min(k, len)
       // Σ_{d=0..kk} C(len, d) variants, accumulated with an overflow-proof
       // ceiling: each factor is clamped as soon as it exceeds the cap, so
@@ -985,10 +1086,18 @@ object NativeExpressions {
         var h = 1125899906842597L
         var i = 0
         var di = 0
-        while (i < len) {
-          if (di < depth && del(di) == i) di += 1
-          else h = h * 1099511628211L + s.charAt(i)
-          i += 1
+        if (isAscii) {
+          while (i < len) {
+            if (di < depth && del(di) == i) di += 1
+            else h = h * 1099511628211L + bytes(i)
+            i += 1
+          }
+        } else {
+          while (i < len) {
+            if (di < depth && del(di) == i) di += 1
+            else h = h * 1099511628211L + s.charAt(i)
+            i += 1
+          }
         }
         h
       }
@@ -1009,7 +1118,14 @@ object NativeExpressions {
         if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
         r += 1
       }
-      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+      // UnsafeArrayData, NOT GenericArrayData: the GenericArrayData
+      // long[] constructor round-trips through Object[] — one boxed Long
+      // per variant (~170/row on identifier keys, millions per pass),
+      // which at 32 concurrent tasks made allocation/GC the bottleneck
+      // (the r19-measured 32c > 8c inversion). fromPrimitiveArray lays
+      // the longs into one flat buffer, no boxing.
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(java.util.Arrays.copyOf(out, w))
     }
     override protected def withNewChildInternal(c: Expression): DeletionHashes =
       copy(child = c)
@@ -1147,6 +1263,8 @@ object NativeExpressions {
   def char_shingles(text: Column, k: Int): Column = col(CharShingles(expr(text), k))
 
   def bpe_pairs(text: Column): Column = col(BpePairs(expr(text)))
+
+  def bigram_pairs(tokenArr: Column): Column = col(BigramPairs(expr(tokenArr)))
 
   def portable_simhash(tokenArr: Column, bits: Int): Column =
     col(PortableSimhash(expr(tokenArr), bits))

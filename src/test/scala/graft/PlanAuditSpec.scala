@@ -339,6 +339,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"LM branches recomputed instead of reused:\n$finalPlan")
   }
 
+  test("q_tfidf: corpus tokenized once; df rolls up the tf aggregate via ReusedExchange") {
+    val df = SparkEntry.queries("q_tfidf")(spark, sf0001)
+    df.queryExecution.toRdd.count(): Unit
+    // split on the TOP-LEVEL Initial Plan marker only (line-anchored "+-"
+    // prefix): the N scalar subquery prints its own nested, indented
+    // "== Initial Plan ==" marker BEFORE the main join subtree, and a
+    // plain substring split would cut the tree there (0 Generates seen)
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("(?m)^\\+- == Initial Plan ==").head
+    // r19 finding (deferred to r20 for the anchor re-record): the df CTE
+    // branch pruned the tf count column, canonical subtree equality broke,
+    // and the corpus carried TWO Generate explode(tokenize) subtrees. The
+    // no-op `WHERE tf > 0` pins the aggregate's full column set so the df
+    // branch reads the (doc_id, term) exchange back as ReusedExchange.
+    val generates = finalPlan.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 1, s"corpus tokenized $generates times:\n$finalPlan")
+    assert(finalPlan.linesIterator.exists(_.contains("ReusedExchange")),
+      s"df branch recomputed instead of reused:\n$finalPlan")
+  }
+
   test("q_naive_bayes: corpus tokenized once; all rollups reuse the shared exchanges") {
     val df = SparkEntry.queries("q_naive_bayes")(spark, sf0001)
     df.queryExecution.toRdd.count(): Unit

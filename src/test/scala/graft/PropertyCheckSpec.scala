@@ -169,6 +169,30 @@ class PropertyCheckSpec extends SparkTestBase {
     }
   }
 
+  test("property: bigram_pairs equals the zip_with(slice, slice) formulation") {
+    // the r20 native rewrite of qLmScore's per-doc bigram extraction must
+    // emit the IDENTICAL struct sequence (order and duplicates included)
+    // as the r19 HOF formulation, for arbitrary token arrays — empty,
+    // single-token, duplicate-heavy, and multibyte
+    val tokGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumStr.map(_.take(5)),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("héllo", "中文", "ß")))
+    samples(tokGen, 30).foreach { toks =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val native = df.select(
+          graft.functions.NativeExpressions.bigram_pairs($"t"))
+        .as[Seq[(String, String)]].head()
+      val hof = df.select(expr(
+          """CASE WHEN size(t) >= 2 THEN
+            |  zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+            |           (a, b) -> struct(a AS w1, b AS w2))
+            |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END""".stripMargin))
+        .as[Seq[(String, String)]].head()
+      assert(native == hof, s"bigram mismatch on $toks")
+    }
+  }
+
   test("property: portable_simhash equals the explode + 60-conditional-sum fold") {
     // the r19 native rewrite of Dedup.portableSimhashSigs must reproduce
     // the SQL-composed md5-prefix fold bit for bit — same 60-bit token
@@ -178,6 +202,10 @@ class PropertyCheckSpec extends SparkTestBase {
     val tokGen = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumStr.map(_.take(6)),
       1 -> Gen.const(""),
+      // a NULL token must vote -1 on every bit, exactly like the SQL
+      // fold's CASE (WHEN NULL → ELSE -1); ADVICE r19: the old native
+      // path NPE'd on null elements
+      1 -> Gen.const(null: String),
       1 -> Gen.oneOf("héllo", "中文", "ß")))
     samples(tokGen, 30).foreach { toks =>
       val df = Seq(Tuple1(toks)).toDF("t")
@@ -237,6 +265,46 @@ class PropertyCheckSpec extends SparkTestBase {
       // vacuous — any non-empty set intersects itself)
       assert(ha.nonEmpty && ha == ha.sorted && ha.distinct == ha,
         "variant array must be non-empty, sorted, deduplicated")
+    }
+  }
+
+  test("property: deletion_hashes equals the char-path reference (ASCII byte fast path pin)") {
+    // r20: the hot path hashes UTF8String BYTES when the input is pure
+    // ASCII (one byte = one UTF-16 code unit, same numeric value) and
+    // falls back to String chars otherwise. Both paths must produce the
+    // IDENTICAL hash set as this char-based reference — mixing multibyte
+    // chars into the generator exercises the fallback and the boundary.
+    def refHashes(s: String, k: Int): Seq[Long] = {
+      val len = s.length
+      val kk = math.min(k, len)
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      def rec(start: Int, del: List[Int], left: Int): Unit = {
+        if (left == 0) {
+          var h = 1125899906842597L
+          val ds = del.toSet
+          var i = 0
+          while (i < len) {
+            if (!ds.contains(i)) h = h * 1099511628211L + s.charAt(i)
+            i += 1
+          }
+          out += h
+        } else {
+          var i = start
+          while (i <= len - left) { rec(i + 1, i :: del, left - 1); i += 1 }
+        }
+      }
+      (0 to kk).foreach(d => rec(0, Nil, d))
+      out.distinct.sorted.toSeq
+    }
+    val strGen = Gen.listOfN(9, Gen.frequency(
+      9 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('é', '中', 'ß', ' '))).map(_.mkString)
+    samples(strGen, 40).foreach { s =>
+      val got = Seq(Tuple1(s)).toDF("s")
+        .select(graft.functions.NativeExpressions.deletion_hashes($"s", 2))
+        .as[Seq[Long]].head()
+      assert(got == refHashes(s, 2),
+        s"hash-set mismatch on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
     }
   }
 
