@@ -66,11 +66,32 @@ object Bench {
       "q_edit_pairs", "q_stream_restart", "q_corpus_pipeline",
       "q_stream_evict", "q_label_prop", "q_stream_outer_join",
       "q_stream_sessionize", "q_rfm")
+    // SPARK_GRAFT_BENCH_TIER=scaling (r19 verdict #2b): the sf0.1 catalog
+    // sits on a ~0.3-0.5 s per-job fixed-overhead floor, so 8c-vs-32c
+    // ratios measure ≈1 everywhere and genuine parallelism is
+    // undemonstrable (the driver's `suspect_cpus_ignored` finding — the
+    // env var IS honored, the floor just swamps it at this SF). This tier
+    // is the scaling story: the heaviest ~10 rows, meant to run against a
+    // ×10 corpus (graft.bench.ScaleGen writes one deterministically, e.g.
+    //   runMain graft.bench.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10
+    // then SPARK_GRAFT_SF_DIR=/tmp/graft_sf1) at two SPARK_GRAFT_CPUS
+    // settings — where per-row work is seconds, not floor, and the
+    // 8c/32c ratio reflects real parallel speedup. Name list only; the
+    // warm-up, min-of-two passes and the JSON contract are unchanged, and
+    // the driver (which sets no env) still gets full-catalog runs.
+    val scalingTier = Seq(
+      // the r14 ×10 scale-up table's heaviest rows (BASELINE.md): enough
+      // per-row seconds at sf1 to rise clear of the per-job floor
+      "q_edit_pairs", "q_corpus_pipeline", "q_weighted_median",
+      "q_percentile_disc", "q_salted_join", "q_naive_bayes",
+      "q_label_prop", "q_minhash_pairs", "q_join", "q_tfidf")
     val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER")
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
       else if (tier.contains("headline"))
         headlineTier.filter(SparkEntry.queries.contains).sorted
+      else if (tier.contains("scaling"))
+        scalingTier.filter(SparkEntry.queries.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => materialize(n, report = false)) // warm-up, unmeasured
     // two measured passes, min per query — damps scheduler/GC noise the
@@ -122,6 +143,11 @@ object Bench {
     val shuffleMb = jmap(k => num(counts(k).shuffleWriteBytes / 1e6, 2))
     val spillMb = jmap(k => num(
       (counts(k).memorySpillBytes + counts(k).diskSpillBytes) / 1e6, 2))
+    // per-query summed jvmGCTime (r20): at 32 concurrent tasks every
+    // stop-the-world pause lands in every running task's duration, so a
+    // GC-heavy row reads as anti-scaling with cores — this map separates
+    // "slow because GC" from "slow because contended/serial" per row
+    val gcMs = jmap(k => counts(k).gcTimeMs.toString)
     val total = num(results.map(_._2).filter(_ >= 0).sum, 3)
     // the driver's round artifact retains only the LINE TAIL, so the tail
     // must be self-contained: after the per-query seconds map, repeat the
@@ -142,8 +168,11 @@ object Bench {
     // -1.0 sentinel (ADVICE r10) — variance consumers must not average a
     // sentinel into the noise floor.
     // (skipped for subset invocations: anchors would run cold there and
-    // the pair would measure warm-up, not variance)
-    val anchorNames = (if (args.nonEmpty) Seq.empty[String] else Seq(
+    // the pair would measure warm-up, not variance; likewise for the
+    // scaling tier, where 7 of the 10 anchors are out-of-tier and the
+    // corpus is the ×10 fixture — no recorded reference floor applies)
+    val anchorNames = (if (args.nonEmpty || tier.contains("scaling"))
+      Seq.empty[String] else Seq(
       "q_filter", "q_sum", "q_take", "q_partition", "q_join",
       "q_window", "q_tfidf", "q_sessionize", "q_topk_per_key",
       "q_minhash_pairs")).filter(SparkEntry.queries.contains)
@@ -242,7 +271,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","rows":$rows,""" +
         s""""rows_per_sec":$rowRate,"bytes_per_sec":$byteRate,""" +
-        s""""shuffle_mb":$shuffleMb,"spill_mb":$spillMb,""" +
+        s""""shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"gc_ms":$gcMs,""" +
         s""""anchor_a":${anchorJson(anchorA)},"anchor_b":${anchorJson(anchorB)},""" +
         s""""anchor_drift":${num(anchorDrift, 4)},""" +
         s""""weather_ref_match":$isRefSf,""" +

@@ -15,6 +15,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, S
   */
 class MetricsListener extends SparkListener {
   private val taskTimeMs = new LongAdder
+  // per-task jvmGCTime: at 32 concurrent tasks every stop-the-world pause
+  // is charged to ALL running tasks' durations, so GC-heavy rows read as
+  // anti-scaling with cores (r19 q_edit_pairs finding) — this column makes
+  // that mechanism visible per query instead of inferred
+  private val gcTimeMs = new LongAdder
   private val shuffleReadBytes = new LongAdder
   private val shuffleWriteBytes = new LongAdder
   private val recordsRead = new LongAdder
@@ -29,6 +34,7 @@ class MetricsListener extends SparkListener {
     val m = taskEnd.taskMetrics
     if (m != null) {
       taskTimeMs.add(m.executorRunTime)
+      gcTimeMs.add(m.jvmGCTime)
       shuffleReadBytes.add(m.shuffleReadMetrics.totalBytesRead)
       shuffleWriteBytes.add(m.shuffleWriteMetrics.bytesWritten)
       recordsRead.add(m.inputMetrics.recordsRead)
@@ -45,6 +51,7 @@ class MetricsListener extends SparkListener {
 
   case class Snapshot(
       taskTimeMs: Long,
+      gcTimeMs: Long,
       shuffleReadBytes: Long,
       shuffleWriteBytes: Long,
       recordsRead: Long,
@@ -55,6 +62,7 @@ class MetricsListener extends SparkListener {
       nStages: Long) {
     def -(prev: Snapshot): Snapshot = Snapshot(
       taskTimeMs - prev.taskTimeMs,
+      gcTimeMs - prev.gcTimeMs,
       shuffleReadBytes - prev.shuffleReadBytes,
       shuffleWriteBytes - prev.shuffleWriteBytes,
       recordsRead - prev.recordsRead,
@@ -64,13 +72,13 @@ class MetricsListener extends SparkListener {
       nTasks - prev.nTasks,
       nStages - prev.nStages)
     def render: String =
-      f"taskTime=${taskTimeMs}ms shufR=${shuffleReadBytes}B shufW=${shuffleWriteBytes}B " +
+      f"taskTime=${taskTimeMs}ms gc=${gcTimeMs}ms shufR=${shuffleReadBytes}B shufW=${shuffleWriteBytes}B " +
         f"recordsIn=$recordsRead bytesIn=${bytesRead}B spillMem=${memorySpillBytes}B " +
         f"spillDisk=${diskSpillBytes}B tasks=$nTasks stages=$nStages"
   }
 
   def snapshot(): Snapshot = Snapshot(
-    taskTimeMs.sum(), shuffleReadBytes.sum(), shuffleWriteBytes.sum(),
+    taskTimeMs.sum(), gcTimeMs.sum(), shuffleReadBytes.sum(), shuffleWriteBytes.sum(),
     recordsRead.sum(), bytesRead.sum(), memorySpillBytes.sum(), diskSpillBytes.sum(),
     nTasks.sum(), nStages.sum())
 }
